@@ -1,0 +1,75 @@
+"""Engine configuration / flag system.
+
+Analogue of the reference's `SystemParameters` + the `g_*` globals bound by
+CommandLineOptions (ThriftHandler/CommandLineOptions.cpp, 281 flags).  We keep
+one dataclass; server/CLI layers map CLI/INI options onto it, and a runtime-
+settable subset is exposed via ALTER SYSTEM/SESSION (reference
+Catalog/DdlCommandExecutor).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # ---- storage / fragmentation ----
+    # Rows per fragment (reference default 32M, Fragmenter/FragmentDefaultValues.h:19).
+    # We keep fragments smaller by default so fragment-level metadata pruning has
+    # granularity on typical test data; benchmarks override.
+    default_fragment_rows: int = 1 << 22  # 4M
+    # Device row-block size: fragments are padded to a multiple of this so one
+    # compiled XLA program serves all fragments (the multifrag-kernel trick).
+    row_block: int = 1 << 13  # 8192
+
+    # ---- group-by ----
+    # Max dense key-space size for the perfect-hash (positional) group-by path
+    # (reference g_baseline_groupby_threshold, Execute.cpp:113 — 1M entries).
+    baseline_groupby_threshold: int = 1 << 20
+    # Initial entry-count guess for baseline (sort-based) group-by when no
+    # estimate is available; retry ladder doubles on OutOfSlots.
+    baseline_groupby_initial_entries: int = 1 << 14
+    # Fill-factor headroom applied to NDV estimates (reference uses 50% fill,
+    # 2x overallocation for baseline hash tables).
+    groupby_entries_headroom: float = 1.3
+
+    # ---- joins ----
+    # Max dense key range for the perfect join-hash-table path
+    # (reference PerfectJoinHashTable).
+    perfect_join_max_range: int = 1 << 26
+    # Loop-join fallback threshold (reference g_trivial_loop_join_threshold=1000).
+    trivial_loop_join_threshold: int = 1000
+    # Initial output-capacity multiplier for 1:N join fan-out.
+    join_fanout_headroom: float = 1.5
+
+    # ---- execution ----
+    enable_watchdog: bool = False
+    watchdog_max_projected_rows: int = 128_000_000
+    enable_dynamic_watchdog: bool = False
+    dynamic_watchdog_time_limit_ms: int = 0
+    # Two-pass filtered projection: static output cap = input rows unless a
+    # LIMIT lets us cap lower (reference scan_limit).
+    enable_columnar_output: bool = True
+    # Execution device: "auto" picks TPU if present else CPU.
+    device: str = "auto"
+    # Buckets for shape-dependent recompiles: row counts round up to the next
+    # power of two so the jit cache stays small (reference CodeCache economics).
+    shape_bucket_pow2: bool = True
+
+    # ---- distributed ----
+    # Number of data-parallel shards (devices) to partition tables over.
+    num_shards: Optional[int] = None
+
+    # ---- logging / debug ----
+    enable_debug_timer: bool = False
+    log_level: str = os.environ.get("HEAVYDB_TPU_LOG", "WARNING")
+
+    def clone(self, **overrides) -> "Config":
+        return dataclasses.replace(self, **overrides)
+
+
+DEFAULT = Config()

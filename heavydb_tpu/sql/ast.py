@@ -1,0 +1,342 @@
+"""Untyped SQL AST produced by the parser.
+
+This is the engine's replacement for the Calcite front half (reference
+java/calcite HeavyDBParser): the parser builds these nodes, then
+plan/builder.py resolves names/types and lowers to the relational algebra
+DAG (plan/rel_alg.py), playing the role of Calcite's RA JSON +
+RelAlgDagBuilder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple, Union
+
+
+class Node:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Expressions
+# ---------------------------------------------------------------------------
+
+
+class Expr(Node):
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    value: object  # int | float | str | bool | None
+    # 'num_int' | 'num_float' | 'num_decimal' | 'string' | 'bool' | 'null'
+    kind: str = "num_int"
+    text: str = ""  # original literal text (decimals keep exactness)
+
+
+@dataclass
+class Identifier(Expr):
+    parts: Tuple[str, ...]  # ('t', 'x') or ('x',)
+
+    @property
+    def name(self) -> str:
+        return self.parts[-1]
+
+
+@dataclass
+class Star(Expr):
+    table: Optional[str] = None  # t.* if set
+
+
+@dataclass
+class Unary(Expr):
+    op: str  # 'NOT' | '-' | '+'
+    operand: Expr
+
+
+@dataclass
+class Binary(Expr):
+    op: str  # '+','-','*','/','%','=','<>','<','<=','>','>=','AND','OR','||'
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    operand: Expr
+    items: List[Expr] = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Expr):
+    operand: Expr
+    subquery: "Select" = None
+    negated: bool = False
+
+
+@dataclass
+class Like(Expr):
+    operand: Expr
+    pattern: Expr
+    escape: Optional[Expr] = None
+    negated: bool = False
+    ilike: bool = False
+
+
+@dataclass
+class CaseWhen(Expr):
+    # CASE [operand] WHEN c THEN r ... [ELSE e] END ; simple CASE is rewritten
+    # to searched CASE by the parser.
+    whens: List[Tuple[Expr, Expr]] = field(default_factory=list)
+    else_: Optional[Expr] = None
+
+
+@dataclass
+class TypeName(Node):
+    name: str  # canonical upper-case base name
+    params: Tuple[int, ...] = ()  # (p, s) / (n)
+    not_null: bool = False
+    encoding: Optional[str] = None  # 'DICT' | 'NONE' | 'FIXED' | 'DAYS'
+    encoding_param: int = 0
+
+
+@dataclass
+class Cast(Expr):
+    operand: Expr
+    type_name: TypeName
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str  # upper-cased
+    args: List[Expr] = field(default_factory=list)
+    distinct: bool = False
+    star: bool = False  # COUNT(*)
+
+
+@dataclass
+class ExtractExpr(Expr):
+    field_: str  # YEAR, MONTH, DAY, HOUR, MINUTE, SECOND, DOW, DOY, EPOCH, QUARTER, WEEK, MILLENNIUM...
+    operand: Expr
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    subquery: "Select" = None
+
+
+@dataclass
+class Exists(Expr):
+    subquery: "Select" = None
+    negated: bool = False
+
+
+@dataclass
+class IntervalLit(Expr):
+    value: Expr
+    unit: str  # YEAR/MONTH/DAY/HOUR/MINUTE/SECOND
+
+
+@dataclass
+class WindowSpec(Node):
+    partition_by: List[Expr] = field(default_factory=list)
+    order_by: List["OrderItem"] = field(default_factory=list)
+    # frame support arrives with window functions
+    frame: Optional[tuple] = None
+
+
+@dataclass
+class WindowFuncCall(Expr):
+    func: FuncCall = None
+    spec: WindowSpec = None
+
+
+# ---------------------------------------------------------------------------
+# Table references
+# ---------------------------------------------------------------------------
+
+
+class TableRef(Node):
+    pass
+
+
+@dataclass
+class NamedTable(TableRef):
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclass
+class SubqueryRef(TableRef):
+    select: "Select" = None
+    alias: Optional[str] = None
+
+
+@dataclass
+class JoinRef(TableRef):
+    left: TableRef = None
+    right: TableRef = None
+    kind: str = "INNER"  # INNER | LEFT | CROSS (RIGHT rewritten to LEFT)
+    condition: Optional[Expr] = None
+    using: Optional[List[str]] = None
+
+
+# ---------------------------------------------------------------------------
+# Statements
+# ---------------------------------------------------------------------------
+
+
+class Statement(Node):
+    pass
+
+
+@dataclass
+class OrderItem(Node):
+    expr: Expr
+    asc: bool = True
+    nulls_first: Optional[bool] = None  # None = dialect default (nulls last asc / first desc)
+
+
+@dataclass
+class Select(Statement):
+    projections: List[Tuple[Expr, Optional[str]]] = field(default_factory=list)
+    from_: Optional[TableRef] = None
+    where: Optional[Expr] = None
+    group_by: List[Expr] = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: List[OrderItem] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    distinct: bool = False
+    # set operations: ('UNION'|'UNION ALL', Select) applied left to right
+    set_ops: List[Tuple[str, "Select"]] = field(default_factory=list)
+    ctes: List[Tuple[str, "Select"]] = field(default_factory=list)
+
+
+@dataclass
+class ColumnDef(Node):
+    name: str
+    type_name: TypeName
+    default: Optional[Expr] = None
+
+
+@dataclass
+class CreateTable(Statement):
+    name: str
+    columns: List[ColumnDef] = field(default_factory=list)
+    if_not_exists: bool = False
+    temporary: bool = False
+    options: dict = field(default_factory=dict)  # WITH (fragment_size=..., ...)
+    as_select: Optional[Select] = None
+
+
+@dataclass
+class DropTable(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class RenameTable(Statement):
+    old: str
+    new: str
+
+
+@dataclass
+class InsertValues(Statement):
+    table: str
+    columns: Optional[List[str]] = None
+    rows: List[List[Expr]] = field(default_factory=list)
+
+
+@dataclass
+class InsertSelect(Statement):
+    table: str
+    columns: Optional[List[str]] = None
+    select: Select = None
+
+
+@dataclass
+class Update(Statement):
+    table: str
+    assignments: List[Tuple[str, Expr]] = field(default_factory=list)
+    where: Optional[Expr] = None
+
+
+@dataclass
+class Delete(Statement):
+    table: str
+    where: Optional[Expr] = None
+
+
+@dataclass
+class CopyFrom(Statement):
+    table: str
+    path: str
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class CopyTo(Statement):
+    select: Select = None
+    path: str = ""
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class Explain(Statement):
+    stmt: Statement = None
+    kind: str = "PLAN"  # PLAN | CALCITE | OPTIMIZED — maps to plan / jaxpr / HLO dumps
+
+
+@dataclass
+class ShowTables(Statement):
+    pass
+
+
+@dataclass
+class ShowCreateTable(Statement):
+    name: str = ""
+
+
+@dataclass
+class DescribeTable(Statement):
+    name: str = ""
+
+
+@dataclass
+class TruncateTable(Statement):
+    name: str = ""
+
+
+@dataclass
+class CreateView(Statement):
+    name: str = ""
+    select: Select = None
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropView(Statement):
+    name: str = ""
+    if_exists: bool = False
+
+
+@dataclass
+class ValidateStmt(Statement):
+    pass

@@ -1,0 +1,345 @@
+"""Columnar table storage: descriptors, fragments, chunk metadata.
+
+Role of the reference's Catalog/TableDescriptor.h + Fragmenter/
+InsertOrderFragmenter + DataMgr/Chunk + ChunkMetadata: a table is a list of
+row-wise *fragments*; each fragment holds one dense numpy array per column
+("chunk") plus per-chunk stats {min, max, has_nulls} used for perfect-hash
+range decisions and fragment skipping (reference Executor::skipFragment,
+Execute.cpp:4776).
+
+TPU-first deviations from the reference:
+- The host master copy is numpy; the device working set is a per-table cache
+  of concatenated, block-padded jax arrays (padding uses null sentinels), so
+  ONE compiled XLA program serves any number of fragments — the analogue of
+  HeavyDB's multifrag GPU kernels (RuntimeFunctions.cpp multifrag_query).
+- Null storage is in-band sentinels (types.TypeInfo.null_sentinel), never
+  bitmaps, matching Shared/InlineNullValues.h.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import CatalogError, StorageError
+from heavydb_tpu.storage.string_dict import StringDictionary
+
+EPOCH = _dt.date(1970, 1, 1)
+
+
+@dataclass
+class ColumnDescriptor:
+    name: str
+    type: T.TypeInfo
+    col_id: int  # 1-based like the reference
+    default: Optional[object] = None
+
+
+@dataclass
+class ChunkStats:
+    """Per-(fragment, column) metadata (reference DataMgr/ChunkMetadata.h:56)."""
+
+    min: object = None
+    max: object = None
+    has_nulls: bool = False
+    num_rows: int = 0
+
+
+class Fragment:
+    def __init__(self, fragment_id: int, capacity: int):
+        self.fragment_id = fragment_id
+        self.capacity = capacity
+        self.num_rows = 0
+        self.chunks: Dict[int, np.ndarray] = {}  # col_id -> values
+        self.stats: Dict[int, ChunkStats] = {}
+
+    def append(self, col_arrays: Dict[int, np.ndarray], start: int, n: int):
+        for col_id, arr in col_arrays.items():
+            piece = arr[start : start + n]
+            if col_id in self.chunks:
+                self.chunks[col_id] = np.concatenate([self.chunks[col_id], piece])
+            else:
+                self.chunks[col_id] = piece.copy()
+        self.num_rows += n
+
+    def compute_stats(self, cd: ColumnDescriptor):
+        vals = self.chunks[cd.col_id]
+        st = ChunkStats(num_rows=self.num_rows)
+        if vals.size:
+            if vals.dtype.kind == "f":
+                valid = vals[~np.isnan(vals)]
+            else:
+                valid = vals[vals != cd.type.null_sentinel()]
+            st.has_nulls = valid.size < vals.size
+            if valid.size:
+                st.min = valid.min().item()
+                st.max = valid.max().item()
+        else:
+            st.has_nulls = False
+        self.stats[cd.col_id] = st
+        return st
+
+
+class Table:
+    """A table: descriptor + fragments + per-dict-column StringDictionary."""
+
+    def __init__(
+        self,
+        table_id: int,
+        name: str,
+        columns: Sequence[ColumnDescriptor],
+        fragment_rows: int,
+        is_temporary: bool = False,
+    ):
+        self.table_id = table_id
+        self.name = name
+        self.columns: List[ColumnDescriptor] = list(columns)
+        self.fragment_rows = fragment_rows
+        self.is_temporary = is_temporary
+        self.fragments: List[Fragment] = []
+        self.dicts: Dict[int, StringDictionary] = {}  # col_id -> dict
+        for cd in self.columns:
+            if cd.type.is_dict_string:
+                self.dicts[cd.col_id] = StringDictionary(dict_id=cd.col_id)
+        # generation bumps on every data mutation; device caches key on it
+        # (reference TableGenerations for multi-host snapshot consistency)
+        self.generation = 0
+        self._lock = threading.RLock()
+
+    # ---- schema helpers ----
+    def column_by_name(self, name: str) -> Optional[ColumnDescriptor]:
+        lname = name.lower()
+        for cd in self.columns:
+            if cd.name.lower() == lname:
+                return cd
+        return None
+
+    def column_by_id(self, col_id: int) -> ColumnDescriptor:
+        for cd in self.columns:
+            if cd.col_id == col_id:
+                return cd
+        raise CatalogError(f"no column id {col_id} in {self.name}")
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.num_rows for f in self.fragments)
+
+    def dict_for(self, col_id: int) -> StringDictionary:
+        return self.dicts[col_id]
+
+    # ---- ingest ----
+    def insert_columns(self, col_arrays: Dict[int, np.ndarray]):
+        """Append physical (already-converted) column arrays.  All arrays must
+        have equal length.  Reference: InsertOrderFragmenter::insertData."""
+        lens = {a.shape[0] for a in col_arrays.values()}
+        if len(lens) != 1:
+            raise StorageError(f"ragged insert: lengths {lens}")
+        (n,) = lens
+        if set(col_arrays) != {cd.col_id for cd in self.columns}:
+            raise StorageError("insert must cover all columns")
+        with self._lock:
+            pos = 0
+            while pos < n:
+                if not self.fragments or (
+                    self.fragments[-1].num_rows >= self.fragment_rows
+                ):
+                    self.fragments.append(
+                        Fragment(len(self.fragments), self.fragment_rows)
+                    )
+                frag = self.fragments[-1]
+                room = self.fragment_rows - frag.num_rows
+                take = min(room, n - pos)
+                frag.append(col_arrays, pos, take)
+                pos += take
+            # refresh stats for affected fragments lazily: recompute all stats of
+            # the last fragments touched
+            for frag in self.fragments:
+                for cd in self.columns:
+                    if cd.col_id not in frag.stats or frag.stats[
+                        cd.col_id
+                    ].num_rows != frag.num_rows:
+                        frag.compute_stats(cd)
+            self.generation += 1
+
+    def delete_all(self):
+        with self._lock:
+            self.fragments = []
+            self.generation += 1
+
+    # ---- reads ----
+    def column_values(self, col_id: int) -> np.ndarray:
+        """Concatenated host values for a column (exact length)."""
+        cd = self.column_by_id(col_id)
+        parts = [f.chunks[col_id] for f in self.fragments if f.num_rows]
+        if not parts:
+            return np.empty(0, cd.type.np_dtype())
+        return np.concatenate(parts)
+
+    def column_range(self, col_id: int) -> Tuple[object, object, bool]:
+        """(min, max, has_nulls) across fragments, from chunk metadata only.
+        Drives perfect-hash decisions (reference ExpressionRange)."""
+        mn = mx = None
+        has_nulls = False
+        nullable = self.column_by_id(col_id).type.nullable
+        for f in self.fragments:
+            st = f.stats.get(col_id)
+            if st is None:
+                continue
+            has_nulls = has_nulls or st.has_nulls
+            if st.min is not None:
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        return mn, mx, has_nulls and nullable
+
+
+# ---------------------------------------------------------------------------
+# Host-side value conversion at the ingest boundary (reference
+# ImportExport/Importer TypedImportBuffer + DataConverters)
+# ---------------------------------------------------------------------------
+
+
+def _parse_date(v) -> int:
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        return (v.date() - EPOCH).days
+    if isinstance(v, _dt.date):
+        return (v - EPOCH).days
+    if isinstance(v, str):
+        return (_dt.date.fromisoformat(v.strip()) - EPOCH).days
+    raise StorageError(f"cannot convert {v!r} to DATE")
+
+
+def _parse_timestamp(v, precision: int) -> int:
+    mult = 10**precision
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, _dt.datetime):
+        ts = v.replace(tzinfo=_dt.timezone.utc).timestamp()
+        return int(round(ts * mult))
+    if isinstance(v, _dt.date):
+        return int((v - EPOCH).days) * 86400 * mult
+    if isinstance(v, str):
+        s = v.strip()
+        dt = _dt.datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(round(dt.timestamp() * mult))
+    raise StorageError(f"cannot convert {v!r} to TIMESTAMP")
+
+
+def _parse_time(v) -> int:
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, _dt.time):
+        return v.hour * 3600 + v.minute * 60 + v.second
+    if isinstance(v, str):
+        t = _dt.time.fromisoformat(v.strip())
+        return t.hour * 3600 + t.minute * 60 + t.second
+    raise StorageError(f"cannot convert {v!r} to TIME")
+
+
+def to_physical(
+    values, ti: T.TypeInfo, sdict: Optional[StringDictionary] = None
+) -> np.ndarray:
+    """Convert a python/numpy/pandas sequence into the physical column array
+    (sentinel nulls in-band)."""
+    dtype = ti.np_dtype()
+    sentinel = ti.null_sentinel()
+
+    # fast path: numeric numpy arrays without object dtype
+    if isinstance(values, np.ndarray) and values.dtype.kind in "ifb":
+        if ti.is_dict_string:
+            raise StorageError("numeric array for TEXT column")
+        arr = values
+        if ti.is_decimal and arr.dtype.kind == "f":
+            out = np.where(
+                np.isnan(arr), sentinel, np.round(arr * 10**ti.scale)
+            ).astype(np.int64)
+            return out
+        if dtype.kind == "f":
+            return arr.astype(dtype)
+        if arr.dtype.kind == "f":
+            # float -> int column: NaN becomes sentinel
+            out = np.where(np.isnan(arr), sentinel, arr).astype(dtype)
+            return out
+        if ti.is_decimal:
+            return (arr.astype(np.int64)) * (10**ti.scale)
+        return arr.astype(dtype)
+
+    vals = list(values)
+    n = len(vals)
+    out = np.empty(n, dtype)
+
+    if ti.is_dict_string:
+        assert sdict is not None
+        return sdict.get_or_add_bulk(vals)
+
+    for i, v in enumerate(vals):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out[i] = sentinel
+            continue
+        k = ti.kind
+        if k == T.SQLTypeKind.BOOLEAN:
+            if isinstance(v, str):
+                v = v.strip().lower() in ("t", "true", "1", "yes")
+            out[i] = 1 if v else 0
+        elif ti.is_integer:
+            out[i] = int(v)
+        elif ti.is_fp:
+            out[i] = float(v)
+        elif ti.is_decimal:
+            from decimal import Decimal
+
+            d = Decimal(str(v)).scaleb(ti.scale)
+            out[i] = int(d.to_integral_value(rounding="ROUND_HALF_UP"))
+        elif k == T.SQLTypeKind.DATE:
+            out[i] = _parse_date(v)
+        elif k == T.SQLTypeKind.TIME:
+            out[i] = _parse_time(v)
+        elif k == T.SQLTypeKind.TIMESTAMP:
+            out[i] = _parse_timestamp(v, ti.precision)
+        else:
+            raise StorageError(f"cannot ingest into {ti}")
+    return out
+
+
+def from_physical(arr: np.ndarray, ti: T.TypeInfo, sdict=None) -> list:
+    """Physical array → python values (None for nulls) for client results."""
+    if ti.is_dict_string:
+        assert sdict is not None
+        return sdict.get_strings(arr)
+    sentinel = ti.null_sentinel()
+    out = []
+    k = ti.kind
+    for v in arr.tolist():
+        if v is None:
+            out.append(None)
+        elif isinstance(v, float):
+            out.append(None if v != v else v)  # NaN check
+        elif v == sentinel:
+            out.append(None)
+        elif k == T.SQLTypeKind.BOOLEAN:
+            out.append(bool(v))
+        elif ti.is_decimal:
+            out.append(v / (10**ti.scale))
+        elif k == T.SQLTypeKind.DATE:
+            out.append(EPOCH + _dt.timedelta(days=int(v)))
+        elif k == T.SQLTypeKind.TIME:
+            s = int(v)
+            out.append(_dt.time(s // 3600, (s % 3600) // 60, s % 60))
+        elif k == T.SQLTypeKind.TIMESTAMP:
+            mult = 10**ti.precision
+            out.append(
+                _dt.datetime.fromtimestamp(v / mult, tz=_dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+            )
+        else:
+            out.append(v)
+    return out

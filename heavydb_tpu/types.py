@@ -1,0 +1,284 @@
+"""SQL type system for the TPU engine.
+
+Equivalent role to the reference's `Shared/sqltypes.h` (SQLTypeInfo) and
+`Shared/InlineNullValues.h`: logical SQL types, their on-device physical
+dtypes, and sentinel ("inline") null values.
+
+Design notes (TPU-first):
+- Nulls are stored as in-band sentinels (the minimum value of the integer
+  physical type; NaN for floats) exactly like HeavyDB's inline nulls, so a
+  column is ONE dense device array — no validity bitmaps in storage.  The
+  expression compiler derives validity masks on the fly; XLA fuses the
+  compare into the consuming op.
+- DECIMAL is a scaled int64 (HeavyDB: Shared/sqltypes.h kDECIMAL with
+  scale/precision); arithmetic rescales like the reference's analyzer.
+- TEXT defaults to 32-bit dictionary encoding (HeavyDB: kENCODING_DICT),
+  so string columns are int32 id arrays on device; the dictionary lives on
+  the host (storage/string_dict.py).
+- DATE is int32/int64 days-since-epoch (HeavyDB kENCODING_DATE_IN_DAYS),
+  TIME is int64 seconds-since-midnight, TIMESTAMP is int64 at a power-of-ten
+  precision (0/3/6/9 → s/ms/us/ns).
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional
+
+import numpy as np
+
+
+class SQLTypeKind(enum.Enum):
+    BOOLEAN = "BOOLEAN"
+    TINYINT = "TINYINT"
+    SMALLINT = "SMALLINT"
+    INT = "INTEGER"
+    BIGINT = "BIGINT"
+    FLOAT = "FLOAT"
+    DOUBLE = "DOUBLE"
+    DECIMAL = "DECIMAL"
+    TEXT = "TEXT"
+    DATE = "DATE"
+    TIME = "TIME"
+    TIMESTAMP = "TIMESTAMP"
+    NULLT = "NULL"  # type of a bare NULL literal
+
+
+class Encoding(enum.Enum):
+    NONE = "NONE"
+    DICT = "DICT"  # dictionary-encoded string (int32 ids)
+    FIXED = "FIXED"  # fixed-width narrowing (e.g. BIGINT ENCODING FIXED(32))
+    DAYS = "DAYS"  # date in days
+
+
+_INT_KINDS = {
+    SQLTypeKind.TINYINT,
+    SQLTypeKind.SMALLINT,
+    SQLTypeKind.INT,
+    SQLTypeKind.BIGINT,
+}
+_FLOAT_KINDS = {SQLTypeKind.FLOAT, SQLTypeKind.DOUBLE}
+_TIME_KINDS = {SQLTypeKind.DATE, SQLTypeKind.TIME, SQLTypeKind.TIMESTAMP}
+
+
+@dataclass(frozen=True)
+class TypeInfo:
+    """Logical SQL type + physical encoding. Analogue of SQLTypeInfo."""
+
+    kind: SQLTypeKind
+    nullable: bool = True
+    precision: int = 0  # DECIMAL precision, TIMESTAMP sub-second digits
+    scale: int = 0  # DECIMAL scale
+    encoding: Encoding = Encoding.NONE
+    comp_param: int = 0  # dict id for DICT, bit width for FIXED
+
+    # ---- classification ----
+    @property
+    def is_integer(self) -> bool:
+        return self.kind in _INT_KINDS
+
+    @property
+    def is_fp(self) -> bool:
+        return self.kind in _FLOAT_KINDS
+
+    @property
+    def is_decimal(self) -> bool:
+        return self.kind == SQLTypeKind.DECIMAL
+
+    @property
+    def is_number(self) -> bool:
+        return self.is_integer or self.is_fp or self.is_decimal
+
+    @property
+    def is_string(self) -> bool:
+        return self.kind == SQLTypeKind.TEXT
+
+    @property
+    def is_dict_string(self) -> bool:
+        return self.kind == SQLTypeKind.TEXT and self.encoding == Encoding.DICT
+
+    @property
+    def is_time(self) -> bool:
+        return self.kind in _TIME_KINDS
+
+    @property
+    def is_boolean(self) -> bool:
+        return self.kind == SQLTypeKind.BOOLEAN
+
+    @property
+    def is_null_type(self) -> bool:
+        return self.kind == SQLTypeKind.NULLT
+
+    # ---- physical representation ----
+    def np_dtype(self) -> np.dtype:
+        """Physical numpy/JAX dtype of the stored column."""
+        k = self.kind
+        if k == SQLTypeKind.BOOLEAN:
+            return np.dtype(np.int8)
+        if k == SQLTypeKind.TINYINT:
+            return np.dtype(np.int8)
+        if k == SQLTypeKind.SMALLINT:
+            return np.dtype(np.int16)
+        if k == SQLTypeKind.INT:
+            return np.dtype(np.int32)
+        if k == SQLTypeKind.BIGINT:
+            return np.dtype(np.int64)
+        if k == SQLTypeKind.FLOAT:
+            return np.dtype(np.float32)
+        if k == SQLTypeKind.DOUBLE:
+            return np.dtype(np.float64)
+        if k == SQLTypeKind.DECIMAL:
+            return np.dtype(np.int64)
+        if k == SQLTypeKind.TEXT:
+            if self.encoding == Encoding.DICT:
+                return np.dtype(np.int32)
+            raise TypeError("none-encoded TEXT has no device representation")
+        if k == SQLTypeKind.DATE:
+            return np.dtype(np.int32)  # days since epoch
+        if k == SQLTypeKind.TIME:
+            return np.dtype(np.int64)  # seconds since midnight
+        if k == SQLTypeKind.TIMESTAMP:
+            return np.dtype(np.int64)
+        raise TypeError(f"no physical dtype for {k}")
+
+    def null_sentinel(self):
+        """In-band null value (HeavyDB Shared/InlineNullValues.h semantics)."""
+        dt = self.np_dtype()
+        if dt.kind == "f":
+            return np.nan
+        return int(np.iinfo(dt).min)
+
+    # ---- display ----
+    def sql_name(self) -> str:
+        if self.kind == SQLTypeKind.DECIMAL:
+            return f"DECIMAL({self.precision},{self.scale})"
+        if self.kind == SQLTypeKind.TIMESTAMP and self.precision:
+            return f"TIMESTAMP({self.precision})"
+        return self.kind.value
+
+    def with_nullable(self, nullable: bool) -> "TypeInfo":
+        return replace(self, nullable=nullable)
+
+    def __str__(self) -> str:
+        return self.sql_name() + ("" if self.nullable else " NOT NULL")
+
+
+# Convenience constructors
+def boolean(nullable=True):
+    return TypeInfo(SQLTypeKind.BOOLEAN, nullable)
+
+
+def tinyint(nullable=True):
+    return TypeInfo(SQLTypeKind.TINYINT, nullable)
+
+
+def smallint(nullable=True):
+    return TypeInfo(SQLTypeKind.SMALLINT, nullable)
+
+
+def integer(nullable=True):
+    return TypeInfo(SQLTypeKind.INT, nullable)
+
+
+def bigint(nullable=True):
+    return TypeInfo(SQLTypeKind.BIGINT, nullable)
+
+
+def float_(nullable=True):
+    return TypeInfo(SQLTypeKind.FLOAT, nullable)
+
+
+def double(nullable=True):
+    return TypeInfo(SQLTypeKind.DOUBLE, nullable)
+
+
+def decimal(precision, scale, nullable=True):
+    return TypeInfo(SQLTypeKind.DECIMAL, nullable, precision=precision, scale=scale)
+
+
+def text_dict(dict_id=0, nullable=True):
+    return TypeInfo(
+        SQLTypeKind.TEXT, nullable, encoding=Encoding.DICT, comp_param=dict_id
+    )
+
+
+def date(nullable=True):
+    return TypeInfo(SQLTypeKind.DATE, nullable)
+
+
+def time_(nullable=True):
+    return TypeInfo(SQLTypeKind.TIME, nullable)
+
+
+def timestamp(precision=0, nullable=True):
+    return TypeInfo(SQLTypeKind.TIMESTAMP, nullable, precision=precision)
+
+
+def null_type():
+    return TypeInfo(SQLTypeKind.NULLT, True)
+
+
+_INT_RANK = {
+    SQLTypeKind.TINYINT: 0,
+    SQLTypeKind.SMALLINT: 1,
+    SQLTypeKind.INT: 2,
+    SQLTypeKind.BIGINT: 3,
+}
+_RANK_INT = {v: k for k, v in _INT_RANK.items()}
+
+
+def common_numeric_type(a: TypeInfo, b: TypeInfo) -> TypeInfo:
+    """Binary-operation result type (reference: Analyzer::analyze_type_info /
+    common_numeric_type in Analyzer/Analyzer.cpp)."""
+    nullable = a.nullable or b.nullable
+    if a.is_null_type:
+        return b.with_nullable(True)
+    if b.is_null_type:
+        return a.with_nullable(True)
+    if a.kind == SQLTypeKind.DOUBLE or b.kind == SQLTypeKind.DOUBLE:
+        return double(nullable)
+    if a.kind == SQLTypeKind.FLOAT or b.kind == SQLTypeKind.FLOAT:
+        # float op decimal/bigint → double for precision; float op smaller int → float
+        other = b if a.kind == SQLTypeKind.FLOAT else a
+        if other.is_decimal or other.kind == SQLTypeKind.BIGINT:
+            return double(nullable)
+        return float_(nullable)
+    if a.is_decimal or b.is_decimal:
+        # widen to a common decimal
+        ap, asc = (a.precision, a.scale) if a.is_decimal else (19, 0)
+        bp, bsc = (b.precision, b.scale) if b.is_decimal else (19, 0)
+        scale = max(asc, bsc)
+        prec = min(19, max(ap - asc, bp - bsc) + scale)
+        return decimal(prec, scale, nullable)
+    if a.is_integer and b.is_integer:
+        rank = max(_INT_RANK[a.kind], _INT_RANK[b.kind])
+        return TypeInfo(_RANK_INT[rank], nullable)
+    if a.is_time and b.is_time and a.kind == b.kind:
+        prec = max(a.precision, b.precision)
+        return TypeInfo(a.kind, nullable, precision=prec)
+    if a.kind == b.kind:
+        return a.with_nullable(nullable)
+    raise TypeError(f"no common type for {a} and {b}")
+
+
+def decimal_multiplier(ti: TypeInfo) -> int:
+    return 10**ti.scale if ti.is_decimal else 1
+
+
+def literal_type(value: Any) -> TypeInfo:
+    """Infer the TypeInfo of a Python literal."""
+    if value is None:
+        return null_type()
+    if isinstance(value, bool):
+        return boolean(nullable=False)
+    if isinstance(value, int):
+        if -(2**31) <= value < 2**31:
+            return integer(nullable=False)
+        return bigint(nullable=False)
+    if isinstance(value, float):
+        return double(nullable=False)
+    if isinstance(value, str):
+        return TypeInfo(SQLTypeKind.TEXT, nullable=False)
+    raise TypeError(f"unsupported literal {value!r}")
