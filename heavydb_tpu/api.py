@@ -1,5 +1,501 @@
-"""Placeholder — filled in by the executor milestone."""
-def connect(*a, **k):
-    raise NotImplementedError
-class Database:  # noqa
-    pass
+"""Public in-process engine API — the analogue of the reference's Embedded
+DBEngine (Embedded/DBEngine.h:39: executeDML without a server) and the DDL/DML
+routing half of DBHandler::sql_execute_impl (ThriftHandler/DBHandler.cpp:6626).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+# SQL needs exact 64-bit ints and doubles; enable before any jnp use.
+jax.config.update("jax_enable_x64", True)
+
+from heavydb_tpu import types as T
+from heavydb_tpu.config import Config
+from heavydb_tpu.errors import (
+    BinderError,
+    CatalogError,
+    NotSupported,
+    SqlError,
+    StorageError,
+)
+from heavydb_tpu.exec.executor import Executor
+from heavydb_tpu.exec.result_set import ResultSet, from_batch
+from heavydb_tpu.plan import exprs as E
+from heavydb_tpu.plan import rel_alg as R
+from heavydb_tpu.plan.builder import ExprBinder, Scope, resolve_type_name, _const_cast
+from heavydb_tpu.plan.optimizer import optimize
+from heavydb_tpu.plan.select_planner import SelectPlanner, _node_dict_ref
+from heavydb_tpu.sql import ast as A
+from heavydb_tpu.sql.parser import parse, parse_many
+from heavydb_tpu.storage.catalog import Catalog
+from heavydb_tpu.storage.table import Table, to_physical
+
+
+def connect(config: Optional[Config] = None) -> "Database":
+    return Database(config or Config())
+
+
+class Database:
+    def __init__(self, config: Config):
+        self.config = config
+        self.catalog = Catalog(config)
+        self.executor = Executor(self)
+        self._views: Dict[str, A.Select] = {}
+        self._transient_dicts: Dict[int, object] = {}
+        self._next_transient = 0
+
+    # ------------------------------------------------------------------
+    # public
+    # ------------------------------------------------------------------
+    def sql(self, text: str) -> Optional[ResultSet]:
+        """Execute one SQL statement (the last result is returned if the text
+        contains several)."""
+        stmts = parse_many(text)
+        out = None
+        for st in stmts:
+            out = self._execute_statement(st)
+        return out
+
+    def load_table(self, name: str, data, create: bool = False):
+        """Bulk-load a pandas DataFrame / dict of arrays / pyarrow Table
+        (reference Thrift load_table_binary_columnar)."""
+        cols = _normalize_tabular(data)
+        if create and self.catalog.get_table_opt(name) is None:
+            defs = [(cname, _infer_type(arr)) for cname, arr in cols.items()]
+            self.catalog.create_table(name, defs)
+        t = self.catalog.get_table(name)
+        self._insert_columns(t, cols)
+
+    def table_rows(self, name: str) -> int:
+        return self.catalog.get_table(name).num_rows
+
+    # ------------------------------------------------------------------
+    # planning helpers (used by binder for subqueries)
+    # ------------------------------------------------------------------
+    def _plan_select(self, sel: A.Select) -> R.RelNode:
+        return SelectPlanner(self).plan(sel)
+
+    def _get_view(self, name: str) -> Optional[A.Select]:
+        return self._views.get(name.lower())
+
+    def dict_by_ref(self, ref):
+        table_id, col_id = ref
+        if table_id == "$transient":
+            return self._transient_dicts[col_id]
+        t = self.catalog.get_table_by_id(table_id)
+        return t.dict_for(col_id)
+
+    def register_transient_dict(self):
+        """Per-query literal-string dictionary (reference
+        StringDictionaryProxy transient ids)."""
+        from heavydb_tpu.storage.string_dict import StringDictionary
+
+        i = self._next_transient
+        self._next_transient += 1
+        d = StringDictionary(dict_id=-i - 1)
+        self._transient_dicts[i] = d
+        return ("$transient", i), d
+
+    # ------------------------------------------------------------------
+    # statement dispatch
+    # ------------------------------------------------------------------
+    def _execute_statement(self, st: A.Statement) -> Optional[ResultSet]:
+        if isinstance(st, A.Select):
+            return self._run_select(st)
+        if isinstance(st, A.Explain):
+            return self._explain(st)
+        if isinstance(st, A.CreateTable):
+            return self._create_table(st)
+        if isinstance(st, A.DropTable):
+            self.catalog.drop_table(st.name, st.if_exists)
+            return None
+        if isinstance(st, A.RenameTable):
+            self.catalog.rename_table(st.old, st.new)
+            return None
+        if isinstance(st, A.TruncateTable):
+            self.catalog.get_table(st.name).delete_all()
+            return None
+        if isinstance(st, A.InsertValues):
+            return self._insert_values(st)
+        if isinstance(st, A.InsertSelect):
+            return self._insert_select(st)
+        if isinstance(st, A.Update):
+            return self._update(st)
+        if isinstance(st, A.Delete):
+            return self._delete(st)
+        if isinstance(st, A.CopyFrom):
+            return self._copy_from(st)
+        if isinstance(st, A.CopyTo):
+            return self._copy_to(st)
+        if isinstance(st, A.ShowTables):
+            return _string_result("table_name", self.catalog.list_tables())
+        if isinstance(st, A.DescribeTable):
+            t = self.catalog.get_table(st.name)
+            return ResultSet(
+                ["name", "type"],
+                [T.TypeInfo(T.SQLTypeKind.TEXT, False)] * 2,
+                [
+                    np.array([cd.name for cd in t.columns], object),
+                    np.array([str(cd.type) for cd in t.columns], object),
+                ],
+                [None, None],
+            )
+        if isinstance(st, A.ShowCreateTable):
+            t = self.catalog.get_table(st.name)
+            cols = ",\n  ".join(f"{cd.name} {cd.type}" for cd in t.columns)
+            return _string_result(
+                "create_table", [f"CREATE TABLE {t.name} (\n  {cols});"]
+            )
+        if isinstance(st, A.CreateView):
+            key = st.name.lower()
+            if key in self._views and not st.if_not_exists:
+                raise CatalogError(f"view {st.name!r} already exists")
+            self._views[key] = st.select
+            return None
+        if isinstance(st, A.DropView):
+            if st.name.lower() not in self._views and not st.if_exists:
+                raise CatalogError(f"view {st.name!r} does not exist")
+            self._views.pop(st.name.lower(), None)
+            return None
+        if isinstance(st, A.ValidateStmt):
+            return _string_result("status", ["OK"])
+        raise NotSupported(f"statement {type(st).__name__}")
+
+    # ------------------------------------------------------------------
+    def _run_select(self, sel: A.Select) -> ResultSet:
+        plan = self._plan_select(sel)
+        plan = optimize(plan)
+        batch = self.executor.execute(plan)
+        dicts = []
+        for i in range(plan.arity):
+            ref = _node_dict_ref(plan, i)
+            dicts.append(self.dict_by_ref(ref) if ref else None)
+        return from_batch(batch, plan.fields, plan.types, dicts)
+
+    def _explain(self, st: A.Explain) -> ResultSet:
+        if not isinstance(st.stmt, A.Select):
+            raise NotSupported("EXPLAIN of non-SELECT")
+        plan = self._plan_select(st.stmt)
+        if st.kind != "CALCITE":
+            plan = optimize(plan)
+        return _string_result("explanation", plan.explain().split("\n"))
+
+    # ------------------------------------------------------------------
+    def _create_table(self, st: A.CreateTable) -> Optional[ResultSet]:
+        frag_rows = st.options.get("fragment_size")
+        if st.as_select is not None:
+            rs_plan = optimize(self._plan_select(st.as_select))
+            batch = self.executor.execute(rs_plan)
+            defs = []
+            for f, ti in zip(rs_plan.fields, rs_plan.types):
+                defs.append((f, ti))
+            if st.columns:
+                if len(st.columns) != len(defs):
+                    raise BinderError("CTAS column count mismatch")
+                defs = [
+                    (cd.name, ti) for cd, (_, ti) in zip(st.columns, defs)
+                ]
+            t = self.catalog.create_table(
+                st.name, defs, frag_rows, st.if_not_exists, st.temporary
+            )
+            host = batch.to_numpy()
+            cols = {}
+            for cd, (i, ti) in zip(t.columns, enumerate(rs_plan.types)):
+                arr = host[i]
+                if ti.is_dict_string:
+                    src_ref = _node_dict_ref(rs_plan, i)
+                    src = self.dict_by_ref(src_ref) if src_ref else None
+                    strings = (
+                        src.get_strings(arr) if src is not None else [None] * len(arr)
+                    )
+                    arr = t.dict_for(cd.col_id).get_or_add_bulk(strings)
+                cols[cd.col_id] = arr
+            if batch.nrows:
+                t.insert_columns(cols)
+            return None
+        defs = []
+        for cd in st.columns:
+            ti = resolve_type_name(cd.type_name)
+            defs.append((cd.name, ti))
+        self.catalog.create_table(
+            st.name, defs, frag_rows, st.if_not_exists, st.temporary
+        )
+        return None
+
+    # ------------------------------------------------------------------
+    def _insert_values(self, st: A.InsertValues) -> None:
+        t = self.catalog.get_table(st.table)
+        target_cols = (
+            [self._col_of(t, c) for c in st.columns]
+            if st.columns
+            else list(t.columns)
+        )
+        n = len(st.rows)
+        scope = Scope()
+        binder = ExprBinder(scope, self, allow_aggs=False)
+        by_col: Dict[int, list] = {cd.col_id: [] for cd in t.columns}
+        for row in st.rows:
+            if len(row) != len(target_cols):
+                raise SqlError("INSERT value count mismatch")
+            provided = {}
+            for cd, expr_ast in zip(target_cols, row):
+                e = binder.bind(expr_ast)
+                v = _const_value(e, cd.type)
+                provided[cd.col_id] = v
+            for cd in t.columns:
+                if cd.col_id in provided:
+                    by_col[cd.col_id].append(provided[cd.col_id])
+                elif cd.default is not None:
+                    by_col[cd.col_id].append(cd.default)
+                elif cd.type.nullable:
+                    by_col[cd.col_id].append(None)
+                else:
+                    raise SqlError(f"column {cd.name} has no default and is NOT NULL")
+        arrays = {}
+        for cd in t.columns:
+            vals = by_col[cd.col_id]
+            if cd.type.is_dict_string:
+                arrays[cd.col_id] = t.dict_for(cd.col_id).get_or_add_bulk(vals)
+            else:
+                # _const_value already produced PHYSICAL values
+                dt = cd.type.np_dtype()
+                sent = cd.type.null_sentinel()
+                arrays[cd.col_id] = np.array(
+                    [sent if v is None else v for v in vals], dt
+                )
+        t.insert_columns(arrays)
+        return None
+
+    def _insert_select(self, st: A.InsertSelect) -> None:
+        t = self.catalog.get_table(st.table)
+        plan = optimize(self._plan_select(st.select))
+        batch = self.executor.execute(plan)
+        host = batch.to_numpy()
+        target_cols = (
+            [self._col_of(t, c) for c in st.columns]
+            if st.columns
+            else list(t.columns)
+        )
+        if len(target_cols) != plan.arity:
+            raise SqlError("INSERT SELECT column count mismatch")
+        cols = {}
+        for cd, i in zip(target_cols, range(plan.arity)):
+            src_ti = plan.types[i]
+            arr = host[i]
+            if cd.type.is_dict_string:
+                src_ref = _node_dict_ref(plan, i)
+                if src_ref is None:
+                    raise NotSupported("INSERT of computed strings")
+                src = self.dict_by_ref(src_ref)
+                strings = src.get_strings(arr)
+                arr = t.dict_for(cd.col_id).get_or_add_bulk(strings)
+            elif src_ti.kind != cd.type.kind or (
+                cd.type.is_decimal and src_ti.scale != cd.type.scale
+            ):
+                arr = _host_cast_array(arr, src_ti, cd.type)
+            cols[cd.col_id] = arr
+        for cd in t.columns:
+            if cd.col_id not in cols:
+                if not cd.type.nullable:
+                    raise SqlError(f"column {cd.name} is NOT NULL")
+                cols[cd.col_id] = to_physical(
+                    [None] * batch.nrows, cd.type, t.dicts.get(cd.col_id)
+                )
+        if batch.nrows:
+            t.insert_columns(cols)
+        return None
+
+    @staticmethod
+    def _col_of(t: Table, name: str):
+        cd = t.column_by_name(name)
+        if cd is None:
+            raise CatalogError(f"no column {name!r} in {t.name}")
+        return cd
+
+    # ------------------------------------------------------------------
+    # UPDATE / DELETE — executed as full-table projections + rebuild
+    # (reference compiles these as projection kernels through
+    # StorageIOFacility, QueryEngine/ExecuteUpdate.cpp; our round-1 storage
+    # rebuild keeps semantics identical while the fragment-level in-place
+    # update path arrives with the storage shell)
+    # ------------------------------------------------------------------
+    def _update(self, st: A.Update) -> None:
+        t = self.catalog.get_table(st.table)
+        assigned = {name.lower(): expr for name, expr in st.assignments}
+        proj = []
+        for cd in t.columns:
+            if cd.name.lower() in assigned:
+                new_expr = assigned[cd.name.lower()]
+                if st.where is not None:
+                    expr = A.CaseWhen(
+                        [(st.where, new_expr)], A.Identifier((cd.name,))
+                    )
+                else:
+                    expr = new_expr
+            else:
+                expr = A.Identifier((cd.name,))
+            proj.append((expr, cd.name))
+        sel = A.Select(projections=proj, from_=A.NamedTable(st.table))
+        self._replace_table_data(t, sel)
+        return None
+
+    def _delete(self, st: A.Delete) -> None:
+        t = self.catalog.get_table(st.table)
+        proj = [(A.Identifier((cd.name,)), cd.name) for cd in t.columns]
+        where = (
+            A.Unary("NOT", _coalesce_bool(st.where)) if st.where is not None else None
+        )
+        if where is None:
+            t.delete_all()
+            return None
+        sel = A.Select(projections=proj, from_=A.NamedTable(st.table), where=where)
+        self._replace_table_data(t, sel)
+        return None
+
+    def _replace_table_data(self, t: Table, sel: A.Select):
+        plan = optimize(self._plan_select(sel))
+        batch = self.executor.execute(plan)
+        host = batch.to_numpy()
+        cols = {}
+        for cd, i in zip(t.columns, range(plan.arity)):
+            arr = host[i]
+            src_ti = plan.types[i]
+            if cd.type.is_dict_string:
+                # ids are already in this table's dictionary (identity or CASE
+                # over the same column); CASE over dict strings keeps ids
+                arr = arr.astype(np.int32)
+            elif src_ti.kind != cd.type.kind or (
+                cd.type.is_decimal and src_ti.scale != cd.type.scale
+            ):
+                arr = _host_cast_array(arr, src_ti, cd.type)
+            cols[cd.col_id] = arr
+        t.delete_all()
+        if batch.nrows:
+            t.insert_columns(cols)
+
+    # ------------------------------------------------------------------
+    # COPY
+    # ------------------------------------------------------------------
+    def _copy_from(self, st: A.CopyFrom) -> ResultSet:
+        from heavydb_tpu.io.csv_import import import_csv
+
+        t = self.catalog.get_table(st.table)
+        n = import_csv(t, st.path, st.options)
+        return _string_result("result", [f"Loaded: {n} recs"])
+
+    def _copy_to(self, st: A.CopyTo) -> ResultSet:
+        rs = self._run_select(st.select)
+        from heavydb_tpu.io.csv_export import export_csv
+
+        n = export_csv(rs, st.path, st.options)
+        return _string_result("result", [f"Exported: {n} recs"])
+
+    def _insert_columns(self, t: Table, cols: Dict[str, np.ndarray]):
+        arrays = {}
+        for cd in t.columns:
+            key = None
+            for k in cols:
+                if k.lower() == cd.name.lower():
+                    key = k
+                    break
+            if key is None:
+                raise StorageError(f"missing column {cd.name}")
+            arrays[cd.col_id] = to_physical(
+                cols[key], cd.type, t.dicts.get(cd.col_id)
+            )
+        t.insert_columns(arrays)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _coalesce_bool(e: A.Expr) -> A.Expr:
+    # WHERE cond for DELETE: NULL counts as not-deleted → NOT(cond) must keep
+    # null rows, i.e. DELETE removes only rows where cond IS TRUE
+    return A.CaseWhen([(e, A.Literal(True, "bool"))], A.Literal(False, "bool"))
+
+
+def _const_value(e: E.Expr, target: T.TypeInfo):
+    if isinstance(e, E.Constant):
+        if e.value is None:
+            return None
+        if target.is_dict_string:
+            if not e.type.is_string:
+                raise SqlError(f"cannot insert {e.type} into TEXT column")
+            return str(e.value)
+        return _const_cast(e.value, e.type, target)
+    raise NotSupported("INSERT VALUES requires constant expressions")
+
+
+def _host_cast_array(arr: np.ndarray, src: T.TypeInfo, dst: T.TypeInfo) -> np.ndarray:
+    """Numpy-side cast between physical representations, preserving nulls."""
+    s_sent = src.null_sentinel()
+    if arr.dtype.kind == "f":
+        nulls = np.isnan(arr)
+    else:
+        nulls = arr == s_sent
+    real = arr.astype(np.float64)
+    if src.is_decimal:
+        real = real / 10**src.scale
+    dt = dst.np_dtype()
+    if dst.is_decimal:
+        out = np.round(real * 10**dst.scale).astype(np.int64)
+    elif dt.kind == "f":
+        out = real.astype(dt)
+    else:
+        out = np.trunc(real).astype(dt)
+    if dt.kind == "f":
+        out[nulls] = np.nan
+    else:
+        out[nulls] = dst.null_sentinel()
+    return out
+
+
+def _string_result(name: str, values: List[str]) -> ResultSet:
+    return ResultSet(
+        [name],
+        [T.TypeInfo(T.SQLTypeKind.TEXT, False)],
+        [np.array(values, object)],
+        [None],
+    )
+
+
+def _normalize_tabular(data) -> Dict[str, np.ndarray]:
+    try:
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            return {c: data[c].to_numpy() for c in data.columns}
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        if isinstance(data, pa.Table):
+            return {c: data[c].to_numpy(zero_copy_only=False) for c in data.column_names}
+    except ImportError:
+        pass
+    if isinstance(data, dict):
+        return {k: np.asarray(v) for k, v in data.items()}
+    raise StorageError(f"cannot load {type(data)}")
+
+
+def _infer_type(arr: np.ndarray) -> T.TypeInfo:
+    k = arr.dtype.kind
+    if k == "b":
+        return T.boolean()
+    if k == "i":
+        return T.bigint() if arr.dtype.itemsize > 4 else T.integer()
+    if k == "f":
+        return T.double()
+    if k in ("U", "O"):
+        return T.text_dict()
+    if k == "M":
+        return T.timestamp()
+    raise StorageError(f"cannot infer SQL type for dtype {arr.dtype}")

@@ -1,0 +1,367 @@
+"""Compound work-unit kernel builder.
+
+Builds ONE Python closure per Compound node that jax.jit traces into a single
+fused XLA program: join builds/probes → filter mask → group-by/aggregate (or
+projection) → compaction.  This is the replacement for the reference's
+LLVM-JIT'd query_func/row_func pipeline (QueryEngine/QueryTemplateGenerator.
+cpp query_group_by_template + NativeCodegen.cpp compileWorkUnit): where
+HeavyDB emits a grid-stride row loop with hash-table probes and atomic
+aggregates, we express the same dataflow as whole-column vector ops and
+scatters/sorts that XLA tiles onto the TPU's VPU and schedules against HBM.
+
+The kernel returns a dict (pytree) with output columns, the exact row/group
+counts, the per-join-level exact needed capacities (for the executor's retry
+ladder), and error flags (div-by-zero → reference ERR_DIV_BY_ZERO).
+
+Everything static (shapes, caps, strategy, plan structure) is baked at trace
+time; everything data-dependent (row counts, column values, dictionary
+predicate tables) flows in as traced arguments, so one compiled program
+serves all data of the same shape bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import NotSupported
+from heavydb_tpu.exec.expr_compiler import ExprCompiler, and_valid
+from heavydb_tpu.ops import agg as AGG
+from heavydb_tpu.ops import groupby as G
+from heavydb_tpu.ops import join as J
+from heavydb_tpu.plan import exprs as E
+
+
+def _splitmix64_combine(h, k):
+    k = jnp.asarray(k, jnp.uint64)
+    h = jnp.asarray(h, jnp.uint64)
+    x = k + jnp.uint64(0x9E3779B97F4A7C15) + (h << jnp.uint64(6)) + (h >> jnp.uint64(2))
+    z = x
+    z = (z ^ (z >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return h ^ (z ^ (z >> jnp.uint64(31)))
+
+
+def _sentinelize(val, valid, ti: T.TypeInfo):
+    """Apply in-band null sentinel for storage/output."""
+    dt = ti.np_dtype()
+    val = jnp.asarray(val, dt)
+    if valid is None:
+        return val
+    if dt.kind == "f":
+        return jnp.where(valid, val, jnp.asarray(np.nan, dt))
+    return jnp.where(valid, val, jnp.asarray(ti.null_sentinel(), dt))
+
+
+def _build_compound_kernel(node, batches, plan, config):
+    """Returns (kernel_fn, layout).  kernel_fn(*args) -> dict."""
+    from heavydb_tpu.exec.executor import _derive_valid, _KernelLayout
+
+    offsets = plan.offsets
+    n_inputs = len(node.inputs)
+
+    # ---- argument layout (static) ----
+    batch_cols = []
+    for bi, b in enumerate(batches):
+        present = [ci for ci, c in enumerate(b.cols) if c is not None]
+        batch_cols.append((bi, present))
+    nrows_batches = list(range(n_inputs))
+    aux_order = sorted(plan.aux_specs.keys(), key=repr)
+    layout = _KernelLayout(batch_cols, nrows_batches, aux_order)
+
+    paddeds = [b.padded for b in batches]
+    col_types = [list(b.types) for b in batches]
+
+    is_agg = node.is_aggregate
+    group_strategy = plan.group_strategy
+    group_cap = plan.group_cap
+    joins = plan.joins
+    caps = list(plan.caps)
+
+    def kernel(*args):
+        # ---- unpack ----
+        pos = 0
+        cols: Dict[int, Dict[int, jax.Array]] = {}
+        for bi, present in batch_cols:
+            cols[bi] = {}
+            for ci in present:
+                cols[bi][ci] = args[pos]
+                pos += 1
+        nrows = {}
+        for bi in nrows_batches:
+            nrows[bi] = args[pos]
+            pos += 1
+        aux = {}
+        for k in aux_order:
+            aux[k] = args[pos]
+            pos += 1
+
+        error_flags: Dict[str, jax.Array] = {}
+        join_needed: List[jax.Array] = []
+
+        # ---- domain state ----
+        # idx[i]: row index into input i per domain slot (None = identity for
+        # input 0 before any join); matched[i]: False → LEFT-join null row
+        idx: Dict[int, Optional[jax.Array]] = {0: None}
+        matched: Dict[int, Optional[jax.Array]] = {0: None}
+        domain_size = paddeds[0]
+        mask = jax.lax.broadcasted_iota(jnp.int32, (domain_size,), 0) < nrows[0]
+        trivial = True  # mask == iota<nrows[0], no compaction needed
+
+        def input_of_field(f: int) -> Tuple[int, int]:
+            for i in reversed(range(n_inputs)):
+                if f >= offsets[i]:
+                    return i, f - offsets[i]
+            raise AssertionError
+
+        tv_cache: Dict[int, tuple] = {}
+
+        def field_tv(f: int):
+            """TV of combined-schema field f over the CURRENT domain."""
+            hit = tv_cache.get(f)
+            if hit is not None:
+                return hit
+            i, local = input_of_field(f)
+            base = cols[i][local]
+            ti = col_types[i][local]
+            if idx.get(i) is None and i == 0:
+                val = base
+            else:
+                val = base[idx[i]]
+            valid = _derive_valid(val, ti) if ti.nullable else None
+            if matched.get(i) is not None:
+                valid = matched[i] if valid is None else (valid & matched[i])
+            tv = (val, valid)
+            tv_cache[f] = tv
+            return tv
+
+        def domain_compiler(exprs):
+            needed = set()
+            for e in exprs:
+                if e is None:
+                    continue
+                for r in E.collect_input_refs(e):
+                    needed.add(r.field_idx)
+            cdict = {f: field_tv(f) for f in needed}
+            return ExprCompiler(cdict, aux, error_flags)
+
+        def build_side_tv(expr, bi):
+            """Evaluate a build-key expr directly over input bi's rows."""
+            refs = E.collect_input_refs(expr)
+            cdict = {}
+            for r in refs:
+                local = r.field_idx - offsets[bi]
+                base = cols[bi][local]
+                ti = col_types[bi][local]
+                valid = _derive_valid(base, ti) if ti.nullable else None
+                cdict[r.field_idx] = (base, valid)
+            c = ExprCompiler(cdict, aux, error_flags)
+            return c.compile(expr)
+
+        def pack_keys(tvs, jp, is_build):
+            """Combine one or more key TVs into a single int64 key + valid."""
+            valid = None
+            for _, v in tvs:
+                valid = and_valid(valid, v)
+            if jp.pack == "single":
+                k = jnp.asarray(tvs[0][0], jnp.int64)
+                return k, valid
+            if jp.pack == "range":
+                k = None
+                for (val, _), (lo, ext) in zip(tvs, jp.pack_spans):
+                    part = jnp.clip(jnp.asarray(val, jnp.int64) - lo, 0, ext - 1)
+                    k = part if k is None else k * ext + part
+                return k, valid
+            # hash pack (equality recheck appended to residual by the planner)
+            h = jnp.full(tvs[0][0].shape, 0x243F6A8885A308D3, jnp.uint64)
+            for val, _ in tvs:
+                h = _splitmix64_combine(h, jnp.asarray(val, jnp.int64))
+            return jnp.asarray(h >> jnp.uint64(1), jnp.int64), valid
+
+        # ---- join levels ----
+        for li, jp in enumerate(joins):
+            bi = li + 1
+            cap = caps[li]
+            pb = paddeds[bi]
+            left_outer = jp.kind == "LEFT"
+            if jp.kind == "CROSS":
+                lo = jnp.zeros(domain_size, jnp.int32)
+                cnt = jnp.where(mask, nrows[bi], 0).astype(jnp.int32)
+                rows_sorted = jax.lax.broadcasted_iota(jnp.int32, (pb,), 0)
+                pidx, bidx, out_mask, m_new, needed = J.expand_matches(
+                    lo, cnt, rows_sorted, mask, cap, False
+                )
+            else:
+                # probe keys over the current domain
+                pc = domain_compiler(jp.probe_keys)
+                probe_tvs = [pc.compile(e) for e in jp.probe_keys]
+                pkey, pvalid = pack_keys(probe_tvs, jp, is_build=False)
+                pvalid_m = mask if pvalid is None else (mask & pvalid)
+                # build keys over the build input
+                build_tvs = [build_side_tv(e, bi) for e in jp.build_keys]
+                if jp.translate is not None:
+                    tbl = aux[jp.translate]
+                    bval, bvalid = build_tvs[0]
+                    safe = jnp.clip(bval, 0, tbl.shape[0] - 1)
+                    tval = jnp.where(
+                        (bval >= 0) & (bval < tbl.shape[0]), tbl[safe], -1
+                    )
+                    build_tvs = [(tval, bvalid)]
+                bkey, bvalid = pack_keys(build_tvs, jp, is_build=True)
+                build = J.build_sorted(bkey, bvalid, nrows[bi])
+                lo, cnt = J.probe_counts(build, pkey, pvalid_m)
+                pidx, bidx, out_mask, m_new, needed = J.expand_matches(
+                    lo, cnt, build.rows_sorted, mask, cap, left_outer
+                )
+            join_needed.append(needed)
+            # remap existing domain state through pidx
+            for i in list(idx.keys()):
+                if idx[i] is None:
+                    idx[i] = pidx
+                else:
+                    idx[i] = idx[i][pidx]
+                if matched.get(i) is not None:
+                    matched[i] = matched[i][pidx]
+            idx[bi] = bidx
+            matched[bi] = m_new if left_outer else None
+            mask = out_mask
+            domain_size = cap
+            trivial = False
+            tv_cache.clear()
+            # residual conjuncts (INNER semantics)
+            if jp.residual:
+                rc = domain_compiler(jp.residual)
+                for r in jp.residual:
+                    mask = mask & rc.compile_predicate(r)
+
+        # ---- filter ----
+        if node.filter_cond is not None:
+            fc = domain_compiler([node.filter_cond])
+            mask = mask & fc.compile_predicate(node.filter_cond)
+            trivial = False
+
+        out: Dict[str, object] = {}
+        for li, needed in enumerate(join_needed):
+            out[f"join_needed_{li}"] = needed
+
+        if not is_agg:
+            # ---- projection ----
+            tc = domain_compiler(node.target_exprs)
+            outs = []
+            for e, ti in zip(node.target_exprs, node.types):
+                val, valid = tc.compile(e)
+                val = jnp.broadcast_to(jnp.asarray(val, ti.np_dtype()), (domain_size,))
+                if valid is not None and getattr(valid, "shape", ()) != (domain_size,):
+                    valid = jnp.broadcast_to(valid, (domain_size,))
+                outs.append(_sentinelize(val, valid, ti))
+            if trivial:
+                out["cols"] = tuple(outs)
+                out["n_out"] = nrows[0].astype(jnp.int32)
+            else:
+                perm, kept = _compact_perm(mask)
+                out["cols"] = tuple(o[perm] for o in outs)
+                out["n_out"] = mask.sum().astype(jnp.int32)
+        else:
+            # ---- aggregation ----
+            n_keys = len(node.group_exprs)
+            kc = domain_compiler(node.group_exprs + list(node.aggs))
+            if group_strategy[0] == "perfect":
+                ranges = group_strategy[1]
+                key_tvs = [kc.compile(g) for g in node.group_exprs]
+                gid, num_slots = G.perfect_group_ids(key_tvs, ranges, mask)
+                slots = num_slots
+                num_groups = jnp.asarray(num_slots, jnp.int32)
+                # reconstruct keys from slot index
+                slot_iota = jax.lax.broadcasted_iota(jnp.int64, (slots,), 0)
+                rem = slot_iota
+                rev_keys = []
+                for (lo_, ext, hn), gexpr in zip(
+                    reversed(ranges), reversed(node.group_exprs)
+                ):
+                    span = ext + (1 if hn else 0)
+                    local = rem % span
+                    rem = rem // span
+                    kval = (local + lo_).astype(gexpr.type.np_dtype())
+                    kvalid = (local < ext) if hn else None
+                    rev_keys.append((kval, kvalid))
+                key_out_tvs = list(reversed(rev_keys))
+            elif group_strategy[0] == "keyless":
+                slots = 1
+                gid = jnp.zeros(domain_size, jnp.int32)
+                gid = jnp.where(mask, 0, 1)
+                num_groups = jnp.asarray(1, jnp.int32)
+                key_out_tvs = []
+            else:  # sort
+                slots = group_cap
+                key_tvs = [kc.compile(g) for g in node.group_exprs]
+                gid, num_groups, rep_rows = G.sort_group_ids(key_tvs, mask, slots)
+                key_out_tvs = []
+                for val, valid in key_tvs:
+                    kval = val[rep_rows]
+                    kvalid = valid[rep_rows] if valid is not None else None
+                    key_out_tvs.append((kval, kvalid))
+            out["num_groups"] = num_groups
+
+            # partial aggregation + finalize
+            agg_tvs = []
+            for a in node.aggs:
+                la = AGG.LoweredAgg(a)
+                partials = la.accumulate(kc, gid, mask, slots)
+                agg_tvs.append(la.finalize(partials, aux))
+
+            # group presence
+            if group_strategy[0] == "perfect":
+                present = G.segment_count(gid, mask, slots) > 0
+            elif group_strategy[0] == "keyless":
+                present = jnp.ones(1, jnp.bool_)
+            else:
+                present = (
+                    jax.lax.broadcasted_iota(jnp.int32, (slots,), 0)
+                    < jnp.minimum(num_groups, slots)
+                )
+
+            # group-domain compiler: fields = keys ++ agg results
+            gcols = {}
+            for i, tv in enumerate(key_out_tvs):
+                gcols[i] = tv
+            for j, tv in enumerate(agg_tvs):
+                gcols[n_keys + j] = tv
+            gcomp = ExprCompiler(gcols, aux, error_flags)
+
+            if node.having is not None:
+                present = present & gcomp.compile_predicate(node.having)
+
+            outs = []
+            for e, ti in zip(node.target_exprs, node.types):
+                val, valid = gcomp.compile(e)
+                val = jnp.broadcast_to(jnp.asarray(val, ti.np_dtype()), (slots,))
+                if valid is not None and getattr(valid, "shape", ()) != (slots,):
+                    valid = jnp.broadcast_to(valid, (slots,))
+                outs.append(_sentinelize(val, valid, ti))
+
+            if group_strategy[0] == "keyless":
+                out["cols"] = tuple(outs)
+                out["n_out"] = jnp.asarray(1, jnp.int32)
+            else:
+                perm, _ = _compact_perm(present)
+                out["cols"] = tuple(o[perm] for o in outs)
+                out["n_out"] = present.sum().astype(jnp.int32)
+
+        for name, flag in error_flags.items():
+            out[f"err_{name}"] = flag
+        return out
+
+    return kernel, layout
+
+
+def _compact_perm(mask):
+    """Stable permutation putting mask=True rows first."""
+    n = mask.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    flag = (~mask).astype(jnp.int8)
+    _, perm = jax.lax.sort([flag, rows], num_keys=1, is_stable=True)
+    return perm, None

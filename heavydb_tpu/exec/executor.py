@@ -1,0 +1,704 @@
+"""Query executor: walks the optimized RelAlg DAG, compiles each Compound
+work unit into ONE jit'd XLA program, and runs it with a capacity-retry
+ladder.
+
+Reference mapping:
+- Executor::executeWorkUnit / compileWorkUnit (Execute.cpp:2144,
+  NativeCodegen.cpp:2919) → `_exec_compound` + `_build_kernel`: instead of
+  emitting LLVM IR into query_template, we trace a Python closure under
+  jax.jit; XLA fuses filter/join-probe/group-by/aggregate into one program.
+- ERR_OUT_OF_SLOTS / CardinalityEstimationRequired retry loop
+  (executeWorkUnitImpl:2213) → the capacity ladder: kernels return the EXACT
+  needed capacity alongside results, so a miss re-traces once with the
+  bucketed exact size.
+- Join hash tables built inside compileWorkUnit (HashJoin::getInstance) →
+  sorted/perfect positional builds inside the same kernel (ops/join.py).
+- CodeCache keyed on IR (CodeCacheAccessor) → `kernel_cache` keyed on
+  (plan key, shapes, caps, strategy).
+- RaExecutionSequence temp tables → per-query Batch memoization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import (
+    DivisionByZero,
+    ExecutionError,
+    NotSupported,
+    WatchdogException,
+)
+from heavydb_tpu.exec import batch as B
+from heavydb_tpu.exec import ranges as RNG
+from heavydb_tpu.exec.expr_compiler import ExprCompiler, and_valid
+from heavydb_tpu.ops import agg as AGG
+from heavydb_tpu.ops import groupby as G
+from heavydb_tpu.ops import join as J
+from heavydb_tpu.ops import sort as S
+from heavydb_tpu.plan import exprs as E
+from heavydb_tpu.plan import rel_alg as R
+from heavydb_tpu.storage.table import from_physical
+
+MAX_RETRIES = 4
+
+
+def _iter_node_exprs(node: R.RelNode):
+    if isinstance(node, R.Compound):
+        for _, c in node.join_levels:
+            if c is not None:
+                yield c
+        if node.filter_cond is not None:
+            yield node.filter_cond
+        yield from node.group_exprs
+        yield from node.aggs
+        yield from node.target_exprs
+        if node.having is not None:
+            yield node.having
+    elif isinstance(node, R.Sort):
+        pass
+
+
+class Executor:
+    def __init__(self, db):
+        self.db = db
+        self.config = db.config
+        self.kernel_cache: Dict[tuple, object] = {}
+        self.scan_cache: Dict[tuple, jax.Array] = {}
+        self.aux_cache: Dict[tuple, jax.Array] = {}
+
+    # ------------------------------------------------------------------
+    # entry
+    # ------------------------------------------------------------------
+    def execute(self, root: R.RelNode) -> B.Batch:
+        self._substitute_subqueries(root, set())
+        memo: Dict[int, B.Batch] = {}
+        return self._exec(root, memo, needed=set(range(root.arity)))
+
+    # ------------------------------------------------------------------
+    # subqueries (reference RelAlgExecutor::executeRelAlgSubqueries)
+    # ------------------------------------------------------------------
+    def _substitute_subqueries(self, node: R.RelNode, seen: set):
+        if node.id in seen:
+            return
+        seen.add(node.id)
+        for i in node.inputs:
+            self._substitute_subqueries(i, seen)
+
+        def subst(e: E.Expr) -> E.Expr:
+            if not isinstance(e, E.SubqueryExpr):
+                return e
+            return self._eval_subquery(e)
+
+        def rewrite_list(exprs):
+            return [E.rewrite(e, subst) for e in exprs]
+
+        if isinstance(node, R.Compound):
+            node.join_levels = [
+                (k, E.rewrite(c, subst) if c is not None else None)
+                for k, c in node.join_levels
+            ]
+            if node.filter_cond is not None:
+                node.filter_cond = E.rewrite(node.filter_cond, subst)
+            node.group_exprs = rewrite_list(node.group_exprs)
+            node.aggs = rewrite_list(node.aggs)
+            node.target_exprs = rewrite_list(node.target_exprs)
+            if node.having is not None:
+                node.having = E.rewrite(node.having, subst)
+
+    def _eval_subquery(self, e: E.SubqueryExpr) -> E.Expr:
+        from heavydb_tpu.plan.optimizer import optimize
+
+        plan = optimize(e.plan)
+        out = self.execute(plan)
+        if e.kind == "scalar":
+            if out.nrows == 0:
+                return E.Constant(None, e.type)
+            if out.nrows > 1:
+                raise ExecutionError("scalar subquery returned more than one row")
+            v = np.asarray(out.col(0))[0].item()
+            ti = out.types[0]
+            if _is_null_value(v, ti):
+                return E.Constant(None, e.type)
+            return E.Constant(v, ti.with_nullable(False))
+        if e.kind == "exists":
+            res = out.nrows > 0
+            if e.negated:
+                res = not res
+            return E.Constant(1 if res else 0, T.boolean(False))
+        # IN subquery
+        vals = np.asarray(out.col(0))[: out.nrows]
+        ti = out.types[0]
+        arg = e.arg
+        if arg.type.is_dict_string:
+            # map subquery strings → probe-side dict ids
+            sub_dict_ref = None
+            if ti.is_dict_string:
+                # decode via the subquery output's dictionary
+                sub_dict_ref = self._result_dict_ref(plan, 0)
+            if sub_dict_ref is None:
+                raise NotSupported("IN subquery over computed strings")
+            sub_dict = self.db.dict_by_ref(sub_dict_ref)
+            strings = sub_dict.get_strings(vals)
+            probe_dict = self.db.dict_by_ref(arg.dict_ref)
+            ids = [probe_dict.get_id(s) for s in strings if s is not None]
+            ids = tuple(i for i in ids if i >= 0)
+            return E.InValues(arg=arg, values=ids, negated=e.negated,
+                              type=T.boolean(arg.type.nullable))
+        sentinel = ti.null_sentinel()
+        pys = []
+        for v in vals.tolist():
+            if _is_null_value(v, ti):
+                continue
+            pys.append(_const_to(v, ti, arg.type))
+        return E.InValues(arg=arg, values=tuple(pys), negated=e.negated,
+                          type=T.boolean(arg.type.nullable))
+
+    def _result_dict_ref(self, node: R.RelNode, field_idx: int):
+        from heavydb_tpu.plan.select_planner import _node_dict_ref
+
+        return _node_dict_ref(node, field_idx)
+
+    def _dict_rank_table(self, ref) -> jax.Array:
+        """id → lexicographic rank, for string ORDER BY."""
+        d = self.db.dict_by_ref(ref)
+        key = ("rank", ref, d.size)
+        hit = self.aux_cache.get(key)
+        if hit is not None:
+            return hit
+        size = max(d.size, 1)
+        host = np.zeros(B.bucket(size), np.int32)
+        order = np.argsort(np.array(d.entries(), dtype=object))
+        host[order.astype(np.int32)] = np.arange(len(order), dtype=np.int32)
+        arr = jax.device_put(host)
+        self.aux_cache[key] = arr
+        return arr
+
+    # ------------------------------------------------------------------
+    # node dispatch
+    # ------------------------------------------------------------------
+    def _exec(self, node: R.RelNode, memo, needed) -> B.Batch:
+        if node.id in memo:
+            return memo[node.id]
+        if isinstance(node, R.Scan):
+            out = self._exec_scan(node, needed)
+        elif isinstance(node, R.Values):
+            out = self._exec_values(node)
+        elif isinstance(node, R.Union):
+            out = self._exec_union(node, memo)
+        elif isinstance(node, R.Sort):
+            out = self._exec_sort(node, memo)
+        elif isinstance(node, R.Compound):
+            out = self._exec_compound(node, memo)
+        else:
+            raise NotSupported(f"cannot execute node {type(node).__name__}")
+        memo[node.id] = out
+        return out
+
+    # ---- Scan ----
+    def _exec_scan(self, node: R.Scan, needed) -> B.Batch:
+        t = node.table
+        n = t.num_rows
+        size = B.bucket(n)
+        cols: List[Optional[jax.Array]] = []
+        for i, cd in enumerate(t.columns):
+            if needed is not None and i not in needed:
+                cols.append(None)
+                continue
+            key = (t.table_id, t.generation, cd.col_id, size)
+            arr = self.scan_cache.get(key)
+            if arr is None:
+                host = t.column_values(cd.col_id)
+                arr = jax.device_put(B.pad_to(host, size, cd.type))
+                self.scan_cache[key] = arr
+            cols.append(arr)
+        return B.Batch(cols, n, [cd.type for cd in t.columns])
+
+    # ---- Values ----
+    def _exec_values(self, node: R.Values) -> B.Batch:
+        n = len(node.rows)
+        arrays = []
+        for i, ti in enumerate(node.types):
+            vals = [r[i] for r in node.rows]
+            arr = np.array(
+                [ti.null_sentinel() if v is None else v for v in vals],
+                ti.np_dtype(),
+            )
+            arrays.append(arr)
+        return B.from_host_columns(arrays, n, node.types)
+
+    # ---- Union ----
+    def _exec_union(self, node: R.Union, memo) -> B.Batch:
+        parts = [
+            self._exec(i, memo, set(range(i.arity))) for i in node.inputs
+        ]
+        out = B.concat_batches(parts)
+        out.types = list(node.types)
+        return out
+
+    # ---- Sort ----
+    def _exec_sort(self, node: R.Sort, memo) -> B.Batch:
+        child = node.inputs[0]
+        inp = self._exec(child, memo, set(range(child.arity)))
+        n = inp.nrows
+        if n == 0:
+            return B.Batch(inp.cols, 0, list(node.types))
+        key_specs = [(asc, nf) for _, asc, nf in node.keys]
+        key_idxs = [i for i, _, _ in node.keys]
+
+        # dict-encoded string keys sort by LEXICOGRAPHIC RANK, not id —
+        # rank tables are the analogue of the reference's sorted string
+        # dictionary index (StringDictionary::sortedIndex)
+        rank_tables = {}
+        for ki, idx in enumerate(key_idxs):
+            if inp.types[idx].is_dict_string:
+                ref = self._result_dict_ref(child, idx)
+                if ref is not None:
+                    rank_tables[ki] = self._dict_rank_table(ref)
+
+        padded = inp.padded
+        in_domain_n = jnp.asarray(n, jnp.int32)
+        present = [i for i, c in enumerate(inp.cols) if c is not None]
+
+        def sort_kernel(nrows, ranks, *cols):
+            in_domain = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
+            key_tvs = []
+            for ki, idx in enumerate(key_idxs):
+                ti = inp.types[idx]
+                val = cols[present.index(idx)]
+                valid = _derive_valid(val, ti) if ti.nullable else None
+                if ki in rank_tables:
+                    tbl = ranks[list(rank_tables).index(ki)]
+                    safe = jnp.clip(val, 0, tbl.shape[0] - 1)
+                    val = jnp.where(val >= 0, tbl[safe], -1)
+                key_tvs.append((val, valid))
+            perm, vsorted = S.sort_permutation(key_tvs, key_specs, in_domain)
+            return tuple(c[perm] for c in cols)
+
+        sorted_cols_present = jax.jit(sort_kernel)(
+            in_domain_n,
+            tuple(rank_tables.values()),
+            *[inp.cols[i] for i in present],
+        )
+        sorted_cols: List[Optional[jax.Array]] = [None] * len(inp.cols)
+        for j, i in enumerate(present):
+            sorted_cols[i] = sorted_cols_present[j]
+        # apply offset/limit host-side
+        off = node.offset or 0
+        n_out = max(n - off, 0)
+        if node.limit is not None:
+            n_out = min(n_out, node.limit)
+        if off:
+            sorted_cols = [
+                None if c is None else c[off : off + B.bucket(n_out)]
+                for c in sorted_cols
+            ]
+        return B.Batch(sorted_cols, n_out, list(node.types))
+
+    # ------------------------------------------------------------------
+    # Compound
+    # ------------------------------------------------------------------
+    def _exec_compound(self, node: R.Compound, memo) -> B.Batch:
+        # 1. input batches with column pruning
+        offsets = []
+        off = 0
+        for i in node.inputs:
+            offsets.append(off)
+            off += i.arity
+        total_fields = off
+
+        needed_fields = set()
+        for e in _iter_node_exprs(node):
+            for r in E.collect_input_refs(e):
+                needed_fields.add(r.field_idx)
+        # group/filter/join refs are over the combined input domain; targets
+        # over the agg domain reference agg outputs — exclude those
+        if node.is_aggregate:
+            needed_fields = set()
+            for e in list(node.group_exprs) + list(node.aggs) + [
+                c for _, c in node.join_levels if c is not None
+            ] + ([node.filter_cond] if node.filter_cond is not None else []):
+                for r in E.collect_input_refs(e):
+                    needed_fields.add(r.field_idx)
+
+        per_input_needed = [set() for _ in node.inputs]
+        for f in needed_fields:
+            for i in reversed(range(len(node.inputs))):
+                if f >= offsets[i]:
+                    per_input_needed[i].add(f - offsets[i])
+                    break
+
+        batches = [
+            self._exec(inp, memo, per_input_needed[i])
+            for i, inp in enumerate(node.inputs)
+        ]
+
+        # 2. plan the kernel (strategy, caps, aux arrays)
+        plan = self._plan_compound(node, batches, offsets)
+
+        # 3. retry ladder
+        for attempt in range(MAX_RETRIES + 1):
+            kernel, layout = self._get_kernel(node, batches, plan)
+            args = self._kernel_args(batches, plan, layout)
+            outs = kernel(*args)
+            result = self._postprocess(node, plan, outs)
+            if result is not None:
+                return result
+            # capacity miss — plan.caps updated by _postprocess via plan
+        raise ExecutionError("capacity retry ladder did not converge")
+
+    # ---- compound planning ----
+    def _plan_compound(self, node: R.Compound, batches, offsets):
+        cfg = self.config
+        plan = _CompoundPlan(node=node, offsets=offsets)
+        probe = batches[0]
+
+        # join levels
+        for li, (kind, cond) in enumerate(node.join_levels):
+            build_input = li + 1
+            boundary = offsets[build_input]
+            b_arity = node.inputs[build_input].arity
+            equis, residual = _split_join_condition(cond, boundary, boundary + b_arity)
+            if kind == "CROSS" and cond is None:
+                build_rows = batches[build_input].nrows
+                if build_rows * max(probe.nrows, 1) > cfg.watchdog_max_projected_rows:
+                    raise WatchdogException("cross join too large")
+                plan.joins.append(_JoinPlan(kind="CROSS", residual=None))
+                plan.caps.append(B.bucket(max(probe.nrows * max(build_rows, 1), 1)))
+                continue
+            if not equis:
+                raise NotSupported("non-equi join conditions require ≥1 equality")
+            if kind == "LEFT" and residual:
+                raise NotSupported("LEFT JOIN with non-equi residual conditions")
+            jp = self._plan_join_keys(node, equis, residual, kind, batches, build_input)
+            plan.joins.append(jp)
+            est = max(probe.nrows, batches[build_input].nrows, 1)
+            plan.caps.append(B.bucket(est))
+
+        # group-by strategy
+        if node.is_aggregate and node.group_exprs:
+            ranges = [RNG.expr_range(g, node.inputs) for g in node.group_exprs]
+            slots = 1
+            ok = True
+            for r in ranges:
+                if r is None or r.extent <= 0 or r.extent > cfg.baseline_groupby_threshold:
+                    ok = False
+                    break
+                slots *= r.extent + (1 if r.has_nulls else 0)
+                if slots > cfg.baseline_groupby_threshold:
+                    ok = False
+                    break
+            if ok:
+                plan.group_strategy = ("perfect", tuple(
+                    (r.lo, r.extent, r.has_nulls) for r in ranges
+                ))
+                plan.group_cap = slots
+            else:
+                plan.group_strategy = ("sort", None)
+                plan.group_cap = B.bucket(
+                    min(cfg.baseline_groupby_initial_entries,
+                        max(batches[0].padded, 8))
+                )
+        elif node.is_aggregate:
+            plan.group_strategy = ("keyless", None)
+            plan.group_cap = 1
+
+        # aux arrays (dictionary predicates + join translations + agg ranks)
+        for e in _iter_node_exprs(node):
+            for sub in E.walk(e):
+                if isinstance(sub, E.DictStrPredicate):
+                    plan.aux_specs.setdefault(sub.key(), ("strpred", sub))
+                if isinstance(sub, E.Agg) and sub.kind in (
+                    E.AggKind.MIN, E.AggKind.MAX
+                ) and sub.arg is not None and sub.arg.type.is_dict_string:
+                    ref = getattr(sub.arg, "dict_ref", None)
+                    if ref is not None:
+                        plan.aux_specs.setdefault(
+                            ("dictrank", ref), ("dictrank", ref)
+                        )
+                        plan.aux_specs.setdefault(
+                            ("dictorder", ref), ("dictorder", ref)
+                        )
+        for jp in plan.joins:
+            if jp.translate is not None:
+                plan.aux_specs.setdefault(jp.translate, ("translate", jp.translate))
+        return plan
+
+    def _plan_join_keys(self, node, equis, residual, kind, batches, build_input):
+        """Choose key packing for (possibly multi-column) equi keys."""
+        probe_exprs = [l for l, r in equis]
+        build_exprs = [r for l, r in equis]
+        translate = None
+        if len(equis) == 1:
+            pe, be = probe_exprs[0], build_exprs[0]
+            if pe.type.is_dict_string or be.type.is_dict_string:
+                pref = getattr(pe, "dict_ref", None)
+                bref = getattr(be, "dict_ref", None)
+                if pref is None or bref is None:
+                    raise NotSupported("join on computed string keys")
+                if pref != bref:
+                    translate = (bref, pref)
+            if pe.type.is_fp or be.type.is_fp:
+                raise NotSupported("float join keys")
+            return _JoinPlan(kind=kind, probe_keys=probe_exprs,
+                             build_keys=build_exprs, residual=residual,
+                             translate=translate, pack="single")
+        # multi-key: exact range packing if possible, else hash + recheck
+        ranges = [RNG.expr_range(b, node.inputs) for b in build_exprs]
+        pranges = [RNG.expr_range(p, node.inputs) for p in probe_exprs]
+        spans = []
+        ok = True
+        for rb, rp in zip(ranges, pranges):
+            if rb is None or rp is None:
+                ok = False
+                break
+            lo = min(rb.lo, rp.lo)
+            hi = max(rb.hi, rp.hi)
+            spans.append((lo, hi - lo + 1))
+        total = 1
+        if ok:
+            for _, ext in spans:
+                total *= ext
+                if total > (1 << 62):
+                    ok = False
+                    break
+        if ok:
+            return _JoinPlan(kind=kind, probe_keys=probe_exprs,
+                             build_keys=build_exprs, residual=residual,
+                             pack="range", pack_spans=tuple(spans))
+        if kind == "LEFT":
+            raise NotSupported("LEFT JOIN with unpackable multi-column keys")
+        # hash pack: append equality recheck to residual
+        eq_conds = []
+        for l, r in zip(probe_exprs, build_exprs):
+            eq_conds.append(E.BinOp(E.BinOpKind.EQ, l, r, T.boolean(True)))
+        residual = list(residual) + eq_conds
+        return _JoinPlan(kind=kind, probe_keys=probe_exprs,
+                         build_keys=build_exprs, residual=residual,
+                         pack="hash")
+
+    # ---- kernel build & cache ----
+    def _get_kernel(self, node, batches, plan):
+        shapes = tuple(
+            (b.padded,) + tuple(
+                (i, str(c.dtype)) for i, c in enumerate(b.cols) if c is not None
+            )
+            for b in batches
+        )
+        key = (
+            node.plan_key(),
+            shapes,
+            tuple(plan.caps),
+            plan.group_strategy,
+            plan.group_cap,
+            tuple(sorted(plan.aux_specs.keys(), key=repr)),
+        )
+        hit = self.kernel_cache.get(key)
+        if hit is not None:
+            return hit
+        kernel, layout = _build_compound_kernel(node, batches, plan, self.config)
+        jitted = jax.jit(kernel)
+        self.kernel_cache[key] = (jitted, layout)
+        return jitted, layout
+
+    def _kernel_args(self, batches, plan, layout):
+        args = []
+        for bi, cols in layout.batch_cols:
+            for ci in cols:
+                args.append(batches[bi].cols[ci])
+        for bi in layout.nrows_batches:
+            args.append(jnp.asarray(batches[bi].nrows, jnp.int32))
+        for aux_key in layout.aux_order:
+            args.append(self._aux_array(plan.aux_specs[aux_key]))
+        return args
+
+    # ---- aux arrays ----
+    def _aux_array(self, spec) -> jax.Array:
+        kind, payload = spec
+        if kind == "strpred":
+            pred: E.DictStrPredicate = payload
+            d = self.db.dict_by_ref(pred.dict_ref)
+            cache_key = ("strpred", pred.dict_ref, d.size, pred.key())
+            hit = self.aux_cache.get(cache_key)
+            if hit is not None:
+                return hit
+            size = max(d.size, 1)
+            padded = B.bucket(size)
+            if pred.kind == "LENGTH":
+                host = np.zeros(padded, np.int32)
+                for i, s in enumerate(d.entries()):
+                    host[i] = len(s)
+            else:
+                host = np.zeros(padded, bool)
+                if pred.kind in ("LIKE", "ILIKE"):
+                    ids = d.like_ids(pred.pattern, pred.escape, pred.kind == "ILIKE")
+                elif pred.kind == "REGEXP":
+                    ids = d.regexp_ids(pred.pattern)
+                elif pred.kind == "CMP":
+                    ids = d.compare_ids(pred.cmp_op, pred.pattern)
+                elif pred.kind == "IN":
+                    pats = pred.pattern.split("\x00") if pred.pattern else []
+                    ids = np.array(
+                        [d.get_id(p) for p in pats if d.get_id(p) >= 0], np.int32
+                    )
+                else:
+                    raise NotSupported(f"dict predicate {pred.kind}")
+                host[ids] = True
+            arr = jax.device_put(host)
+            self.aux_cache[cache_key] = arr
+            return arr
+        if kind == "dictrank":
+            return self._dict_rank_table(payload)
+        if kind == "dictorder":
+            d = self.db.dict_by_ref(payload)
+            key = ("order", payload, d.size)
+            hit = self.aux_cache.get(key)
+            if hit is not None:
+                return hit
+            size = max(d.size, 1)
+            host = np.zeros(B.bucket(size), np.int32)
+            order = np.argsort(np.array(d.entries(), dtype=object))
+            host[: len(order)] = order.astype(np.int32)
+            arr = jax.device_put(host)
+            self.aux_cache[key] = arr
+            return arr
+        if kind == "translate":
+            from_ref, to_ref = payload
+            fd = self.db.dict_by_ref(from_ref)
+            td = self.db.dict_by_ref(to_ref)
+            cache_key = ("translate", from_ref, to_ref, fd.size, td.size)
+            hit = self.aux_cache.get(cache_key)
+            if hit is not None:
+                return hit
+            size = max(fd.size, 1)
+            padded = B.bucket(size)
+            host = np.full(padded, -1, np.int32)
+            host[: fd.size] = fd.translation_to(td)
+            arr = jax.device_put(host)
+            self.aux_cache[cache_key] = arr
+            return arr
+        raise NotSupported(f"aux {kind}")
+
+    # ---- postprocess & retry ----
+    def _postprocess(self, node, plan, outs) -> Optional[B.Batch]:
+        d = outs  # dict from kernel
+        # error flags first
+        if bool(d.get("err_div_by_zero", False)):
+            raise DivisionByZero("division by zero")
+        # capacity checks
+        retry = False
+        for li, cap in enumerate(plan.caps):
+            needed = int(d[f"join_needed_{li}"])
+            if needed > cap:
+                plan.caps[li] = B.bucket(needed)
+                retry = True
+        if plan.group_strategy and plan.group_strategy[0] == "sort":
+            ng = int(d["num_groups"])
+            if ng > plan.group_cap:
+                plan.group_cap = B.bucket(ng)
+                retry = True
+        if retry:
+            return None
+        n_out = int(d["n_out"])
+        cols = list(d["cols"])
+        # slice to bucket(n_out) — cheap device-side narrowing
+        size = B.bucket(n_out)
+        if cols and cols[0].shape[0] > size:
+            cols = [c[:size] for c in cols]
+        return B.Batch(cols, n_out, list(node.types))
+
+
+def _is_null_value(v, ti: T.TypeInfo) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, float):
+        return v != v
+    try:
+        return v == ti.null_sentinel()
+    except Exception:
+        return False
+
+
+def _const_to(v, src: T.TypeInfo, dst: T.TypeInfo):
+    from heavydb_tpu.plan.builder import _const_cast
+
+    return _const_cast(v, src, dst)
+
+
+# ---------------------------------------------------------------------------
+# compound plan containers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _JoinPlan:
+    kind: str = "INNER"
+    probe_keys: list = None
+    build_keys: list = None
+    residual: list = None
+    translate: Optional[tuple] = None  # (from_dict_ref, to_dict_ref)
+    pack: str = "single"  # single | range | hash | CROSS
+    pack_spans: tuple = ()
+
+
+@dataclasses.dataclass
+class _CompoundPlan:
+    node: object = None
+    offsets: list = None
+    joins: List[_JoinPlan] = dataclasses.field(default_factory=list)
+    caps: List[int] = dataclasses.field(default_factory=list)
+    group_strategy: Optional[tuple] = None
+    group_cap: int = 0
+    aux_specs: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class _KernelLayout:
+    batch_cols: list = None  # [(batch_idx, [col_idx...])...]
+    nrows_batches: list = None
+    aux_order: list = None
+
+
+# ---------------------------------------------------------------------------
+# helpers shared with the kernel builder
+# ---------------------------------------------------------------------------
+
+
+def _derive_valid(arr, ti: T.TypeInfo):
+    if arr.dtype.kind == "f":
+        return ~jnp.isnan(arr)
+    return arr != jnp.asarray(ti.null_sentinel(), arr.dtype)
+
+
+def _split_join_condition(cond, lo: int, hi: int):
+    """Split a join condition into equi pairs (probe_expr, build_expr) and
+    residual conjuncts.  Build side = fields in [lo, hi)."""
+    if cond is None:
+        return [], []
+    from heavydb_tpu.plan.optimizer import _split_conjuncts
+
+    equis, residual = [], []
+    for c in _split_conjuncts(cond):
+        if isinstance(c, E.BinOp) and c.op == E.BinOpKind.EQ:
+            lrefs = E.collect_input_refs(c.left)
+            rrefs = E.collect_input_refs(c.right)
+            l_probe = all(r.field_idx < lo for r in lrefs) and lrefs
+            l_build = all(lo <= r.field_idx < hi for r in lrefs) and lrefs
+            r_probe = all(r.field_idx < lo for r in rrefs) and rrefs
+            r_build = all(lo <= r.field_idx < hi for r in rrefs) and rrefs
+            if l_probe and r_build:
+                equis.append((c.left, c.right))
+                continue
+            if l_build and r_probe:
+                equis.append((c.right, c.left))
+                continue
+        residual.append(c)
+    return equis, residual
+
+
+from heavydb_tpu.exec.compound_kernel import _build_compound_kernel  # noqa: E402

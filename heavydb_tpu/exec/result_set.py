@@ -1,0 +1,74 @@
+"""Client-facing query results (reference QueryEngine/ResultSet.h:169 role,
+but only the client-egress part — intermediate results stay as exec.batch
+Batches on device)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from heavydb_tpu import types as T
+from heavydb_tpu.storage.table import from_physical
+
+
+class ResultSet:
+    def __init__(self, fields, types, host_cols, dicts):
+        """host_cols: list of numpy arrays (exact length); dicts: per-column
+        StringDictionary or None for decoding dict-encoded text."""
+        self.fields = list(fields)
+        self.types = list(types)
+        self._cols = host_cols
+        self._dicts = dicts
+
+    @property
+    def row_count(self) -> int:
+        return 0 if not self._cols else int(self._cols[0].shape[0])
+
+    @property
+    def col_count(self) -> int:
+        return len(self.fields)
+
+    def column(self, i: int) -> list:
+        """Decoded python values (None for NULL)."""
+        return from_physical(self._cols[i], self.types[i], self._dicts[i])
+
+    def column_raw(self, i: int) -> np.ndarray:
+        return self._cols[i]
+
+    def rows(self) -> list:
+        cols = [self.column(i) for i in range(self.col_count)]
+        return list(zip(*cols)) if cols else []
+
+    def __iter__(self):
+        return iter(self.rows())
+
+    def __len__(self):
+        return self.row_count
+
+    def to_pandas(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {f: self.column(i) for i, f in enumerate(self.fields)}
+        )
+
+    def scalar(self):
+        """First cell — convenience for aggregate queries."""
+        r = self.rows()
+        return r[0][0] if r else None
+
+    def __repr__(self):
+        head = ", ".join(
+            f"{f} {t.sql_name()}" for f, t in zip(self.fields, self.types)
+        )
+        return f"ResultSet([{head}], {self.row_count} rows)"
+
+
+def from_batch(batch, fields, types, dicts) -> ResultSet:
+    host = batch.to_numpy()
+    cols = [
+        np.empty(0, t.np_dtype()) if c is None else c
+        for c, t in zip(host, types)
+    ]
+    return ResultSet(fields, types, cols, dicts)

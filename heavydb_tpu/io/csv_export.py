@@ -1,0 +1,29 @@
+"""COPY TO export (reference ImportExport/QueryExporterCSV)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+
+def export_csv(rs, path: str, options: Dict) -> int:
+    delim = options.get("delimiter", ",")
+    header = options.get("header", True)
+    if isinstance(header, str):
+        header = header.lower() in ("true", "1", "yes")
+    with open(path, "w") as f:
+        if header:
+            f.write(delim.join(rs.fields) + "\n")
+        for row in rs.rows():
+            out = []
+            for v in row:
+                if v is None:
+                    out.append("")
+                elif isinstance(v, str):
+                    if delim in v or '"' in v or "\n" in v:
+                        out.append('"' + v.replace('"', '""') + '"')
+                    else:
+                        out.append(v)
+                else:
+                    out.append(str(v))
+            f.write(delim.join(out) + "\n")
+    return rs.row_count

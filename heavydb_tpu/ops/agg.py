@@ -1,0 +1,215 @@
+"""Aggregate lowering: E.Agg → partial buffers + finalize + cross-shard merge.
+
+The analogue of the reference's runtime aggregate functions
+(QueryEngine/RuntimeFunctions.cpp agg_sum/agg_max/... with skip-val
+semantics) plus the reduction layer (ResultSetReduction.cpp): each aggregate
+lowers to one or more *partial* segment buffers (e.g. AVG = sum + count, the
+reference's two-slot kAVG), a finalize step, and a merge rule so partials
+combine across fragments/devices with jax collectives (psum etc.).
+
+Null semantics match SQL/HeavyDB: aggregates skip NULL inputs; SUM/MIN/MAX/
+AVG of zero valid rows is NULL; COUNT is never NULL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import NotSupported
+from heavydb_tpu.plan import exprs as E
+from heavydb_tpu.ops import groupby as G
+
+TV = Tuple[object, Optional[object]]
+
+
+@dataclass
+class PartialSpec:
+    name: str
+    merge: str  # 'sum' | 'min' | 'max'
+
+
+class LoweredAgg:
+    """One aggregate target, lowered."""
+
+    def __init__(self, agg: E.Agg):
+        self.agg = agg
+        self.kind = agg.kind
+
+    # -- specs --
+    def partial_specs(self) -> List[PartialSpec]:
+        k = self.kind
+        A = E.AggKind
+        if k in (A.COUNT, A.COUNT_IF, A.COUNT_DISTINCT):
+            return [PartialSpec("count", "sum")]
+        if k in (A.SUM, A.SUM_IF):
+            return [PartialSpec("sum", "sum"), PartialSpec("count", "sum")]
+        if k == A.AVG:
+            return [PartialSpec("sum", "sum"), PartialSpec("count", "sum")]
+        if k == A.MIN:
+            return [PartialSpec("min", "min"), PartialSpec("count", "sum")]
+        if k in (A.MAX, A.SAMPLE, A.SINGLE_VALUE, A.MODE):
+            return [PartialSpec("max", "max"), PartialSpec("count", "sum")]
+        if k in (A.STDDEV, A.VARIANCE):
+            return [
+                PartialSpec("sum", "sum"),
+                PartialSpec("sumsq", "sum"),
+                PartialSpec("count", "sum"),
+            ]
+        if k == A.APPROX_COUNT_DISTINCT:
+            return [PartialSpec("hll", "max")]
+        if k == A.APPROX_QUANTILE:
+            return [PartialSpec("value", "max"), PartialSpec("count", "sum")]
+        raise NotSupported(f"aggregate {k}")
+
+    # -- accumulate over the row domain --
+    def accumulate(self, compiler, gid, mask, num_slots: int) -> Dict[str, object]:
+        """compiler: ExprCompiler over the input row domain."""
+        k = self.kind
+        A = E.AggKind
+        arg_tv = compiler.compile(self.agg.arg) if self.agg.arg is not None else None
+
+        def contrib_mask(extra_valid=None):
+            m = mask
+            if extra_valid is not None:
+                m = extra_valid if m is None else (m & extra_valid)
+            return m
+
+        if k == A.COUNT:
+            cm = contrib_mask(arg_tv[1] if arg_tv is not None else None)
+            if cm is None:
+                n = gid.shape[0]
+                cm = jnp.ones(n, jnp.bool_)
+            return {"count": G.segment_count(gid, cm, num_slots)}
+        if k == A.COUNT_IF:
+            cond = compiler.compile_predicate(self.agg.arg2)
+            cm = contrib_mask(cond)
+            return {"count": G.segment_count(gid, cm, num_slots)}
+        if k in (A.SUM, A.SUM_IF, A.AVG):
+            val, valid = arg_tv
+            cm = contrib_mask(valid)
+            if k == A.SUM_IF:
+                cond = compiler.compile_predicate(self.agg.arg2)
+                cm = cond if cm is None else (cm & cond)
+            acc_dt = self._acc_dtype()
+            if cm is None:
+                cm = jnp.ones(gid.shape[0], jnp.bool_)
+            return {
+                "sum": G.segment_sum(gid, val, cm, num_slots, acc_dt),
+                "count": G.segment_count(gid, cm, num_slots),
+            }
+        if k in (A.MIN, A.MAX, A.SAMPLE, A.SINGLE_VALUE):
+            val, valid = arg_tv
+            cm = contrib_mask(valid)
+            is_min = k == A.MIN
+            name = "min" if is_min else "max"
+            if cm is None:
+                cm = jnp.ones(gid.shape[0], jnp.bool_)
+            dref = self._dict_ref()
+            if dref is not None and k in (A.MIN, A.MAX):
+                # dict strings order by LEXICOGRAPHIC RANK, not id
+                rank = compiler.aux[("dictrank", dref)]
+                safe = jnp.clip(val, 0, rank.shape[0] - 1)
+                val = jnp.where(val >= 0, rank[safe], 0).astype(jnp.int32)
+            return {
+                name: G.segment_minmax(gid, jnp.asarray(val), cm, num_slots, is_min),
+                "count": G.segment_count(gid, cm, num_slots),
+            }
+        if k in (A.STDDEV, A.VARIANCE):
+            val, valid = arg_tv
+            cm = contrib_mask(valid)
+            if cm is None:
+                cm = jnp.ones(gid.shape[0], jnp.bool_)
+            fval = jnp.asarray(val, jnp.float64)
+            if self.agg.arg.type.is_decimal:
+                fval = fval / (10**self.agg.arg.type.scale)
+            return {
+                "sum": G.segment_sum(gid, fval, cm, num_slots, np.dtype(np.float64)),
+                "sumsq": G.segment_sum(gid, fval * fval, cm, num_slots, np.dtype(np.float64)),
+                "count": G.segment_count(gid, cm, num_slots),
+            }
+        if k == A.COUNT_DISTINCT:
+            cnt = G.distinct_count_per_group(gid, arg_tv, mask, num_slots)
+            return {"count": cnt}
+        if k == A.APPROX_COUNT_DISTINCT:
+            return {"hll": G.hll_registers(gid, arg_tv, mask, num_slots)}
+        if k == A.APPROX_QUANTILE:
+            q = float(self.agg.arg2.value)
+            val, cnt_valid = G.quantile_per_group(gid, arg_tv, mask, num_slots, q)
+            return {
+                "value": val,
+                "count": cnt_valid.astype(jnp.int64),
+            }
+        if k == A.MODE:
+            val, has = G.mode_per_group(gid, arg_tv, mask, num_slots)
+            return {"max": val, "count": has.astype(jnp.int64)}
+        raise NotSupported(f"aggregate {k}")
+
+    def _acc_dtype(self):
+        t = self.agg.type
+        return t.np_dtype()
+
+    def _dict_ref(self):
+        if self.agg.arg is not None and self.agg.arg.type.is_dict_string:
+            return getattr(self.agg.arg, "dict_ref", None)
+        return None
+
+    # -- finalize: partials → (values, valid) --
+    def finalize(self, partials: Dict[str, object], aux=None) -> TV:
+        k = self.kind
+        A = E.AggKind
+        dref = self._dict_ref()
+        if dref is not None and k in (A.MIN, A.MAX) and aux is not None:
+            # rank → id
+            order = aux[("dictorder", dref)]
+            name = "min" if k == A.MIN else "max"
+            rank = partials[name]
+            safe = jnp.clip(rank, 0, order.shape[0] - 1)
+            ids = jnp.where(
+                (rank >= 0) & (rank < order.shape[0]), order[safe], 0
+            ).astype(jnp.int32)
+            return ids, partials["count"] > 0
+        if k in (A.COUNT, A.COUNT_IF, A.COUNT_DISTINCT):
+            return partials["count"], None
+        if k in (A.SUM, A.SUM_IF):
+            return partials["sum"], partials["count"] > 0
+        if k == A.AVG:
+            cnt = jnp.maximum(partials["count"], 1)
+            s = partials["sum"]
+            if self.agg.arg.type.is_decimal:
+                s = jnp.asarray(s, jnp.float64) / (10**self.agg.arg.type.scale)
+            return jnp.asarray(s, jnp.float64) / cnt, partials["count"] > 0
+        if k == A.MIN:
+            return partials["min"], partials["count"] > 0
+        if k in (A.MAX, A.SAMPLE, A.SINGLE_VALUE, A.MODE):
+            return partials["max"], partials["count"] > 0
+        if k in (A.STDDEV, A.VARIANCE):
+            n = jnp.maximum(partials["count"], 2).astype(jnp.float64)
+            mean = partials["sum"] / jnp.maximum(partials["count"], 1)
+            var = (partials["sumsq"] - partials["sum"] * mean) / (n - 1)
+            var = jnp.maximum(var, 0.0)
+            out = jnp.sqrt(var) if k == A.STDDEV else var
+            return out, partials["count"] > 1
+        if k == A.APPROX_COUNT_DISTINCT:
+            return G.hll_estimate(partials["hll"]), None
+        if k == A.APPROX_QUANTILE:
+            return partials["value"], partials["count"] > 0
+        raise NotSupported(f"aggregate {k}")
+
+    def merge_partials(self, a: Dict[str, object], b: Dict[str, object]):
+        """Combine partials from two shards (reference
+        ResultSetReduction.cpp reduceOneSlot semantics)."""
+        out = {}
+        for spec in self.partial_specs():
+            x, y = a[spec.name], b[spec.name]
+            if spec.merge == "sum":
+                out[spec.name] = x + y
+            elif spec.merge == "min":
+                out[spec.name] = jnp.minimum(x, y)
+            else:
+                out[spec.name] = jnp.maximum(x, y)
+        return out

@@ -1,0 +1,146 @@
+"""Hash-join kernels, TPU-native.
+
+The reference builds open-addressing hash tables with CPU/GPU atomics
+(QueryEngine/JoinHashTable/: PerfectJoinHashTable for dense int keys,
+BaselineJoinHashTable for the rest, layout Keys/Offsets/Counts/Payloads per
+docs/source/execution/hash_joins.rst).  TPUs have no global atomics, so we
+keep the same two-path structure with device-native builds:
+
+- **Perfect join** (dense key range): the "hash table" is a positional array
+  indexed by (key - min): id array for 1:1, counts+offsets+payload (CSR) for
+  1:N — built with scatters, probed with gathers.  Exactly the reference's
+  perfect layout, minus atomics.
+- **Sorted join** (baseline): build side is sorted by key (lax.sort); probes
+  binary-search (searchsorted) for the run of matches.  Replaces MurmurHash
+  open addressing — sort+search is the static-shape TPU strategy.
+
+1:N fan-out uses the static-capacity expansion trick: per-probe-row match
+counts → prefix-sum offsets → each output slot j finds its (probe row,
+match ordinal) via searchsorted(offsets, j).  The kernel returns the exact
+needed capacity so the executor's retry ladder can re-trace once if the
+static cap was too small (reference ERR_OUT_OF_SLOTS analogue).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class SortedBuild(NamedTuple):
+    """Build-side index: rows sorted by key."""
+
+    keys_sorted: object  # [B] int64 key values in sorted order
+    rows_sorted: object  # [B] int32 original build-row index
+    valid_sorted: object  # [B] bool — invalid rows sorted to the end
+
+
+def build_sorted(keys, valid, num_rows_scalar):
+    """Sort build side by key; invalid/out-of-domain rows get key INT64_MAX so
+    the array stays globally sorted for searchsorted (probe_counts clamps the
+    match window to the valid prefix)."""
+    b = keys.shape[0]
+    in_domain = lax.broadcasted_iota(jnp.int32, (b,), 0) < num_rows_scalar
+    ok = in_domain if valid is None else (in_domain & valid)
+    k = jnp.where(ok, jnp.asarray(keys, jnp.int64), jnp.iinfo(jnp.int64).max)
+    rows = lax.broadcasted_iota(jnp.int32, (b,), 0)
+    skeys, sflag, srows = lax.sort(
+        [k, (~ok).astype(jnp.int8), rows], num_keys=2, is_stable=False
+    )
+    return SortedBuild(skeys, srows, sflag == 0)
+
+
+def probe_counts(build: SortedBuild, probe_keys, probe_valid):
+    """For each probe row: (first match position, match count)."""
+    pk = jnp.asarray(probe_keys, jnp.int64)
+    nvalid = build.valid_sorted.sum()
+    lo = jnp.searchsorted(build.keys_sorted, pk, side="left")
+    hi = jnp.searchsorted(build.keys_sorted, pk, side="right")
+    # clamp matches into the valid prefix of the sorted build array
+    lo = jnp.minimum(lo, nvalid)
+    hi = jnp.minimum(hi, nvalid)
+    cnt = (hi - lo).astype(jnp.int32)
+    if probe_valid is not None:
+        cnt = jnp.where(probe_valid, cnt, 0)
+    return lo.astype(jnp.int32), cnt
+
+
+def expand_matches(
+    lo, cnt, build_rows_sorted, probe_mask, cap: int, left_outer: bool
+):
+    """Expand 1:N matches into output row pairs with static capacity `cap`.
+
+    Returns (probe_idx[cap], build_idx[cap], out_mask[cap],
+             build_matched[cap] bool — False for LEFT-join null rows,
+             needed — exact required capacity, device scalar).
+    """
+    n = cnt.shape[0]
+    eff_cnt = cnt
+    if probe_mask is not None:
+        eff_cnt = jnp.where(probe_mask, eff_cnt, 0)
+    if left_outer:
+        base = jnp.maximum(eff_cnt, 1)
+        if probe_mask is not None:
+            base = jnp.where(probe_mask, base, 0)
+        eff = base
+    else:
+        eff = eff_cnt
+    offsets = jnp.cumsum(eff.astype(jnp.int64))
+    needed = offsets[-1] if n else jnp.asarray(0, jnp.int64)
+    starts = offsets - eff  # start slot per probe row
+    slot = lax.broadcasted_iota(jnp.int64, (cap,), 0)
+    # probe row owning each output slot
+    pidx = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    pidx = jnp.minimum(pidx, n - 1)
+    ordinal = slot - starts[pidx]
+    out_mask = slot < needed
+    matched = ordinal < eff_cnt[pidx].astype(jnp.int64)
+    bpos = lo[pidx].astype(jnp.int64) + jnp.where(matched, ordinal, 0)
+    bpos = jnp.clip(bpos, 0, build_rows_sorted.shape[0] - 1)
+    bidx = build_rows_sorted[bpos.astype(jnp.int32)]
+    return pidx, bidx, out_mask, matched & out_mask, needed
+
+
+# ---------------------------------------------------------------------------
+# Perfect (dense-range positional) join — reference PerfectJoinHashTable
+# ---------------------------------------------------------------------------
+
+
+class PerfectBuild(NamedTuple):
+    counts: object  # [R] int32 — rows per key slot
+    offsets: object  # [R] int64 — CSR offsets into payload
+    payload: object  # [B] int32 — build row ids grouped by key slot
+    key_min: int
+
+
+def build_perfect(keys, valid, num_rows_scalar, key_min: int, key_range: int):
+    """CSR build over dense key space [key_min, key_min+key_range)."""
+    b = keys.shape[0]
+    in_domain = lax.broadcasted_iota(jnp.int32, (b,), 0) < num_rows_scalar
+    ok = in_domain if valid is None else (in_domain & valid)
+    slot = jnp.asarray(keys, jnp.int64) - key_min
+    slot = jnp.where(ok & (slot >= 0) & (slot < key_range), slot, key_range)
+    counts = jnp.zeros(key_range + 1, jnp.int32).at[slot].add(1, mode="drop")[
+        :key_range
+    ]
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), jnp.cumsum(counts.astype(jnp.int64))[:-1]]
+    )
+    # place rows: sort by slot, payload = row ids in slot order
+    rows = lax.broadcasted_iota(jnp.int32, (b,), 0)
+    sslot, srows = lax.sort([slot, rows], num_keys=1, is_stable=True)
+    return PerfectBuild(counts, offsets, srows, key_min)
+
+
+def probe_perfect(build: PerfectBuild, probe_keys, probe_valid, key_range: int):
+    pk = jnp.asarray(probe_keys, jnp.int64) - build.key_min
+    ok = (pk >= 0) & (pk < key_range)
+    if probe_valid is not None:
+        ok = ok & probe_valid
+    slot = jnp.clip(pk, 0, key_range - 1)
+    lo = build.offsets[slot].astype(jnp.int32)
+    cnt = jnp.where(ok, build.counts[slot], 0)
+    return lo, cnt

@@ -1,0 +1,779 @@
+"""Binder: SQL AST → typed relational-algebra DAG.
+
+Plays the role of Calcite's validator + HeavyDBParser + RelAlgDagBuilder in
+the reference (java/calcite CalciteServerHandler.process → RA JSON →
+QueryEngine/RelAlgDag.cpp): resolves table/column names, checks and coerces
+types, splits aggregates from projections, and emits rel_alg nodes.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import BinderError, NotSupported
+from heavydb_tpu.plan import exprs as E
+from heavydb_tpu.plan import rel_alg as R
+from heavydb_tpu.sql import ast as A
+from heavydb_tpu.storage.table import EPOCH
+
+# ---------------------------------------------------------------------------
+# DDL type-name resolution
+# ---------------------------------------------------------------------------
+
+_TYPE_ALIASES = {
+    "INT": T.SQLTypeKind.INT,
+    "INTEGER": T.SQLTypeKind.INT,
+    "BIGINT": T.SQLTypeKind.BIGINT,
+    "SMALLINT": T.SQLTypeKind.SMALLINT,
+    "TINYINT": T.SQLTypeKind.TINYINT,
+    "FLOAT": T.SQLTypeKind.FLOAT,
+    "REAL": T.SQLTypeKind.FLOAT,
+    "DOUBLE": T.SQLTypeKind.DOUBLE,
+    "BOOLEAN": T.SQLTypeKind.BOOLEAN,
+    "BOOL": T.SQLTypeKind.BOOLEAN,
+    "TEXT": T.SQLTypeKind.TEXT,
+    "VARCHAR": T.SQLTypeKind.TEXT,
+    "CHAR": T.SQLTypeKind.TEXT,
+    "STR": T.SQLTypeKind.TEXT,
+    "DATE": T.SQLTypeKind.DATE,
+    "TIME": T.SQLTypeKind.TIME,
+    "TIMESTAMP": T.SQLTypeKind.TIMESTAMP,
+    "DATETIME": T.SQLTypeKind.TIMESTAMP,
+    "DECIMAL": T.SQLTypeKind.DECIMAL,
+    "NUMERIC": T.SQLTypeKind.DECIMAL,
+}
+
+
+def resolve_type_name(tn: A.TypeName) -> T.TypeInfo:
+    kind = _TYPE_ALIASES.get(tn.name)
+    if kind is None:
+        raise BinderError(f"unknown type {tn.name}")
+    nullable = not tn.not_null
+    if kind == T.SQLTypeKind.DECIMAL:
+        p = tn.params[0] if tn.params else 10
+        s = tn.params[1] if len(tn.params) > 1 else 0
+        if p > 19:
+            raise BinderError("DECIMAL precision > 19 unsupported")
+        return T.decimal(p, s, nullable)
+    if kind == T.SQLTypeKind.TIMESTAMP:
+        prec = tn.params[0] if tn.params else 0
+        if prec not in (0, 3, 6, 9):
+            raise BinderError("TIMESTAMP precision must be 0/3/6/9")
+        return T.timestamp(prec, nullable)
+    if kind == T.SQLTypeKind.TEXT:
+        # TEXT defaults to dictionary encoding (reference kENCODING_DICT)
+        if tn.encoding == "NONE":
+            raise NotSupported("TEXT ENCODING NONE not yet supported")
+        return T.text_dict(nullable=nullable)
+    return T.TypeInfo(kind, nullable)
+
+
+# ---------------------------------------------------------------------------
+# Scope: name → field index in the current row schema
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FieldBinding:
+    field_idx: int
+    type: T.TypeInfo
+    dict_ref: Optional[tuple] = None  # (table_id, col_id) for dict strings
+
+
+class Scope:
+    """Resolves (qualifier, name) to a field of the current relational row."""
+
+    def __init__(self):
+        self.by_alias: Dict[str, Dict[str, FieldBinding]] = {}
+        self.order: List[Tuple[str, str, FieldBinding]] = []  # (alias, col, fb)
+
+    def add_relation(self, alias: str, fields, types, dict_refs):
+        cols = {}
+        base = len(self.order) and (self.order[-1][2].field_idx + 1) or 0
+        # recompute base from total fields so far
+        base = sum(len(v) for v in self.by_alias.values())
+        for i, (f, t) in enumerate(zip(fields, types)):
+            fb = FieldBinding(base + i, t, dict_refs[i] if dict_refs else None)
+            cols[f.lower()] = fb
+            self.order.append((alias, f, fb))
+        key = alias.lower()
+        if key in self.by_alias:
+            raise BinderError(f"duplicate table alias {alias!r}")
+        self.by_alias[key] = cols
+
+    def resolve(self, parts: Tuple[str, ...]) -> FieldBinding:
+        if len(parts) == 1:
+            name = parts[0].lower()
+            hits = [
+                cols[name] for cols in self.by_alias.values() if name in cols
+            ]
+            if not hits:
+                raise BinderError(f"column {parts[0]!r} not found")
+            if len(hits) > 1:
+                raise BinderError(f"column {parts[0]!r} is ambiguous")
+            return hits[0]
+        if len(parts) == 2:
+            qual, name = parts[0].lower(), parts[1].lower()
+            cols = self.by_alias.get(qual)
+            if cols is None:
+                raise BinderError(f"unknown table alias {parts[0]!r}")
+            fb = cols.get(name)
+            if fb is None:
+                raise BinderError(f"column {parts[1]!r} not found in {parts[0]!r}")
+            return fb
+        raise BinderError(f"cannot resolve {'.'.join(parts)}")
+
+    def all_fields(self, qualifier: Optional[str] = None):
+        out = []
+        for alias, name, fb in self.order:
+            if qualifier is None or alias.lower() == qualifier.lower():
+                out.append((name, fb))
+        if qualifier is not None and not out:
+            raise BinderError(f"unknown table alias {qualifier!r}")
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Expression binding
+# ---------------------------------------------------------------------------
+
+_CMP = {"=", "<>", "<", "<=", ">", ">="}
+_ARITH = {"+", "-", "*", "/", "%"}
+
+_AGG_NAMES = {
+    "COUNT": E.AggKind.COUNT,
+    "SUM": E.AggKind.SUM,
+    "AVG": E.AggKind.AVG,
+    "MIN": E.AggKind.MIN,
+    "MAX": E.AggKind.MAX,
+    "SAMPLE": E.AggKind.SAMPLE,
+    "ANY_VALUE": E.AggKind.SAMPLE,
+    "SINGLE_VALUE": E.AggKind.SINGLE_VALUE,
+    "APPROX_COUNT_DISTINCT": E.AggKind.APPROX_COUNT_DISTINCT,
+    "APPROX_MEDIAN": E.AggKind.APPROX_QUANTILE,
+    "APPROX_QUANTILE": E.AggKind.APPROX_QUANTILE,
+    "APPROX_PERCENTILE": E.AggKind.APPROX_QUANTILE,
+    "COUNT_IF": E.AggKind.COUNT_IF,
+    "SUM_IF": E.AggKind.SUM_IF,
+    "MODE": E.AggKind.MODE,
+    "STDDEV": E.AggKind.STDDEV,
+    "STDDEV_SAMP": E.AggKind.STDDEV,
+    "VARIANCE": E.AggKind.VARIANCE,
+    "VAR_SAMP": E.AggKind.VARIANCE,
+}
+
+# scalar function → (result type rule, arg count range)
+_MATH_FNS = {
+    "ABS", "CEIL", "CEILING", "FLOOR", "ROUND", "TRUNCATE", "SIGN", "MOD",
+    "POWER", "POW", "SQRT", "EXP", "LN", "LOG", "LOG10", "SIN", "COS", "TAN",
+    "ASIN", "ACOS", "ATAN", "ATAN2", "DEGREES", "RADIANS", "WIDTH_BUCKET",
+}
+
+_EXTRACT_MAP = {f.value: f for f in E.ExtractField}
+
+
+class ExprBinder:
+    def __init__(self, scope: Scope, db, allow_aggs: bool):
+        self.scope = scope
+        self.db = db  # Database facade for subquery planning
+        self.allow_aggs = allow_aggs
+        self.aggs: List[E.Agg] = []
+
+    # -- public --
+    def bind(self, node: A.Expr) -> E.Expr:
+        e = self._bind(node)
+        return e
+
+    def bind_condition(self, node: A.Expr) -> E.Expr:
+        e = self._bind(node)
+        if not (e.type.is_boolean or e.type.is_null_type):
+            raise BinderError(f"condition must be BOOLEAN, got {e.type}")
+        return e
+
+    # -- dispatch --
+    def _bind(self, node: A.Expr) -> E.Expr:
+        m = getattr(self, "_bind_" + type(node).__name__, None)
+        if m is None:
+            raise NotSupported(f"expression {type(node).__name__} not supported")
+        return m(node)
+
+    def _bind_Literal(self, node: A.Literal) -> E.Expr:
+        if node.kind == "null":
+            return E.Constant(None, T.null_type())
+        if node.kind == "bool":
+            return E.Constant(1 if node.value else 0, T.boolean(nullable=False))
+        if node.kind == "string":
+            return E.Constant(node.value, T.TypeInfo(T.SQLTypeKind.TEXT, False))
+        if node.kind == "num_int":
+            return E.Constant(int(node.value), T.literal_type(int(node.value)))
+        if node.kind == "num_decimal":
+            # exact decimal literal: scale from text (reference treats 2.5 as DECIMAL)
+            txt = node.text.lstrip("+-")
+            if "." in txt:
+                frac = txt.split(".")[1]
+                scale = len(frac)
+                digits = txt.replace(".", "").lstrip("0") or "0"
+                prec = max(len(digits), scale + 1)
+                if prec <= 19:
+                    sval = int(round(float(node.value) * 10**scale))
+                    neg = node.text.lstrip().startswith("-")
+                    sval = int(txt.replace(".", "")) * (-1 if neg else 1)
+                    return E.Constant(sval, T.decimal(prec, scale, False))
+            return E.Constant(float(node.value), T.double(nullable=False))
+        return E.Constant(float(node.value), T.double(nullable=False))
+
+    def _bind_Identifier(self, node: A.Identifier) -> E.Expr:
+        fb = self.scope.resolve(node.parts)
+        return E.InputRef(0, fb.field_idx, fb.type, fb.dict_ref)
+
+    def _bind_Unary(self, node: A.Unary) -> E.Expr:
+        operand = self._bind(node.operand)
+        if node.op == "NOT":
+            if not operand.type.is_boolean and not operand.type.is_null_type:
+                raise BinderError("NOT requires boolean")
+            return E.UnOp(E.UnOpKind.NOT, operand, T.boolean(operand.type.nullable))
+        if node.op == "-":
+            if not operand.type.is_number:
+                raise BinderError("unary minus requires numeric")
+            return E.UnOp(E.UnOpKind.NEG, operand, operand.type)
+        return operand
+
+    def _bind_IsNull(self, node: A.IsNull) -> E.Expr:
+        operand = self._bind(node.operand)
+        kind = E.UnOpKind.ISNOTNULL if node.negated else E.UnOpKind.ISNULL
+        return E.UnOp(kind, operand, T.boolean(nullable=False))
+
+    def _bind_Binary(self, node: A.Binary) -> E.Expr:
+        op = node.op
+        if op in ("AND", "OR"):
+            l = self.bind_condition(node.left)
+            r = self.bind_condition(node.right)
+            return E.BinOp(
+                E.BinOpKind(op), l, r, T.boolean(l.type.nullable or r.type.nullable)
+            )
+        l = self._bind(node.left)
+        r = self._bind(node.right)
+        if op == "||":
+            raise NotSupported("string concatenation (||) not yet supported")
+        if op in _CMP:
+            return self._bind_comparison(op, l, r)
+        if op in _ARITH:
+            return self._bind_arith(op, l, r, node)
+        raise NotSupported(f"operator {op}")
+
+    def _bind_comparison(self, op: str, l: E.Expr, r: E.Expr) -> E.Expr:
+        # dict-string vs string literal → launch-time dictionary predicate
+        lt, rt = l.type, r.type
+        if lt.is_dict_string or rt.is_dict_string:
+            if isinstance(r, E.Constant) and rt.is_string and not rt.is_dict_string:
+                return self._dict_cmp(l, op, r)
+            if isinstance(l, E.Constant) and lt.is_string and not lt.is_dict_string:
+                flipped = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+                return self._dict_cmp(r, flipped, l)
+            if lt.is_dict_string and rt.is_dict_string:
+                if op not in ("=", "<>"):
+                    raise NotSupported("ordering comparison between two dict columns")
+                # same dictionary → direct id compare; else translated at launch
+                nullable = lt.nullable or rt.nullable
+                if l.dict_ref if isinstance(l, E.InputRef) else None:
+                    pass
+                return E.BinOp(E.BinOpKind(op), l, r, T.boolean(nullable))
+            raise NotSupported(f"comparison {lt} {op} {rt}")
+        if lt.is_string and rt.is_string:
+            # two string literals — compare host-side
+            res = _host_str_cmp(op, l.value, r.value)
+            return E.Constant(1 if res else 0, T.boolean(False))
+        if (lt.is_number or lt.is_time or lt.is_boolean) and (
+            rt.is_number or rt.is_time or rt.is_boolean or rt.is_null_type
+        ) or lt.is_null_type:
+            l2, r2 = self._coerce_pair(l, r)
+            nullable = l2.type.nullable or r2.type.nullable
+            return E.BinOp(E.BinOpKind(op), l2, r2, T.boolean(nullable))
+        raise BinderError(f"cannot compare {lt} and {rt}")
+
+    def _dict_cmp(self, arg: E.Expr, op: str, lit: E.Constant) -> E.Expr:
+        dict_ref = getattr(arg, "dict_ref", None)
+        if dict_ref is None:
+            raise NotSupported("string comparison on computed string expression")
+        return E.DictStrPredicate(
+            arg=arg,
+            kind="CMP",
+            cmp_op=op,
+            pattern=str(lit.value),
+            dict_ref=dict_ref,
+            type=T.boolean(arg.type.nullable),
+        )
+
+    def _bind_arith(self, op: str, l: E.Expr, r: E.Expr, node) -> E.Expr:
+        lt, rt = l.type, r.type
+        # date/timestamp ± interval
+        if lt.is_time and isinstance(node.right, A.IntervalLit):
+            raise AssertionError  # handled in _bind_IntervalLit path
+        if lt.is_time and rt.is_time and op == "-":
+            # timestamp difference in seconds (coerce both to TIMESTAMP(0))
+            l2 = self._cast_to(l, T.timestamp(0, lt.nullable))
+            r2 = self._cast_to(r, T.timestamp(0, rt.nullable))
+            return E.BinOp(
+                E.BinOpKind.SUB, l2, r2, T.bigint(lt.nullable or rt.nullable)
+            )
+        if not (lt.is_number or lt.is_null_type) or not (rt.is_number or rt.is_null_type):
+            raise BinderError(f"arithmetic on {lt} and {rt}")
+        if op == "/" and (lt.is_integer and rt.is_integer):
+            # SQL integer division semantics (truncating)
+            l2, r2 = self._coerce_pair(l, r)
+            return E.BinOp(E.BinOpKind.DIV, l2, r2, l2.type.with_nullable(
+                lt.nullable or rt.nullable))
+        l2, r2 = self._coerce_pair(l, r)
+        out = T.common_numeric_type(l2.type, r2.type)
+        if out.is_decimal and op == "*":
+            # product scale = sum of scales, capped
+            ls = l2.type.scale if l2.type.is_decimal else 0
+            rs = r2.type.scale if r2.type.is_decimal else 0
+            out = T.decimal(min(19, out.precision + min(ls, rs)), ls + rs,
+                            out.nullable)
+        if out.is_decimal and op == "/":
+            out = T.double(out.nullable)
+            l2 = self._cast_to(l2, T.double(l2.type.nullable))
+            r2 = self._cast_to(r2, T.double(r2.type.nullable))
+        if op == "%":
+            if not (l2.type.is_integer and r2.type.is_integer):
+                out = T.double(out.nullable)
+        return E.BinOp(E.BinOpKind(op), l2, r2, out)
+
+    def _coerce_pair(self, l: E.Expr, r: E.Expr):
+        lt, rt = l.type, r.type
+        if lt.is_null_type or rt.is_null_type:
+            return l, r
+        if lt.is_boolean and rt.is_boolean:
+            return l, r
+        if lt.is_time or rt.is_time:
+            if lt.kind == rt.kind and lt.precision == rt.precision:
+                return l, r
+            if lt.is_time and rt.is_time:
+                target = T.timestamp(max(lt.precision, rt.precision),
+                                     lt.nullable or rt.nullable)
+                return self._cast_to(l, target), self._cast_to(r, target)
+            # time vs number (epoch compare) — cast number side
+            if lt.is_time and rt.is_number:
+                return l, self._cast_to(r, lt.with_nullable(rt.nullable))
+            if rt.is_time and lt.is_number:
+                return self._cast_to(l, rt.with_nullable(lt.nullable)), r
+        common = T.common_numeric_type(lt, rt)
+        return self._cast_to(l, common), self._cast_to(r, common)
+
+    def _cast_to(self, e: E.Expr, target: T.TypeInfo) -> E.Expr:
+        src = e.type
+        if src.kind == target.kind and src.scale == target.scale and (
+            src.precision == target.precision or not src.is_decimal
+        ):
+            return e
+        if src.is_null_type:
+            return E.Constant(None, target.with_nullable(True))
+        t = target.with_nullable(src.nullable)
+        if isinstance(e, E.Constant):
+            return E.Constant(_const_cast(e.value, src, t), t)
+        return E.Cast(e, t)
+
+    def _bind_Between(self, node: A.Between) -> E.Expr:
+        a = A.Binary(">=", node.operand, node.low)
+        b = A.Binary("<=", node.operand, node.high)
+        both = A.Binary("AND", a, b)
+        e = self._bind(both)
+        if node.negated:
+            return E.UnOp(E.UnOpKind.NOT, e, e.type)
+        return e
+
+    def _bind_InList(self, node: A.InList) -> E.Expr:
+        arg = self._bind(node.operand)
+        vals = []
+        item_types = []
+        for it in node.items:
+            c = self._bind(it)
+            if not isinstance(c, E.Constant):
+                # non-constant IN items → OR chain
+                ors = None
+                for it2 in node.items:
+                    cmp_ = A.Binary("=", node.operand, it2)
+                    ors = cmp_ if ors is None else A.Binary("OR", ors, cmp_)
+                e = self._bind(ors)
+                if node.negated:
+                    return E.UnOp(E.UnOpKind.NOT, e, e.type)
+                return e
+            vals.append(c)
+            item_types.append(c.type)
+        if arg.type.is_dict_string:
+            # IN over strings: launch-time union of EQ predicates → one table
+            pats = tuple(str(v.value) for v in vals if v.value is not None)
+            return E.DictStrPredicate(
+                arg=arg, kind="IN", pattern="\x00".join(pats),
+                negated=node.negated,
+                dict_ref=getattr(arg, "dict_ref", None),
+                type=T.boolean(arg.type.nullable),
+            )
+        # numeric/time IN: coerce constants to arg type
+        phys = []
+        for c in vals:
+            if c.value is None:
+                continue
+            phys.append(_const_cast(c.value, c.type, arg.type))
+        return E.InValues(
+            arg=arg, values=tuple(phys), negated=node.negated,
+            type=T.boolean(arg.type.nullable),
+        )
+
+    def _bind_Like(self, node: A.Like) -> E.Expr:
+        arg = self._bind(node.operand)
+        if not arg.type.is_dict_string:
+            raise NotSupported("LIKE on non-dictionary strings")
+        pat = self._bind(node.pattern)
+        if not isinstance(pat, E.Constant):
+            raise NotSupported("non-constant LIKE pattern")
+        escape = None
+        if node.escape is not None:
+            esc = self._bind(node.escape)
+            escape = str(esc.value)
+        return E.DictStrPredicate(
+            arg=arg,
+            kind="ILIKE" if node.ilike else "LIKE",
+            pattern=str(pat.value),
+            escape=escape,
+            negated=node.negated,
+            dict_ref=getattr(arg, "dict_ref", None),
+            type=T.boolean(arg.type.nullable),
+        )
+
+    def _bind_CaseWhen(self, node: A.CaseWhen) -> E.Expr:
+        whens = [(self.bind_condition(c), self._bind(r)) for c, r in node.whens]
+        else_ = self._bind(node.else_) if node.else_ is not None else None
+        # unify result types
+        res_types = [r.type for _, r in whens] + (
+            [else_.type] if else_ is not None else []
+        )
+        target = res_types[0]
+        for rt in res_types[1:]:
+            if rt.is_null_type:
+                target = target.with_nullable(True)
+                continue
+            if target.is_null_type:
+                target = rt.with_nullable(True)
+                continue
+            if rt.is_dict_string and target.is_dict_string:
+                continue
+            target = T.common_numeric_type(target, rt)
+        if else_ is None:
+            target = target.with_nullable(True)
+        if target.is_string or any(
+            r.type.is_string for r in
+            ([w for _, w in whens] + ([else_] if else_ is not None else []))
+        ):
+            return self._bind_string_case(whens, else_)
+        whens2 = tuple((c, self._cast_to(r, target)) for c, r in whens)
+        else2 = self._cast_to(else_, target) if else_ is not None else None
+        return E.Case(whens2, else2, target)
+
+    def _bind_string_case(self, whens, else_) -> E.Expr:
+        """CASE yielding strings.  String literal results go into a per-query
+        transient dictionary (reference StringDictionaryProxy transient ids,
+        StringDictionaryProxy.h:39); all-dict-ref results must share one
+        dictionary."""
+        results = [r for _, r in whens] + ([else_] if else_ is not None else [])
+        dict_refs = set()
+        has_literal = False
+        for r in results:
+            if isinstance(r, E.Constant):
+                if r.value is None:
+                    continue
+                if r.type.is_string and not r.type.is_dict_string:
+                    has_literal = True
+                    continue
+                raise NotSupported("mixed string/non-string CASE")
+            ref = getattr(r, "dict_ref", None)
+            if ref is None:
+                raise NotSupported("CASE over computed strings")
+            dict_refs.add(ref)
+        if len(dict_refs) > 1:
+            raise NotSupported("CASE over columns of different dictionaries")
+        if dict_refs:
+            ref = next(iter(dict_refs))
+            target = T.text_dict(nullable=True)
+            if has_literal:
+                # intern literals into the column's dictionary (role of the
+                # reference's transient proxy ids)
+                d = self.db.dict_by_ref(ref)
+
+                def fix(r):
+                    if isinstance(r, E.Constant) and r.value is not None and \
+                            r.type.is_string and not r.type.is_dict_string:
+                        return E.Constant(d.get_or_add(str(r.value)), target)
+                    if isinstance(r, E.Constant) and r.value is None:
+                        return E.Constant(None, target)
+                    return r
+
+                whens = tuple((c, fix(r)) for c, r in whens)
+                else_ = fix(else_) if else_ is not None else None
+            return E.Case(tuple(whens), else_, target, dict_ref=ref)
+        # all literals → transient dictionary
+        ref, tdict = self.db.register_transient_dict()
+        target = T.text_dict(nullable=True)
+
+        def to_id(r):
+            if r is None:
+                return None
+            if isinstance(r, E.Constant) and r.value is None:
+                return E.Constant(None, target)
+            return E.Constant(tdict.get_or_add(str(r.value)), target)
+
+        whens2 = tuple((c, to_id(r)) for c, r in whens)
+        else2 = to_id(else_)
+        return E.Case(whens2, else2, target, dict_ref=ref)
+
+    def _bind_Cast(self, node: A.Cast) -> E.Expr:
+        operand = self._bind(node.operand)
+        target = resolve_type_name(node.type_name)
+        if target.is_dict_string:
+            if operand.type.is_dict_string:
+                return operand
+            raise NotSupported("CAST to TEXT")
+        if operand.type.is_string and isinstance(operand, E.Constant):
+            return E.Constant(
+                _const_cast(operand.value, operand.type, target),
+                target.with_nullable(False),
+            )
+        return self._cast_to(operand, target)
+
+    def _bind_ExtractExpr(self, node: A.ExtractExpr) -> E.Expr:
+        operand = self._bind(node.operand)
+        if not operand.type.is_time:
+            raise BinderError(f"EXTRACT from {operand.type}")
+        fld = _EXTRACT_MAP.get(node.field_)
+        if fld is None:
+            raise NotSupported(f"EXTRACT field {node.field_}")
+        return E.Extract(fld, operand, T.bigint(operand.type.nullable))
+
+    def _bind_IntervalLit(self, node: A.IntervalLit):
+        raise BinderError("INTERVAL literal only valid in +/- with a date/timestamp")
+
+    def _bind_ScalarSubquery(self, node: A.ScalarSubquery) -> E.Expr:
+        plan = self.db._plan_select(node.subquery)
+        if plan.arity != 1:
+            raise BinderError("scalar subquery must return one column")
+        return E.SubqueryExpr(
+            plan=plan, kind="scalar", type=plan.types[0].with_nullable(True)
+        )
+
+    def _bind_InSubquery(self, node: A.InSubquery) -> E.Expr:
+        arg = self._bind(node.operand)
+        plan = self.db._plan_select(node.subquery)
+        if plan.arity != 1:
+            raise BinderError("IN subquery must return one column")
+        return E.SubqueryExpr(
+            plan=plan, kind="in", arg=arg, negated=node.negated,
+            type=T.boolean(arg.type.nullable),
+        )
+
+    def _bind_Exists(self, node: A.Exists) -> E.Expr:
+        plan = self.db._plan_select(node.subquery)
+        return E.SubqueryExpr(
+            plan=plan, kind="exists", negated=node.negated,
+            type=T.boolean(nullable=False),
+        )
+
+    def _bind_FuncCall(self, node: A.FuncCall) -> E.Expr:
+        name = node.name
+        if name in _AGG_NAMES or (name == "COUNT"):
+            return self._bind_agg(node)
+        if name in ("COALESCE", "IFNULL", "NVL"):
+            if len(node.args) < 2:
+                raise BinderError(f"{name} needs ≥2 args")
+            expr = node.args[-1]
+            for a in reversed(node.args[:-1]):
+                expr = A.CaseWhen([(A.IsNull(a, negated=True), a)], expr)
+            return self._bind(expr)
+        if name == "NULLIF":
+            a, b = node.args
+            return self._bind(
+                A.CaseWhen([(A.Binary("=", a, b), A.Literal(None, "null"))], a)
+            )
+        if name in ("DATE_TRUNC", "DATETRUNC"):
+            fld_ast, arg_ast = node.args
+            fld = _lit_str(fld_ast).upper()
+            operand = self._bind(arg_ast)
+            if not operand.type.is_time:
+                raise BinderError("DATE_TRUNC on non-time")
+            f = _EXTRACT_MAP.get(fld)
+            if f is None:
+                raise NotSupported(f"DATE_TRUNC field {fld}")
+            return E.DateTrunc(f, operand, operand.type)
+        if name in ("DATEADD", "TIMESTAMPADD", "DATE_ADD"):
+            fld = _lit_str(node.args[0]).upper().rstrip("S")
+            amount = self._bind(node.args[1])
+            ts = self._bind(node.args[2])
+            return E.FunctionOp(
+                f"DATEADD_{fld}", (ts, amount), ts.type.with_nullable(
+                    ts.type.nullable or amount.type.nullable)
+            )
+        if name in ("DATEDIFF", "TIMESTAMPDIFF"):
+            fld = _lit_str(node.args[0]).upper().rstrip("S")
+            a = self._bind(node.args[1])
+            b = self._bind(node.args[2])
+            return E.FunctionOp(
+                f"DATEDIFF_{fld}", (a, b),
+                T.bigint(a.type.nullable or b.type.nullable),
+            )
+        if name in ("LENGTH", "CHAR_LENGTH") and len(node.args) == 1:
+            arg = self._bind(node.args[0])
+            if arg.type.is_dict_string:
+                return E.DictStrPredicate(
+                    arg=arg, kind="LENGTH",
+                    dict_ref=getattr(arg, "dict_ref", None),
+                    type=T.integer(arg.type.nullable),
+                )
+            raise NotSupported("LENGTH on non-dict strings")
+        if name in _MATH_FNS:
+            args = tuple(self._bind(a) for a in node.args)
+            out = self._math_result_type(name, args)
+            return E.FunctionOp(name, args, out)
+        raise NotSupported(f"function {name}")
+
+    def _math_result_type(self, name, args):
+        nullable = any(a.type.nullable for a in args)
+        if name in ("CEIL", "CEILING", "FLOOR", "ROUND", "TRUNCATE", "SIGN",
+                    "ABS", "MOD"):
+            t = args[0].type
+            if t.is_null_type:
+                return T.double(True)
+            return t.with_nullable(nullable)
+        if name == "WIDTH_BUCKET":
+            return T.integer(nullable)
+        return T.double(nullable)
+
+    def _bind_agg(self, node: A.FuncCall) -> E.Expr:
+        if not self.allow_aggs:
+            raise BinderError(f"aggregate {node.name} not allowed here")
+        kind = _AGG_NAMES[node.name]
+        if node.star:
+            if kind != E.AggKind.COUNT:
+                raise BinderError(f"{node.name}(*) is invalid")
+            agg = E.Agg(E.AggKind.COUNT, None, False, T.bigint(nullable=False))
+            self.aggs.append(agg)
+            return agg
+        arg = self._bind(node.args[0]) if node.args else None
+        arg2 = None
+        if kind == E.AggKind.APPROX_QUANTILE:
+            q = 0.5
+            if len(node.args) > 1:
+                c = self._bind(node.args[1])
+                q = float(c.value) / (10 ** c.type.scale if c.type.is_decimal else 1)
+            arg2 = E.Constant(q, T.double(False))
+        if kind in (E.AggKind.SUM_IF,):
+            arg2 = self.bind_condition(node.args[1])
+        if kind == E.AggKind.COUNT_IF:
+            arg2 = self.bind_condition(node.args[0])
+            arg = None
+        out_type = _agg_result_type(kind, arg, node.distinct)
+        if node.distinct:
+            if kind == E.AggKind.COUNT:
+                kind = E.AggKind.COUNT_DISTINCT
+            elif kind not in (E.AggKind.MIN, E.AggKind.MAX):
+                raise NotSupported(f"DISTINCT {node.name}")
+        agg = E.Agg(kind, arg, node.distinct, out_type, arg2)
+        self.aggs.append(agg)
+        return agg
+
+    def _bind_Star(self, node: A.Star):
+        raise BinderError("* only allowed at top level of SELECT")
+
+    def _bind_WindowFuncCall(self, node):
+        raise NotSupported("window functions not yet supported")
+
+
+def _agg_result_type(kind: E.AggKind, arg, distinct: bool) -> T.TypeInfo:
+    if kind in (E.AggKind.COUNT, E.AggKind.COUNT_IF, E.AggKind.COUNT_DISTINCT,
+                E.AggKind.APPROX_COUNT_DISTINCT):
+        return T.bigint(nullable=False)
+    t = arg.type
+    if kind in (E.AggKind.MIN, E.AggKind.MAX, E.AggKind.SAMPLE,
+                E.AggKind.SINGLE_VALUE, E.AggKind.MODE):
+        return t.with_nullable(True)
+    if kind in (E.AggKind.AVG, E.AggKind.APPROX_QUANTILE, E.AggKind.STDDEV,
+                E.AggKind.VARIANCE):
+        return T.double(nullable=True)
+    if kind in (E.AggKind.SUM, E.AggKind.SUM_IF):
+        if not t.is_number and not t.is_null_type:
+            raise BinderError(f"SUM of {t}")
+        if t.is_fp:
+            return T.double(nullable=True)
+        if t.is_decimal:
+            return T.decimal(19, t.scale, True)
+        return T.bigint(nullable=True)
+    raise BinderError(f"bad aggregate {kind}")
+
+
+def _lit_str(node) -> str:
+    if isinstance(node, A.Literal) and node.kind == "string":
+        return node.value
+    if isinstance(node, A.Identifier) and len(node.parts) == 1:
+        return node.parts[0]
+    raise BinderError("expected a string literal")
+
+
+def _host_str_cmp(op, a, b):
+    import operator
+
+    return {
+        "=": operator.eq, "<>": operator.ne, "<": operator.lt,
+        "<=": operator.le, ">": operator.gt, ">=": operator.ge,
+    }[op](a, b)
+
+
+def _const_cast(value, src: T.TypeInfo, dst: T.TypeInfo):
+    """Host-side constant conversion to dst's physical representation."""
+    if value is None:
+        return None
+    if src.is_string and not src.is_dict_string:
+        s = str(value)
+        if dst.kind == T.SQLTypeKind.DATE:
+            return (_dt.date.fromisoformat(s.strip()) - EPOCH).days
+        if dst.kind == T.SQLTypeKind.TIMESTAMP:
+            d = _dt.datetime.fromisoformat(s.strip())
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            return int(round(d.timestamp() * 10**dst.precision))
+        if dst.kind == T.SQLTypeKind.TIME:
+            t = _dt.time.fromisoformat(s.strip())
+            return t.hour * 3600 + t.minute * 60 + t.second
+        if dst.is_integer:
+            return int(s)
+        if dst.is_fp:
+            return float(s)
+        if dst.is_decimal:
+            from decimal import Decimal
+
+            return int(Decimal(s).scaleb(dst.scale).to_integral_value())
+        if dst.is_boolean:
+            return 1 if s.strip().lower() in ("t", "true", "1") else 0
+        raise BinderError(f"cannot cast string to {dst}")
+    # numeric conversions
+    if src.is_decimal:
+        real = value / 10**src.scale
+    else:
+        real = value
+    if dst.is_decimal:
+        from decimal import Decimal
+
+        return int(Decimal(str(real)).scaleb(dst.scale).to_integral_value(
+            rounding="ROUND_HALF_UP"))
+    if dst.is_integer or dst.is_time:
+        if src.kind == T.SQLTypeKind.DATE and dst.kind == T.SQLTypeKind.TIMESTAMP:
+            return int(value) * 86400 * 10**dst.precision
+        if src.kind == T.SQLTypeKind.TIMESTAMP and dst.kind == T.SQLTypeKind.DATE:
+            return int(value // (86400 * 10**src.precision))
+        return int(real)
+    if dst.is_fp:
+        return float(real)
+    if dst.is_boolean:
+        return 1 if real else 0
+    return value

@@ -1,0 +1,378 @@
+"""Typed expression tree — the analogue of the reference's Analyzer AST
+(Analyzer/Analyzer.h:67-3394): the binder lowers parser AST into these typed
+nodes; the expression compiler (exec/expr_compiler.py) lowers them to
+JAX/jnp ops (where the reference emits LLVM IR via QueryEngine/*IR.cpp).
+
+Conventions:
+- InputRef(input_idx, field_idx) references field `field_idx` of relational
+  input `input_idx` (0 = left/probe side, 1+ = join build sides), playing the
+  role of the reference's RexInput/Analyzer::ColumnVar with rte_idx.
+- Constants hold PHYSICAL values (dict ids for strings, scaled ints for
+  decimals, epoch ints for dates) — conversion happens at bind time.
+- DictStrPredicate defers host-side dictionary scans (LIKE/compare over
+  dictionary entries) to kernel-launch time; the compiled kernel consumes a
+  boolean id→match lookup table, mirroring HeavyDB's dictionary translation
+  strategy (StringDictionary/StringDictionaryProxy.h:39).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from heavydb_tpu import types as T
+
+
+class Expr:
+    type: T.TypeInfo
+
+    def children(self) -> Sequence["Expr"]:
+        return ()
+
+    def key(self) -> tuple:
+        """Structural identity for plan-cache keys and common-subexpr checks."""
+        return (type(self).__name__,) + tuple(
+            c.key() if isinstance(c, Expr) else c for c in self._key_parts()
+        )
+
+    def _key_parts(self) -> tuple:
+        return tuple(self.children())
+
+
+@dataclass(frozen=True)
+class InputRef(Expr):
+    input_idx: int
+    field_idx: int
+    type: T.TypeInfo = None
+    # dictionary identity for dict-encoded string fields: (table_id, col_id)
+    dict_ref: Optional[tuple] = None
+
+    def _key_parts(self):
+        return (self.input_idx, self.field_idx)
+
+    def __repr__(self):
+        return f"${self.input_idx}.{self.field_idx}"
+
+
+@dataclass(frozen=True)
+class Constant(Expr):
+    value: object  # physical value; None = NULL
+    type: T.TypeInfo = None
+
+    def _key_parts(self):
+        return (self.value, self.type.kind if self.type else None)
+
+    @property
+    def is_null(self):
+        return self.value is None
+
+    def __repr__(self):
+        return f"lit({self.value})"
+
+
+class BinOpKind(enum.Enum):
+    ADD = "+"
+    SUB = "-"
+    MUL = "*"
+    DIV = "/"
+    MOD = "%"
+    EQ = "="
+    NE = "<>"
+    LT = "<"
+    LE = "<="
+    GT = ">"
+    GE = ">="
+    AND = "AND"
+    OR = "OR"
+
+
+COMPARISON_OPS = {
+    BinOpKind.EQ,
+    BinOpKind.NE,
+    BinOpKind.LT,
+    BinOpKind.LE,
+    BinOpKind.GT,
+    BinOpKind.GE,
+}
+ARITH_OPS = {BinOpKind.ADD, BinOpKind.SUB, BinOpKind.MUL, BinOpKind.DIV, BinOpKind.MOD}
+LOGIC_OPS = {BinOpKind.AND, BinOpKind.OR}
+
+
+@dataclass(frozen=True)
+class BinOp(Expr):
+    op: BinOpKind
+    left: Expr = None
+    right: Expr = None
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.left, self.right)
+
+    def _key_parts(self):
+        return (self.op.value, self.left, self.right)
+
+    def __repr__(self):
+        return f"({self.left} {self.op.value} {self.right})"
+
+
+class UnOpKind(enum.Enum):
+    NOT = "NOT"
+    NEG = "-"
+    ISNULL = "IS NULL"
+    ISNOTNULL = "IS NOT NULL"
+
+
+@dataclass(frozen=True)
+class UnOp(Expr):
+    op: UnOpKind
+    operand: Expr = None
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.operand,)
+
+    def _key_parts(self):
+        return (self.op.value, self.operand)
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    operand: Expr = None
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.operand,)
+
+    def _key_parts(self):
+        return (self.operand, self.type.kind, self.type.precision, self.type.scale)
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    whens: Tuple[Tuple[Expr, Expr], ...] = ()
+    else_: Optional[Expr] = None
+    type: T.TypeInfo = None
+    # set when the CASE yields dict-encoded strings (shared or transient dict)
+    dict_ref: Optional[tuple] = None
+
+    def children(self):
+        out = []
+        for c, r in self.whens:
+            out += [c, r]
+        if self.else_ is not None:
+            out.append(self.else_)
+        return tuple(out)
+
+
+@dataclass(frozen=True)
+class InValues(Expr):
+    """arg IN (const, const, ...) — device-evaluated membership.  For small
+    lists this compiles to OR-chains; for large lists / dict-id sets the
+    compiler builds a lookup table (reference InValuesBitmap)."""
+
+    arg: Expr = None
+    values: Tuple[object, ...] = ()  # physical constants, may include None
+    negated: bool = False
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.arg,)
+
+    def _key_parts(self):
+        return (self.arg, self.values, self.negated)
+
+
+@dataclass(frozen=True)
+class DictStrPredicate(Expr):
+    """String predicate over a dict-encoded column, evaluated host-side over
+    dictionary entries at launch time → boolean id lookup table on device."""
+
+    arg: Expr = None  # dict-encoded int32 ids
+    kind: str = "LIKE"  # LIKE | ILIKE | REGEXP | CMP
+    pattern: str = ""
+    escape: Optional[str] = None
+    cmp_op: str = "="  # for kind == CMP
+    negated: bool = False
+    dict_ref: tuple = None  # (table_id, col_id) — resolved by the executor
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.arg,)
+
+    def _key_parts(self):
+        return (self.arg, self.kind, self.pattern, self.escape, self.cmp_op,
+                self.negated, self.dict_ref)
+
+
+class ExtractField(enum.Enum):
+    YEAR = "YEAR"
+    QUARTER = "QUARTER"
+    MONTH = "MONTH"
+    DAY = "DAY"
+    HOUR = "HOUR"
+    MINUTE = "MINUTE"
+    SECOND = "SECOND"
+    MILLISECOND = "MILLISECOND"
+    DOW = "DOW"
+    ISODOW = "ISODOW"
+    DOY = "DOY"
+    EPOCH = "EPOCH"
+    WEEK = "WEEK"
+    DECADE = "DECADE"
+    CENTURY = "CENTURY"
+    MILLENNIUM = "MILLENNIUM"
+
+
+@dataclass(frozen=True)
+class Extract(Expr):
+    field_: ExtractField = None
+    operand: Expr = None
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.operand,)
+
+    def _key_parts(self):
+        return (self.field_.value, self.operand)
+
+
+@dataclass(frozen=True)
+class DateTrunc(Expr):
+    field_: ExtractField = None
+    operand: Expr = None
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.operand,)
+
+    def _key_parts(self):
+        return ("TRUNC", self.field_.value, self.operand)
+
+
+@dataclass(frozen=True)
+class FunctionOp(Expr):
+    """Scalar builtin (ABS, FLOOR, POWER, ...) — reference FunctionOper /
+    ExtensionFunctions.hpp whitelist."""
+
+    name: str = ""
+    args: Tuple[Expr, ...] = ()
+    type: T.TypeInfo = None
+
+    def children(self):
+        return self.args
+
+    def _key_parts(self):
+        return (self.name,) + self.args
+
+
+class AggKind(enum.Enum):
+    COUNT = "COUNT"
+    SUM = "SUM"
+    AVG = "AVG"
+    MIN = "MIN"
+    MAX = "MAX"
+    SAMPLE = "SAMPLE"
+    SINGLE_VALUE = "SINGLE_VALUE"
+    APPROX_COUNT_DISTINCT = "APPROX_COUNT_DISTINCT"
+    APPROX_QUANTILE = "APPROX_QUANTILE"
+    COUNT_IF = "COUNT_IF"
+    SUM_IF = "SUM_IF"
+    MODE = "MODE"
+    STDDEV = "STDDEV"
+    VARIANCE = "VARIANCE"
+    COUNT_DISTINCT = "COUNT_DISTINCT"  # COUNT(DISTINCT x)
+
+
+@dataclass(frozen=True)
+class Agg(Expr):
+    """Aggregate target (reference Analyzer::AggExpr).  Appears only in
+    Aggregate/Compound target lists."""
+
+    kind: AggKind = None
+    arg: Optional[Expr] = None  # None for COUNT(*)
+    distinct: bool = False
+    type: T.TypeInfo = None
+    # second argument (condition for SUM_IF, quantile for APPROX_QUANTILE)
+    arg2: Optional[Expr] = None
+
+    def children(self):
+        out = []
+        if self.arg is not None:
+            out.append(self.arg)
+        if self.arg2 is not None:
+            out.append(self.arg2)
+        return tuple(out)
+
+    def _key_parts(self):
+        return (self.kind.value, self.distinct, self.arg, self.arg2)
+
+
+@dataclass(frozen=True)
+class SubqueryExpr(Expr):
+    """Uncorrelated scalar subquery / IN-subquery placeholder.  The executor
+    evaluates the sub-plan first and substitutes a Constant / InValues
+    (reference RelAlgExecutor::executeRelAlgSubqueries)."""
+
+    plan: object = None  # RelNode
+    kind: str = "scalar"  # 'scalar' | 'in' | 'exists'
+    arg: Optional[Expr] = None  # lhs for IN
+    negated: bool = False
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.arg,) if self.arg is not None else ()
+
+    def _key_parts(self):
+        return (self.kind, id(self.plan), self.arg, self.negated)
+
+
+def is_aggregate(e: Expr) -> bool:
+    if isinstance(e, Agg):
+        return True
+    return any(is_aggregate(c) for c in e.children())
+
+
+def walk(e: Expr):
+    yield e
+    for c in e.children():
+        yield from walk(c)
+
+
+def collect_input_refs(e: Expr) -> List[InputRef]:
+    return [n for n in walk(e) if isinstance(n, InputRef)]
+
+
+def rewrite(e: Expr, fn):
+    """Bottom-up structural rewrite: fn(node, rewritten_children)->node."""
+    import dataclasses
+
+    if isinstance(e, Case):
+        whens = tuple((rewrite(c, fn), rewrite(r, fn)) for c, r in e.whens)
+        else_ = rewrite(e.else_, fn) if e.else_ is not None else None
+        return fn(dataclasses.replace(e, whens=whens, else_=else_))
+    if isinstance(e, BinOp):
+        return fn(
+            dataclasses.replace(
+                e, left=rewrite(e.left, fn), right=rewrite(e.right, fn)
+            )
+        )
+    if isinstance(e, UnOp):
+        return fn(dataclasses.replace(e, operand=rewrite(e.operand, fn)))
+    if isinstance(e, Cast):
+        return fn(dataclasses.replace(e, operand=rewrite(e.operand, fn)))
+    if isinstance(e, (InValues, DictStrPredicate)):
+        return fn(dataclasses.replace(e, arg=rewrite(e.arg, fn)))
+    if isinstance(e, (Extract, DateTrunc)):
+        return fn(dataclasses.replace(e, operand=rewrite(e.operand, fn)))
+    if isinstance(e, FunctionOp):
+        return fn(
+            dataclasses.replace(e, args=tuple(rewrite(a, fn) for a in e.args))
+        )
+    if isinstance(e, Agg):
+        arg = rewrite(e.arg, fn) if e.arg is not None else None
+        arg2 = rewrite(e.arg2, fn) if e.arg2 is not None else None
+        return fn(dataclasses.replace(e, arg=arg, arg2=arg2))
+    if isinstance(e, SubqueryExpr) and e.arg is not None:
+        return fn(dataclasses.replace(e, arg=rewrite(e.arg, fn)))
+    return fn(e)

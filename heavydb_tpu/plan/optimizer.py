@@ -1,0 +1,181 @@
+"""RA optimizer: coalesces Filter/Project/Aggregate/Join chains into Compound
+work units and hoists equi-join conditions out of cross joins.
+
+Reference passes: QueryEngine/RelAlgOptimizer.h (create_compound,
+hoist_filter_cond_to_cross_join, eliminate_identical_copy) and
+RelLeftDeepInnerJoin.cpp (left-deep join tree flattening).  Dead-column
+elimination happens at kernel-build time instead (the executor only fetches
+referenced columns).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from heavydb_tpu.plan import exprs as E
+from heavydb_tpu.plan import rel_alg as R
+
+
+def optimize(root: R.RelNode) -> R.RelNode:
+    root = _hoist_cross_join_filters(root)
+    return _fuse(root)
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: Filter(CROSS Join) → INNER Join with equi conds
+# ---------------------------------------------------------------------------
+
+
+def _split_conjuncts(e: E.Expr) -> List[E.Expr]:
+    if isinstance(e, E.BinOp) and e.op == E.BinOpKind.AND:
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _and_all(conds: List[E.Expr]) -> Optional[E.Expr]:
+    if not conds:
+        return None
+    out = conds[0]
+    from heavydb_tpu import types as T
+
+    for c in conds[1:]:
+        out = E.BinOp(E.BinOpKind.AND, out, c,
+                      T.boolean(out.type.nullable or c.type.nullable))
+    return out
+
+
+def _refs_sides(e: E.Expr, left_arity: int, total: int):
+    refs = E.collect_input_refs(e)
+    l = any(r.field_idx < left_arity for r in refs)
+    r = any(r.field_idx >= left_arity for r in refs)
+    return l, r
+
+
+def _hoist_cross_join_filters(node: R.RelNode) -> R.RelNode:
+    node.inputs = [_hoist_cross_join_filters(i) for i in node.inputs]
+    if isinstance(node, R.Filter) and isinstance(node.inputs[0], R.Join):
+        join = node.inputs[0]
+        la = join.inputs[0].arity
+        total = join.arity
+        conjs = _split_conjuncts(node.condition)
+        to_join, keep = [], []
+        for c in conjs:
+            l, r = _refs_sides(c, la, total)
+            if l and r and join.kind in ("CROSS", "INNER"):
+                to_join.append(c)
+            else:
+                keep.append(c)
+        if to_join:
+            new_cond = _and_all(
+                ([join.condition] if join.condition is not None else []) + to_join
+            )
+            new_join = R.Join(join.inputs[0], join.inputs[1], "INNER", new_cond)
+            if keep:
+                return R.Filter(new_join, _and_all(keep))
+            return new_join
+    return node
+
+
+# ---------------------------------------------------------------------------
+# Pass 2: fuse into Compound
+# ---------------------------------------------------------------------------
+
+
+def _extract_source(node: R.RelNode):
+    """Decompose a Filter/Join chain into (inputs, join_levels, filter_cond).
+    The combined schema of `inputs` equals node's output schema."""
+    if isinstance(node, R.Filter):
+        if isinstance(node.inputs[0], (R.Filter, R.Join, R.Scan)):
+            inputs, levels, cond = _extract_source(node.inputs[0])
+            conds = ([cond] if cond is not None else []) + [node.condition]
+            return inputs, levels, _and_all(conds)
+        return [_fuse(node.inputs[0])], [], node.condition
+    if isinstance(node, R.Join):
+        # left-deep flatten: the left side may itself be a join chain
+        l_inputs, l_levels, l_cond = _extract_source(node.inputs[0])
+        right = _fuse(node.inputs[1])
+        levels = l_levels + [(node.kind, node.condition)]
+        # filters between joins stay as part of the final filter only for
+        # INNER joins (safe to reorder); otherwise break the chain
+        if l_cond is not None and node.kind == "LEFT":
+            left = _fuse(node.inputs[0])
+            return [left, right], [(node.kind, node.condition)], None
+        return l_inputs + [right], levels, l_cond
+    if isinstance(node, R.Scan):
+        return [node], [], None
+    return [_fuse(node)], [], None
+
+
+def _identity_targets(node: R.RelNode):
+    return [
+        E.InputRef(0, i, t) for i, t in enumerate(node.types)
+    ], list(node.fields)
+
+
+def _fuse(node: R.RelNode) -> R.RelNode:
+    if isinstance(node, (R.Scan, R.Values)):
+        return node
+    if isinstance(node, R.Sort):
+        node.inputs = [_fuse(node.inputs[0])]
+        return node
+    if isinstance(node, R.Union):
+        node.inputs = [_fuse(i) for i in node.inputs]
+        return node
+    if isinstance(node, R.Compound):
+        node.inputs = [_fuse(i) for i in node.inputs]
+        return node
+
+    if isinstance(node, R.Project):
+        inner = node.inputs[0]
+        having = None
+        agg = None
+        if isinstance(inner, R.Filter) and isinstance(inner.inputs[0], R.Aggregate):
+            having = inner.condition
+            agg = inner.inputs[0]
+        elif isinstance(inner, R.Aggregate):
+            agg = inner
+        if agg is not None:
+            inputs, levels, fcond = _extract_source(agg.inputs[0])
+            return R.Compound(
+                inputs, levels, fcond, agg.group_exprs, agg.agg_exprs,
+                node.exprs, node.fields, having,
+            )
+        inputs, levels, fcond = _extract_source(inner)
+        return R.Compound(
+            inputs, levels, fcond, [], [], node.exprs, node.fields, None
+        )
+
+    if isinstance(node, R.Aggregate):
+        # bare Aggregate (DISTINCT wrapper): identity projection over outputs
+        inputs, levels, fcond = _extract_source(node.inputs[0])
+        n_keys = len(node.group_exprs)
+        targets = []
+        for i, t in enumerate(node.types):
+            if i < n_keys:
+                dref = getattr(node.group_exprs[i], "dict_ref", None)
+            else:
+                a = node.agg_exprs[i - n_keys]
+                dref = (
+                    getattr(a.arg, "dict_ref", None)
+                    if a.kind in (E.AggKind.MIN, E.AggKind.MAX,
+                                  E.AggKind.SAMPLE, E.AggKind.SINGLE_VALUE,
+                                  E.AggKind.MODE)
+                    else None
+                )
+            targets.append(E.InputRef(0, i, t, dref))
+        return R.Compound(
+            inputs, levels, fcond, node.group_exprs, node.agg_exprs,
+            targets, node.fields, None,
+        )
+
+    if isinstance(node, R.Filter):
+        inputs, levels, fcond = _extract_source(node)
+        targets, names = _identity_targets(node)
+        return R.Compound(inputs, levels, fcond, [], [], targets, names, None)
+
+    if isinstance(node, R.Join):
+        inputs, levels, fcond = _extract_source(node)
+        targets, names = _identity_targets(node)
+        return R.Compound(inputs, levels, fcond, [], [], targets, names, None)
+
+    raise AssertionError(f"unhandled node {type(node).__name__}")

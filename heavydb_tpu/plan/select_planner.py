@@ -1,0 +1,492 @@
+"""SELECT statement → RelAlg DAG.
+
+The logic Calcite performs for the reference (scope building over the FROM
+tree, aggregate splitting, HAVING/ORDER BY resolution, set-op assembly) —
+rebuilt natively over plan/builder.ExprBinder.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import BinderError, NotSupported
+from heavydb_tpu.plan import exprs as E
+from heavydb_tpu.plan import rel_alg as R
+from heavydb_tpu.plan.builder import ExprBinder, Scope
+from heavydb_tpu.sql import ast as A
+
+
+class SelectPlanner:
+    def __init__(self, db, cte_env: Optional[Dict[str, R.RelNode]] = None):
+        self.db = db  # Database facade (catalog access + subquery planning)
+        self.cte_env = dict(cte_env or {})
+
+    # ------------------------------------------------------------------
+    def plan(self, sel: A.Select) -> R.RelNode:
+        # CTEs extend the environment for this select and its children
+        env = dict(self.cte_env)
+        for name, cte_sel in sel.ctes:
+            env[name.lower()] = SelectPlanner(self.db, env).plan(cte_sel)
+        apply_order_inline = not sel.set_ops
+        core = self._plan_core(sel, env, apply_order=apply_order_inline)
+
+        for op, rhs_sel in sel.set_ops:
+            rhs = SelectPlanner(self.db, env)._plan_core(
+                rhs_sel, env, apply_order=False
+            )
+            if rhs.arity != core.arity:
+                raise BinderError("UNION inputs must have same column count")
+            core = self._make_union(core, rhs, all_=(op == "UNION ALL"))
+
+        if not apply_order_inline:
+            core = self._apply_order_limit(core, sel)
+        return core
+
+    def _make_union(self, left, right, all_: bool) -> R.RelNode:
+        # coerce right columns to left's types where needed
+        casts = []
+        need = False
+        for i, (lt, rt) in enumerate(zip(left.types, right.types)):
+            ref = E.InputRef(0, i, rt, _node_dict_ref(right, i))
+            if lt.is_dict_string and rt.is_dict_string:
+                if _node_dict_ref(left, i) != _node_dict_ref(right, i):
+                    raise NotSupported(
+                        "UNION over columns of different dictionaries"
+                    )
+                casts.append(ref)
+            elif lt.kind != rt.kind or (lt.is_decimal and lt.scale != rt.scale):
+                if lt.is_dict_string or rt.is_dict_string:
+                    raise NotSupported("UNION with mismatched string columns")
+                casts.append(E.Cast(ref, T.common_numeric_type(lt, rt)))
+                need = True
+            else:
+                casts.append(ref)
+        if need:
+            right = R.Project(right, casts, left.fields)
+        u = R.Union([left, right], all_)
+        u.dict_refs = [_node_dict_ref(left, i) for i in range(left.arity)]
+        if not all_:
+            # UNION DISTINCT = group by all columns
+            keys = [
+                E.InputRef(0, i, t, u.dict_refs[i])
+                for i, t in enumerate(u.types)
+            ]
+            u = R.Aggregate(u, keys, [], list(u.fields))
+        return u
+
+    # ------------------------------------------------------------------
+    def _plan_core(self, sel: A.Select, env, apply_order: bool = False) -> R.RelNode:
+        scope = Scope()
+        rel = self._plan_from(sel.from_, scope, env)
+
+        binder = ExprBinder(scope, self.db, allow_aggs=False)
+
+        # WHERE
+        if sel.where is not None:
+            cond = binder.bind_condition(sel.where)
+            if E.is_aggregate(cond):
+                raise BinderError("aggregates not allowed in WHERE")
+            rel = R.Filter(rel, cond)
+
+        # expand stars, bind projections
+        proj_items: List[Tuple[E.Expr, str]] = []
+        agg_binder = ExprBinder(scope, self.db, allow_aggs=True)
+        for expr_ast, alias in sel.projections:
+            if isinstance(expr_ast, A.Star):
+                for name, fb in scope.all_fields(expr_ast.table):
+                    proj_items.append(
+                        (E.InputRef(0, fb.field_idx, fb.type, fb.dict_ref), name)
+                    )
+                continue
+            e = agg_binder.bind(expr_ast)
+            name = alias or _auto_name(expr_ast, len(proj_items))
+            proj_items.append((e, name))
+
+        has_aggs = bool(sel.group_by) or any(
+            E.is_aggregate(e) for e, _ in proj_items
+        ) or (sel.having is not None)
+
+        rewrite_fn = None
+        if has_aggs:
+            rel, rewrite_fn = self._plan_aggregate(sel, rel, scope, proj_items)
+        else:
+            rel = R.Project(
+                rel, [e for e, _ in proj_items], [n for _, n in proj_items]
+            )
+
+        if sel.distinct:
+            keys = [
+                E.InputRef(0, i, t, _node_dict_ref(rel, i))
+                for i, t in enumerate(rel.types)
+            ]
+            rel = R.Aggregate(rel, keys, [], list(rel.fields))
+            rewrite_fn = None  # DISTINCT output: order keys must be in list
+
+        if apply_order and (sel.order_by or sel.limit is not None or sel.offset):
+            rel = self._apply_order_rich(
+                rel, sel, scope, rewrite_fn, has_aggs or sel.distinct
+            )
+        return rel
+
+    # ------------------------------------------------------------------
+    def _apply_order_rich(self, rel, sel, scope, rewrite_fn, restricted):
+        """ORDER BY with fallback to non-projected source columns / exprs."""
+        keys = []
+        extra_exprs: List[E.Expr] = []
+        extra_names: List[str] = []
+
+        def resolve(item: A.OrderItem) -> int:
+            e_ast = item.expr
+            if isinstance(e_ast, A.Literal) and e_ast.kind == "num_int":
+                idx = int(e_ast.value) - 1
+                if not 0 <= idx < rel.arity:
+                    raise BinderError(f"ORDER BY ordinal {e_ast.value} out of range")
+                return idx
+            if isinstance(e_ast, A.Identifier) and len(e_ast.parts) == 1:
+                name = e_ast.parts[0].lower()
+                for i, f in enumerate(rel.fields):
+                    if f.lower() == name:
+                        return i
+            # bind against the source scope (aggregate-aware)
+            b = ExprBinder(scope, self.db, allow_aggs=True)
+            e = b.bind(e_ast)
+            if rewrite_fn is not None:
+                e = rewrite_fn(e)
+            elif restricted:
+                raise BinderError(
+                    "ORDER BY expression must appear in the DISTINCT select list"
+                )
+            # match existing projection exprs structurally
+            if isinstance(rel, R.Project):
+                for i, pe in enumerate(rel.exprs):
+                    if pe.key() == e.key():
+                        return i
+            extra_exprs.append(e)
+            extra_names.append(f"$sortkey{len(extra_exprs)}")
+            return rel.arity + len(extra_exprs) - 1
+
+        for item in sel.order_by:
+            idx = resolve(item)
+            nulls_first = item.nulls_first
+            if nulls_first is None:
+                nulls_first = not item.asc
+            keys.append((idx, item.asc, nulls_first))
+
+        base = rel
+        if extra_exprs:
+            if isinstance(rel, R.Project):
+                # widen the projection with hidden sort keys
+                base = R.Project(
+                    rel.inputs[0],
+                    list(rel.exprs) + extra_exprs,
+                    list(rel.fields) + extra_names,
+                )
+            else:
+                all_refs = [
+                    E.InputRef(0, i, t, _node_dict_ref(rel, i))
+                    for i, t in enumerate(rel.types)
+                ]
+                base = R.Project(
+                    rel, all_refs + extra_exprs, list(rel.fields) + extra_names
+                )
+        sorted_ = R.Sort(base, keys, sel.limit, sel.offset)
+        if extra_exprs:
+            keep = [
+                E.InputRef(0, i, t, _node_dict_ref(sorted_, i))
+                for i, t in enumerate(rel.types)
+            ]
+            return R.Project(sorted_, keep, list(rel.fields))
+        return sorted_
+
+    # ------------------------------------------------------------------
+    def _plan_from(self, ref: Optional[A.TableRef], scope: Scope, env) -> R.RelNode:
+        if ref is None:
+            # SELECT without FROM: single-row Values
+            return R.Values(["$dummy"], [T.integer(False)], [(0,)])
+        return self._plan_table_ref(ref, scope, env)
+
+    def _plan_table_ref(self, ref: A.TableRef, scope: Scope, env) -> R.RelNode:
+        if isinstance(ref, A.NamedTable):
+            key = ref.name.lower()
+            if key in env:
+                node = env[key]
+                alias = ref.alias or ref.name
+                dict_refs = [_node_dict_ref(node, i) for i in range(node.arity)]
+                scope.add_relation(alias, node.fields, node.types, dict_refs)
+                return node
+            view = self.db._get_view(key)
+            if view is not None:
+                node = SelectPlanner(self.db, env).plan(view)
+                alias = ref.alias or ref.name
+                dict_refs = [_node_dict_ref(node, i) for i in range(node.arity)]
+                scope.add_relation(alias, node.fields, node.types, dict_refs)
+                return node
+            table = self.db.catalog.get_table(ref.name)
+            node = R.Scan(table)
+            alias = ref.alias or ref.name
+            dict_refs = [
+                (table.table_id, cd.col_id) if cd.type.is_dict_string else None
+                for cd in table.columns
+            ]
+            scope.add_relation(alias, node.fields, node.types, dict_refs)
+            return node
+        if isinstance(ref, A.SubqueryRef):
+            node = SelectPlanner(self.db, env).plan(ref.select)
+            alias = ref.alias or f"$subquery{len(scope.by_alias)}"
+            dict_refs = [_node_dict_ref(node, i) for i in range(node.arity)]
+            scope.add_relation(alias, node.fields, node.types, dict_refs)
+            return node
+        if isinstance(ref, A.JoinRef):
+            left = self._plan_table_ref(ref.left, scope, env)
+            left_arity = left.arity
+            right = self._plan_table_ref(ref.right, scope, env)
+            cond = None
+            if ref.using:
+                if ref.using == "NATURAL":
+                    raise NotSupported("NATURAL JOIN")
+                conds = None
+                for col in ref.using:
+                    c = A.Binary(
+                        "=",
+                        A.Identifier((_alias_of(ref.left), col)),
+                        A.Identifier((_alias_of(ref.right), col)),
+                    )
+                    conds = c if conds is None else A.Binary("AND", conds, c)
+                binder = ExprBinder(scope, self.db, allow_aggs=False)
+                cond = binder.bind_condition(conds)
+            elif ref.condition is not None:
+                binder = ExprBinder(scope, self.db, allow_aggs=False)
+                cond = binder.bind_condition(ref.condition)
+            elif ref.kind != "CROSS":
+                raise BinderError("JOIN requires a condition")
+            if ref.kind == "FULL":
+                raise NotSupported("FULL OUTER JOIN")
+            return R.Join(left, right, ref.kind, cond)
+        raise NotSupported(f"table ref {type(ref).__name__}")
+
+    # ------------------------------------------------------------------
+    def _plan_aggregate(self, sel, rel, scope, proj_items) -> R.RelNode:
+        binder = ExprBinder(scope, self.db, allow_aggs=False)
+
+        # bind GROUP BY items: ordinals, aliases, or expressions over input
+        group_exprs: List[E.Expr] = []
+        proj_exprs = [e for e, _ in proj_items]
+        proj_names = [n for _, n in proj_items]
+        for g_ast in sel.group_by:
+            ge = self._resolve_groupitem(g_ast, binder, proj_items)
+            group_exprs.append(ge)
+
+        # collect aggregates from projections + having
+        having_expr = None
+        agg_binder = ExprBinder(scope, self.db, allow_aggs=True)
+        if sel.having is not None:
+            having_expr = agg_binder.bind_condition(sel.having)
+
+        aggs: List[E.Agg] = []
+        agg_index: Dict[tuple, int] = {}
+
+        def collect_aggs(e: E.Expr):
+            for n in E.walk(e):
+                if isinstance(n, E.Agg):
+                    k = n.key()
+                    if k not in agg_index:
+                        agg_index[k] = len(aggs)
+                        aggs.append(n)
+
+        for e in proj_exprs:
+            collect_aggs(e)
+        if having_expr is not None:
+            collect_aggs(having_expr)
+
+        group_keys = [g.key() for g in group_exprs]
+        n_keys = len(group_exprs)
+
+        agg_node = R.Aggregate(
+            rel,
+            group_exprs,
+            aggs,
+            [f"$key{i}" for i in range(n_keys)] + [f"$agg{i}" for i in range(len(aggs))],
+        )
+
+        # rewrite projection/having expressions over the Aggregate's output
+        def rewrite_over_agg(e: E.Expr) -> E.Expr:
+            k = e.key()
+            if k in group_keys:
+                idx = group_keys.index(k)
+                return E.InputRef(0, idx, agg_node.types[idx],
+                                  getattr(e, "dict_ref", None))
+            if isinstance(e, E.Agg):
+                if k not in agg_index:
+                    raise BinderError(
+                        "aggregate must appear in the select list or HAVING"
+                    )
+                idx = n_keys + agg_index[k]
+                # MIN/MAX/SAMPLE of a dict column yield ids of the same dict
+                dref = None
+                if e.kind in (E.AggKind.MIN, E.AggKind.MAX, E.AggKind.SAMPLE,
+                              E.AggKind.SINGLE_VALUE, E.AggKind.MODE):
+                    dref = getattr(e.arg, "dict_ref", None)
+                return E.InputRef(0, idx, e.type, dref)
+            if isinstance(e, E.InputRef):
+                raise BinderError(
+                    f"column {e} must appear in GROUP BY or an aggregate"
+                )
+            import dataclasses
+
+            if isinstance(e, E.Case):
+                whens = tuple(
+                    (rewrite_over_agg(c), rewrite_over_agg(r)) for c, r in e.whens
+                )
+                el = rewrite_over_agg(e.else_) if e.else_ is not None else None
+                return dataclasses.replace(e, whens=whens, else_=el)
+            if isinstance(e, E.BinOp):
+                return dataclasses.replace(
+                    e, left=rewrite_over_agg(e.left), right=rewrite_over_agg(e.right)
+                )
+            if isinstance(e, E.UnOp):
+                return dataclasses.replace(e, operand=rewrite_over_agg(e.operand))
+            if isinstance(e, E.Cast):
+                return dataclasses.replace(e, operand=rewrite_over_agg(e.operand))
+            if isinstance(e, (E.InValues, E.DictStrPredicate)):
+                return dataclasses.replace(e, arg=rewrite_over_agg(e.arg))
+            if isinstance(e, (E.Extract, E.DateTrunc)):
+                return dataclasses.replace(e, operand=rewrite_over_agg(e.operand))
+            if isinstance(e, E.FunctionOp):
+                return dataclasses.replace(
+                    e, args=tuple(rewrite_over_agg(a) for a in e.args)
+                )
+            if isinstance(e, (E.Constant, E.SubqueryExpr)):
+                return e
+            raise NotSupported(f"expr over aggregate: {type(e).__name__}")
+
+        out: R.RelNode = agg_node
+        if having_expr is not None:
+            out = R.Filter(out, rewrite_over_agg(having_expr))
+
+        final_exprs = [rewrite_over_agg(e) for e in proj_exprs]
+        out = R.Project(out, final_exprs, proj_names)
+        return out, rewrite_over_agg
+
+    def _resolve_groupitem(self, g_ast, binder, proj_items) -> E.Expr:
+        # ordinal: GROUP BY 1
+        if isinstance(g_ast, A.Literal) and g_ast.kind == "num_int":
+            idx = int(g_ast.value) - 1
+            if not 0 <= idx < len(proj_items):
+                raise BinderError(f"GROUP BY ordinal {g_ast.value} out of range")
+            return proj_items[idx][0]
+        # alias: GROUP BY with a select-list alias
+        if isinstance(g_ast, A.Identifier) and len(g_ast.parts) == 1:
+            name = g_ast.parts[0].lower()
+            try:
+                return binder.bind(g_ast)
+            except BinderError:
+                for e, n in proj_items:
+                    if n and n.lower() == name:
+                        return e
+                raise
+        e = binder.bind(g_ast)
+        if E.is_aggregate(e):
+            raise BinderError("aggregates not allowed in GROUP BY")
+        return e
+
+    # ------------------------------------------------------------------
+    def _apply_order_limit(self, rel: R.RelNode, sel: A.Select) -> R.RelNode:
+        if not sel.order_by and sel.limit is None and sel.offset is None:
+            return rel
+        keys = []
+        extra_exprs: List[E.Expr] = []
+        extra_names: List[str] = []
+        for item in sel.order_by:
+            idx = self._order_key_index(item.expr, rel, extra_exprs, extra_names)
+            asc = item.asc
+            nulls_first = item.nulls_first
+            if nulls_first is None:
+                # dialect default: NULLS LAST for ASC, NULLS FIRST for DESC
+                # (matches HeavyDB/Calcite default)
+                nulls_first = not asc
+            keys.append((idx, asc, nulls_first))
+        base = rel
+        if extra_exprs:
+            # materialize hidden sort keys, sort, then project them away
+            all_exprs = [
+                E.InputRef(0, i, t, _node_dict_ref(rel, i))
+                for i, t in enumerate(rel.types)
+            ] + extra_exprs
+            names = list(rel.fields) + extra_names
+            base = R.Project(rel, all_exprs, names)
+        sorted_ = R.Sort(base, keys, sel.limit, sel.offset)
+        if extra_exprs:
+            keep = [
+                E.InputRef(0, i, t, _node_dict_ref(rel, i))
+                for i, t in enumerate(rel.types)
+            ]
+            return R.Project(sorted_, keep, list(rel.fields))
+        return sorted_
+
+    def _order_key_index(self, e_ast, rel, extra_exprs, extra_names) -> int:
+        if isinstance(e_ast, A.Literal) and e_ast.kind == "num_int":
+            idx = int(e_ast.value) - 1
+            if not 0 <= idx < rel.arity:
+                raise BinderError(f"ORDER BY ordinal {e_ast.value} out of range")
+            return idx
+        if isinstance(e_ast, A.Identifier) and len(e_ast.parts) == 1:
+            name = e_ast.parts[0].lower()
+            for i, f in enumerate(rel.fields):
+                if f.lower() == name:
+                    return i
+        # expression over output columns
+        scope = Scope()
+        dict_refs = [_node_dict_ref(rel, i) for i in range(rel.arity)]
+        scope.add_relation("$out", rel.fields, rel.types, dict_refs)
+        binder = ExprBinder(scope, self.db, allow_aggs=False)
+        e = binder.bind(e_ast)
+        if isinstance(e, E.InputRef):
+            return e.field_idx
+        extra_exprs.append(e)
+        extra_names.append(f"$sortkey{len(extra_exprs)}")
+        return rel.arity + len(extra_exprs) - 1
+
+
+def _alias_of(ref: A.TableRef) -> str:
+    if isinstance(ref, A.NamedTable):
+        return ref.alias or ref.name
+    if isinstance(ref, A.SubqueryRef):
+        return ref.alias or ""
+    raise BinderError("USING join requires simple table refs")
+
+
+def _auto_name(expr_ast, idx: int) -> str:
+    if isinstance(expr_ast, A.Identifier):
+        return expr_ast.parts[-1]
+    if isinstance(expr_ast, A.FuncCall):
+        return expr_ast.name.lower()
+    return f"expr${idx}"
+
+
+def _node_dict_ref(node: R.RelNode, field_idx: int):
+    """Propagate dictionary identity through Scan/Project/Aggregate outputs."""
+    if isinstance(node, R.Scan):
+        cd = node.table.columns[field_idx]
+        return (node.table.table_id, cd.col_id) if cd.type.is_dict_string else None
+    if isinstance(node, R.Project):
+        e = node.exprs[field_idx]
+        return getattr(e, "dict_ref", None)
+    if isinstance(node, R.Aggregate):
+        if field_idx < len(node.group_exprs):
+            return getattr(node.group_exprs[field_idx], "dict_ref", None)
+        return None
+    if isinstance(node, (R.Filter, R.Sort)):
+        return _node_dict_ref(node.inputs[0], field_idx)
+    if isinstance(node, R.Join):
+        la = node.inputs[0].arity
+        if field_idx < la:
+            return _node_dict_ref(node.inputs[0], field_idx)
+        return _node_dict_ref(node.inputs[1], field_idx - la)
+    if isinstance(node, R.Union):
+        refs = getattr(node, "dict_refs", None)
+        return refs[field_idx] if refs else None
+    if isinstance(node, R.Compound):
+        if field_idx < len(node.target_exprs):
+            return getattr(node.target_exprs[field_idx], "dict_ref", None)
+    return None

@@ -399,7 +399,8 @@ class Parser:
                 sel.group_by.append(self.parse_expr())
         if self.eat_kw("HAVING"):
             sel.having = self.parse_expr()
-        self._order_limit(sel)
+        # ORDER BY / LIMIT are parsed by parse_select so they attach to the
+        # outermost select of a set-op chain
         return sel
 
     def _order_limit(self, sel: A.Select):
@@ -690,6 +691,10 @@ class Parser:
                 sub = self.parse_select()
                 self.expect_op(")")
                 return A.Exists(sub)
+            if kw in _RESERVED_STOP:
+                raise ParserError(
+                    f"unexpected keyword {t.value!r} at {t.pos}"
+                )
             if kw == "DATE" and self.peek(1).kind == STRING:
                 self.next()
                 s = self.next().value

@@ -311,6 +311,9 @@ def to_physical(
 
 def from_physical(arr: np.ndarray, ti: T.TypeInfo, sdict=None) -> list:
     """Physical array → python values (None for nulls) for client results."""
+    if ti.is_string and (sdict is None and arr.dtype.kind in ("U", "O")):
+        # host-materialized strings (metadata results)
+        return list(arr)
     if ti.is_dict_string:
         assert sdict is not None
         return sdict.get_strings(arr)
