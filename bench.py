@@ -1,0 +1,104 @@
+"""Benchmark driver — BASELINE.json config 1: single-table scan+filter+
+COUNT/SUM aggregate on a 100M-row synthetic columnar table.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = fraction of HBM-bandwidth speed-of-light for this query's
+byte traffic (target per BASELINE.md: ≥ 0.8 on TPU); additional sub-bench
+results go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    import heavydb_tpu as hdt
+
+    n_rows = int(os.environ.get("HEAVYDB_TPU_BENCH_ROWS", 100_000_000))
+    iters = int(os.environ.get("HEAVYDB_TPU_BENCH_ITERS", 5))
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()} rows={n_rows:,}")
+
+    db = hdt.connect()
+    rng = np.random.default_rng(42)
+    t0 = time.time()
+    x = rng.integers(0, 1_000_000, n_rows, dtype=np.int32)
+    y = rng.random(n_rows, dtype=np.float32)
+    log(f"datagen {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    db.sql("CREATE TABLE t (x INT, y FLOAT) WITH (fragment_size=33554432)")
+    t = db.catalog.get_table("t")
+    t.insert_columns({1: x, 2: y})
+    log(f"load {time.time()-t0:.1f}s")
+
+    q = "SELECT count(*), sum(y) FROM t WHERE x > 500000"
+    t0 = time.time()
+    r = db.sql(q).rows()
+    log(f"first run (compile+H2D) {time.time()-t0:.1f}s result={r}")
+
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        db.sql(q).rows()
+        times.append(time.time() - t0)
+    best = min(times)
+    rows_per_s = n_rows / best
+    log(f"times={['%.4f' % s for s in times]} best={best*1e3:.1f}ms "
+        f"rows/s={rows_per_s:,.0f}")
+
+    # speed-of-light: bytes touched = 4B (x) + 4B (y) per row from HBM
+    hbm_bw = {
+        "tpu": 819e9,  # v5e ~819 GB/s
+        "cpu": 100e9,  # rough host memory BW, for CI runs
+    }.get(backend, 819e9)
+    sol_rows_per_s = hbm_bw / 8.0
+    vs = rows_per_s / sol_rows_per_s
+
+    # secondary benches to stderr (configs 2-4 shrunk to time budget)
+    try:
+        _secondary(db, rng, log)
+    except Exception as e:  # pragma: no cover
+        log(f"secondary benches failed: {e!r}")
+
+    print(json.dumps({
+        "metric": "scan_filter_agg_rows_per_s",
+        "value": rows_per_s,
+        "unit": "rows/s",
+        "vs_baseline": vs,
+    }), flush=True)
+
+
+def _secondary(db, rng, log):
+    import time
+
+    n = 20_000_000
+    k1 = rng.integers(0, 1000, n, dtype=np.int32)
+    k2 = rng.integers(0, 10_000_000, n, dtype=np.int32)
+    v = rng.random(n, dtype=np.float32)
+    db.sql("CREATE TABLE g (k1 INT, k2 INT, v FLOAT) WITH (fragment_size=33554432)")
+    db.catalog.get_table("g").insert_columns({1: k1, 2: k2, 3: v})
+    for label, q in [
+        ("groupby_1k_perfect", "SELECT k1, count(*), sum(v) FROM g GROUP BY k1"),
+        ("groupby_10m_sort", "SELECT k2, count(*) FROM g GROUP BY k2"),
+        ("topk_sort", "SELECT k2, v FROM g ORDER BY v DESC, k2 LIMIT 100"),
+    ]:
+        db.sql(q)  # warm
+        t0 = time.time()
+        db.sql(q)
+        dt = time.time() - t0
+        log(f"{label}: {dt*1e3:.1f}ms ({n/dt/1e9:.2f}G rows/s)")
+
+
+if __name__ == "__main__":
+    main()

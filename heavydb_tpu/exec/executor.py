@@ -304,6 +304,20 @@ class Executor:
     # Compound
     # ------------------------------------------------------------------
     def _exec_compound(self, node: R.Compound, memo) -> B.Batch:
+        batches, plan = self._prepare_compound(node, memo)
+
+        # retry ladder
+        for attempt in range(MAX_RETRIES + 1):
+            kernel, layout = self._get_kernel(node, batches, plan)
+            args = self._kernel_args(batches, plan, layout)
+            outs = kernel(*args)
+            result = self._postprocess(node, plan, outs)
+            if result is not None:
+                return result
+            # capacity miss — plan.caps updated by _postprocess via plan
+        raise ExecutionError("capacity retry ladder did not converge")
+
+    def _prepare_compound(self, node: R.Compound, memo):
         # 1. input batches with column pruning
         offsets = []
         off = 0
@@ -340,17 +354,7 @@ class Executor:
 
         # 2. plan the kernel (strategy, caps, aux arrays)
         plan = self._plan_compound(node, batches, offsets)
-
-        # 3. retry ladder
-        for attempt in range(MAX_RETRIES + 1):
-            kernel, layout = self._get_kernel(node, batches, plan)
-            args = self._kernel_args(batches, plan, layout)
-            outs = kernel(*args)
-            result = self._postprocess(node, plan, outs)
-            if result is not None:
-                return result
-            # capacity miss — plan.caps updated by _postprocess via plan
-        raise ExecutionError("capacity retry ladder did not converge")
+        return batches, plan
 
     # ---- compound planning ----
     def _plan_compound(self, node: R.Compound, batches, offsets):

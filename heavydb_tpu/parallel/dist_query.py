@@ -1,0 +1,132 @@
+"""Distributed query steps over a device mesh.
+
+Multi-chip execution model (SURVEY §2.6: fragments → shards, multi-device
+reduce → psum, hash-partition shuffle → all_to_all):
+
+- **Partitioned scan + partial aggregate + merge**: each shard filters its
+  rows and computes partial aggregate buffers over the full group-id space;
+  decomposable partials (sum/count/min/max — reference two-slot kAVG and
+  skip-val agg semantics) merge with one psum/pmin/pmax over ICI.  This is
+  the analogue of the reference's reduceMultiDeviceResults (Execute.cpp:1696).
+- **Hash repartition (shuffle)**: rows are routed to the shard owning
+  hash(key) via all_to_all; the analogue of the enterprise leaf/aggregator
+  broadcast_serialized_rows data plane (heavy.thrift:771), but riding XLA
+  collectives instead of Thrift.
+
+These functions are shard_map'd bodies — executed per-device with explicit
+collectives, the "manual SPMD" style, so compile once and scale by mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from heavydb_tpu.parallel.mesh import SHARD_AXIS
+
+
+def distributed_groupby_sum_count(
+    mesh: Mesh,
+    num_slots: int,
+):
+    """Builds a jitted distributed step:
+    (keys[N], values[N], nrows_per_shard[S]) sharded by rows →
+    (counts[num_slots], sums[num_slots]) replicated.
+
+    Filter+partial-agg runs shard-local; one psum over ICI merges.
+    """
+
+    def shard_body(keys, values, nrows):
+        # keys/values: this shard's rows [n_local]; nrows: [1] actual count
+        n_local = keys.shape[0]
+        in_domain = lax.broadcasted_iota(jnp.int32, (n_local,), 0) < nrows[0]
+        gid = jnp.clip(keys.astype(jnp.int32), 0, num_slots - 1)
+        seg = jnp.where(in_domain, gid, num_slots)
+        counts = jnp.zeros(num_slots + 1, jnp.int64).at[seg].add(1)[:num_slots]
+        vals = jnp.where(in_domain, values, 0).astype(jnp.float32)
+        sums = jnp.zeros(num_slots + 1, jnp.float32).at[seg].add(vals)[:num_slots]
+        # merge partials across shards over ICI
+        counts = lax.psum(counts, SHARD_AXIS)
+        sums = lax.psum(sums, SHARD_AXIS)
+        return counts, sums
+
+    mapped = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def hash_repartition(mesh: Mesh, row_block: int):
+    """Builds a jitted shuffle step: route rows to shard hash(key) % S.
+
+    Per shard: bucket rows by destination (sort by dest), pad each
+    destination bin to `row_block` rows, all_to_all the bins — the
+    ragged-exchange workaround with static shapes (skew beyond row_block
+    is handled by the caller's retry ladder).
+
+    Returns fn(keys, values, nrows) → (keys', values', counts') where
+    shard s receives all rows with hash(key) % S == s.
+    """
+    n_shards = mesh.shape[SHARD_AXIS]
+
+    def shard_body(keys, values, nrows):
+        n_local = keys.shape[0]
+        in_domain = lax.broadcasted_iota(jnp.int32, (n_local,), 0) < nrows[0]
+        k64 = keys.astype(jnp.uint64)
+        h = (k64 * jnp.uint64(0x9E3779B97F4A7C15)) >> jnp.uint64(33)
+        dest = (h % jnp.uint64(n_shards)).astype(jnp.int32)
+        dest = jnp.where(in_domain, dest, n_shards)  # pad rows → dumped
+        # sort rows by destination
+        order = jnp.argsort(dest)
+        sdest = dest[order]
+        skeys = keys[order]
+        svals = values[order]
+        # per-destination counts and offsets
+        counts = jnp.zeros(n_shards + 1, jnp.int32).at[sdest].add(1)[:n_shards]
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+        # scatter rows into fixed [n_shards, row_block] send bins
+        pos_in_run = lax.broadcasted_iota(jnp.int32, (n_local,), 0) - offsets[
+            jnp.clip(sdest, 0, n_shards - 1)
+        ]
+        ok = (sdest < n_shards) & (pos_in_run < row_block)
+        flat = jnp.where(
+            ok, sdest * row_block + pos_in_run, n_shards * row_block
+        )
+        send_keys = jnp.zeros(n_shards * row_block + 1, keys.dtype).at[flat].set(
+            skeys, mode="drop"
+        )[:-1].reshape(n_shards, row_block)
+        send_vals = jnp.zeros(n_shards * row_block + 1, values.dtype).at[flat].set(
+            svals, mode="drop"
+        )[:-1].reshape(n_shards, row_block)
+        send_cnt = jnp.minimum(counts, row_block).reshape(n_shards, 1)
+        # exchange bins over ICI
+        rk = lax.all_to_all(send_keys, SHARD_AXIS, 0, 0, tiled=False)
+        rv = lax.all_to_all(send_vals, SHARD_AXIS, 0, 0, tiled=False)
+        rc = lax.all_to_all(send_cnt, SHARD_AXIS, 0, 0, tiled=False)
+        # exact needed capacity (for the caller's retry ladder)
+        overflow = lax.psum(jnp.max(counts), SHARD_AXIS)
+        return (
+            rk.reshape(n_shards * row_block),
+            rv.reshape(n_shards * row_block),
+            rc.reshape(n_shards),
+            overflow.reshape(1),
+        )
+
+    mapped = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    return jax.jit(mapped)
