@@ -195,6 +195,8 @@ class Executor:
             out = self._exec_sort(node, memo)
         elif isinstance(node, R.Compound):
             out = self._exec_compound(node, memo)
+        elif isinstance(node, R.Window):
+            out = self._exec_window(node, memo)
         else:
             raise NotSupported(f"cannot execute node {type(node).__name__}")
         memo[node.id] = out
@@ -299,6 +301,23 @@ class Executor:
                 for c in sorted_cols
             ]
         return B.Batch(sorted_cols, n_out, list(node.types))
+
+    # ---- Window ----
+    def _exec_window(self, node: R.Window, memo) -> B.Batch:
+        from heavydb_tpu.exec.window_kernel import run_window
+
+        child = node.inputs[0]
+        inp = self._exec(child, memo, set(range(child.arity)))
+        # aux arrays for dictionary predicates inside window args
+        aux = {}
+        for w in node.wfuncs:
+            for sub in E.walk(w):
+                if isinstance(sub, E.DictStrPredicate):
+                    aux[sub.key()] = self._aux_array(("strpred", sub))
+        wcols = run_window(node, inp, aux)
+        return B.Batch(
+            list(inp.cols) + list(wcols), inp.nrows, list(node.types)
+        )
 
     # ------------------------------------------------------------------
     # Compound

@@ -1,0 +1,199 @@
+"""Window-node kernel: one jit'd program computing all window columns.
+
+Reference: WindowFunctionContext (QueryEngine/WindowContext.cpp) — partition
+hash + per-partition sort + segment-tree walks, CPU-only in the reference.
+Here: one global lax.sort per distinct (partition_by, order_by) spec, then
+segmented scans in sorted order (ops/window.py), scattered back to original
+row order.  Device-native and O(n log n).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import NotSupported
+from heavydb_tpu.exec.expr_compiler import ExprCompiler
+from heavydb_tpu.ops import window as W
+from heavydb_tpu.ops.groupby import _canonical_key
+from heavydb_tpu.ops.sort import _sortable_operands
+from heavydb_tpu.plan import exprs as E
+
+
+def run_window(node, inp, aux) -> List[jax.Array]:
+    from heavydb_tpu.exec.executor import _derive_valid
+
+    padded = inp.padded
+    present = [i for i, c in enumerate(inp.cols) if c is not None]
+    wfuncs = node.wfuncs
+
+    # group funcs by (partition, order) spec so each spec sorts once
+    spec_groups: Dict[tuple, List[int]] = {}
+    for i, w in enumerate(wfuncs):
+        spec = (
+            tuple(p.key() for p in w.partition_by),
+            tuple((e.key(), a, nf) for e, a, nf in w.order_by),
+        )
+        spec_groups.setdefault(spec, []).append(i)
+
+    def kernel(nrows, aux_vals, *cols):
+        aux_dict = dict(zip(sorted(aux.keys(), key=repr), aux_vals))
+        in_domain = lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
+        col_tvs = {}
+        for j, ci in enumerate(present):
+            ti = inp.types[ci]
+            val = cols[j]
+            valid = _derive_valid(val, ti) if ti.nullable else None
+            col_tvs[ci] = (val, valid)
+        comp = ExprCompiler(col_tvs, aux_dict, {})
+
+        outs: List[jax.Array] = [None] * len(wfuncs)
+        for (pk, ok), widxs in spec_groups.items():
+            w0 = wfuncs[widxs[0]]
+            operands = [(~in_domain).astype(jnp.int8)]
+            for p in w0.partition_by:
+                val, valid = comp.compile(p)
+                nullf, v = _canonical_key(jnp.asarray(val), valid)
+                operands += [nullf, v]
+            n_part_ops = len(operands)
+            for e, asc, nf in w0.order_by:
+                val, valid = comp.compile(e)
+                nullr, v = _sortable_operands(val, valid, asc, nf)
+                operands += [nullr, v]
+            rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
+            res = lax.sort(operands + [rows], num_keys=len(operands),
+                           is_stable=True)
+            s_rows = res[-1]
+            # partition starts: first row, any partition operand changed, or
+            # the in-domain flag changed (out-of-domain pad rows must form
+            # their own partition so they can't pollute running aggregates)
+            pstart = jnp.zeros(padded, jnp.bool_).at[0].set(True)
+            for opnd in res[0:n_part_ops]:
+                pstart = pstart | jnp.concatenate(
+                    [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
+                )
+            # peer-group starts: any order operand changed
+            ostart = jnp.zeros(padded, jnp.bool_)
+            for opnd in res[n_part_ops:-1]:
+                ostart = ostart | jnp.concatenate(
+                    [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
+                )
+
+            for wi in widxs:
+                w = wfuncs[wi]
+                val_s, valid_s = _compute_one(
+                    w, comp, s_rows, pstart, ostart
+                )
+                out_dt = w.type.np_dtype()
+                val_s = jnp.broadcast_to(
+                    jnp.asarray(val_s, out_dt), (padded,)
+                )
+                if valid_s is not None:
+                    if out_dt.kind == "f":
+                        val_s = jnp.where(valid_s, val_s,
+                                          jnp.asarray(np.nan, out_dt))
+                    else:
+                        val_s = jnp.where(
+                            valid_s, val_s,
+                            jnp.asarray(w.type.null_sentinel(), out_dt),
+                        )
+                # scatter back to original row order
+                outs[wi] = jnp.zeros(padded, out_dt).at[s_rows].set(val_s)
+        return tuple(outs)
+
+    aux_keys = sorted(aux.keys(), key=repr)
+    jitted = jax.jit(kernel)
+    return jitted(
+        jnp.asarray(inp.nrows, jnp.int32),
+        tuple(aux[k] for k in aux_keys),
+        *[inp.cols[i] for i in present],
+    )
+
+
+def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart):
+    """Compute one window function in SORTED order."""
+    K = E.WindowKind
+
+    def arg_tv(i):
+        val, valid = comp.compile(w.args[i])
+        val = jnp.asarray(val)
+        # reorder to sorted order
+        val = jnp.broadcast_to(val, (s_rows.shape[0],))[s_rows] if val.ndim \
+            else jnp.broadcast_to(val, (s_rows.shape[0],))
+        if valid is not None and getattr(valid, "ndim", 0):
+            valid = valid[s_rows]
+        return val, valid
+
+    def const_arg(i, default):
+        if len(w.args) > i and isinstance(w.args[i], E.Constant):
+            v = w.args[i].value
+            ti = w.args[i].type
+            if ti.is_decimal:
+                v = v / 10**ti.scale
+            return int(v) if v is not None else default
+        return default
+
+    if w.kind == K.ROW_NUMBER:
+        return W.row_number(pstart), None
+    if w.kind == K.RANK:
+        return W.rank(pstart, ostart), None
+    if w.kind == K.DENSE_RANK:
+        return W.dense_rank(pstart, ostart), None
+    if w.kind == K.PERCENT_RANK:
+        return W.percent_rank(pstart, ostart), None
+    if w.kind == K.CUME_DIST:
+        return W.cume_dist(pstart, ostart), None
+    if w.kind == K.NTILE:
+        n = const_arg(0, 1)
+        return W.ntile(pstart, n), None
+    if w.kind in (K.LAG, K.LEAD):
+        val, valid = arg_tv(0)
+        off = const_arg(1, 1)
+        if w.kind == K.LEAD:
+            off = -off
+        default_tv = None
+        if len(w.args) > 2:
+            dv, dvalid = comp.compile(w.args[2])
+            default_tv = (dv, dvalid)
+        return W.shift_in_partition(val, valid, pstart, off, default_tv)
+    if w.kind == K.FIRST_VALUE:
+        val, valid = arg_tv(0)
+        return W.first_value(val, valid, pstart)
+    if w.kind == K.LAST_VALUE:
+        val, valid = arg_tv(0)
+        return W.last_value_frame(val, valid, pstart, ostart)
+    if w.kind == K.NTH_VALUE:
+        val, valid = arg_tv(0)
+        nth = const_arg(1, 1)
+        idx = jnp.arange(val.shape[0])
+        _, start_idx = W.forward_fill_value(idx, pstart)
+        pos = start_idx + (nth - 1)
+        cnt = W.partition_counts(pstart)
+        ok = (nth >= 1) & ((nth - 1) < cnt)
+        pos_c = jnp.clip(pos, 0, val.shape[0] - 1)
+        out = val[pos_c]
+        outv = (valid[pos_c] if valid is not None else jnp.ones_like(ok)) & ok
+        return out, outv
+    if w.kind in (K.SUM, K.AVG, K.MIN, K.MAX, K.COUNT):
+        if w.args:
+            val, valid = arg_tv(0)
+            ati = w.args[0].type
+        else:
+            val = jnp.ones(pstart.shape[0], jnp.int64)
+            valid = None
+            ati = None
+        kind = w.kind.value
+        acc = w.type.np_dtype()
+        if w.kind == K.AVG:
+            acc = np.dtype(np.float64)
+            if ati is not None and ati.is_decimal:
+                val = jnp.asarray(val, jnp.float64) / 10**ati.scale
+        if w.order_by:
+            return W.running_agg(val, valid, pstart, ostart, kind, acc)
+        return W.whole_partition_agg(val, valid, pstart, kind, acc)
+    raise NotSupported(f"window function {w.kind}")

@@ -686,8 +686,74 @@ class ExprBinder:
     def _bind_Star(self, node: A.Star):
         raise BinderError("* only allowed at top level of SELECT")
 
-    def _bind_WindowFuncCall(self, node):
-        raise NotSupported("window functions not yet supported")
+    _WINDOW_KINDS = {
+        "ROW_NUMBER": E.WindowKind.ROW_NUMBER,
+        "RANK": E.WindowKind.RANK,
+        "DENSE_RANK": E.WindowKind.DENSE_RANK,
+        "PERCENT_RANK": E.WindowKind.PERCENT_RANK,
+        "CUME_DIST": E.WindowKind.CUME_DIST,
+        "NTILE": E.WindowKind.NTILE,
+        "LAG": E.WindowKind.LAG,
+        "LEAD": E.WindowKind.LEAD,
+        "FIRST_VALUE": E.WindowKind.FIRST_VALUE,
+        "LAST_VALUE": E.WindowKind.LAST_VALUE,
+        "NTH_VALUE": E.WindowKind.NTH_VALUE,
+        "COUNT": E.WindowKind.COUNT,
+        "SUM": E.WindowKind.SUM,
+        "AVG": E.WindowKind.AVG,
+        "MIN": E.WindowKind.MIN,
+        "MAX": E.WindowKind.MAX,
+    }
+
+    def _bind_WindowFuncCall(self, node: A.WindowFuncCall) -> E.Expr:
+        fc = node.func
+        kind = self._WINDOW_KINDS.get(fc.name)
+        if kind is None:
+            raise NotSupported(f"window function {fc.name}")
+        if node.spec.frame is not None:
+            raise NotSupported("explicit window frames")
+        args = tuple(self._bind(a) for a in fc.args) if not fc.star else ()
+        partition = tuple(self._bind(p) for p in node.spec.partition_by)
+        order = tuple(
+            (
+                self._bind(oi.expr),
+                oi.asc,
+                oi.nulls_first if oi.nulls_first is not None else not oi.asc,
+            )
+            for oi in node.spec.order_by
+        )
+        K = E.WindowKind
+        nullable_arg = args[0].type.nullable if args else True
+        if kind in (K.ROW_NUMBER, K.RANK, K.DENSE_RANK, K.NTILE, K.COUNT):
+            ti = T.bigint(nullable=False)
+        elif kind in (K.PERCENT_RANK, K.CUME_DIST):
+            ti = T.double(nullable=False)
+        elif kind in (K.LAG, K.LEAD, K.FIRST_VALUE, K.LAST_VALUE, K.NTH_VALUE):
+            if not args:
+                raise BinderError(f"{fc.name} requires an argument")
+            ti = args[0].type.with_nullable(True)
+        elif kind in (K.SUM, K.AVG):
+            if not args or not args[0].type.is_number:
+                raise BinderError(f"{fc.name} window requires numeric arg")
+            ti = (T.double(True) if kind == K.AVG or args[0].type.is_fp
+                  else T.bigint(True))
+            if args[0].type.is_decimal and kind == K.SUM:
+                ti = T.decimal(19, args[0].type.scale, True)
+            if args[0].type.is_fp:
+                ti = T.double(True)
+        else:  # MIN/MAX
+            if not args:
+                raise BinderError(f"{fc.name} window requires an argument")
+            ti = args[0].type.with_nullable(True)
+        if kind in (K.ROW_NUMBER, K.RANK, K.DENSE_RANK, K.PERCENT_RANK,
+                    K.CUME_DIST, K.NTILE) and not order:
+            # HeavyDB requires ORDER BY for ranking functions
+            raise BinderError(f"{fc.name} requires a window ORDER BY")
+        dref = getattr(args[0], "dict_ref", None) if args else None
+        return E.WindowFunc(
+            kind=kind, args=args, partition_by=partition, order_by=order,
+            type=ti, dict_ref=dref,
+        )
 
 
 def _agg_result_type(kind: E.AggKind, arg, distinct: bool) -> T.TypeInfo:

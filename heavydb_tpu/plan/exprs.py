@@ -308,6 +308,52 @@ class Agg(Expr):
         return (self.kind.value, self.distinct, self.arg, self.arg2)
 
 
+class WindowKind(enum.Enum):
+    ROW_NUMBER = "ROW_NUMBER"
+    RANK = "RANK"
+    DENSE_RANK = "DENSE_RANK"
+    PERCENT_RANK = "PERCENT_RANK"
+    CUME_DIST = "CUME_DIST"
+    NTILE = "NTILE"
+    LAG = "LAG"
+    LEAD = "LEAD"
+    FIRST_VALUE = "FIRST_VALUE"
+    LAST_VALUE = "LAST_VALUE"
+    NTH_VALUE = "NTH_VALUE"
+    COUNT = "COUNT"
+    SUM = "SUM"
+    AVG = "AVG"
+    MIN = "MIN"
+    MAX = "MAX"
+
+
+@dataclass(frozen=True)
+class WindowFunc(Expr):
+    """Window function over (partition_by, order_by) — reference
+    Analyzer::WindowFunction / WindowFunctionContext (WindowContext.h:326).
+    Appears only in Window-node specs (the planner separates window
+    expressions into their own step, mirroring the reference's
+    separate_window_function_expressions pass)."""
+
+    kind: WindowKind = None
+    args: Tuple[Expr, ...] = ()
+    partition_by: Tuple[Expr, ...] = ()
+    # (expr, asc, nulls_first)
+    order_by: Tuple[tuple, ...] = ()
+    type: T.TypeInfo = None
+    dict_ref: Optional[tuple] = None
+
+    def children(self):
+        return tuple(self.args) + tuple(self.partition_by) + tuple(
+            e for e, _, _ in self.order_by
+        )
+
+    def _key_parts(self):
+        return (self.kind.value,) + tuple(self.args) + tuple(
+            self.partition_by
+        ) + tuple((e, a, nf) for e, a, nf in self.order_by)
+
+
 @dataclass(frozen=True)
 class SubqueryExpr(Expr):
     """Uncorrelated scalar subquery / IN-subquery placeholder.  The executor

@@ -124,6 +124,9 @@ def _fuse(node: R.RelNode) -> R.RelNode:
     if isinstance(node, R.Compound):
         node.inputs = [_fuse(i) for i in node.inputs]
         return node
+    if isinstance(node, R.Window):
+        node.inputs = [_fuse(node.inputs[0])]
+        return node
 
     if isinstance(node, R.Project):
         inner = node.inputs[0]

@@ -199,6 +199,26 @@ class Values(RelNode):
         return (len(self.rows),)
 
 
+class Window(RelNode):
+    """Appends window-function columns to its input (reference RelProject
+    with window exprs, separated by separate_window_function_expressions).
+    Output schema = input fields ++ one field per window function."""
+
+    def __init__(self, input_: RelNode, wfuncs):
+        super().__init__([input_])
+        self.wfuncs = list(wfuncs)  # E.WindowFunc
+        self.fields = list(input_.fields) + [
+            f"$w{i}" for i in range(len(self.wfuncs))
+        ]
+        self.types = list(input_.types) + [w.type for w in self.wfuncs]
+
+    def _label(self):
+        return f"Window({[w.kind.value for w in self.wfuncs]})"
+
+    def _key_parts(self):
+        return tuple(w.key() for w in self.wfuncs)
+
+
 class Compound(RelNode):
     """Fused join→filter→aggregate→project work unit — the unit of kernel
     compilation (reference RelCompound + RelAlgExecutionUnit,

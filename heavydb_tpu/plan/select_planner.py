@@ -107,6 +107,20 @@ class SelectPlanner:
             E.is_aggregate(e) for e, _ in proj_items
         ) or (sel.having is not None)
 
+        # separate window expressions into their own step (reference
+        # separate_window_function_expressions, RelAlgDag.cpp)
+        has_windows = any(
+            isinstance(n_, E.WindowFunc)
+            for e, _ in proj_items
+            for n_ in E.walk(e)
+        )
+        if has_windows:
+            if has_aggs:
+                raise NotSupported(
+                    "window functions combined with GROUP BY/aggregates"
+                )
+            rel, proj_items = self._plan_windows(rel, proj_items)
+
         rewrite_fn = None
         if has_aggs:
             rel, rewrite_fn = self._plan_aggregate(sel, rel, scope, proj_items)
@@ -128,6 +142,28 @@ class SelectPlanner:
                 rel, sel, scope, rewrite_fn, has_aggs or sel.distinct
             )
         return rel
+
+    # ------------------------------------------------------------------
+    def _plan_windows(self, rel, proj_items):
+        """Hoist WindowFunc exprs into a Window node below the projection."""
+        wfuncs: List[E.WindowFunc] = []
+        windex: Dict[tuple, int] = {}
+        base_arity = rel.arity
+
+        def hoist(e: E.Expr) -> E.Expr:
+            if isinstance(e, E.WindowFunc):
+                k = e.key()
+                if k not in windex:
+                    windex[k] = len(wfuncs)
+                    wfuncs.append(e)
+                return E.InputRef(
+                    0, base_arity + windex[k], e.type, e.dict_ref
+                )
+            return e
+
+        new_items = [(E.rewrite(e, hoist), n) for e, n in proj_items]
+        wnode = R.Window(rel, wfuncs)
+        return wnode, new_items
 
     # ------------------------------------------------------------------
     def _apply_order_rich(self, rel, sel, scope, rewrite_fn, restricted):
@@ -486,6 +522,11 @@ def _node_dict_ref(node: R.RelNode, field_idx: int):
     if isinstance(node, R.Union):
         refs = getattr(node, "dict_refs", None)
         return refs[field_idx] if refs else None
+    if isinstance(node, R.Window):
+        base = node.inputs[0].arity
+        if field_idx < base:
+            return _node_dict_ref(node.inputs[0], field_idx)
+        return node.wfuncs[field_idx - base].dict_ref
     if isinstance(node, R.Compound):
         if field_idx < len(node.target_exprs):
             return getattr(node.target_exprs[field_idx], "dict_ref", None)

@@ -1,0 +1,144 @@
+"""Window function tests (reference window set, Shared/sqldefs.h:143-173)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def wdb(db):
+    db.sql("CREATE TABLE w (g TEXT, x INT, v DOUBLE)")
+    db.sql(
+        "INSERT INTO w VALUES "
+        "('a', 1, 10.0), ('a', 2, 20.0), ('a', 3, 30.0), "
+        "('b', 1, 5.0), ('b', 2, NULL), ('b', 2, 7.0), "
+        "('c', 9, 1.0)"
+    )
+    return db
+
+
+def test_row_number(wdb):
+    rows = wdb.sql(
+        "SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) rn "
+        "FROM w ORDER BY g, x, rn"
+    ).rows()
+    assert [r[2] for r in rows] == [1, 2, 3, 1, 2, 3, 1]
+
+
+def test_rank_dense_rank(wdb):
+    rows = wdb.sql(
+        "SELECT g, x, RANK() OVER (PARTITION BY g ORDER BY x), "
+        "DENSE_RANK() OVER (PARTITION BY g ORDER BY x) "
+        "FROM w WHERE g = 'b' ORDER BY x"
+    ).rows()
+    assert rows == [("b", 1, 1, 1), ("b", 2, 2, 2), ("b", 2, 2, 2)]
+
+
+def test_lag_lead(wdb):
+    rows = wdb.sql(
+        "SELECT g, x, LAG(v) OVER (PARTITION BY g ORDER BY x), "
+        "LEAD(v) OVER (PARTITION BY g ORDER BY x) "
+        "FROM w WHERE g = 'a' ORDER BY x"
+    ).rows()
+    assert rows == [
+        ("a", 1, None, 20.0),
+        ("a", 2, 10.0, 30.0),
+        ("a", 3, 20.0, None),
+    ]
+
+
+def test_lag_offset_default(wdb):
+    rows = wdb.sql(
+        "SELECT x, LAG(x, 2, -1) OVER (ORDER BY x, v NULLS LAST) FROM w "
+        "WHERE g = 'a' ORDER BY x"
+    ).rows()
+    assert [r[1] for r in rows] == [-1, -1, 1]
+
+
+def test_first_last_value(wdb):
+    rows = wdb.sql(
+        "SELECT g, x, FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY x), "
+        "LAST_VALUE(v) OVER (PARTITION BY g ORDER BY x) "
+        "FROM w WHERE g = 'a' ORDER BY x"
+    ).rows()
+    # default frame: LAST_VALUE = current row's last peer
+    assert rows == [
+        ("a", 1, 10.0, 10.0),
+        ("a", 2, 10.0, 20.0),
+        ("a", 3, 10.0, 30.0),
+    ]
+
+
+def test_running_sum_count(wdb):
+    rows = wdb.sql(
+        "SELECT g, x, SUM(v) OVER (PARTITION BY g ORDER BY x), "
+        "COUNT(v) OVER (PARTITION BY g ORDER BY x) "
+        "FROM w WHERE g = 'b' ORDER BY x, v NULLS LAST"
+    ).rows()
+    # x=2 rows are peers → both see the full running value
+    assert rows == [("b", 1, 5.0, 1), ("b", 2, 12.0, 2), ("b", 2, 12.0, 2)]
+
+
+def test_partition_agg_no_order(wdb):
+    rows = wdb.sql(
+        "SELECT g, SUM(v) OVER (PARTITION BY g), "
+        "COUNT(*) OVER (PARTITION BY g), "
+        "MIN(x) OVER (PARTITION BY g), MAX(v) OVER (PARTITION BY g) "
+        "FROM w ORDER BY g, x"
+    ).rows()
+    assert rows[0] == ("a", 60.0, 3, 1, 30.0)
+    assert rows[3] == ("b", 12.0, 3, 1, 7.0)
+    assert rows[6] == ("c", 1.0, 1, 9, 1.0)
+
+
+def test_running_min_max(wdb):
+    rows = wdb.sql(
+        "SELECT x, MIN(v) OVER (ORDER BY x NULLS LAST, v NULLS LAST), "
+        "MAX(v) OVER (ORDER BY x NULLS LAST, v NULLS LAST) "
+        "FROM w WHERE g='a' ORDER BY x"
+    ).rows()
+    assert rows == [(1, 10.0, 10.0), (2, 10.0, 20.0), (3, 10.0, 30.0)]
+
+
+def test_ntile_percent_rank(wdb):
+    rows = wdb.sql(
+        "SELECT x, NTILE(2) OVER (ORDER BY x), "
+        "PERCENT_RANK() OVER (ORDER BY x), "
+        "CUME_DIST() OVER (ORDER BY x) "
+        "FROM w WHERE g = 'a' ORDER BY x"
+    ).rows()
+    assert [r[1] for r in rows] == [1, 1, 2]
+    assert rows[0][2] == 0.0 and rows[2][2] == 1.0
+    assert rows[2][3] == 1.0
+
+
+def test_window_no_partition(wdb):
+    rows = wdb.sql(
+        "SELECT g, x, ROW_NUMBER() OVER (ORDER BY v DESC NULLS LAST, x) "
+        "FROM w ORDER BY 3 LIMIT 3"
+    ).rows()
+    assert [r[0] for r in rows] == ["a", "a", "a"]
+
+
+def test_window_expr_combination(wdb):
+    rows = wdb.sql(
+        "SELECT x, v - AVG(v) OVER (PARTITION BY g) delta FROM w "
+        "WHERE g = 'a' ORDER BY x"
+    ).rows()
+    assert [r[1] for r in rows] == [-10.0, 0.0, 10.0]
+
+
+def test_window_string_arg(wdb):
+    rows = wdb.sql(
+        "SELECT x, FIRST_VALUE(g) OVER (ORDER BY x, g) FROM w ORDER BY x, g LIMIT 2"
+    ).rows()
+    assert [r[1] for r in rows] == ["a", "a"]
+
+
+def test_window_over_filtered_subquery(wdb):
+    rows = wdb.sql(
+        "SELECT g, sv FROM (SELECT g, x, SUM(v) OVER (PARTITION BY g) sv "
+        "FROM w WHERE x < 3) q WHERE sv > 10 ORDER BY g, x"
+    ).rows()
+    assert rows == [
+        ("a", 30.0), ("a", 30.0), ("b", 12.0), ("b", 12.0), ("b", 12.0)
+    ]
