@@ -22,6 +22,17 @@ def log(*a):
 def main():
     import jax
 
+    # persistent compile cache: repeat runs skip XLA compilation entirely
+    cache_dir = os.environ.get(
+        "HEAVYDB_TPU_JIT_CACHE", "/root/repo/.jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:
+        log(f"compile cache unavailable: {e!r}")
+
     import heavydb_tpu as hdt
 
     n_rows = int(os.environ.get("HEAVYDB_TPU_BENCH_ROWS", 100_000_000))
@@ -65,11 +76,12 @@ def main():
     sol_rows_per_s = hbm_bw / 8.0
     vs = rows_per_s / sol_rows_per_s
 
-    # secondary benches to stderr (configs 2-4 shrunk to time budget)
-    try:
-        _secondary(db, rng, log)
-    except Exception as e:  # pragma: no cover
-        log(f"secondary benches failed: {e!r}")
+    # secondary benches to stderr (configs 2-4; opt-in — each adds compiles)
+    if os.environ.get("HEAVYDB_TPU_BENCH_FULL"):
+        try:
+            _secondary(db, rng, log)
+        except Exception as e:  # pragma: no cover
+            log(f"secondary benches failed: {e!r}")
 
     print(json.dumps({
         "metric": "scan_filter_agg_rows_per_s",

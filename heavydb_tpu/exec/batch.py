@@ -61,9 +61,13 @@ class Batch:
         return c
 
     def to_numpy(self) -> List[Optional[np.ndarray]]:
-        return [
-            None if c is None else np.asarray(c)[: self.nrows] for c in self.cols
-        ]
+        present = [(i, c) for i, c in enumerate(self.cols) if c is not None]
+        # ONE batched D2H transfer for all columns
+        fetched = jax.device_get([c for _, c in present])
+        out: List[Optional[np.ndarray]] = [None] * len(self.cols)
+        for (i, _), h in zip(present, fetched):
+            out[i] = h[: self.nrows]
+        return out
 
 
 def from_host_columns(

@@ -610,24 +610,31 @@ class Executor:
     # ---- postprocess & retry ----
     def _postprocess(self, node, plan, outs) -> Optional[B.Batch]:
         d = outs  # dict from kernel
-        # error flags first
-        if bool(d.get("err_div_by_zero", False)):
+        # batch ALL control scalars into ONE device→host transfer (D2H
+        # round-trips dominate latency on remote-attached TPUs)
+        scalar_keys = [
+            k for k in d
+            if k == "n_out" or k == "num_groups" or k.startswith("join_needed_")
+            or k.startswith("err_")
+        ]
+        host = dict(zip(scalar_keys, jax.device_get([d[k] for k in scalar_keys])))
+        if bool(host.get("err_div_by_zero", False)):
             raise DivisionByZero("division by zero")
         # capacity checks
         retry = False
         for li, cap in enumerate(plan.caps):
-            needed = int(d[f"join_needed_{li}"])
+            needed = int(host[f"join_needed_{li}"])
             if needed > cap:
                 plan.caps[li] = B.bucket(needed)
                 retry = True
         if plan.group_strategy and plan.group_strategy[0] == "sort":
-            ng = int(d["num_groups"])
+            ng = int(host["num_groups"])
             if ng > plan.group_cap:
                 plan.group_cap = B.bucket(ng)
                 retry = True
         if retry:
             return None
-        n_out = int(d["n_out"])
+        n_out = int(host["n_out"])
         cols = list(d["cols"])
         # slice to bucket(n_out) — cheap device-side narrowing
         size = B.bucket(n_out)
