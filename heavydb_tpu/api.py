@@ -37,18 +37,84 @@ from heavydb_tpu.storage.catalog import Catalog
 from heavydb_tpu.storage.table import Table, to_physical
 
 
-def connect(config: Optional[Config] = None) -> "Database":
-    return Database(config or Config())
+def connect(path: Optional[str] = None, config: Optional[Config] = None) -> "Database":
+    """connect() → in-memory engine; connect('/data/dir') → persistent
+    storage with epoch checkpointing (reference FileMgr)."""
+    return Database(config or Config(), path)
 
 
 class Database:
-    def __init__(self, config: Config):
+    def __init__(self, config: Config, path: Optional[str] = None):
         self.config = config
         self.catalog = Catalog(config)
         self.executor = Executor(self)
         self._views: Dict[str, A.Select] = {}
         self._transient_dicts: Dict[int, object] = {}
         self._next_transient = 0
+        self.path = path
+        self._catalog_store = None
+        self._table_stores: Dict[int, object] = {}
+        self._persisted_gen: Dict[int, int] = {}
+        if path is not None:
+            from heavydb_tpu.storage.persist import (
+                PersistentCatalogStore,
+                TableStore,
+            )
+
+            self._catalog_store = PersistentCatalogStore(path)
+            for t in self._catalog_store.load(self.catalog):
+                store = TableStore(path, getattr(t, "disk_table_id", t.table_id))
+                self._table_stores[t.table_id] = store
+                store.load_into(t)
+                self._persisted_gen[t.table_id] = t.generation
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def _persist_after_statement(self):
+        if self._catalog_store is None:
+            return
+        from heavydb_tpu.storage.persist import TableStore
+
+        self._catalog_store.save(self.catalog)
+        live_ids = set()
+        for name in self.catalog.list_tables():
+            t = self.catalog.get_table(name)
+            live_ids.add(t.table_id)
+            store = self._table_stores.get(t.table_id)
+            if store is None:
+                store = TableStore(
+                    self.path, getattr(t, "disk_table_id", t.table_id)
+                )
+                self._table_stores[t.table_id] = store
+            if self._persisted_gen.get(t.table_id) != t.generation:
+                store.checkpoint(t)
+                self._persisted_gen[t.table_id] = t.generation
+        # dropped tables: remove their stores
+        for tid in list(self._table_stores):
+            if tid not in live_ids:
+                self._table_stores.pop(tid).destroy()
+                self._persisted_gen.pop(tid, None)
+
+    def checkpoint(self):
+        """Explicit checkpoint of all tables (reference DataMgr::checkpoint)."""
+        self._persist_after_statement()
+
+    def get_table_epoch(self, name: str) -> int:
+        t = self.catalog.get_table(name)
+        store = self._table_stores.get(t.table_id)
+        return store.committed_epoch() if store else 0
+
+    def set_table_epoch(self, name: str, epoch: int):
+        """Rollback a table to an earlier committed epoch (reference Thrift
+        set_table_epoch, heavy.thrift:710)."""
+        t = self.catalog.get_table(name)
+        store = self._table_stores.get(t.table_id)
+        if store is None:
+            raise CatalogError(f"table {name!r} is not persistent")
+        store.set_epoch(epoch)
+        store.load_into(t)
+        self._persisted_gen[t.table_id] = t.generation
 
     # ------------------------------------------------------------------
     # public
@@ -60,6 +126,8 @@ class Database:
         out = None
         for st in stmts:
             out = self._execute_statement(st)
+            if not isinstance(st, (A.Select, A.Explain)):
+                self._persist_after_statement()
         return out
 
     def load_table(self, name: str, data, create: bool = False):
@@ -165,7 +233,69 @@ class Database:
             return None
         if isinstance(st, A.ValidateStmt):
             return _string_result("status", ["OK"])
+        if isinstance(st, A.DumpTable):
+            self._dump_table(st.name, st.path)
+            return _string_result("result", ["OK"])
+        if isinstance(st, A.RestoreTable):
+            self._restore_table(st.name, st.path)
+            return _string_result("result", ["OK"])
         raise NotSupported(f"statement {type(st).__name__}")
+
+    # ------------------------------------------------------------------
+    # DUMP / RESTORE (reference TableArchiver/TableArchiver.h:32)
+    # ------------------------------------------------------------------
+    def _dump_table(self, name: str, path: str):
+        import json as _json
+        import tarfile
+        import tempfile
+
+        from heavydb_tpu.storage.persist import TableStore, _type_to_json
+
+        t = self.catalog.get_table(name)
+        with tempfile.TemporaryDirectory() as tmp:
+            store = TableStore(tmp, 0)
+            store.checkpoint(t)
+            schema = {
+                "name": t.name,
+                "fragment_rows": t.fragment_rows,
+                "columns": [
+                    {"name": cd.name, "col_id": cd.col_id,
+                     "type": _type_to_json(cd.type)}
+                    for cd in t.columns
+                ],
+            }
+            with open(os.path.join(store.dir, "schema.json"), "w") as f:
+                _json.dump(schema, f)
+            with tarfile.open(path, "w:gz") as tar:
+                tar.add(store.dir, arcname="table")
+
+    def _restore_table(self, name: str, path: str):
+        import json as _json
+        import tarfile
+        import tempfile
+
+        from heavydb_tpu.storage.persist import TableStore, _type_from_json
+        from heavydb_tpu.storage.table import ColumnDescriptor
+
+        with tempfile.TemporaryDirectory() as tmp:
+            with tarfile.open(path, "r:gz") as tar:
+                tar.extractall(tmp, filter="data")
+            tdir = os.path.join(tmp, "table")
+            with open(os.path.join(tdir, "schema.json")) as f:
+                schema = _json.load(f)
+            existing = self.catalog.get_table_opt(name)
+            if existing is not None:
+                self.catalog.drop_table(name)
+            cols = [
+                ColumnDescriptor(c["name"], _type_from_json(c["type"]), c["col_id"])
+                for c in sorted(schema["columns"], key=lambda c: c["col_id"])
+            ]
+            t = self.catalog.create_table(name, cols, schema["fragment_rows"])
+            store = TableStore.__new__(TableStore)
+            store.dir = tdir
+            store.load_into(t)
+            t.generation += 1
+            self._persist_after_statement()
 
     # ------------------------------------------------------------------
     def _run_select(self, sel: A.Select) -> ResultSet:

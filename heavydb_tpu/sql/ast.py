@@ -340,3 +340,15 @@ class DropView(Statement):
 @dataclass
 class ValidateStmt(Statement):
     pass
+
+
+@dataclass
+class DumpTable(Statement):
+    name: str = ""
+    path: str = ""
+
+
+@dataclass
+class RestoreTable(Statement):
+    name: str = ""
+    path: str = ""

@@ -152,6 +152,18 @@ class Parser:
         if kw == "VALIDATE":
             self.next()
             return A.ValidateStmt()
+        if kw == "DUMP":
+            self.next()
+            self.expect_kw("TABLE")
+            name = self.ident()
+            self.expect_kw("TO")
+            return A.DumpTable(name, self.next().value)
+        if kw == "RESTORE":
+            self.next()
+            self.expect_kw("TABLE")
+            name = self.ident()
+            self.expect_kw("FROM")
+            return A.RestoreTable(name, self.next().value)
         raise ParserError(f"unsupported statement {t.value!r} at {t.pos}")
 
     def _create(self) -> A.Statement:

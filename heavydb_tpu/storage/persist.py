@@ -1,0 +1,294 @@
+"""Disk persistence with epoch-versioned checkpoint/rollback.
+
+Reference: DataMgr/FileMgr — per-table multipage files with an epoch counter;
+a checkpoint writes pages + fsyncs the epoch; on recovery, pages above the
+last committed epoch are ignored (Epoch.h:33, FileMgr::checkpoint
+FileMgr.cpp:615, docs physical_layout.rst).
+
+Our layout (one directory per table):
+    <root>/catalog.json                      — schemas (write-through)
+    <root>/tables/<tid>/epoch                — committed epoch (atomic rename)
+    <root>/tables/<tid>/manifest.e<E>.json   — fragment/chunk map for epoch E
+    <root>/tables/<tid>/f<F>_c<C>.e<E>.npy   — chunk data written at epoch E
+    <root>/tables/<tid>/dict_c<C>.e<E>.json  — dictionary contents at epoch E
+
+Chunks are copy-on-write per epoch: a checkpoint writes only chunks dirtied
+since the previous epoch plus a full manifest, then commits by atomically
+replacing `epoch`.  Rollback = rewriting `epoch` to an earlier value
+(reference set_table_epoch); `max_rollback_epochs` caps retained manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from typing import Dict, Optional
+
+import numpy as np
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import StorageError
+from heavydb_tpu.storage.table import ChunkStats, ColumnDescriptor, Fragment, Table
+
+
+def _fsync_dir(path: str):
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _atomic_write(path: str, data: bytes):
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        _fsync_dir(d)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _type_to_json(ti: T.TypeInfo) -> dict:
+    return {
+        "kind": ti.kind.value,
+        "nullable": ti.nullable,
+        "precision": ti.precision,
+        "scale": ti.scale,
+        "encoding": ti.encoding.value,
+        "comp_param": ti.comp_param,
+    }
+
+
+def _type_from_json(d: dict) -> T.TypeInfo:
+    kind = next(k for k in T.SQLTypeKind if k.value == d["kind"])
+    enc = next(e for e in T.Encoding if e.value == d["encoding"])
+    return T.TypeInfo(
+        kind, d["nullable"], d["precision"], d["scale"], enc, d["comp_param"]
+    )
+
+
+class TableStore:
+    """Persistence for one table."""
+
+    def __init__(self, root: str, table_id: int):
+        self.dir = os.path.join(root, "tables", str(table_id))
+        os.makedirs(self.dir, exist_ok=True)
+
+    # ---- epoch ----
+    def committed_epoch(self) -> int:
+        p = os.path.join(self.dir, "epoch")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _commit_epoch(self, epoch: int):
+        _atomic_write(os.path.join(self.dir, "epoch"), str(epoch).encode())
+
+    def set_epoch(self, epoch: int):
+        """Rollback/forward API (reference set_table_epoch)."""
+        if not os.path.exists(self._manifest_path(epoch)):
+            raise StorageError(f"no manifest for epoch {epoch}")
+        self._commit_epoch(epoch)
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"manifest.e{epoch}.json")
+
+    def _chunk_path(self, frag: int, col: int, epoch: int) -> str:
+        return os.path.join(self.dir, f"f{frag}_c{col}.e{epoch}.npy")
+
+    def _dict_path(self, col: int, epoch: int) -> str:
+        return os.path.join(self.dir, f"dict_c{col}.e{epoch}.json")
+
+    # ---- checkpoint ----
+    def checkpoint(self, t: Table, max_rollback_epochs: int = 8):
+        """Write dirty chunks + manifest at epoch+1, then commit.
+        Reference: FileMgr::checkpoint (epoch++ write & fsync)."""
+        old_epoch = self.committed_epoch()
+        epoch = old_epoch + 1
+        old_manifest = self._load_manifest(old_epoch) if old_epoch else None
+        old_chunks = old_manifest["chunks"] if old_manifest else {}
+
+        manifest = {
+            "epoch": epoch,
+            "num_fragments": len(t.fragments),
+            "fragment_rows": t.fragment_rows,
+            "fragments": [],
+            "chunks": {},
+            "dicts": {},
+        }
+        for frag in t.fragments:
+            fstats = {}
+            for cid, st in frag.stats.items():
+                fstats[str(cid)] = {
+                    "min": _json_safe(st.min),
+                    "max": _json_safe(st.max),
+                    "has_nulls": st.has_nulls,
+                    "num_rows": st.num_rows,
+                }
+            manifest["fragments"].append(
+                {"id": frag.fragment_id, "num_rows": frag.num_rows,
+                 "stats": fstats}
+            )
+            for cid, arr in frag.chunks.items():
+                key = f"{frag.fragment_id}:{cid}"
+                prev = old_chunks.get(key)
+                if prev is not None and prev["rows"] == arr.shape[0]:
+                    # unchanged chunk (append-only fragments): reuse
+                    manifest["chunks"][key] = prev
+                    continue
+                path = self._chunk_path(frag.fragment_id, cid, epoch)
+                with open(path, "wb") as f:
+                    np.save(f, arr)
+                    f.flush()
+                    os.fsync(f.fileno())
+                manifest["chunks"][key] = {
+                    "epoch": epoch, "rows": int(arr.shape[0])
+                }
+        for cid, d in t.dicts.items():
+            dpath = self._dict_path(cid, epoch)
+            _atomic_write(
+                dpath, json.dumps(list(d.entries())).encode()
+            )
+            manifest["dicts"][str(cid)] = {"epoch": epoch, "size": d.size}
+        _atomic_write(
+            self._manifest_path(epoch), json.dumps(manifest).encode()
+        )
+        self._commit_epoch(epoch)
+        self._gc(epoch, max_rollback_epochs)
+
+    def _gc(self, epoch: int, keep: int):
+        """Free pages/manifests older than epoch-keep (reference
+        freePagesBeforeEpoch / max_rollback_epochs)."""
+        floor = epoch - keep
+        if floor <= 0:
+            return
+        live = set()
+        for e in range(max(floor, 1), epoch + 1):
+            m = self._load_manifest(e)
+            if not m:
+                continue
+            for key, ref in m["chunks"].items():
+                f, c = key.split(":")
+                live.add(os.path.basename(self._chunk_path(int(f), int(c), ref["epoch"])))
+            for cid, ref in m["dicts"].items():
+                live.add(os.path.basename(self._dict_path(int(cid), ref["epoch"])))
+            live.add(os.path.basename(self._manifest_path(e)))
+        for name in os.listdir(self.dir):
+            if name == "epoch" or name in live:
+                continue
+            if name.startswith(("f", "manifest", "dict")):
+                try:
+                    os.unlink(os.path.join(self.dir, name))
+                except OSError:
+                    pass
+
+    def _load_manifest(self, epoch: int) -> Optional[dict]:
+        p = self._manifest_path(epoch)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # ---- recovery ----
+    def load_into(self, t: Table):
+        """Populate a Table from the committed epoch (uncommitted chunk files
+        from a crashed checkpoint are simply never referenced)."""
+        epoch = self.committed_epoch()
+        if epoch == 0:
+            return
+        m = self._load_manifest(epoch)
+        if m is None:
+            raise StorageError(f"missing manifest for epoch {epoch} in {self.dir}")
+        t.fragment_rows = m["fragment_rows"]
+        t.fragments = []
+        for fm in m["fragments"]:
+            frag = Fragment(fm["id"], t.fragment_rows)
+            frag.num_rows = fm["num_rows"]
+            for cid_s, st in fm["stats"].items():
+                frag.stats[int(cid_s)] = ChunkStats(
+                    st["min"], st["max"], st["has_nulls"], st["num_rows"]
+                )
+            t.fragments.append(frag)
+        for key, ref in m["chunks"].items():
+            f_s, c_s = key.split(":")
+            arr = np.load(self._chunk_path(int(f_s), int(c_s), ref["epoch"]))
+            t.fragments_by_id()[int(f_s)].chunks[int(c_s)] = arr
+        for cid_s, ref in m["dicts"].items():
+            cid = int(cid_s)
+            with open(self._dict_path(cid, ref["epoch"])) as f:
+                strings = json.load(f)
+            d = t.dicts[cid]
+            d._strings = list(strings)
+            d._str_to_id = {s: i for i, s in enumerate(strings)}
+        t.generation += 1
+
+    def destroy(self):
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def _json_safe(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v
+
+
+class PersistentCatalogStore:
+    """Write-through catalog persistence (reference Catalog sqlite tables
+    mapd_tables/mapd_columns — here JSON; the native sqlite-backed catalog
+    arrives with the server shell)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+        self.path = os.path.join(root, "catalog.json")
+
+    def save(self, catalog):
+        tables = []
+        for name in catalog.list_tables():
+            t = catalog.get_table(name)
+            tables.append({
+                "table_id": t.table_id,
+                "name": t.name,
+                "fragment_rows": t.fragment_rows,
+                "columns": [
+                    {"name": cd.name, "col_id": cd.col_id,
+                     "type": _type_to_json(cd.type)}
+                    for cd in t.columns
+                ],
+            })
+        _atomic_write(
+            self.path,
+            json.dumps({"version": 1, "tables": tables}).encode(),
+        )
+
+    def load(self, catalog) -> list:
+        """Recreate tables in the catalog; returns the Table objects."""
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            data = json.load(f)
+        out = []
+        for tm in data["tables"]:
+            cols = [
+                ColumnDescriptor(c["name"], _type_from_json(c["type"]), c["col_id"])
+                for c in sorted(tm["columns"], key=lambda c: c["col_id"])
+            ]
+            t = catalog.create_table(
+                tm["name"], cols, tm["fragment_rows"]
+            )
+            # preserve original table id mapping for on-disk dirs
+            t.disk_table_id = tm["table_id"]
+            out.append(t)
+        return out

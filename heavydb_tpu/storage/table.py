@@ -132,6 +132,9 @@ class Table:
     def dict_for(self, col_id: int) -> StringDictionary:
         return self.dicts[col_id]
 
+    def fragments_by_id(self) -> Dict[int, Fragment]:
+        return {f.fragment_id: f for f in self.fragments}
+
     # ---- ingest ----
     def insert_columns(self, col_arrays: Dict[int, np.ndarray]):
         """Append physical (already-converted) column arrays.  All arrays must

@@ -1,0 +1,99 @@
+"""Storage shell tests: epoch checkpointing, recovery, rollback,
+DUMP/RESTORE (reference Tests/FileMgrTest.cpp / EpochConsistency patterns)."""
+
+import os
+
+import pytest
+
+import heavydb_tpu as hdt
+
+
+def test_persist_roundtrip(tmp_path):
+    p = str(tmp_path / "db")
+    db = hdt.connect(p)
+    db.sql("CREATE TABLE t (x INT, s TEXT, v DOUBLE)")
+    db.sql("INSERT INTO t VALUES (1, 'a', 1.5), (2, 'b', NULL)")
+    db.sql("INSERT INTO t VALUES (3, 'a', 2.5)")
+    del db
+
+    db2 = hdt.connect(p)
+    assert db2.sql("SELECT count(*) FROM t").scalar() == 3
+    rows = db2.sql("SELECT s, sum(x) FROM t GROUP BY s ORDER BY s").rows()
+    assert rows == [("a", 4), ("b", 2)]
+    # schema survived
+    assert db2.sql("SHOW TABLES").rows() == [("t",)]
+
+
+def test_epoch_rollback(tmp_path):
+    p = str(tmp_path / "db")
+    db = hdt.connect(p)
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1)")
+    e1 = db.get_table_epoch("t")
+    db.sql("INSERT INTO t VALUES (2), (3)")
+    assert db.sql("SELECT count(*) FROM t").scalar() == 3
+    db.set_table_epoch("t", e1)
+    assert db.sql("SELECT count(*) FROM t").scalar() == 1
+    # re-open keeps the rolled-back state
+    del db
+    db2 = hdt.connect(p)
+    assert db2.sql("SELECT count(*) FROM t").scalar() == 1
+
+
+def test_drop_table_removes_storage(tmp_path):
+    p = str(tmp_path / "db")
+    db = hdt.connect(p)
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1)")
+    db.sql("DROP TABLE t")
+    del db
+    db2 = hdt.connect(p)
+    assert db2.sql("SHOW TABLES").rows() == []
+
+
+def test_update_delete_persist(tmp_path):
+    p = str(tmp_path / "db")
+    db = hdt.connect(p)
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1), (2), (3)")
+    db.sql("UPDATE t SET x = x * 10 WHERE x > 1")
+    db.sql("DELETE FROM t WHERE x = 1")
+    del db
+    db2 = hdt.connect(p)
+    assert sorted(r[0] for r in db2.sql("SELECT x FROM t").rows()) == [20, 30]
+
+
+def test_dump_restore(tmp_path, db):
+    db.sql("CREATE TABLE t (x INT, s TEXT)")
+    db.sql("INSERT INTO t VALUES (1, 'hello'), (2, NULL)")
+    dump = str(tmp_path / "t.tgz")
+    db.sql(f"DUMP TABLE t TO '{dump}'")
+    assert os.path.exists(dump)
+    db.sql("DROP TABLE t")
+    db.sql(f"RESTORE TABLE t FROM '{dump}'")
+    rows = db.sql("SELECT * FROM t ORDER BY x").rows()
+    assert rows == [(1, "hello"), (2, None)]
+
+
+def test_crash_recovery_ignores_uncommitted(tmp_path):
+    """Chunks written without a committed epoch bump are invisible after
+    reopen (reference: pages above last epoch ignored)."""
+    p = str(tmp_path / "db")
+    db = hdt.connect(p)
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1)")
+    t = db.catalog.get_table("t")
+    store = db._table_stores[t.table_id]
+    # simulate a crash mid-checkpoint: write orphan chunk + manifest but no
+    # epoch commit
+    import json
+
+    import numpy as np
+
+    epoch = store.committed_epoch()
+    orphan = store._chunk_path(0, 1, epoch + 1)
+    with open(orphan, "wb") as f:
+        np.save(f, np.array([1, 2, 3, 4], np.int32))
+    del db
+    db2 = hdt.connect(p)
+    assert db2.sql("SELECT count(*) FROM t").scalar() == 1
