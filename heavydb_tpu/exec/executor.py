@@ -71,6 +71,24 @@ class Executor:
         self.kernel_cache: Dict[tuple, object] = {}
         self.scan_cache: Dict[tuple, jax.Array] = {}
         self.aux_cache: Dict[tuple, jax.Array] = {}
+        # multi-device: tables row-sharded over a 1-D mesh; the jit'd
+        # compound kernels are partitioned by XLA GSPMD, which inserts the
+        # collectives (psum for aggregate merges, all-to-all under global
+        # sorts) — the compiler-SPMD analogue of the reference's
+        # fragment-per-GPU dispatch + reduceMultiDeviceResults
+        self.mesh = None
+        n = self.config.num_shards
+        if n and n > 1:
+            from heavydb_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(n)
+
+    def _scan_sharding(self):
+        if self.mesh is None:
+            return None
+        from heavydb_tpu.parallel.mesh import row_sharding
+
+        return row_sharding(self.mesh)
 
     # ------------------------------------------------------------------
     # entry
@@ -216,7 +234,9 @@ class Executor:
             arr = self.scan_cache.get(key)
             if arr is None:
                 host = t.column_values(cd.col_id)
-                arr = jax.device_put(B.pad_to(host, size, cd.type))
+                arr = jax.device_put(
+                    B.pad_to(host, size, cd.type), self._scan_sharding()
+                )
                 self.scan_cache[key] = arr
             cols.append(arr)
         return B.Batch(cols, n, [cd.type for cd in t.columns])
