@@ -76,6 +76,10 @@ class Executor:
         # collectives (psum for aggregate merges, all-to-all under global
         # sorts) — the compiler-SPMD analogue of the reference's
         # fragment-per-GPU dispatch + reduceMultiDeviceResults
+        # per-session interrupt hook (reference runtime interrupt,
+        # RuntimeFunctions.cpp check_interrupt — ours checks between DAG
+        # steps, the granularity of the reference's CPU fragment loop)
+        self.interrupt_check = None
         self.mesh = None
         n = self.config.num_shards
         if n and n > 1:
@@ -203,6 +207,10 @@ class Executor:
     def _exec(self, node: R.RelNode, memo, needed) -> B.Batch:
         if node.id in memo:
             return memo[node.id]
+        if self.interrupt_check is not None and self.interrupt_check():
+            from heavydb_tpu.errors import QueryInterrupted
+
+            raise QueryInterrupted("query interrupted by session")
         if isinstance(node, R.Scan):
             out = self._exec_scan(node, needed)
         elif isinstance(node, R.Values):

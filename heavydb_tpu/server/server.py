@@ -1,0 +1,218 @@
+"""The server daemon — role of the reference's DBHandler + HeavyDB.cpp main:
+sessions, statement routing, table-level write serialization, interrupt,
+memory/status introspection — over the JSON-lines protocol.
+
+Usage:
+    python -m heavydb_tpu.server.server --port 6274 [--data /path]
+"""
+
+from __future__ import annotations
+
+import argparse
+import secrets
+import socket
+import socketserver
+import threading
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from heavydb_tpu import connect
+from heavydb_tpu.errors import HeavyTpuError, QueryInterrupted
+from heavydb_tpu.server import protocol as P
+from heavydb_tpu.version import __version__
+
+
+class Session:
+    def __init__(self, session_id: str, user: str):
+        self.id = session_id
+        self.user = user
+        self.created = time.time()
+        self.last_used = time.time()
+        self.interrupted = False
+
+
+class HeavyTpuServer:
+    def __init__(self, data_path: Optional[str] = None, config=None):
+        self.db = connect(data_path, config)
+        self.sessions: Dict[str, Session] = {}
+        # write statements serialize; reads run concurrently (the reference
+        # uses table-level locks, LockMgr/ — table granularity comes with
+        # the native storage manager)
+        self.write_lock = threading.Lock()
+        self.start_time = time.time()
+
+    # ---- dispatch ----
+    def handle(self, msg: dict) -> dict:
+        method = msg.get("method")
+        params = msg.get("params", {})
+        mid = msg.get("id")
+        try:
+            fn = getattr(self, "rpc_" + str(method), None)
+            if fn is None:
+                raise HeavyTpuError(f"unknown method {method!r}")
+            result = fn(**params)
+            return {"id": mid, "result": result}
+        except Exception as e:  # noqa
+            return {
+                "id": mid,
+                "error": {"type": type(e).__name__, "message": str(e)},
+            }
+
+    def _session(self, session: str) -> Session:
+        s = self.sessions.get(session)
+        if s is None:
+            raise HeavyTpuError("invalid session")
+        s.last_used = time.time()
+        return s
+
+    # ---- RPCs (reference heavy.thrift surface) ----
+    def rpc_connect(self, user: str = "admin", password: str = "",
+                    dbname: str = "heavyai") -> str:
+        sid = secrets.token_hex(16)
+        self.sessions[sid] = Session(sid, user)
+        return sid
+
+    def rpc_disconnect(self, session: str) -> bool:
+        self.sessions.pop(session, None)
+        return True
+
+    def rpc_sql_execute(self, session: str, query: str) -> dict:
+        s = self._session(session)
+        s.interrupted = False
+        self.db.executor.interrupt_check = lambda: s.interrupted
+        t0 = time.time()
+        is_write = _is_write(query)
+        if is_write:
+            with self.write_lock:
+                rs = self.db.sql(query)
+        else:
+            rs = self.db.sql(query)
+        ms = (time.time() - t0) * 1e3
+        if rs is None:
+            return {"fields": [], "types": [], "columns": [],
+                    "row_count": 0, "execution_time_ms": ms}
+        out = P.encode_result(rs)
+        out["execution_time_ms"] = ms
+        return out
+
+    def rpc_interrupt(self, session: str) -> bool:
+        """reference Thrift `interrupt` (heavy.thrift:725)."""
+        s = self.sessions.get(session)
+        if s is not None:
+            s.interrupted = True
+        return True
+
+    def rpc_get_tables(self, session: str) -> list:
+        self._session(session)
+        return self.db.catalog.list_tables()
+
+    def rpc_get_table_details(self, session: str, table: str) -> dict:
+        self._session(session)
+        t = self.db.catalog.get_table(table)
+        return {
+            "name": t.name,
+            "num_rows": t.num_rows,
+            "fragment_rows": t.fragment_rows,
+            "columns": [
+                {"name": cd.name, "type": cd.type.sql_name(),
+                 "nullable": cd.type.nullable}
+                for cd in t.columns
+            ],
+        }
+
+    def rpc_load_table_binary_columnar(
+        self, session: str, table: str, columns: dict
+    ) -> int:
+        """Bulk columnar load (reference load_table_binary_columnar)."""
+        self._session(session)
+        arrays = {k: P.decode_array(v) for k, v in columns.items()}
+        with self.write_lock:
+            self.db.load_table(table, arrays)
+        return int(next(iter(arrays.values())).shape[0]) if arrays else 0
+
+    def rpc_get_memory(self, session: str) -> dict:
+        """reference get_memory (heavy.thrift:705)."""
+        self._session(session)
+        import jax
+
+        tables = {}
+        for name in self.db.catalog.list_tables():
+            t = self.db.catalog.get_table(name)
+            nbytes = sum(
+                c.nbytes for f in t.fragments for c in f.chunks.values()
+            )
+            tables[name] = {"rows": t.num_rows, "host_bytes": int(nbytes)}
+        return {
+            "tables": tables,
+            "devices": [str(d) for d in jax.devices()],
+            "kernel_cache_entries": len(self.db.executor.kernel_cache),
+            "scan_cache_entries": len(self.db.executor.scan_cache),
+        }
+
+    def rpc_get_status(self, session: str = "") -> dict:
+        return {
+            "version": __version__,
+            "uptime_s": time.time() - self.start_time,
+            "sessions": len(self.sessions),
+        }
+
+    def rpc_get_version(self) -> str:
+        return __version__
+
+
+def _is_write(sql: str) -> bool:
+    head = sql.lstrip().split(None, 1)
+    if not head:
+        return False
+    return head[0].upper() in (
+        "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "TRUNCATE",
+        "COPY", "RESTORE", "DUMP",
+    )
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        while True:
+            try:
+                msg = P.read_message(self.rfile)
+            except Exception:
+                break
+            if msg is None:
+                break
+            resp = self.server.engine.handle(msg)
+            try:
+                self.wfile.write(P.dumps(resp))
+                self.wfile.flush()
+            except BrokenPipeError:
+                break
+
+
+class _ThreadedServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def serve(host: str = "127.0.0.1", port: int = 6274,
+          data_path: Optional[str] = None, config=None):
+    engine = HeavyTpuServer(data_path, config)
+    srv = _ThreadedServer((host, port), _Handler)
+    srv.engine = engine
+    return srv
+
+
+def main():
+    ap = argparse.ArgumentParser(description="heavydb_tpu server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=6274)
+    ap.add_argument("--data", default=None, help="persistent data directory")
+    args = ap.parse_args()
+    srv = serve(args.host, args.port, args.data)
+    print(f"heavydb_tpu server {__version__} listening on "
+          f"{args.host}:{args.port}", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

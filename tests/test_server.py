@@ -1,0 +1,85 @@
+"""Server/client integration tests (role of the reference's
+DBHandlerTestFixture, Tests/DBHandlerTestHelpers.h — in-process server,
+real sockets)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from heavydb_tpu.client.client import Connection, ServerError
+from heavydb_tpu.server.server import serve
+
+
+@pytest.fixture()
+def server():
+    srv = serve(port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture()
+def conn(server):
+    host, port = server.server_address
+    with Connection(host, port) as c:
+        yield c
+
+
+def test_roundtrip(conn):
+    conn.sql("CREATE TABLE t (x INT, s TEXT)")
+    conn.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (NULL, NULL)")
+    rs = conn.sql("SELECT s, count(*) FROM t GROUP BY s ORDER BY s NULLS LAST")
+    assert rs.rows() == [["a", 1], ["b", 1], [None, 1]] or rs.rows() == [
+        ("a", 1), ("b", 1), (None, 1)
+    ]
+    assert rs.execution_time_ms is not None
+
+
+def test_metadata(conn):
+    conn.sql("CREATE TABLE m (x INT, v DOUBLE)")
+    assert "m" in conn.get_tables()
+    det = conn.get_table_details("m")
+    assert det["columns"][0]["name"] == "x"
+    mem = conn.get_memory()
+    assert "m" in mem["tables"]
+    assert conn.get_status()["sessions"] >= 1
+
+
+def test_binary_load(conn):
+    conn.sql("CREATE TABLE big (k INT, v DOUBLE)")
+    n = 10_000
+    rng = np.random.default_rng(0)
+    loaded = conn.load_table(
+        "big", {"k": rng.integers(0, 5, n), "v": rng.normal(size=n)}
+    )
+    assert loaded == n
+    assert conn.sql("SELECT count(*) FROM big").scalar() == n
+    assert conn.sql("SELECT count(DISTINCT k) FROM big").scalar() == 5
+
+
+def test_errors_propagate(conn):
+    with pytest.raises(ServerError) as ei:
+        conn.sql("SELECT * FROM nope")
+    assert ei.value.type == "CatalogError"
+    with pytest.raises(ServerError) as ei:
+        conn.sql("FROB")
+    assert ei.value.type == "ParserError"
+
+
+def test_two_sessions(server):
+    host, port = server.server_address
+    with Connection(host, port) as a, Connection(host, port) as b:
+        a.sql("CREATE TABLE shared (x INT)")
+        a.sql("INSERT INTO shared VALUES (1)")
+        assert b.sql("SELECT count(*) FROM shared").scalar() == 1
+        assert a.session != b.session
+
+
+def test_dates_over_wire(conn):
+    conn.sql("CREATE TABLE d (dt DATE, ts TIMESTAMP)")
+    conn.sql("INSERT INTO d VALUES ('2024-03-01', '2024-03-01 12:30:00')")
+    rows = conn.sql("SELECT dt, ts FROM d").rows()
+    assert list(rows[0]) == ["2024-03-01", "2024-03-01 12:30:00"]
