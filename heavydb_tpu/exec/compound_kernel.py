@@ -275,20 +275,24 @@ def _build_compound_kernel(node, batches, plan, config):
                 gid, num_slots = G.perfect_group_ids(key_tvs, ranges, mask)
                 slots = num_slots
                 num_groups = jnp.asarray(num_slots, jnp.int32)
-                # reconstruct keys from slot index
-                slot_iota = jax.lax.broadcasted_iota(jnp.int64, (slots,), 0)
-                rem = slot_iota
-                rev_keys = []
-                for (lo_, ext, hn), gexpr in zip(
-                    reversed(ranges), reversed(node.group_exprs)
-                ):
-                    span = ext + (1 if hn else 0)
-                    local = rem % span
-                    rem = rem // span
-                    kval = (local + lo_).astype(gexpr.type.np_dtype())
-                    kvalid = (local < ext) if hn else None
-                    rev_keys.append((kval, kvalid))
-                key_out_tvs = list(reversed(rev_keys))
+                # materialize keys by scattering each group's actual value
+                # into its slot (all rows of a slot share the value; needed
+                # because bucketed keys aren't reconstructible from the slot
+                # index — reference get_group_value_fast_with_original_key)
+                seg = jnp.minimum(gid, slots)
+                key_out_tvs = []
+                for (val, valid), gexpr in zip(key_tvs, node.group_exprs):
+                    dt = gexpr.type.np_dtype()
+                    kbuf = jnp.zeros(slots + 1, dt).at[seg].set(
+                        jnp.asarray(val, dt), mode="drop"
+                    )[:slots]
+                    if valid is not None:
+                        vbuf = jnp.zeros(slots + 1, jnp.bool_).at[seg].set(
+                            valid, mode="drop"
+                        )[:slots]
+                    else:
+                        vbuf = None
+                    key_out_tvs.append((kbuf, vbuf))
             elif group_strategy[0] == "keyless":
                 slots = 1
                 gid = jnp.zeros(domain_size, jnp.int32)
@@ -359,9 +363,11 @@ def _build_compound_kernel(node, batches, plan, config):
 
 
 def _compact_perm(mask):
-    """Stable permutation putting mask=True rows first."""
+    """Stable permutation putting mask=True rows first — O(n) prefix-sum +
+    scatter (no sort): out_position[i] = cumsum(mask)[i]-1 for kept rows."""
     n = mask.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    flag = (~mask).astype(jnp.int8)
-    _, perm = jax.lax.sort([flag, rows], num_keys=1, is_stable=True)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    target = jnp.where(mask, pos, n)  # dropped rows scatter off the end
+    perm = jnp.zeros(n + 1, jnp.int32).at[target].set(rows, mode="drop")[:n]
     return perm, None

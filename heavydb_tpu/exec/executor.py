@@ -446,7 +446,7 @@ class Executor:
                     break
             if ok:
                 plan.group_strategy = ("perfect", tuple(
-                    (r.lo, r.extent, r.has_nulls) for r in ranges
+                    (r.lo, r.extent, r.has_nulls, r.bucket) for r in ranges
                 ))
                 plan.group_cap = slots
             else:

@@ -22,10 +22,14 @@ class IntRange:
     lo: int
     hi: int  # inclusive
     has_nulls: bool
+    # minimum spacing between distinct values (reference ExpressionRange
+    # bucket, set by DATE_TRUNC: month starts are ≥28 days apart, so the
+    # perfect-hash key space divides by the bucket)
+    bucket: int = 1
 
     @property
     def extent(self) -> int:
-        return self.hi - self.lo + 1
+        return (self.hi - self.lo) // max(self.bucket, 1) + 1
 
 
 def combined_input_schema(inputs: Sequence[R.RelNode]):
@@ -165,7 +169,28 @@ def expr_range(e: E.Expr, inputs: Sequence[R.RelNode]) -> Optional[IntRange]:
         return _extract_range(e, inputs)
     if isinstance(e, E.DateTrunc):
         r = expr_range(e.operand, inputs)
-        return r  # truncation stays within the original range
+        if r is None:
+            return None
+        ti = e.operand.type
+        unit = 10**ti.precision if ti.kind == T.SQLTypeKind.TIMESTAMP else 1
+        day = 1 if ti.kind == T.SQLTypeKind.DATE else 86400 * unit
+        _BUCKET_DAYS = {
+            E.ExtractField.SECOND: 0, E.ExtractField.MINUTE: 0,
+            E.ExtractField.HOUR: 0, E.ExtractField.DAY: 1,
+            E.ExtractField.WEEK: 7, E.ExtractField.MONTH: 28,
+            E.ExtractField.QUARTER: 90, E.ExtractField.YEAR: 365,
+            E.ExtractField.DECADE: 3652, E.ExtractField.CENTURY: 36524,
+            E.ExtractField.MILLENNIUM: 365242,
+        }
+        days = _BUCKET_DAYS.get(e.field_)
+        if days is None:
+            return IntRange(r.lo, r.hi, r.has_nulls)
+        if days == 0:
+            sub = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600}[e.field_.value]
+            bucket = sub * unit if ti.kind == T.SQLTypeKind.TIMESTAMP else 1
+        else:
+            bucket = days * day
+        return IntRange(r.lo, r.hi, r.has_nulls, bucket=max(bucket, 1))
     if isinstance(e, E.Case):
         rs = [expr_range(v, inputs) for _, v in e.whens]
         if e.else_ is not None:

@@ -50,19 +50,20 @@ def _canonical_key(val, valid):
 
 def perfect_group_ids(
     key_tvs: Sequence[TV],
-    ranges: Sequence[Tuple[int, int, bool]],  # (min, extent, has_nulls) per key
+    # (min, extent, has_nulls, bucket) per key — bucket > 1 for DATE_TRUNC
+    # style keys whose distinct values are ≥ bucket apart (reference
+    # ExpressionRange bucket / get_group_value_fast_with_original_key)
+    ranges: Sequence[Tuple[int, int, bool, int]],
     mask,
 ):
-    """Positional group id for dense key spaces.
-
-    extent = max - min + 1 (bucketed ints).  Null (when has_nulls) maps to the
-    extra slot `extent`, so each key contributes extent (+1 if nulls) states.
-    Returns (gid[N] int32, total_slots:int static).
-    """
+    """Positional group id for dense key spaces.  Null (when has_nulls) maps
+    to the extra slot `extent`.  Returns (gid[N] int32, total_slots)."""
     gid = None
     total = 1
-    for (val, valid), (mn, extent, has_nulls) in zip(key_tvs, ranges):
+    for (val, valid), (mn, extent, has_nulls, bucket) in zip(key_tvs, ranges):
         iv = jnp.asarray(val, jnp.int64) - mn
+        if bucket > 1:
+            iv = jnp.floor_divide(iv, bucket)
         iv = jnp.clip(iv, 0, extent - 1)
         span = extent + (1 if has_nulls else 0)
         if has_nulls and valid is not None:

@@ -715,6 +715,22 @@ class Parser:
                 self.next()
                 s = self.next().value
                 return A.Cast(A.Literal(s, "string", s), A.TypeName("TIMESTAMP"))
+            if (
+                kw == "TIMESTAMP"
+                and self.at_op("(", ahead=1)
+                and self.peek(2).kind == NUMBER
+                and self.at_op(")", ahead=3)
+                and self.peek(4).kind == STRING
+            ):
+                # TIMESTAMP(0) '1996-07-26 16:30:06'
+                self.next()
+                self.next()
+                prec = int(self.next().value)
+                self.next()
+                s = self.next().value
+                return A.Cast(
+                    A.Literal(s, "string", s), A.TypeName("TIMESTAMP", (prec,))
+                )
             if kw == "TIME" and self.peek(1).kind == STRING:
                 self.next()
                 s = self.next().value
