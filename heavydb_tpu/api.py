@@ -299,22 +299,62 @@ class Database:
 
     # ------------------------------------------------------------------
     def _run_select(self, sel: A.Select) -> ResultSet:
-        plan = self._plan_select(sel)
-        plan = optimize(plan)
-        batch = self.executor.execute(plan)
-        dicts = []
-        for i in range(plan.arity):
-            ref = _node_dict_ref(plan, i)
-            dicts.append(self.dict_by_ref(ref) if ref else None)
-        return from_batch(batch, plan.fields, plan.types, dicts)
+        from heavydb_tpu.utils.timer import NullTimer, QueryTimer
+
+        timer = (
+            QueryTimer() if self.config.enable_debug_timer else NullTimer()
+        )
+        self.executor.timer = timer
+        self.executor.exec_hints = sel.hints or {}
+        with timer.scope("query"):
+            with timer.scope("plan"):
+                plan = self._plan_select(sel)
+                plan = optimize(plan)
+            with timer.scope("execute"):
+                batch = self.executor.execute(plan)
+            with timer.scope("fetch"):
+                dicts = []
+                for i in range(plan.arity):
+                    ref = _node_dict_ref(plan, i)
+                    dicts.append(self.dict_by_ref(ref) if ref else None)
+                rs = from_batch(batch, plan.fields, plan.types, dicts)
+        self.last_query_timings = timer.to_dict()
+        return rs
 
     def _explain(self, st: A.Explain) -> ResultSet:
         if not isinstance(st.stmt, A.Select):
             raise NotSupported("EXPLAIN of non-SELECT")
         plan = self._plan_select(st.stmt)
-        if st.kind != "CALCITE":
-            plan = optimize(plan)
+        if st.kind == "CALCITE":
+            # pre-optimization DAG (analogue of EXPLAIN CALCITE's RA dump)
+            return _string_result("explanation", plan.explain().split("\n"))
+        plan = optimize(plan)
+        if st.kind == "OPTIMIZED":
+            # compiled-kernel dump — the analogue of the reference's IR/PTX
+            # log channels (EXPLAIN OPTIMIZED → LLVM IR): emit the jaxpr of
+            # the root compound kernel
+            text = self._dump_kernel_ir(plan)
+            return _string_result("explanation", text.split("\n"))
         return _string_result("explanation", plan.explain().split("\n"))
+
+    def _dump_kernel_ir(self, plan: R.RelNode) -> str:
+        import jax
+
+        ex = self.executor
+        node = plan
+        # find the topmost Compound (root may be Sort/Project wrappers)
+        from heavydb_tpu.plan.rel_alg import Compound, topo_order
+
+        compounds = [n for n in topo_order(node) if isinstance(n, Compound)]
+        if not compounds:
+            return plan.explain()
+        target = compounds[-1]
+        ex._substitute_subqueries(node, set())
+        batches, cplan = ex._prepare_compound(target, {})
+        kernel, layout = ex._get_kernel(target, batches, cplan)
+        args = ex._kernel_args(batches, cplan, layout)
+        jaxpr = jax.make_jaxpr(kernel)(*args)
+        return plan.explain() + "\n\n--- kernel jaxpr ---\n" + str(jaxpr)
 
     # ------------------------------------------------------------------
     def _create_table(self, st: A.CreateTable) -> Optional[ResultSet]:

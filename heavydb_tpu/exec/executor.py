@@ -80,6 +80,9 @@ class Executor:
         # RuntimeFunctions.cpp check_interrupt — ours checks between DAG
         # steps, the granularity of the reference's CPU fragment loop)
         self.interrupt_check = None
+        from heavydb_tpu.utils.timer import NullTimer
+
+        self.timer = NullTimer()
         self.mesh = None
         n = self.config.num_shards
         if n and n > 1:
@@ -211,20 +214,21 @@ class Executor:
             from heavydb_tpu.errors import QueryInterrupted
 
             raise QueryInterrupted("query interrupted by session")
-        if isinstance(node, R.Scan):
-            out = self._exec_scan(node, needed)
-        elif isinstance(node, R.Values):
-            out = self._exec_values(node)
-        elif isinstance(node, R.Union):
-            out = self._exec_union(node, memo)
-        elif isinstance(node, R.Sort):
-            out = self._exec_sort(node, memo)
-        elif isinstance(node, R.Compound):
-            out = self._exec_compound(node, memo)
-        elif isinstance(node, R.Window):
-            out = self._exec_window(node, memo)
-        else:
-            raise NotSupported(f"cannot execute node {type(node).__name__}")
+        with self.timer.scope(f"{type(node).__name__}#{node.id}"):
+            if isinstance(node, R.Scan):
+                out = self._exec_scan(node, needed)
+            elif isinstance(node, R.Values):
+                out = self._exec_values(node)
+            elif isinstance(node, R.Union):
+                out = self._exec_union(node, memo)
+            elif isinstance(node, R.Sort):
+                out = self._exec_sort(node, memo)
+            elif isinstance(node, R.Compound):
+                out = self._exec_compound(node, memo)
+            elif isinstance(node, R.Window):
+                out = self._exec_window(node, memo)
+            else:
+                raise NotSupported(f"cannot execute node {type(node).__name__}")
         memo[node.id] = out
         return out
 
@@ -408,6 +412,19 @@ class Executor:
         cfg = self.config
         plan = _CompoundPlan(node=node, offsets=offsets)
         probe = batches[0]
+
+        # static watchdog (reference g_enable_watchdog pre-execution
+        # heuristics, Execute.cpp:75): reject unbounded huge projections
+        hints = getattr(self, "exec_hints", {}) or {}
+        watchdog = cfg.enable_watchdog or hints.get("watchdog")
+        if hints.get("no_watchdog"):
+            watchdog = False
+        if watchdog and not node.is_aggregate:
+            if probe.nrows > cfg.watchdog_max_projected_rows:
+                raise WatchdogException(
+                    f"projection over {probe.nrows:,} rows exceeds the "
+                    f"watchdog limit ({cfg.watchdog_max_projected_rows:,})"
+                )
 
         # join levels
         for li, (kind, cond) in enumerate(node.join_levels):

@@ -226,6 +226,8 @@ class Select(Statement):
     # set operations: ('UNION'|'UNION ALL', Select) applied left to right
     set_ops: List[Tuple[str, "Select"]] = field(default_factory=list)
     ctes: List[Tuple[str, "Select"]] = field(default_factory=list)
+    # /*+ hint(...) */ hints (reference QueryEngine/QueryHint.h:29-62)
+    hints: dict = field(default_factory=dict)
 
 
 @dataclass

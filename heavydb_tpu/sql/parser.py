@@ -39,6 +39,20 @@ _INTERVAL_UNITS = {"YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "WEEK",
 
 class Parser:
     def __init__(self, sql: str):
+        import re as _re
+
+        # /*+ hint, hint(arg) */ comments (reference HeavyDB hint syntax)
+        self.hints = {}
+        for m in _re.finditer(r"/\*\+(.*?)\*/", sql, _re.S):
+            for part in m.group(1).split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                hm = _re.match(r"(\w+)\s*(?:\(([^)]*)\))?$", part)
+                if hm:
+                    self.hints[hm.group(1).lower()] = (
+                        hm.group(2).strip() if hm.group(2) else True
+                    )
         self.toks = tokenize(sql)
         self.pos = 0
         self.sql = sql
@@ -380,6 +394,8 @@ class Parser:
             return sel
         self.expect_kw("SELECT")
         sel = A.Select()
+        if self.hints:
+            sel.hints = dict(self.hints)
         if self.eat_kw("DISTINCT"):
             sel.distinct = True
         else:

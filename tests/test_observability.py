@@ -1,0 +1,73 @@
+"""EXPLAIN variants, debug timers, hints, watchdog, interrupt."""
+
+import pytest
+
+import heavydb_tpu as hdt
+from heavydb_tpu.config import Config
+from heavydb_tpu.errors import QueryInterrupted, WatchdogException
+
+
+def test_explain_kinds(db):
+    db.sql("CREATE TABLE t (x INT, s TEXT)")
+    db.sql("INSERT INTO t VALUES (1, 'a')")
+    plan = "\n".join(
+        r[0] for r in db.sql("EXPLAIN SELECT s, count(*) FROM t GROUP BY s").rows()
+    )
+    assert "Compound" in plan
+    calcite = "\n".join(
+        r[0]
+        for r in db.sql("EXPLAIN CALCITE SELECT s, count(*) FROM t GROUP BY s").rows()
+    )
+    assert "Aggregate" in calcite and "Scan" in calcite
+    ir = "\n".join(
+        r[0]
+        for r in db.sql(
+            "EXPLAIN OPTIMIZED SELECT s, count(*) FROM t GROUP BY s"
+        ).rows()
+    )
+    assert "jaxpr" in ir and "lambda" in ir
+
+
+def test_debug_timer():
+    db = hdt.connect(config=Config(enable_debug_timer=True))
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1), (2)")
+    db.sql("SELECT sum(x) FROM t")
+    info = db.last_query_timings
+    assert info["name"] == "query"
+    names = [c["name"] for c in info["children"]]
+    assert "plan" in names and "execute" in names and "fetch" in names
+    ex = next(c for c in info["children"] if c["name"] == "execute")
+    assert any("Compound" in c["name"] for c in ex["children"])
+
+
+def test_hints_parsed(db):
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1)")
+    # hint accepted and query runs
+    assert db.sql("SELECT /*+ cpu_mode */ count(*) FROM t").scalar() == 1
+
+
+def test_watchdog():
+    db = hdt.connect(config=Config(enable_watchdog=True,
+                                   watchdog_max_projected_rows=100))
+    db.sql("CREATE TABLE t (x INT)")
+    import numpy as np
+
+    db.load_table("t", {"x": np.arange(1000)})
+    with pytest.raises(WatchdogException):
+        db.sql("SELECT x FROM t WHERE x > 1")
+    # aggregates are allowed
+    assert db.sql("SELECT count(*) FROM t").scalar() == 1000
+    # hint can disable the watchdog for one query
+    assert db.sql("SELECT /*+ no_watchdog */ x FROM t LIMIT 5") is not None
+
+
+def test_interrupt(db):
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1)")
+    db.executor.interrupt_check = lambda: True
+    with pytest.raises(QueryInterrupted):
+        db.sql("SELECT count(*) FROM t")
+    db.executor.interrupt_check = None
+    assert db.sql("SELECT count(*) FROM t").scalar() == 1
