@@ -1,0 +1,67 @@
+"""Native (C++) components, loaded via ctypes.
+
+The library builds on first import (g++ is in the image); if the toolchain
+is unavailable the callers fall back to pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(__file__)
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build(src: str, out: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+_EXT = None
+_EXT_TRIED = False
+
+
+def load_strdict_ext():
+    """CPython extension module (preferred) or None."""
+    global _EXT, _EXT_TRIED
+    with _LOCK:
+        if _EXT_TRIED:
+            return _EXT
+        _EXT_TRIED = True
+        import sysconfig
+
+        src = os.path.join(_HERE, "strdict_ext.cpp")
+        out = os.path.join(_HERE, "_strdict_ext.so")
+        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+            inc = sysconfig.get_path("include")
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     f"-I{inc}", src, "-o", out],
+                    check=True, capture_output=True, timeout=180,
+                )
+            except Exception:
+                return None
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location("_strdict_ext", out)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _EXT = mod
+        except Exception:
+            _EXT = None
+        return _EXT

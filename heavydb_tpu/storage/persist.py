@@ -227,9 +227,7 @@ class TableStore:
             cid = int(cid_s)
             with open(self._dict_path(cid, ref["epoch"])) as f:
                 strings = json.load(f)
-            d = t.dicts[cid]
-            d._strings = list(strings)
-            d._str_to_id = {s: i for i, s in enumerate(strings)}
+            t.dicts[cid].load_entries(strings)
         t.generation += 1
 
     def destroy(self):

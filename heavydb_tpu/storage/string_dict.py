@@ -20,13 +20,20 @@ import numpy as np
 INVALID_STR_ID = -1  # reference StringDictionary::INVALID_STR_ID
 
 
-class StringDictionary:
-    """Append-only interning dictionary. Ids are dense [0, size)."""
+class PyStringDictionary:
+    """Append-only interning dictionary. Ids are dense [0, size).
+    Pure-Python fallback; the default is the C++-backed NativeStringDictionary
+    below (reference StringDictionary is native C++ for the same reason —
+    bulk interning is the import hot path)."""
 
     def __init__(self, dict_id: int = 0):
         self.dict_id = dict_id
         self._str_to_id: Dict[str, int] = {}
         self._strings: List[str] = []
+
+    def load_entries(self, strings):
+        self._strings = list(strings)
+        self._str_to_id = {s: i for i, s in enumerate(self._strings)}
 
     # ---- ingest ----
     def get_or_add(self, s: str) -> int:
@@ -125,6 +132,101 @@ class StringDictionary:
         for i, s in enumerate(self._strings):
             out[i] = od.get(s, INVALID_STR_ID)
         return out
+
+
+class NativeStringDictionary:
+    """C++-backed dictionary (heavydb_tpu/native/strdict_ext.cpp, a CPython
+    extension): the bulk intern/lookup loops iterate Python string objects
+    directly in C — no intermediate packing — mirroring the reference's
+    native StringDictionary::getOrAddBulk hot path."""
+
+    def __init__(self, dict_id: int = 0):
+        from heavydb_tpu.native import load_strdict_ext
+
+        self.dict_id = dict_id
+        self._ext = load_strdict_ext()
+        self._h = self._ext.create()
+        # lazily-refreshed python mirror for entries()/get_string
+        self._cache: List[str] = []
+
+    # ---- ingest ----
+    def get_or_add(self, s: str) -> int:
+        return int(self.get_or_add_bulk([s])[0])
+
+    def get_or_add_bulk(self, values) -> np.ndarray:
+        if not isinstance(values, (list, tuple)):
+            values = list(values)
+        raw = self._ext.intern_bulk(self._h, values)
+        return np.frombuffer(raw, np.int32).copy()
+
+    def load_entries(self, strings):
+        if strings:
+            self.get_or_add_bulk(list(strings))
+
+    # ---- lookup ----
+    def get_id(self, s: str) -> int:
+        raw = self._ext.lookup_bulk(self._h, [s])
+        return int(np.frombuffer(raw, np.int32)[0])
+
+    @property
+    def size(self) -> int:
+        return int(self._ext.count(self._h))
+
+    def entries(self) -> List[str]:
+        n = self.size
+        if len(self._cache) != n:
+            payload, offs_raw = self._ext.export_payload(self._h)
+            offsets = np.frombuffer(offs_raw, np.int64)
+            self._cache = [
+                payload[offsets[i]: offsets[i + 1]].decode("utf-8")
+                for i in range(n)
+            ]
+        return self._cache
+
+    def get_string(self, sid: int) -> Optional[str]:
+        e = self.entries()
+        if 0 <= sid < len(e):
+            return e[sid]
+        return None
+
+    def get_strings(self, ids: np.ndarray) -> list:
+        e = self.entries()
+        n = len(e)
+        return [e[i] if 0 <= i < n else None for i in np.asarray(ids).tolist()]
+
+    # ---- host-side predicate evaluation ----
+    ids_where = PyStringDictionary.ids_where
+    like_ids = PyStringDictionary.like_ids
+    regexp_ids = PyStringDictionary.regexp_ids
+    compare_ids = PyStringDictionary.compare_ids
+
+    @property
+    def _strings(self):
+        return self.entries()
+
+    def translation_to(self, other) -> np.ndarray:
+        """Bulk id translation via one native lookup pass."""
+        entries = self.entries()
+        if isinstance(other, NativeStringDictionary):
+            raw = other._ext.lookup_bulk(other._h, entries)
+            return np.frombuffer(raw, np.int32).copy()
+        return PyStringDictionary.translation_to(self, other)
+
+
+def _make_dictionary(dict_id: int = 0):
+    from heavydb_tpu.native import load_strdict_ext
+
+    if load_strdict_ext() is not None:
+        return NativeStringDictionary(dict_id)
+    return PyStringDictionary(dict_id)
+
+
+class StringDictionary:
+    """Factory preserving the original class name: returns the native
+    implementation when the C++ library is available."""
+
+    def __new__(cls, dict_id: int = 0):
+        return _make_dictionary(dict_id)
 
 
 def like_to_regex(pattern: str, escape: Optional[str] = None) -> str:
