@@ -130,6 +130,27 @@ class Database:
                 self._persist_after_statement()
         return out
 
+    def sql_device(self, text: str):
+        """Execute a SELECT and return the device-resident result Batch plus
+        a decode callback — lets callers separate device compute (block on
+        the batch) from result egress (the decode D2H).  Used by benchmarks
+        to measure kernel throughput independent of client transfer, like
+        the reference's server-side execution_time_ms."""
+        stmts = parse_many(text)
+        assert len(stmts) == 1 and isinstance(stmts[0], A.Select)
+        plan = optimize(self._plan_select(stmts[0]))
+        self.executor.exec_hints = stmts[0].hints or {}
+        batch = self.executor.execute(plan)
+
+        def decode() -> ResultSet:
+            dicts = []
+            for i in range(plan.arity):
+                ref = _node_dict_ref(plan, i)
+                dicts.append(self.dict_by_ref(ref) if ref else None)
+            return from_batch(batch, plan.fields, plan.types, dicts)
+
+        return batch, decode
+
     def load_table(self, name: str, data, create: bool = False):
         """Bulk-load a pandas DataFrame / dict of arrays / pyarrow Table
         (reference Thrift load_table_binary_columnar)."""

@@ -340,8 +340,12 @@ class Executor:
 
         child = node.inputs[0]
         inp = self._exec(child, memo, set(range(child.arity)))
-        # aux arrays for dictionary predicates inside window args
+        # aux arrays for dictionary predicates/transforms inside window args
         aux = {}
+        for w in node.wfuncs:
+            for sub in E.walk(w):
+                if isinstance(sub, E.StringTransform):
+                    aux[sub.key()] = self._aux_array(("strtransform", sub))
         for w in node.wfuncs:
             for sub in E.walk(w):
                 if isinstance(sub, E.DictStrPredicate):
@@ -481,6 +485,8 @@ class Executor:
             for sub in E.walk(e):
                 if isinstance(sub, E.DictStrPredicate):
                     plan.aux_specs.setdefault(sub.key(), ("strpred", sub))
+                if isinstance(sub, E.StringTransform):
+                    plan.aux_specs.setdefault(sub.key(), ("strtransform", sub))
                 if isinstance(sub, E.Agg) and sub.kind in (
                     E.AggKind.MIN, E.AggKind.MAX
                 ) and sub.arg is not None and sub.arg.type.is_dict_string:
@@ -581,8 +587,17 @@ class Executor:
                 args.append(batches[bi].cols[ci])
         for bi in layout.nrows_batches:
             args.append(jnp.asarray(batches[bi].nrows, jnp.int32))
+        # string transforms FIRST: they populate the transient dictionaries
+        # that predicates/rank tables over transformed strings read
+        aux_vals = {}
         for aux_key in layout.aux_order:
-            args.append(self._aux_array(plan.aux_specs[aux_key]))
+            spec = plan.aux_specs[aux_key]
+            if spec[0] == "strtransform":
+                aux_vals[aux_key] = self._aux_array(spec)
+        for aux_key in layout.aux_order:
+            if aux_key not in aux_vals:
+                aux_vals[aux_key] = self._aux_array(plan.aux_specs[aux_key])
+        args.extend(aux_vals[k] for k in layout.aux_order)
         return args
 
     # ---- aux arrays ----
@@ -617,6 +632,26 @@ class Executor:
                 else:
                     raise NotSupported(f"dict predicate {pred.kind}")
                 host[ids] = True
+            arr = jax.device_put(host)
+            self.aux_cache[cache_key] = arr
+            return arr
+        if kind == "strtransform":
+            tr: E.StringTransform = payload
+            src = self.db.dict_by_ref(tr.src_dict_ref)
+            dst = self.db.dict_by_ref(tr.dict_ref)
+            cache_key = ("strtransform", tr.src_dict_ref, src.size, tr.ops,
+                         tr.dict_ref)
+            hit = self.aux_cache.get(cache_key)
+            if hit is not None:
+                return hit
+            from heavydb_tpu.storage.string_ops import apply_chain
+
+            entries = src.entries()
+            transformed = [apply_chain(s, tr.ops) for s in entries]
+            ids = dst.get_or_add_bulk(transformed)
+            padded = B.bucket(max(len(entries), 1))
+            host = np.full(padded, np.iinfo(np.int32).min, np.int32)
+            host[: len(ids)] = ids
             arr = jax.device_put(host)
             self.aux_cache[cache_key] = arr
             return arr
@@ -655,6 +690,15 @@ class Executor:
     # ---- postprocess & retry ----
     def _postprocess(self, node, plan, outs) -> Optional[B.Batch]:
         d = outs  # dict from kernel
+        # fast path: keyless aggregate with no joins and no error flags has
+        # a STATIC output (1 row) — no control sync needed at all
+        if (
+            not plan.joins
+            and plan.group_strategy
+            and plan.group_strategy[0] == "keyless"
+            and not any(k.startswith("err_") for k in d)
+        ):
+            return B.Batch(list(d["cols"]), 1, list(node.types))
         # batch ALL control scalars into ONE device→host transfer (D2H
         # round-trips dominate latency on remote-attached TPUs)
         scalar_keys = [

@@ -254,6 +254,18 @@ class ExprCompiler:
             res = ~res
         return res, valid
 
+    def _c_StringTransform(self, e) -> TV:
+        ids, valid = self.compile(e.arg)
+        tbl = self.aux[e.key()]  # id → transformed-dict id (sentinel-safe)
+        n = tbl.shape[0]
+        safe = jnp.clip(ids, 0, max(n - 1, 0))
+        out = jnp.where((ids >= 0) & (ids < n), tbl[safe],
+                        jnp.asarray(np.iinfo(np.int32).min, jnp.int32))
+        # ops may yield NULL (e.g. SPLIT_PART out of range): sentinel in table
+        nullv = out != jnp.asarray(np.iinfo(np.int32).min, jnp.int32)
+        valid = nullv if valid is None else (valid & nullv)
+        return out, valid
+
     def _c_Extract(self, e: E.Extract) -> TV:
         val, valid = self.compile(e.operand)
         ti = e.operand.type

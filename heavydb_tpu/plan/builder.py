@@ -172,6 +172,15 @@ _MATH_FNS = {
     "ASIN", "ACOS", "ATAN", "ATAN2", "DEGREES", "RADIANS", "WIDTH_BUCKET",
 }
 
+# string kernels evaluated as dictionary translations (reference
+# Shared/sqldefs.h SqlStringOpKind)
+_STRING_FNS = {
+    "UPPER", "UCASE", "LOWER", "LCASE", "INITCAP", "REVERSE", "TRIM",
+    "LTRIM", "RTRIM", "SUBSTRING", "SUBSTR", "REPLACE", "LPAD", "RPAD",
+    "REPEAT", "SPLIT_PART", "REGEXP_REPLACE", "BASE64_ENCODE",
+    "BASE64_DECODE", "URL_ENCODE", "URL_DECODE",
+}
+
 _EXTRACT_MAP = {f.value: f for f in E.ExtractField}
 
 
@@ -257,7 +266,18 @@ class ExprBinder:
         l = self._bind(node.left)
         r = self._bind(node.right)
         if op == "||":
-            raise NotSupported("string concatenation (||) not yet supported")
+            if isinstance(l, E.Constant) and isinstance(r, E.Constant):
+                return E.Constant(
+                    str(l.value) + str(r.value),
+                    T.TypeInfo(T.SQLTypeKind.TEXT, False),
+                )
+            if (l.type.is_dict_string or isinstance(l, E.StringTransform)) \
+                    and isinstance(r, E.Constant) and r.type.is_string:
+                return self._extend_transform(l, ("CONCAT", (str(r.value),)))
+            if (r.type.is_dict_string or isinstance(r, E.StringTransform)) \
+                    and isinstance(l, E.Constant) and l.type.is_string:
+                return self._extend_transform(r, ("PRECONCAT", (str(l.value),)))
+            raise NotSupported("|| between two string columns")
         if op in _CMP:
             return self._bind_comparison(op, l, r)
         if op in _ARITH:
@@ -636,7 +656,43 @@ class ExprBinder:
             args = tuple(self._bind(a) for a in node.args)
             out = self._math_result_type(name, args)
             return E.FunctionOp(name, args, out)
+        if name in _STRING_FNS:
+            return self._bind_string_fn(name, node.args)
         raise NotSupported(f"function {name}")
+
+    def _bind_string_fn(self, name: str, arg_asts) -> E.Expr:
+        """String kernels over dict columns → launch-time translation chains
+        (reference StringOps/, ~45 kernels; dict-to-dict translation maps)."""
+        arg = self._bind(arg_asts[0])
+        if not arg.type.is_dict_string:
+            raise NotSupported(f"{name} on non-dictionary strings")
+        extra = []
+        for a in arg_asts[1:]:
+            c = self._bind(a)
+            if not isinstance(c, E.Constant):
+                raise NotSupported(f"{name} requires constant arguments")
+            v = c.value
+            if c.type.is_decimal:
+                v = v / 10**c.type.scale
+            extra.append(v)
+        return self._extend_transform(arg, (name, tuple(extra)))
+
+    def _extend_transform(self, arg: E.Expr, op: tuple) -> E.Expr:
+        if isinstance(arg, E.StringTransform):
+            ref, _ = self.db.register_transient_dict()
+            return E.StringTransform(
+                arg=arg.arg, ops=arg.ops + (op,),
+                src_dict_ref=arg.src_dict_ref, dict_ref=ref,
+                type=T.text_dict(nullable=arg.type.nullable),
+            )
+        src_ref = getattr(arg, "dict_ref", None)
+        if src_ref is None:
+            raise NotSupported("string function on computed string expression")
+        ref, _ = self.db.register_transient_dict()
+        return E.StringTransform(
+            arg=arg, ops=(op,), src_dict_ref=src_ref, dict_ref=ref,
+            type=T.text_dict(nullable=arg.type.nullable),
+        )
 
     def _math_result_type(self, name, args):
         nullable = any(a.type.nullable for a in args)

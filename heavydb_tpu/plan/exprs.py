@@ -59,9 +59,12 @@ class InputRef(Expr):
 class Constant(Expr):
     value: object  # physical value; None = NULL
     type: T.TypeInfo = None
+    # set for string literals lifted into a transient dictionary
+    dict_ref: Optional[tuple] = None
 
     def _key_parts(self):
-        return (self.value, self.type.kind if self.type else None)
+        return (self.value, self.type.kind if self.type else None,
+                self.dict_ref)
 
     @property
     def is_null(self):
@@ -203,6 +206,28 @@ class DictStrPredicate(Expr):
     def _key_parts(self):
         return (self.arg, self.kind, self.pattern, self.escape, self.cmp_op,
                 self.negated, self.dict_ref)
+
+
+@dataclass(frozen=True)
+class StringTransform(Expr):
+    """String function chain over a dict-encoded column, evaluated host-side
+    over the dictionary entries at launch time → id→id translation array
+    into a transient output dictionary.  The reference's StringOps kernels
+    applied as dict-to-dict translation maps (StringOps/StringOps.h +
+    StringDictionaryTranslationMgr)."""
+
+    arg: Expr = None  # dict-encoded input
+    # chain of (op_name, (args...)), applied left to right
+    ops: Tuple[tuple, ...] = ()
+    src_dict_ref: tuple = None
+    dict_ref: tuple = None  # output transient dict
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.arg,)
+
+    def _key_parts(self):
+        return (self.arg, self.ops, self.src_dict_ref, self.dict_ref)
 
 
 class ExtractField(enum.Enum):

@@ -100,6 +100,20 @@ class SelectPlanner:
                     )
                 continue
             e = agg_binder.bind(expr_ast)
+            # bare string literals in the select list → transient dict ids
+            # (TEXT has no direct device representation)
+            if (
+                isinstance(e, E.Constant)
+                and e.type.is_string
+                and not e.type.is_dict_string
+                and e.value is not None
+            ):
+                ref, td = self.db.register_transient_dict()
+                e = E.Constant(
+                    td.get_or_add(str(e.value)),
+                    T.text_dict(nullable=False),
+                    dict_ref=ref,
+                )
             name = alias or _auto_name(expr_ast, len(proj_items))
             proj_items.append((e, name))
 

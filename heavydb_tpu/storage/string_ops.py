@@ -1,0 +1,90 @@
+"""Host-side string kernel implementations (reference StringOps/StringOps.h
+op semantics), applied over dictionary entries to build translation maps."""
+
+from __future__ import annotations
+
+import base64
+import re
+import urllib.parse
+from typing import Optional, Tuple
+
+
+def _substring(s: str, start, length=None) -> str:
+    start = int(start)
+    # SQL 1-based; negative wraps like HeavyDB/Postgres substr
+    if start > 0:
+        i = start - 1
+    else:
+        i = max(len(s) + start, 0) if start < 0 else 0
+    if length is None:
+        return s[i:]
+    return s[i : i + int(length)]
+
+
+def apply_op(s: str, name: str, args: Tuple) -> Optional[str]:
+    if name in ("UPPER", "UCASE"):
+        return s.upper()
+    if name in ("LOWER", "LCASE"):
+        return s.lower()
+    if name == "INITCAP":
+        return re.sub(r"[a-zA-Z]+", lambda m: m.group(0).capitalize(), s)
+    if name == "REVERSE":
+        return s[::-1]
+    if name == "TRIM":
+        return s.strip(args[0]) if args else s.strip()
+    if name == "LTRIM":
+        return s.lstrip(args[0]) if args else s.lstrip()
+    if name == "RTRIM":
+        return s.rstrip(args[0]) if args else s.rstrip()
+    if name in ("SUBSTRING", "SUBSTR"):
+        return _substring(s, *args)
+    if name == "REPLACE":
+        return s.replace(str(args[0]), str(args[1]))
+    if name == "LPAD":
+        width = int(args[0])
+        pad = str(args[1]) if len(args) > 1 else " "
+        if len(s) >= width:
+            return s[:width]
+        need = width - len(s)
+        return (pad * need)[:need] + s
+    if name == "RPAD":
+        width = int(args[0])
+        pad = str(args[1]) if len(args) > 1 else " "
+        if len(s) >= width:
+            return s[:width]
+        need = width - len(s)
+        return s + (pad * need)[:need]
+    if name == "REPEAT":
+        return s * int(args[0])
+    if name == "SPLIT_PART":
+        parts = s.split(str(args[0]))
+        n = int(args[1])
+        idx = n - 1 if n > 0 else len(parts) + n
+        return parts[idx] if 0 <= idx < len(parts) else None
+    if name == "REGEXP_REPLACE":
+        repl = str(args[1]).replace("\\", "\\\\") if False else str(args[1])
+        return re.sub(str(args[0]), repl, s)
+    if name == "CONCAT":
+        return s + str(args[0])
+    if name == "PRECONCAT":
+        return str(args[0]) + s
+    if name == "BASE64_ENCODE":
+        return base64.b64encode(s.encode()).decode()
+    if name == "BASE64_DECODE":
+        try:
+            return base64.b64decode(s.encode()).decode()
+        except Exception:
+            return None
+    if name == "URL_ENCODE":
+        return urllib.parse.quote(s, safe="")
+    if name == "URL_DECODE":
+        return urllib.parse.unquote(s)
+    raise ValueError(f"unknown string op {name}")
+
+
+def apply_chain(s: Optional[str], ops) -> Optional[str]:
+    for name, args in ops:
+        if s is None:
+            return None
+        s = apply_op(s, name, args)
+    return s

@@ -1,0 +1,90 @@
+"""String kernel tests (reference StringOps/ op set via translation maps)."""
+
+import pytest
+
+
+@pytest.fixture()
+def sdb(db):
+    db.sql("CREATE TABLE s (t TEXT, k INT)")
+    db.sql(
+        "INSERT INTO s VALUES ('Hello World', 1), ('  pad  ', 2), "
+        "('a,b,c', 3), (NULL, 4), ('Grüße', 5)"
+    )
+    return db
+
+
+def test_upper_lower(sdb):
+    rows = sdb.sql("SELECT UPPER(t), LOWER(t) FROM s WHERE k = 1").rows()
+    assert rows == [("HELLO WORLD", "hello world")]
+
+
+def test_substring_replace(sdb):
+    assert sdb.sql(
+        "SELECT SUBSTRING(t, 1, 5) FROM s WHERE k = 1"
+    ).scalar() == "Hello"
+    assert sdb.sql(
+        "SELECT REPLACE(t, 'World', 'TPU') FROM s WHERE k = 1"
+    ).scalar() == "Hello TPU"
+
+
+def test_trim_pad(sdb):
+    assert sdb.sql("SELECT TRIM(t) FROM s WHERE k = 2").scalar() == "pad"
+    assert sdb.sql("SELECT LTRIM(t) FROM s WHERE k = 2").scalar() == "pad  "
+    assert sdb.sql("SELECT LPAD(TRIM(t), 6, '*') FROM s WHERE k = 2").scalar() == "***pad"
+
+
+def test_split_part(sdb):
+    assert sdb.sql("SELECT SPLIT_PART(t, ',', 2) FROM s WHERE k = 3").scalar() == "b"
+    assert sdb.sql("SELECT SPLIT_PART(t, ',', 9) FROM s WHERE k = 3").scalar() is None
+
+
+def test_concat_operator(sdb):
+    assert sdb.sql("SELECT t || '!' FROM s WHERE k = 1").scalar() == "Hello World!"
+    assert sdb.sql("SELECT '<' || t FROM s WHERE k = 1").scalar() == "<Hello World"
+    assert sdb.sql("SELECT 'a' || 'b'").scalar() == "ab"
+
+
+def test_null_propagation(sdb):
+    assert sdb.sql("SELECT UPPER(t) FROM s WHERE k = 4").scalar() is None
+
+
+def test_unicode(sdb):
+    assert sdb.sql("SELECT UPPER(t) FROM s WHERE k = 5").scalar() == "GRÜSSE"
+
+
+def test_predicate_over_transform(sdb):
+    assert (
+        sdb.sql("SELECT count(*) FROM s WHERE UPPER(t) = 'HELLO WORLD'").scalar()
+        == 1
+    )
+    assert (
+        sdb.sql("SELECT count(*) FROM s WHERE LOWER(t) LIKE '%world%'").scalar()
+        == 1
+    )
+
+
+def test_group_by_transform(sdb):
+    sdb.sql("CREATE TABLE g (t TEXT)")
+    sdb.sql("INSERT INTO g VALUES ('a'), ('A'), ('b'), ('B'), ('b')")
+    rows = sdb.sql(
+        "SELECT UPPER(t) u, count(*) FROM g GROUP BY u ORDER BY u"
+    ).rows()
+    assert rows == [("A", 2), ("B", 3)]
+
+
+def test_order_by_transform(sdb):
+    rows = sdb.sql(
+        "SELECT k FROM s WHERE t IS NOT NULL ORDER BY REVERSE(t)"
+    ).rows()
+    assert len(rows) == 4
+
+
+def test_length_of_transform(sdb):
+    assert sdb.sql("SELECT LENGTH(TRIM(t)) FROM s WHERE k = 2").scalar() == 3
+
+
+def test_chained(sdb):
+    assert (
+        sdb.sql("SELECT UPPER(REPLACE(t, 'l', 'L')) FROM s WHERE k = 1").scalar()
+        == "HELLO WORLD"
+    )
