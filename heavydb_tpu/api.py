@@ -51,6 +51,14 @@ class Database:
         self._views: Dict[str, A.Select] = {}
         self._transient_dicts: Dict[int, object] = {}
         self._next_transient = 0
+        # scalar UDFs: name -> (fn, arg_types, ret_type) — the TPU-idiomatic
+        # replacement for the reference's clang-compiled runtime UDFs
+        # (UdfCompiler/): fns are jnp-traceable and fuse into query kernels
+        self._udfs: Dict[str, tuple] = {}
+        # table functions: name -> fn(*args, **kw) → dict of numpy columns
+        # (reference TableFunctionsFactory UDTFs)
+        self._table_functions: Dict[str, object] = {}
+        _register_system_tfs(self._table_functions)
         self.path = path
         self._catalog_store = None
         self._table_stores: Dict[int, object] = {}
@@ -129,6 +137,21 @@ class Database:
             if not isinstance(st, (A.Select, A.Explain)):
                 self._persist_after_statement()
         return out
+
+    def register_udf(self, name: str, fn, arg_types, ret_type):
+        """Register a scalar UDF.  `fn` takes jnp arrays (one per argument,
+        already cast to `arg_types`) and returns a jnp array; it is traced
+        into the query kernel and fused by XLA — the TPU-native analogue of
+        the reference's LLVM-compiled runtime UDFs (heavy.thrift:790
+        register_runtime_extension_functions)."""
+        self._udfs[name.upper()] = (fn, list(arg_types), ret_type)
+
+    def register_table_function(self, name: str, fn):
+        """Register a table function: fn(*scalar_args, cursor=<dict of numpy
+        columns>) → dict[str, numpy array].  Invoked as
+        SELECT * FROM TABLE(name(CURSOR(SELECT ...), arg, ...)) —
+        reference QueryEngine/TableFunctions/."""
+        self._table_functions[name.lower()] = fn
 
     def sql_device(self, text: str):
         """Execute a SELECT and return the device-resident result Batch plus
@@ -646,6 +669,38 @@ def _host_cast_array(arr: np.ndarray, src: T.TypeInfo, dst: T.TypeInfo) -> np.nd
     else:
         out[nulls] = dst.null_sentinel()
     return out
+
+
+def _register_system_tfs(registry):
+    """Built-in table functions (reference SystemFunctions/os/ subset)."""
+
+    def generate_series(*args, cursor=None):
+        start = int(args[0])
+        stop = int(args[1])
+        step = int(args[2]) if len(args) > 2 else 1
+        return {"generate_series": np.arange(start, stop + (1 if step > 0 else -1), step, dtype=np.int64)}
+
+    def tf_mandelbrot(*args, cursor=None):  # parity playground TF
+        x_pixels = int(args[0])
+        y_pixels = int(args[1])
+        xs = np.linspace(-2.0, 1.0, x_pixels)
+        ys = np.linspace(-1.5, 1.5, y_pixels)
+        c = xs[None, :] + 1j * ys[:, None]
+        z = np.zeros_like(c)
+        it = np.zeros(c.shape, np.int32)
+        for i in range(64):
+            m = np.abs(z) <= 2
+            z = np.where(m, z * z + c, z)
+            it += m
+        yy, xx = np.meshgrid(range(y_pixels), range(x_pixels), indexing="ij")
+        return {
+            "x": xx.ravel().astype(np.int32),
+            "y": yy.ravel().astype(np.int32),
+            "num_iterations": it.ravel(),
+        }
+
+    registry["generate_series"] = generate_series
+    registry["tf_mandelbrot"] = tf_mandelbrot
 
 
 def _string_result(name: str, values: List[str]) -> ResultSet:

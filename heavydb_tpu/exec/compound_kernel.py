@@ -76,6 +76,7 @@ def _build_compound_kernel(node, batches, plan, config):
     paddeds = [b.padded for b in batches]
     col_types = [list(b.types) for b in batches]
 
+    udfs = getattr(plan, 'udfs', None) or {}
     is_agg = node.is_aggregate
     group_strategy = plan.group_strategy
     group_cap = plan.group_cap
@@ -147,7 +148,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 for r in E.collect_input_refs(e):
                     needed.add(r.field_idx)
             cdict = {f: field_tv(f) for f in needed}
-            return ExprCompiler(cdict, aux, error_flags)
+            return ExprCompiler(cdict, aux, error_flags, udfs)
 
         def build_side_tv(expr, bi):
             """Evaluate a build-key expr directly over input bi's rows."""
@@ -159,7 +160,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 ti = col_types[bi][local]
                 valid = _derive_valid(base, ti) if ti.nullable else None
                 cdict[r.field_idx] = (base, valid)
-            c = ExprCompiler(cdict, aux, error_flags)
+            c = ExprCompiler(cdict, aux, error_flags, udfs)
             return c.compile(expr)
 
         def pack_keys(tvs, jp, is_build):
@@ -334,7 +335,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 gcols[i] = tv
             for j, tv in enumerate(agg_tvs):
                 gcols[n_keys + j] = tv
-            gcomp = ExprCompiler(gcols, aux, error_flags)
+            gcomp = ExprCompiler(gcols, aux, error_flags, udfs)
 
             if node.having is not None:
                 present = present & gcomp.compile_predicate(node.having)

@@ -219,6 +219,8 @@ class Executor:
                 out = self._exec_scan(node, needed)
             elif isinstance(node, R.Values):
                 out = self._exec_values(node)
+            elif isinstance(node, R.TableData):
+                out = B.from_host_columns(node.arrays, node.num_rows, node.types)
             elif isinstance(node, R.Union):
                 out = self._exec_union(node, memo)
             elif isinstance(node, R.Sort):
@@ -415,6 +417,7 @@ class Executor:
     def _plan_compound(self, node: R.Compound, batches, offsets):
         cfg = self.config
         plan = _CompoundPlan(node=node, offsets=offsets)
+        plan.udfs = dict(getattr(self.db, '_udfs', {}))
         probe = batches[0]
 
         # static watchdog (reference g_enable_watchdog pre-execution
@@ -774,6 +777,7 @@ class _CompoundPlan:
     group_strategy: Optional[tuple] = None
     group_cap: int = 0
     aux_specs: dict = dataclasses.field(default_factory=dict)
+    udfs: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass

@@ -46,11 +46,14 @@ class ExprCompiler:
     aux:  aux-key -> traced array (dictionary predicate tables etc.)
     """
 
-    def __init__(self, cols: Dict[int, TV], aux: Dict[tuple, object], error_flags=None):
+    def __init__(self, cols: Dict[int, TV], aux: Dict[tuple, object],
+                 error_flags=None, udfs=None):
         self.cols = cols
         self.aux = aux
         # error flags: name -> traced bool scalar (div-by-zero etc.)
         self.error_flags = error_flags if error_flags is not None else {}
+        # scalar UDF registry: NAME -> (fn, arg_types, ret_type)
+        self.udfs = udfs or {}
 
     # ---- public ----
     def compile(self, e: E.Expr) -> TV:
@@ -286,6 +289,13 @@ class ExprCompiler:
         vals = [a for a, _ in args]
         name = e.name
         out_dt = e.type.np_dtype()
+        if name.startswith("UDF:"):
+            fn, _, _ = self.udfs[name[4:]]
+            res = fn(*vals)
+            if isinstance(res, tuple):
+                rval, rvalid = res
+                return jnp.asarray(rval, out_dt), and_valid(valid, rvalid)
+            return jnp.asarray(res, out_dt), valid
         # real-valued functions see decimals as their real value
         if name in ("SQRT", "EXP", "LN", "LOG", "LOG10", "SIN", "COS", "TAN",
                     "ASIN", "ACOS", "ATAN", "ATAN2", "DEGREES", "RADIANS",

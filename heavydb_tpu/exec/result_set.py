@@ -58,6 +58,31 @@ class ResultSet:
         r = self.rows()
         return r[0][0] if r else None
 
+    def to_arrow(self):
+        """Arrow egress (reference sql_execute_df / ArrowResultSet)."""
+        import pyarrow as pa
+
+        arrays = []
+        names = []
+        for i, (f, ti) in enumerate(zip(self.fields, self.types)):
+            names.append(f)
+            vals = self.column(i)
+            if ti.is_string:
+                arrays.append(pa.array(vals, pa.string()))
+            elif ti.is_boolean:
+                arrays.append(pa.array(vals, pa.bool_()))
+            elif ti.is_decimal:
+                arrays.append(pa.array(vals, pa.float64()))
+            elif ti.kind.value == "DATE":
+                arrays.append(pa.array(vals, pa.date32()))
+            elif ti.kind.value == "TIMESTAMP":
+                arrays.append(pa.array(vals, pa.timestamp("us")))
+            elif ti.kind.value == "TIME":
+                arrays.append(pa.array(vals, pa.time64("us")))
+            else:
+                arrays.append(pa.array(vals))
+        return pa.table(dict(zip(names, arrays)))
+
     def __repr__(self):
         head = ", ".join(
             f"{f} {t.sql_name()}" for f, t in zip(self.fields, self.types)

@@ -658,6 +658,22 @@ class ExprBinder:
             return E.FunctionOp(name, args, out)
         if name in _STRING_FNS:
             return self._bind_string_fn(name, node.args)
+        udf = getattr(self.db, "_udfs", {}).get(name)
+        if udf is not None:
+            fn, arg_types, ret_type = udf
+            if len(node.args) != len(arg_types):
+                raise BinderError(
+                    f"UDF {name} expects {len(arg_types)} args"
+                )
+            args = []
+            nullable = False
+            for a_ast, ti in zip(node.args, arg_types):
+                a = self._bind(a_ast)
+                nullable = nullable or a.type.nullable
+                args.append(self._cast_to(a, ti))
+            return E.FunctionOp(
+                f"UDF:{name}", tuple(args), ret_type.with_nullable(nullable)
+            )
         raise NotSupported(f"function {name}")
 
     def _bind_string_fn(self, name: str, arg_asts) -> E.Expr:

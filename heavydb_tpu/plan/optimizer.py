@@ -113,7 +113,7 @@ def _identity_targets(node: R.RelNode):
 
 
 def _fuse(node: R.RelNode) -> R.RelNode:
-    if isinstance(node, (R.Scan, R.Values)):
+    if isinstance(node, (R.Scan, R.Values, R.TableData)):
         return node
     if isinstance(node, R.Sort):
         node.inputs = [_fuse(node.inputs[0])]

@@ -199,6 +199,28 @@ class Values(RelNode):
         return (len(self.rows),)
 
 
+class TableData(RelNode):
+    """Materialized host columns (table-function output, executed eagerly at
+    plan time like subqueries — reference TableFunctionExecutionContext)."""
+
+    def __init__(self, names, types, arrays, dict_refs=None):
+        super().__init__([])
+        self.fields = list(names)
+        self.types = list(types)
+        self.arrays = arrays  # list of numpy arrays
+        self.dict_refs = dict_refs or [None] * len(self.fields)
+
+    @property
+    def num_rows(self):
+        return 0 if not self.arrays else len(self.arrays[0])
+
+    def _label(self):
+        return f"TableData({self.num_rows} rows)"
+
+    def _key_parts(self):
+        return (self.id,)
+
+
 class Window(RelNode):
     """Appends window-function columns to its input (reference RelProject
     with window exprs, separated by separate_window_function_expressions).

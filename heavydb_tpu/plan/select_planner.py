@@ -36,8 +36,11 @@ class SelectPlanner:
                 rhs_sel, env, apply_order=False
             )
             if rhs.arity != core.arity:
-                raise BinderError("UNION inputs must have same column count")
-            core = self._make_union(core, rhs, all_=(op == "UNION ALL"))
+                raise BinderError("set-op inputs must have same column count")
+            if op in ("UNION", "UNION ALL"):
+                core = self._make_union(core, rhs, all_=(op == "UNION ALL"))
+            else:
+                core = self._make_intersect_except(core, rhs, op)
 
         if not apply_order_inline:
             core = self._apply_order_limit(core, sel)
@@ -50,10 +53,23 @@ class SelectPlanner:
         for i, (lt, rt) in enumerate(zip(left.types, right.types)):
             ref = E.InputRef(0, i, rt, _node_dict_ref(right, i))
             if lt.is_dict_string and rt.is_dict_string:
-                if _node_dict_ref(left, i) != _node_dict_ref(right, i):
-                    raise NotSupported(
-                        "UNION over columns of different dictionaries"
-                    )
+                lref = _node_dict_ref(left, i)
+                rref = _node_dict_ref(right, i)
+                if lref != rref:
+                    if lref is None or rref is None:
+                        raise NotSupported(
+                            "UNION over untracked string dictionaries"
+                        )
+                    # translate right ids into left's dictionary at launch
+                    # (reference StringDictionaryTranslationMgr); unseen
+                    # strings are interned into the target
+                    casts.append(E.StringTransform(
+                        arg=ref, ops=(("IDENTITY", ()),),
+                        src_dict_ref=rref, dict_ref=lref,
+                        type=T.text_dict(nullable=rt.nullable),
+                    ))
+                    need = True
+                    continue
                 casts.append(ref)
             elif lt.kind != rt.kind or (lt.is_decimal and lt.scale != rt.scale):
                 if lt.is_dict_string or rt.is_dict_string:
@@ -74,6 +90,62 @@ class SelectPlanner:
             ]
             u = R.Aggregate(u, keys, [], list(u.fields))
         return u
+
+    def _make_intersect_except(self, left, right, op: str) -> R.RelNode:
+        """INTERSECT/EXCEPT via tagged union + group-by over all columns +
+        per-side COUNT_IF — NULLs group together, giving correct SQL set
+        semantics (unlike a join formulation)."""
+        side_t = T.integer(nullable=False)
+
+        def tag(node, side):
+            exprs = [
+                E.InputRef(0, i, t, _node_dict_ref(node, i))
+                for i, t in enumerate(node.types)
+            ] + [E.Constant(side, side_t)]
+            return R.Project(node, exprs, list(node.fields) + ["$side"])
+
+        # coerce right to left's types first (reuse union's cast logic)
+        u_all = self._make_union(tag(left, 0), tag(right, 1), all_=True)
+        n = left.arity
+        keys = [
+            E.InputRef(0, i, t, _node_dict_ref(u_all, i))
+            for i, t in enumerate(left.types)
+        ]
+        side_ref = E.InputRef(0, n, side_t)
+        zero = E.Constant(0, side_t)
+        one = E.Constant(1, side_t)
+        cnt_l = E.Agg(E.AggKind.COUNT_IF, None, False, T.bigint(False),
+                      E.BinOp(E.BinOpKind.EQ, side_ref, zero, T.boolean(False)))
+        cnt_r = E.Agg(E.AggKind.COUNT_IF, None, False, T.bigint(False),
+                      E.BinOp(E.BinOpKind.EQ, side_ref, one, T.boolean(False)))
+        agg = R.Aggregate(u_all, keys, [cnt_l, cnt_r],
+                          list(left.fields) + ["$cl", "$cr"])
+        cl = E.InputRef(0, n, T.bigint(False))
+        cr = E.InputRef(0, n + 1, T.bigint(False))
+        if op == "INTERSECT":
+            cond = E.BinOp(
+                E.BinOpKind.AND,
+                E.BinOp(E.BinOpKind.GT, cl, E.Constant(0, T.bigint(False)),
+                        T.boolean(False)),
+                E.BinOp(E.BinOpKind.GT, cr, E.Constant(0, T.bigint(False)),
+                        T.boolean(False)),
+                T.boolean(False),
+            )
+        else:  # EXCEPT
+            cond = E.BinOp(
+                E.BinOpKind.AND,
+                E.BinOp(E.BinOpKind.GT, cl, E.Constant(0, T.bigint(False)),
+                        T.boolean(False)),
+                E.BinOp(E.BinOpKind.EQ, cr, E.Constant(0, T.bigint(False)),
+                        T.boolean(False)),
+                T.boolean(False),
+            )
+        filt = R.Filter(agg, cond)
+        keep = [
+            E.InputRef(0, i, t, _node_dict_ref(agg, i))
+            for i, t in enumerate(left.types)
+        ]
+        return R.Project(filt, keep, list(left.fields))
 
     # ------------------------------------------------------------------
     def _plan_core(self, sel: A.Select, env, apply_order: bool = False) -> R.RelNode:
@@ -287,6 +359,11 @@ class SelectPlanner:
             dict_refs = [_node_dict_ref(node, i) for i in range(node.arity)]
             scope.add_relation(alias, node.fields, node.types, dict_refs)
             return node
+        if isinstance(ref, A.TableFuncRef):
+            node = self._exec_table_function(ref, env)
+            alias = ref.alias or ref.name
+            scope.add_relation(alias, node.fields, node.types, node.dict_refs)
+            return node
         if isinstance(ref, A.JoinRef):
             left = self._plan_table_ref(ref.left, scope, env)
             left_arity = left.arity
@@ -314,6 +391,67 @@ class SelectPlanner:
                 raise NotSupported("FULL OUTER JOIN")
             return R.Join(left, right, ref.kind, cond)
         raise NotSupported(f"table ref {type(ref).__name__}")
+
+    # ------------------------------------------------------------------
+    def _exec_table_function(self, ref: A.TableFuncRef, env) -> R.TableData:
+        """Execute a table function eagerly at plan time (args are constants;
+        cursors are subqueries, which the reference also runs first)."""
+        import numpy as np
+
+        fn = self.db._table_functions.get(ref.name.lower())
+        if fn is None:
+            raise BinderError(f"unknown table function {ref.name!r}")
+        scalar_args = []
+        cursor = None
+        empty_scope = Scope()
+        binder = ExprBinder(empty_scope, self.db, allow_aggs=False)
+        for a in ref.args:
+            if isinstance(a, A.Select):
+                from heavydb_tpu.plan.optimizer import optimize
+
+                plan = optimize(SelectPlanner(self.db, env).plan(a))
+                batch = self.db.executor.execute(plan)
+                host = batch.to_numpy()
+                cursor = {}
+                for i, f in enumerate(plan.fields):
+                    arr = host[i]
+                    ti = plan.types[i]
+                    if ti.is_dict_string:
+                        dref = _node_dict_ref(plan, i)
+                        d = self.db.dict_by_ref(dref) if dref else None
+                        arr = np.array(
+                            d.get_strings(arr) if d else [None] * len(arr),
+                            object,
+                        )
+                    cursor[f] = arr
+                continue
+            e = binder.bind(a)
+            if not isinstance(e, E.Constant):
+                raise NotSupported("table function arguments must be constant")
+            v = e.value
+            if e.type.is_decimal and v is not None:
+                v = v / 10**e.type.scale
+            scalar_args.append(v)
+        out = fn(*scalar_args, cursor=cursor)
+        names, types, arrays, dict_refs = [], [], [], []
+        from heavydb_tpu.api import _infer_type
+
+        for cname, arr in out.items():
+            arr = np.asarray(arr)
+            ti = _infer_type(arr)
+            if ti.is_dict_string:
+                tref, td = self.db.register_transient_dict()
+                ids = td.get_or_add_bulk(list(arr))
+                arrays.append(ids)
+                dict_refs.append(tref)
+            else:
+                from heavydb_tpu.storage.table import to_physical
+
+                arrays.append(to_physical(arr, ti))
+                dict_refs.append(None)
+            names.append(cname)
+            types.append(ti)
+        return R.TableData(names, types, arrays, dict_refs)
 
     # ------------------------------------------------------------------
     def _plan_aggregate(self, sel, rel, scope, proj_items) -> R.RelNode:
@@ -541,6 +679,8 @@ def _node_dict_ref(node: R.RelNode, field_idx: int):
         if field_idx < base:
             return _node_dict_ref(node.inputs[0], field_idx)
         return node.wfuncs[field_idx - base].dict_ref
+    if isinstance(node, R.TableData):
+        return node.dict_refs[field_idx]
     if isinstance(node, R.Compound):
         if field_idx < len(node.target_exprs):
             return getattr(node.target_exprs[field_idx], "dict_ref", None)

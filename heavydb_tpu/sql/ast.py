@@ -188,6 +188,15 @@ class SubqueryRef(TableRef):
 
 
 @dataclass
+class TableFuncRef(TableRef):
+    """FROM TABLE(fn(CURSOR(SELECT ...), arg, ...)) — reference UDTF syntax."""
+
+    name: str = ""
+    args: List[object] = field(default_factory=list)  # Expr | Select (cursor)
+    alias: Optional[str] = None
+
+
+@dataclass
 class JoinRef(TableRef):
     left: TableRef = None
     right: TableRef = None

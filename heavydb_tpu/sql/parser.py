@@ -375,9 +375,9 @@ class Parser:
         sel.ctes = ctes
         while self.at_kw("UNION", "EXCEPT", "INTERSECT"):
             op = self.next().upper
-            if op != "UNION":
-                raise ParserError(f"{op} not supported")
             if self.eat_kw("ALL"):
+                if op != "UNION":
+                    raise ParserError(f"{op} ALL not supported")
                 op = "UNION ALL"
             else:
                 self.eat_kw("DISTINCT")
@@ -504,6 +504,36 @@ class Parser:
         return left
 
     def _table_primary(self) -> A.TableRef:
+        if self.at_kw("TABLE") and self.at_op("(", ahead=1):
+            self.next()
+            self.expect_op("(")
+            fname = self.ident()
+            self.expect_op("(")
+            args = []
+            if not self.at_op(")"):
+                while True:
+                    if self.at_kw("CURSOR") and self.at_op("(", ahead=1):
+                        self.next()
+                        self.expect_op("(")
+                        args.append(self.parse_select())
+                        self.expect_op(")")
+                    else:
+                        # named args: name => value (HeavyDB style)
+                        if (
+                            self.peek().kind == IDENT
+                            and self.at_op("=", ahead=1)
+                            and self.peek(2).kind == OP
+                            and self.peek(2).value == ">"
+                        ):
+                            self.next()
+                            self.next()
+                            self.next()
+                        args.append(self.parse_expr())
+                    if not self.eat_op(","):
+                        break
+            self.expect_op(")")
+            self.expect_op(")")
+            return A.TableFuncRef(fname, args, self._opt_alias())
         if self.at_op("("):
             self.expect_op("(")
             if self.at_kw("SELECT", "WITH") or self.at_op("("):

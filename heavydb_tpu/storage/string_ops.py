@@ -22,6 +22,8 @@ def _substring(s: str, start, length=None) -> str:
 
 
 def apply_op(s: str, name: str, args: Tuple) -> Optional[str]:
+    if name == "IDENTITY":
+        return s
     if name in ("UPPER", "UCASE"):
         return s.upper()
     if name in ("LOWER", "LCASE"):

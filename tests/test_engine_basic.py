@@ -422,3 +422,28 @@ def test_binder_errors(tdb):
         tdb.sql("SELECT x, count(*) FROM t")  # x not grouped
     with pytest.raises(CatalogError):
         tdb.sql("SELECT * FROM missing")
+
+
+def test_intersect_except(db):
+    db.sql("CREATE TABLE a (x INT, s TEXT)")
+    db.sql("CREATE TABLE b (x INT, s TEXT)")
+    db.sql("INSERT INTO a VALUES (1,'p'), (2,'q'), (2,'q'), (NULL,NULL), (3,'r')")
+    db.sql("INSERT INTO b VALUES (2,'q'), (NULL,NULL), (4,'s')")
+    rows = db.sql(
+        "SELECT x, s FROM a INTERSECT SELECT x, s FROM b ORDER BY x NULLS LAST"
+    ).rows()
+    assert rows == [(2, "q"), (None, None)]
+    rows = db.sql(
+        "SELECT x, s FROM a EXCEPT SELECT x, s FROM b ORDER BY x"
+    ).rows()
+    assert rows == [(1, "p"), (3, "r")]
+
+
+def test_to_arrow(db):
+    db.sql("CREATE TABLE t (x INT, s TEXT, d DATE, v DOUBLE)")
+    db.sql("INSERT INTO t VALUES (1, 'a', '2020-01-01', 1.5), (NULL, NULL, NULL, NULL)")
+    tbl = db.sql("SELECT * FROM t").to_arrow()
+    assert tbl.num_rows == 2
+    assert tbl.column("s").to_pylist() == ["a", None]
+    assert str(tbl.schema.field("d").type) == "date32[day]"
+    assert tbl.column("x").to_pylist() == [1, None]
