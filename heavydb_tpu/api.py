@@ -55,6 +55,7 @@ class Database:
         # replacement for the reference's clang-compiled runtime UDFs
         # (UdfCompiler/): fns are jnp-traceable and fuse into query kernels
         self._udfs: Dict[str, tuple] = {}
+        self._result_cache: Dict[tuple, ResultSet] = {}
         # table functions: name -> fn(*args, **kw) → dict of numpy columns
         # (reference TableFunctionsFactory UDTFs)
         self._table_functions: Dict[str, object] = {}
@@ -230,6 +231,34 @@ class Database:
         if isinstance(st, A.RenameTable):
             self.catalog.rename_table(st.old, st.new)
             return None
+        if isinstance(st, A.AddColumn):
+            t = self.catalog.get_table(st.table)
+            ti = resolve_type_name(st.column.type_name)
+            default = None
+            if st.column.default is not None:
+                scope = Scope()
+                e = ExprBinder(scope, self, allow_aggs=False).bind(
+                    st.column.default
+                )
+                if ti.is_dict_string:
+                    default = str(e.value) if e.value is not None else None
+                else:
+                    default = _const_value(e, ti)
+                    # add_column backfills through to_physical, which expects
+                    # RAW values — undo decimal scaling
+                    if ti.is_decimal and default is not None:
+                        default = default / 10**ti.scale
+            t.add_column(st.column.name, ti, default)
+            return None
+        if isinstance(st, A.DropColumn):
+            self.catalog.get_table(st.table).drop_column(st.column)
+            return None
+        if isinstance(st, A.RenameColumn):
+            self.catalog.get_table(st.table).rename_column(st.old, st.new)
+            return None
+        if isinstance(st, A.OptimizeTable):
+            self.catalog.get_table(st.name).recompute_metadata()
+            return None
         if isinstance(st, A.TruncateTable):
             self.catalog.get_table(st.name).delete_all()
             return None
@@ -354,6 +383,17 @@ class Database:
             with timer.scope("plan"):
                 plan = self._plan_select(sel)
                 plan = optimize(plan)
+            # result-set recycler (reference ResultSetRecycler, enabled by
+            # the keep_result hint): reuse decoded results while the source
+            # tables' generations are unchanged
+            cache_key = None
+            if "keep_result" in (sel.hints or {}):
+                cache_key = self._result_cache_key(plan)
+                if cache_key is not None:
+                    hit = self._result_cache.get(cache_key)
+                    if hit is not None:
+                        self.last_query_timings = None
+                        return hit
             with timer.scope("execute"):
                 batch = self.executor.execute(plan)
             with timer.scope("fetch"):
@@ -362,8 +402,23 @@ class Database:
                     ref = _node_dict_ref(plan, i)
                     dicts.append(self.dict_by_ref(ref) if ref else None)
                 rs = from_batch(batch, plan.fields, plan.types, dicts)
+        if cache_key is not None:
+            self._result_cache[cache_key] = rs
         self.last_query_timings = timer.to_dict()
         return rs
+
+    def _result_cache_key(self, plan: R.RelNode):
+        from heavydb_tpu.plan.rel_alg import Scan, topo_order
+
+        gens = []
+        for n in topo_order(plan):
+            for e in _iter_all_exprs(n):
+                for sub in E.walk(e):
+                    if isinstance(sub, E.SubqueryExpr):
+                        return None  # subquery results not tracked
+            if isinstance(n, Scan):
+                gens.append((n.table.table_id, n.table.generation))
+        return (plan.plan_key(), tuple(gens))
 
     def _explain(self, st: A.Explain) -> ResultSet:
         if not isinstance(st.stmt, A.Select):
@@ -669,6 +724,21 @@ def _host_cast_array(arr: np.ndarray, src: T.TypeInfo, dst: T.TypeInfo) -> np.nd
     else:
         out[nulls] = dst.null_sentinel()
     return out
+
+
+def _iter_all_exprs(node):
+    from heavydb_tpu.exec.executor import _iter_node_exprs
+
+    yield from _iter_node_exprs(node)
+    if isinstance(node, R.Window):
+        yield from node.wfuncs
+    if isinstance(node, R.Project):
+        yield from node.exprs
+    if isinstance(node, R.Filter):
+        yield node.condition
+    if isinstance(node, R.Aggregate):
+        yield from node.group_exprs
+        yield from node.agg_exprs
 
 
 def _register_system_tfs(registry):

@@ -235,19 +235,34 @@ class Executor:
         return out
 
     # ---- Scan ----
-    def _exec_scan(self, node: R.Scan, needed) -> B.Batch:
+    def _exec_scan(self, node: R.Scan, needed, frag_ids=None) -> B.Batch:
         t = node.table
-        n = t.num_rows
+        if frag_ids is not None:
+            frags = [t.fragments[i] for i in frag_ids]
+            n = sum(f.num_rows for f in frags)
+            fkey = tuple(frag_ids)
+        else:
+            frags = None
+            n = t.num_rows
+            fkey = None
         size = B.bucket(n)
         cols: List[Optional[jax.Array]] = []
         for i, cd in enumerate(t.columns):
             if needed is not None and i not in needed:
                 cols.append(None)
                 continue
-            key = (t.table_id, t.generation, cd.col_id, size)
+            key = (t.table_id, t.generation, cd.col_id, size, fkey)
             arr = self.scan_cache.get(key)
             if arr is None:
-                host = t.column_values(cd.col_id)
+                if frags is None:
+                    host = t.column_values(cd.col_id)
+                else:
+                    parts = [f.chunks[cd.col_id] for f in frags if f.num_rows]
+                    host = (
+                        np.concatenate(parts)
+                        if parts
+                        else np.empty(0, cd.type.np_dtype())
+                    )
                 arr = jax.device_put(
                     B.pad_to(host, size, cd.type), self._scan_sharding()
                 )
@@ -404,14 +419,103 @@ class Executor:
                     per_input_needed[i].add(f - offsets[i])
                     break
 
-        batches = [
-            self._exec(inp, memo, per_input_needed[i])
-            for i, inp in enumerate(node.inputs)
-        ]
+        batches = []
+        for i, inp in enumerate(node.inputs):
+            frag_ids = None
+            if (
+                isinstance(inp, R.Scan)
+                and getattr(self.config, "enable_fragment_skipping", True)
+                and node.filter_cond is not None
+                and len(inp.table.fragments) > 1
+            ):
+                frag_ids = self._surviving_fragments(
+                    inp, offsets[i], node.filter_cond
+                )
+            if frag_ids is not None:
+                batches.append(self._exec_scan(inp, per_input_needed[i], frag_ids))
+            else:
+                batches.append(self._exec(inp, memo, per_input_needed[i]))
 
         # 2. plan the kernel (strategy, caps, aux arrays)
         plan = self._plan_compound(node, batches, offsets)
         return batches, plan
+
+    # ---- fragment skipping (reference Executor::skipFragment,
+    # Execute.cpp:4776: compare simple quals against chunk min/max) ----
+    def _surviving_fragments(self, scan: R.Scan, offset: int, filter_cond):
+        from heavydb_tpu.plan.optimizer import _split_conjuncts
+
+        t = scan.table
+        quals = []  # (col_id, op, physical value)
+        for c in _split_conjuncts(filter_cond):
+            q = self._simple_qual(c, scan, offset)
+            if q is not None:
+                quals.append(q)
+        if not quals:
+            return None
+        keep = []
+        for frag in t.fragments:
+            ok = True
+            for col_id, op, v in quals:
+                st = frag.stats.get(col_id)
+                if st is None or st.min is None:
+                    continue
+                mn, mx = st.min, st.max
+                if op == "=" and not (mn <= v <= mx):
+                    ok = False
+                elif op == "<" and not (mn < v):
+                    ok = False
+                elif op == "<=" and not (mn <= v):
+                    ok = False
+                elif op == ">" and not (mx > v):
+                    ok = False
+                elif op == ">=" and not (mx >= v):
+                    ok = False
+                if not ok:
+                    break
+            if ok:
+                keep.append(frag.fragment_id)
+        if len(keep) == len(t.fragments):
+            return None
+        return keep
+
+    def _simple_qual(self, c, scan: R.Scan, offset: int):
+        """col <cmp> const over this scan's columns → (col_id, op, value)."""
+        _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+        if isinstance(c, E.DictStrPredicate) and c.kind == "CMP" \
+                and c.cmp_op == "=" and not c.negated \
+                and isinstance(c.arg, E.InputRef):
+            local = c.arg.field_idx - offset
+            if 0 <= local < scan.arity and c.dict_ref is not None:
+                d = self.db.dict_by_ref(c.dict_ref)
+                sid = d.get_id(c.pattern)
+                cd = scan.table.columns[local]
+                if (scan.table.table_id, cd.col_id) == c.dict_ref:
+                    return (cd.col_id, "=", sid)
+            return None
+        if not isinstance(c, E.BinOp) or c.op not in E.COMPARISON_OPS \
+                or c.op == E.BinOpKind.NE:
+            return None
+        lhs, rhs, op = c.left, c.right, c.op.value
+        if isinstance(rhs, E.InputRef) and isinstance(lhs, E.Constant):
+            lhs, rhs = rhs, lhs
+            op = _FLIP.get(op, op)
+        if not (isinstance(lhs, E.InputRef) and isinstance(rhs, E.Constant)):
+            return None
+        if rhs.value is None:
+            return None
+        local = lhs.field_idx - offset
+        if not (0 <= local < scan.arity):
+            return None
+        cd = scan.table.columns[local]
+        if not (cd.type.is_integer or cd.type.is_time or cd.type.is_decimal
+                or cd.type.is_boolean):
+            return None
+        try:
+            v = int(rhs.value)
+        except (TypeError, ValueError):
+            return None
+        return (cd.col_id, op, v)
 
     # ---- compound planning ----
     def _plan_compound(self, node: R.Compound, batches, offsets):

@@ -119,9 +119,27 @@ def sort_group_ids(key_tvs: Sequence[TV], mask, cap: int):
     return gid, num_groups, rep_rows
 
 
+# Scatter with massively-colliding indices serializes on TPU (XLA lowers
+# conflicting scatter-adds to sequential updates) — 100M rows into 2 slots
+# took 33s.  Strategy by slot count (the TPU analogue of the reference's
+# shared-memory vs global-memory aggregation split, GpuSharedMemoryUtils):
+#   slots == 1          → plain masked reductions (VPU, one pass)
+#   slots ≤ SMALL_SLOTS → per-slot masked reductions over a [slots, N] value
+#                         broadcast — XLA fuses to slots cheap passes
+#   otherwise           → scatter (collisions are rare when slots is large)
+SMALL_SLOTS = 8
+
+
 def segment_count(gid, contrib_mask, num_slots: int):
-    c = contrib_mask.astype(jnp.int64) if contrib_mask is not None else 1
-    seg = jnp.where(contrib_mask, gid, num_slots) if contrib_mask is not None else gid
+    n = gid.shape[0]
+    cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
+    if num_slots == 1:
+        return cm.sum(dtype=jnp.int64)[None]
+    if num_slots <= SMALL_SLOTS:
+        slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
+        eq = (gid[None, :] == slot_ids[:, None]) & cm[None, :]
+        return eq.sum(axis=1, dtype=jnp.int64)
+    seg = jnp.where(cm, gid, num_slots)
     return jnp.zeros(num_slots + 1, jnp.int64).at[seg].add(1, mode="drop")[:num_slots]
 
 
@@ -129,6 +147,13 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
     v = jnp.asarray(values, acc_dtype)
     if contrib_mask is not None:
         v = jnp.where(contrib_mask, v, jnp.asarray(0, acc_dtype))
+    if num_slots == 1:
+        return v.sum()[None]
+    if num_slots <= SMALL_SLOTS:
+        slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
+        vv = jnp.where(gid[None, :] == slot_ids[:, None], v[None, :],
+                       jnp.asarray(0, acc_dtype))
+        return vv.sum(axis=1)
     return jnp.zeros(num_slots + 1, acc_dtype).at[jnp.minimum(gid, num_slots)].add(
         v, mode="drop"
     )[:num_slots]
@@ -144,6 +169,13 @@ def segment_minmax(gid, values, contrib_mask, num_slots: int, is_min: bool):
     v = values
     if contrib_mask is not None:
         v = jnp.where(contrib_mask, v, ident)
+    red = jnp.min if is_min else jnp.max
+    if num_slots == 1:
+        return red(v)[None]
+    if num_slots <= SMALL_SLOTS:
+        slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
+        vv = jnp.where(gid[None, :] == slot_ids[:, None], v[None, :], ident)
+        return red(vv, axis=1)
     buf = jnp.full(num_slots + 1, ident, dt)
     g = jnp.minimum(gid, num_slots)
     if is_min:

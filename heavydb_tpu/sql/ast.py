@@ -269,6 +269,30 @@ class RenameTable(Statement):
 
 
 @dataclass
+class AddColumn(Statement):
+    table: str = ""
+    column: "ColumnDef" = None
+
+
+@dataclass
+class DropColumn(Statement):
+    table: str = ""
+    column: str = ""
+
+
+@dataclass
+class RenameColumn(Statement):
+    table: str = ""
+    old: str = ""
+    new: str = ""
+
+
+@dataclass
+class OptimizeTable(Statement):
+    name: str = ""
+
+
+@dataclass
 class InsertValues(Statement):
     table: str
     columns: Optional[List[str]] = None

@@ -166,6 +166,10 @@ class Parser:
         if kw == "VALIDATE":
             self.next()
             return A.ValidateStmt()
+        if kw == "OPTIMIZE":
+            self.next()
+            self.expect_kw("TABLE")
+            return A.OptimizeTable(self.ident())
         if kw == "DUMP":
             self.next()
             self.expect_kw("TABLE")
@@ -259,10 +263,37 @@ class Parser:
     def _alter(self) -> A.Statement:
         self.expect_kw("ALTER")
         self.expect_kw("TABLE")
-        old = self.ident()
-        self.expect_kw("RENAME")
-        self.expect_kw("TO")
-        return A.RenameTable(old, self.ident())
+        table = self.ident()
+        if self.eat_kw("RENAME"):
+            if self.eat_kw("COLUMN"):
+                old = self.ident()
+                self.expect_kw("TO")
+                return A.RenameColumn(table, old, self.ident())
+            self.expect_kw("TO")
+            return A.RenameTable(table, self.ident())
+        if self.eat_kw("ADD"):
+            self.eat_kw("COLUMN")
+            cname = self.ident()
+            tn = self._type_name()
+            default = None
+            while True:
+                if self.eat_kw("NOT"):
+                    self.expect_kw("NULL")
+                    tn.not_null = True
+                elif self.eat_kw("DEFAULT"):
+                    default = self.parse_expr()
+                elif self.eat_kw("ENCODING"):
+                    self.ident()
+                    if self.eat_op("("):
+                        self.next()
+                        self.expect_op(")")
+                else:
+                    break
+            return A.AddColumn(table, A.ColumnDef(cname, tn, default))
+        if self.eat_kw("DROP"):
+            self.eat_kw("COLUMN")
+            return A.DropColumn(table, self.ident())
+        raise ParserError("expected RENAME, ADD or DROP after ALTER TABLE")
 
     def _insert(self) -> A.Statement:
         self.expect_kw("INSERT")

@@ -174,6 +174,60 @@ class Table:
             self.fragments = []
             self.generation += 1
 
+    def add_column(self, name: str, ti: T.TypeInfo, default=None):
+        """ALTER TABLE ADD COLUMN (reference Catalog::addColumn + fragmenter
+        backfill).  Existing rows get the default (or NULL)."""
+        with self._lock:
+            if self.column_by_name(name) is not None:
+                raise CatalogError(f"column {name!r} already exists")
+            col_id = max((cd.col_id for cd in self.columns), default=0) + 1
+            cd = ColumnDescriptor(name, ti, col_id, default)
+            self.columns.append(cd)
+            if ti.is_dict_string:
+                self.dicts[col_id] = StringDictionary(dict_id=col_id)
+            fill_vals = [default] if default is not None else [None]
+            for frag in self.fragments:
+                vals = fill_vals * frag.num_rows
+                frag.chunks[col_id] = to_physical(
+                    vals, ti, self.dicts.get(col_id)
+                )
+                frag.compute_stats(cd)
+            self.generation += 1
+            return cd
+
+    def drop_column(self, name: str):
+        with self._lock:
+            cd = self.column_by_name(name)
+            if cd is None:
+                raise CatalogError(f"no column {name!r}")
+            if len(self.columns) == 1:
+                raise CatalogError("cannot drop the last column")
+            self.columns = [c for c in self.columns if c.col_id != cd.col_id]
+            self.dicts.pop(cd.col_id, None)
+            for frag in self.fragments:
+                frag.chunks.pop(cd.col_id, None)
+                frag.stats.pop(cd.col_id, None)
+            self.generation += 1
+
+    def rename_column(self, old: str, new: str):
+        with self._lock:
+            cd = self.column_by_name(old)
+            if cd is None:
+                raise CatalogError(f"no column {old!r}")
+            if self.column_by_name(new) is not None:
+                raise CatalogError(f"column {new!r} already exists")
+            cd.name = new
+            self.generation += 1
+
+    def recompute_metadata(self):
+        """OPTIMIZE TABLE (reference TableOptimizer::recomputeMetadata)."""
+        with self._lock:
+            for frag in self.fragments:
+                for cd in self.columns:
+                    if cd.col_id in frag.chunks:
+                        frag.compute_stats(cd)
+            self.generation += 1
+
     # ---- reads ----
     def column_values(self, col_id: int) -> np.ndarray:
         """Concatenated host values for a column (exact length)."""

@@ -447,3 +447,54 @@ def test_to_arrow(db):
     assert tbl.column("s").to_pylist() == ["a", None]
     assert str(tbl.schema.field("d").type) == "date32[day]"
     assert tbl.column("x").to_pylist() == [1, None]
+
+
+def test_fragment_skipping(db):
+    # tiny fragments; quals outside per-fragment ranges must still be correct
+    db.sql("CREATE TABLE fs (x INT, s TEXT) WITH (fragment_size=100)")
+    import numpy as np
+
+    xs = np.arange(1000)  # sorted → fragments have tight ranges
+    ss = np.array(["lo" if v < 500 else "hi" for v in xs], object)
+    db.load_table("fs", {"x": xs, "s": ss})
+    t = db.catalog.get_table("fs")
+    assert len(t.fragments) == 10
+    assert db.sql("SELECT count(*) FROM fs WHERE x >= 950").scalar() == 50
+    assert db.sql("SELECT sum(x) FROM fs WHERE x BETWEEN 250 AND 260").scalar() == sum(range(250, 261))
+    assert db.sql("SELECT count(*) FROM fs WHERE x = 123").scalar() == 1
+    assert db.sql("SELECT count(*) FROM fs WHERE s = 'hi' AND x < 510").scalar() == 10
+    assert db.sql("SELECT count(*) FROM fs WHERE x > 2000").scalar() == 0
+    # group-by over pruned scan
+    rows = db.sql(
+        "SELECT s, count(*) FROM fs WHERE x >= 900 GROUP BY s"
+    ).rows()
+    assert rows == [("hi", 100)]
+
+
+def test_alter_table_columns(db):
+    db.sql("CREATE TABLE at (x INT)")
+    db.sql("INSERT INTO at VALUES (1), (2)")
+    db.sql("ALTER TABLE at ADD COLUMN y DOUBLE DEFAULT 9.5")
+    db.sql("ALTER TABLE at ADD COLUMN s TEXT")
+    rows = db.sql("SELECT x, y, s FROM at ORDER BY x").rows()
+    assert rows == [(1, 9.5, None), (2, 9.5, None)]
+    db.sql("INSERT INTO at VALUES (3, 1.0, 'n')")
+    db.sql("ALTER TABLE at RENAME COLUMN y TO yy")
+    assert db.sql("SELECT sum(yy) FROM at").scalar() == pytest.approx(20.0)
+    db.sql("ALTER TABLE at DROP COLUMN yy")
+    assert [f for f in db.sql("SELECT * FROM at").fields] == ["x", "s"]
+    db.sql("OPTIMIZE TABLE at")
+    assert db.sql("SELECT count(*) FROM at").scalar() == 3
+
+
+def test_result_recycler(db):
+    db.sql("CREATE TABLE rr (x INT)")
+    db.sql("INSERT INTO rr VALUES (1), (2)")
+    q = "SELECT /*+ keep_result */ sum(x) FROM rr"
+    assert db.sql(q).scalar() == 3
+    assert len(db._result_cache) == 1
+    rs2 = db.sql(q)
+    assert rs2.scalar() == 3
+    # invalidated by writes
+    db.sql("INSERT INTO rr VALUES (10)")
+    assert db.sql(q).scalar() == 13
