@@ -79,6 +79,34 @@ def main():
         f"rows/s={rows_per_s:,.0f}")
     log(f"e2e times={['%.4f' % s for s in e2e_times]}")
 
+    # ceiling: the same computation as a minimal hand-written XLA kernel —
+    # engine overhead = our time / raw time
+    try:
+        import jax.numpy as jnp
+
+        sc = db.executor.scan_cache
+        xd = next(v for k, v in sc.items() if k[2] == 1)
+        yd = next(v for k, v in sc.items() if k[2] == 2)
+
+        @_jax.jit
+        def raw(xa, ya, nr):
+            m = (_jax.lax.broadcasted_iota(jnp.int32, xa.shape, 0) < nr) & (
+                xa > 500000
+            )
+            return m.sum(dtype=jnp.int32), jnp.where(m, ya, 0).sum()
+
+        nr = jnp.asarray(n_rows, jnp.int32)
+        _jax.block_until_ready(raw(xd, yd, nr))
+        raws = []
+        for _ in range(iters):
+            t0 = time.time()
+            _jax.block_until_ready(raw(xd, yd, nr))
+            raws.append(time.time() - t0)
+        log(f"raw XLA ceiling: {min(raws)*1e3:.1f}ms — engine/raw = "
+            f"{best/min(raws):.2f}x")
+    except Exception as e:
+        log(f"raw ceiling measurement failed: {e!r}")
+
     # speed-of-light: bytes touched = 4B (x) + 4B (y) per row from HBM
     hbm_bw = {
         "tpu": 819e9,  # v5e ~819 GB/s

@@ -131,16 +131,20 @@ SMALL_SLOTS = 8
 
 
 def segment_count(gid, contrib_mask, num_slots: int):
+    # accumulate in i32 (i64 is emulated on TPU), widen at the end; per-chip
+    # row counts stay under 2^31
     n = gid.shape[0]
     cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
     if num_slots == 1:
-        return cm.sum(dtype=jnp.int64)[None]
+        return cm.sum(dtype=jnp.int32).astype(jnp.int64)[None]
     if num_slots <= SMALL_SLOTS:
         slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
         eq = (gid[None, :] == slot_ids[:, None]) & cm[None, :]
-        return eq.sum(axis=1, dtype=jnp.int64)
+        return eq.sum(axis=1, dtype=jnp.int32).astype(jnp.int64)
     seg = jnp.where(cm, gid, num_slots)
-    return jnp.zeros(num_slots + 1, jnp.int64).at[seg].add(1, mode="drop")[:num_slots]
+    return jnp.zeros(num_slots + 1, jnp.int32).at[seg].add(
+        1, mode="drop"
+    )[:num_slots].astype(jnp.int64)
 
 
 def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):

@@ -843,7 +843,9 @@ def _agg_result_type(kind: E.AggKind, arg, distinct: bool) -> T.TypeInfo:
         if not t.is_number and not t.is_null_type:
             raise BinderError(f"SUM of {t}")
         if t.is_fp:
-            return T.double(nullable=True)
+            # SUM(FLOAT)→FLOAT like the reference (get_agg_type); also keeps
+            # accumulation in f32 — f64 is emulated (slow) on TPU
+            return t.with_nullable(True)
         if t.is_decimal:
             return T.decimal(19, t.scale, True)
         return T.bigint(nullable=True)
