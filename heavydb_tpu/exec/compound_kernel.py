@@ -276,21 +276,21 @@ def _build_compound_kernel(node, batches, plan, config):
                 gid, num_slots = G.perfect_group_ids(key_tvs, ranges, mask)
                 slots = num_slots
                 num_groups = jnp.asarray(num_slots, jnp.int32)
-                # materialize keys by scattering each group's actual value
-                # into its slot (all rows of a slot share the value; needed
-                # because bucketed keys aren't reconstructible from the slot
-                # index — reference get_group_value_fast_with_original_key)
-                seg = jnp.minimum(gid, slots)
+                # materialize keys per slot: all rows of a slot share the key
+                # value, so MIN over the slot recovers it (needed because
+                # bucketed keys aren't reconstructible from the slot index —
+                # reference get_group_value_fast_with_original_key); rows with
+                # a NULL key occupy their own slot, so per-slot key validity
+                # is (count of valid-key rows) > 0
                 key_out_tvs = []
                 for (val, valid), gexpr in zip(key_tvs, node.group_exprs):
                     dt = gexpr.type.np_dtype()
-                    kbuf = jnp.zeros(slots + 1, dt).at[seg].set(
-                        jnp.asarray(val, dt), mode="drop"
-                    )[:slots]
+                    kbuf = G.segment_minmax(
+                        gid, jnp.asarray(val, dt), mask, slots, is_min=True
+                    )
                     if valid is not None:
-                        vbuf = jnp.zeros(slots + 1, jnp.bool_).at[seg].set(
-                            valid, mode="drop"
-                        )[:slots]
+                        vmask = valid if mask is None else (mask & valid)
+                        vbuf = G.segment_count(gid, vmask, slots) > 0
                     else:
                         vbuf = None
                     key_out_tvs.append((kbuf, vbuf))

@@ -49,8 +49,15 @@ class ResultSet:
     def to_pandas(self):
         import pandas as pd
 
+        # dedupe duplicate output names (e.g. two SUM(...) columns)
+        names = []
+        seen = {}
+        for f in self.fields:
+            k = seen.get(f, 0)
+            seen[f] = k + 1
+            names.append(f if k == 0 else f"{f}_{k}")
         return pd.DataFrame(
-            {f: self.column(i) for i, f in enumerate(self.fields)}
+            {nm: self.column(i) for i, nm in enumerate(names)}
         )
 
     def scalar(self):

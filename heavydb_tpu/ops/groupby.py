@@ -48,6 +48,36 @@ def _canonical_key(val, valid):
     return nullf, v
 
 
+def _minmax_scan(gid, mask, values, num_slots: int, is_min: bool, ident, dt):
+    """Chunked [chunk, slots] masked min/max under lax.scan (mid-slot TPU
+    path; scatter-min/max serializes like scatter-add)."""
+    n = gid.shape[0]
+    slots_p = ((max(num_slots, 128) + 127) // 128) * 128
+    chunk = _onehot_chunk(slots_p)
+    n_p = ((n + chunk - 1) // chunk) * chunk
+    pad = n_p - n
+    g = jnp.concatenate([gid, jnp.full(pad, -1, jnp.int32)]) if pad else gid
+    m = jnp.concatenate([mask, jnp.zeros(pad, jnp.bool_)]) if pad else mask
+    v = jnp.concatenate([values, jnp.full(pad, ident, dt)]) if pad else values
+    nchunks = n_p // chunk
+    gg = g.reshape(nchunks, chunk)
+    mm = m.reshape(nchunks, chunk)
+    vv = v.reshape(nchunks, chunk)
+    iota = jnp.arange(slots_p, dtype=jnp.int32)
+    red = (jnp.minimum if is_min else jnp.maximum)
+
+    def body(acc, xs):
+        gc, mc, vc = xs
+        hit = (gc[:, None] == iota[None, :]) & mc[:, None]
+        tile = jnp.where(hit, vc[:, None], jnp.asarray(ident, dt))
+        r = tile.min(axis=0) if is_min else tile.max(axis=0)
+        return red(acc, r), None
+
+    init = jnp.full(slots_p, ident, dt)
+    out, _ = jax.lax.scan(body, init, (gg, mm, vv))
+    return out[:num_slots]
+
+
 def perfect_group_ids(
     key_tvs: Sequence[TV],
     # (min, extent, has_nulls, bucket) per key — bucket > 1 for DATE_TRUNC
@@ -121,13 +151,133 @@ def sort_group_ids(key_tvs: Sequence[TV], mask, cap: int):
 
 # Scatter with massively-colliding indices serializes on TPU (XLA lowers
 # conflicting scatter-adds to sequential updates) — 100M rows into 2 slots
-# took 33s.  Strategy by slot count (the TPU analogue of the reference's
-# shared-memory vs global-memory aggregation split, GpuSharedMemoryUtils):
-#   slots == 1          → plain masked reductions (VPU, one pass)
-#   slots ≤ SMALL_SLOTS → per-slot masked reductions over a [slots, N] value
-#                         broadcast — XLA fuses to slots cheap passes
-#   otherwise           → scatter (collisions are rare when slots is large)
+# took 33.8s; 20M rows into 1k slots took 1.28s.  Strategy by slot count
+# (the TPU analogue of the reference's shared-memory vs global-memory
+# aggregation split, GpuSharedMemoryUtils):
+#   slots == 1             → plain masked reductions (VPU, one pass)
+#   slots ≤ SMALL_SLOTS    → per-slot masked reductions (fused cheap passes)
+#   slots ≤ PALLAS_MAX     → Pallas VMEM one-hot MXU kernel (TPU only)
+#   otherwise              → scatter (collisions rare at high cardinality)
 SMALL_SLOTS = 8
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+_PALLAS_OK: dict = {}
+
+
+def _pallas_available(f64: bool = False) -> bool:
+    """Probe once (per flavor) whether representative Pallas kernels compile
+    AND run on this backend — some remote-compile toolchains have Mosaic
+    version skew that rejects gridded kernels at runtime ('failed to
+    legalize func.return'), and f64 use can fail at client lowering."""
+    key = "f64" if f64 else "f32"
+    if key in _PALLAS_OK:
+        return _PALLAS_OK[key]
+    if not _on_tpu():
+        _PALLAS_OK[key] = False
+        return False
+    try:
+        from jax.experimental import pallas as pl
+
+        def k(i_ref, o_ref):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                o_ref[...] = jnp.zeros_like(o_ref)
+
+            v = i_ref[...]
+            if f64:
+                o_ref[...] += (v * 2.0).astype(jnp.float64)
+            else:
+                o_ref[...] += v * 2.0
+
+        x = jnp.zeros((16, 128), jnp.float32)
+        out_dt = jnp.float64 if f64 else jnp.float32
+        out = jax.jit(
+            lambda a: pl.pallas_call(
+                k,
+                grid=(2,),
+                in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0))],
+                out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((8, 128), out_dt),
+            )(a)
+        )(x)
+        jax.block_until_ready(out)
+        _PALLAS_OK[key] = True
+    except Exception:
+        _PALLAS_OK[key] = False
+    return _PALLAS_OK[key]
+
+
+def _pallas_eligible(num_slots: int, f64: bool = False) -> bool:
+    from heavydb_tpu.kernels.groupby_pallas import PALLAS_MAX_SLOTS
+
+    return (
+        SMALL_SLOTS < num_slots <= PALLAS_MAX_SLOTS and _pallas_available(f64)
+    )
+
+
+# XLA fallback for mid-cardinality slots when Pallas is unavailable:
+# chunked one-hot matmul under lax.scan — N×slots MXU FLOPs, bounded
+# [chunk, slots] intermediates, ~12x faster than serialized scatter.
+ONEHOT_MAX_SLOTS = 4096
+
+
+def _onehot_chunk(slots_p: int) -> int:
+    c = (1 << 23) // (4 * slots_p)  # ≤ 8MB intermediate
+    return int(max(512, min(8192, (c // 512) * 512 if c >= 512 else 512)))
+
+
+def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=()):
+    """Returns [counts i32, sums... per value] each [num_slots] — one scan,
+    shared one-hot.  exact_accs[i] True → value i accumulates in f64 (used
+    for 16-bit limb integer sums; per-chunk dots stay exact in f32)."""
+    n = gid.shape[0]
+    slots_p = ((max(num_slots, 128) + 127) // 128) * 128
+    chunk = _onehot_chunk(slots_p)
+    n_p = ((n + chunk - 1) // chunk) * chunk
+    pad = n_p - n
+    g = jnp.concatenate([gid.astype(jnp.int32), jnp.full(pad, -1, jnp.int32)]) \
+        if pad else gid.astype(jnp.int32)
+    m = jnp.concatenate([mask, jnp.zeros(pad, jnp.bool_)]) if pad else mask
+    vals = [
+        jnp.concatenate([jnp.asarray(v, jnp.float32), jnp.zeros(pad, jnp.float32)])
+        if pad else jnp.asarray(v, jnp.float32)
+        for v in value_list
+    ]
+    nchunks = n_p // chunk
+    gg = g.reshape(nchunks, chunk)
+    mm = m.reshape(nchunks, chunk)
+    vv = [v.reshape(nchunks, chunk) for v in vals]
+    iota = jnp.arange(slots_p, dtype=jnp.int32)
+
+    def body(accs, xs):
+        gc = xs[0]
+        mc = xs[1].astype(jnp.float32)
+        oh = (gc[:, None] == iota[None, :]).astype(jnp.float32) * mc[:, None]
+        blk_cnt = jnp.dot(mc[None, :], oh,
+                          preferred_element_type=jnp.float32)[0]
+        # counts exact: per-chunk dot is a small int in f32, accumulate i32
+        outs = [accs[0] + blk_cnt.astype(jnp.int32)]
+        for i, vc in enumerate(xs[2:]):
+            blk = jnp.dot(vc[None, :], oh,
+                          preferred_element_type=jnp.float32)[0]
+            outs.append(accs[i + 1] + blk.astype(accs[i + 1].dtype))
+        return tuple(outs), None
+
+    flags = list(exact_accs) + [False] * (len(vals) - len(exact_accs))
+    init = tuple(
+        [jnp.zeros(slots_p, jnp.int32)]
+        + [jnp.zeros(slots_p, jnp.float64 if f else jnp.float32)
+           for f in flags]
+    )
+    accs, _ = jax.lax.scan(body, init, (gg, mm, *vv))
+    return [a[:num_slots] for a in accs]
 
 
 def segment_count(gid, contrib_mask, num_slots: int):
@@ -141,6 +291,12 @@ def segment_count(gid, contrib_mask, num_slots: int):
         slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
         eq = (gid[None, :] == slot_ids[:, None]) & cm[None, :]
         return eq.sum(axis=1, dtype=jnp.int32).astype(jnp.int64)
+    if _pallas_eligible(num_slots):
+        from heavydb_tpu.kernels.groupby_pallas import count_per_slot
+
+        return count_per_slot(gid.astype(jnp.int32), cm, num_slots)
+    if _on_tpu() and num_slots <= ONEHOT_MAX_SLOTS:
+        return _onehot_scan(gid, cm, [], num_slots)[0].astype(jnp.int64)
     seg = jnp.where(cm, gid, num_slots)
     return jnp.zeros(num_slots + 1, jnp.int32).at[seg].add(
         1, mode="drop"
@@ -148,7 +304,9 @@ def segment_count(gid, contrib_mask, num_slots: int):
 
 
 def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
-    v = jnp.asarray(values, acc_dtype)
+    acc_dtype = np.dtype(acc_dtype)
+    v0 = jnp.asarray(values)
+    v = v0.astype(acc_dtype)
     if contrib_mask is not None:
         v = jnp.where(contrib_mask, v, jnp.asarray(0, acc_dtype))
     if num_slots == 1:
@@ -158,6 +316,38 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
         vv = jnp.where(gid[None, :] == slot_ids[:, None], v[None, :],
                        jnp.asarray(0, acc_dtype))
         return vv.sum(axis=1)
+    n = gid.shape[0]
+    cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
+    g32 = gid.astype(jnp.int32)
+    if _pallas_eligible(num_slots):
+        if acc_dtype.kind == "f" and acc_dtype.itemsize == 4:
+            from heavydb_tpu.kernels.groupby_pallas import sum_f32_per_slot
+
+            return sum_f32_per_slot(g32, v0, cm, num_slots)
+        # int sums use the XLA limb scan below (the Pallas f64 accumulator
+        # variant is disabled: f64-in-Pallas support varies across
+        # toolchains); f64/int64-valued sums also fall through
+    if _on_tpu() and num_slots <= ONEHOT_MAX_SLOTS:
+        if acc_dtype.kind == "f" and acc_dtype.itemsize == 4:
+            s = _onehot_scan(g32, cm, [v0], num_slots)[1]
+            return s.astype(acc_dtype)
+        if acc_dtype.kind == "i" and np.dtype(v0.dtype).kind in "iub" \
+                and np.dtype(v0.dtype).itemsize <= 4:
+            # EXACT int sums: 8-bit limbs of the 2^31-biased value; per-chunk
+            # dots ≤ chunk·255 stay exact in f32, f64 accumulation to 2^53
+            bias = np.int64(1) << 31
+            u = (jnp.asarray(v0, jnp.int64) + bias).astype(jnp.uint32)
+            limbs = [
+                ((u >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.float32)
+                for k in range(4)
+            ]
+            res = _onehot_scan(g32, cm, limbs, num_slots,
+                               exact_accs=(True,) * 4)
+            cnt = res[0].astype(jnp.int64)
+            total = jnp.zeros(num_slots, jnp.int64)
+            for k in range(4):
+                total = total + (res[1 + k].astype(jnp.int64) << (8 * k))
+            return (total - cnt * bias).astype(acc_dtype)
     return jnp.zeros(num_slots + 1, acc_dtype).at[jnp.minimum(gid, num_slots)].add(
         v, mode="drop"
     )[:num_slots]
@@ -180,6 +370,19 @@ def segment_minmax(gid, values, contrib_mask, num_slots: int, is_min: bool):
         slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
         vv = jnp.where(gid[None, :] == slot_ids[:, None], v[None, :], ident)
         return red(vv, axis=1)
+    if _pallas_eligible(num_slots) and dt.itemsize <= 4:
+        from heavydb_tpu.kernels.groupby_pallas import minmax_per_slot
+
+        n = values.shape[0]
+        cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
+        return minmax_per_slot(
+            gid.astype(jnp.int32), values, cm, num_slots, is_min
+        )
+    if _on_tpu() and num_slots <= ONEHOT_MAX_SLOTS:
+        n = values.shape[0]
+        cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
+        return _minmax_scan(gid.astype(jnp.int32), cm, values, num_slots,
+                            is_min, ident, dt)
     buf = jnp.full(num_slots + 1, ident, dt)
     g = jnp.minimum(gid, num_slots)
     if is_min:
