@@ -652,9 +652,13 @@ class Database:
     # COPY
     # ------------------------------------------------------------------
     def _copy_from(self, st: A.CopyFrom) -> ResultSet:
-        from heavydb_tpu.io.csv_import import import_csv
+        from heavydb_tpu.io.csv_import import detect_column_types, import_csv
 
-        t = self.catalog.get_table(st.table)
+        t = self.catalog.get_table_opt(st.table)
+        if t is None:
+            # auto-create with detected schema (reference detect_column_types)
+            schema = detect_column_types(st.path, st.options)
+            t = self.catalog.create_table(st.table, schema)
         n = import_csv(t, st.path, st.options)
         return _string_result("result", [f"Loaded: {n} recs"])
 

@@ -179,6 +179,15 @@ def _pallas_available(f64: bool = False) -> bool:
     key = "f64" if f64 else "f32"
     if key in _PALLAS_OK:
         return _PALLAS_OK[key]
+    import os
+
+    # opt-in: this dev relay load-balances compiles across helper endpoints
+    # of mixed Mosaic versions, so a successful probe does NOT guarantee the
+    # next pallas compile lands on a working helper.  On real TPU hosts set
+    # HEAVYDB_TPU_ENABLE_PALLAS=1.
+    if not os.environ.get("HEAVYDB_TPU_ENABLE_PALLAS"):
+        _PALLAS_OK[key] = False
+        return False
     if not _on_tpu():
         _PALLAS_OK[key] = False
         return False
@@ -264,7 +273,11 @@ def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=()):
                           preferred_element_type=jnp.float32)[0]
         # counts exact: per-chunk dot is a small int in f32, accumulate i32
         outs = [accs[0] + blk_cnt.astype(jnp.int32)]
+        mbool = xs[1]
         for i, vc in enumerate(xs[2:]):
+            # sanitize BEFORE the dot: masked rows may hold NaN sentinels and
+            # NaN·0 would poison the whole product
+            vc = jnp.where(mbool, vc, jnp.asarray(0, vc.dtype))
             blk = jnp.dot(vc[None, :], oh,
                           preferred_element_type=jnp.float32)[0]
             outs.append(accs[i + 1] + blk.astype(accs[i + 1].dtype))

@@ -498,3 +498,25 @@ def test_result_recycler(db):
     # invalidated by writes
     db.sql("INSERT INTO rr VALUES (10)")
     assert db.sql(q).scalar() == 13
+
+
+def test_copy_autocreate_with_detection(db, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "id,name,score,seen,flag\n"
+        "1,alice,3.5,2024-01-01,true\n"
+        "2,bob,,2024-02-02,false\n"
+        "3,,7.25,,true\n"
+    )
+    db.sql(f"COPY newtab FROM '{p}'")
+    rows = db.sql("SELECT * FROM newtab ORDER BY id").rows()
+    assert rows[0][1] == "alice" and rows[0][2] == 3.5
+    assert rows[1][2] is None and rows[2][1] is None
+    import datetime
+
+    assert rows[0][3] == datetime.date(2024, 1, 1)
+    assert rows[0][4] is True
+    det = db.sql("DESCRIBE newtab").rows()
+    types = {r[0]: r[1] for r in det}
+    assert "INTEGER" in types["id"] or "BIGINT" in types["id"]
+    assert types["score"].startswith("DOUBLE")

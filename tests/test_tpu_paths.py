@@ -1,0 +1,62 @@
+"""Force the TPU-only aggregation strategies (one-hot scan / minmax scan)
+on the CPU backend and verify exactness — catches NaN-poisoning and limb
+arithmetic bugs without TPU hardware."""
+
+import numpy as np
+import pytest
+
+import heavydb_tpu as hdt
+from heavydb_tpu.ops import groupby as G
+
+
+@pytest.fixture()
+def tpu_paths(monkeypatch):
+    monkeypatch.setattr(G, "_on_tpu", lambda: True)
+
+
+def test_onehot_scan_groupby_exact(tpu_paths, rng):
+    db = hdt.connect()
+    n = 100_000
+    k = rng.integers(0, 500, n).astype(np.int32)
+    vf = np.where(rng.random(n) < 0.15, np.nan, rng.random(n)).astype(np.float32)
+    vi = rng.integers(-(2**31) + 1, 2**31 - 1, n).astype(np.int32)
+    db.sql("CREATE TABLE t (k INT, vf FLOAT, vi INT)")
+    db.catalog.get_table("t").insert_columns({1: k, 2: vf, 3: vi})
+    rows = sorted(
+        db.sql(
+            "SELECT k, count(*), count(vf), sum(vf), sum(vi), min(vi), "
+            "max(vi), avg(vf) FROM t GROUP BY k"
+        ).rows()
+    )
+    m = ~np.isnan(vf)
+    ref_c = np.bincount(k, minlength=500)
+    ref_cf = np.bincount(k[m], minlength=500)
+    ref_sf = np.bincount(k[m], weights=vf[m].astype(np.float64), minlength=500)
+    ref_si = np.zeros(500, np.int64)
+    np.add.at(ref_si, k, vi.astype(np.int64))
+    ref_mn = np.full(500, 2**31 - 1, np.int64)
+    np.minimum.at(ref_mn, k, vi)
+    ref_mx = np.full(500, -(2**31), np.int64)
+    np.maximum.at(ref_mx, k, vi)
+    for i in range(500):
+        r = rows[i]
+        assert r[1] == ref_c[i] and r[2] == ref_cf[i]
+        assert r[3] == pytest.approx(ref_sf[i], rel=1e-3)
+        assert r[4] == ref_si[i], f"int sum mismatch at {i}"
+        assert r[5] == ref_mn[i] and r[6] == ref_mx[i]
+        assert r[7] == pytest.approx(ref_sf[i] / max(ref_cf[i], 1), rel=1e-3)
+
+
+def test_small_slot_paths_exact(tpu_paths, rng):
+    db = hdt.connect()
+    n = 50_000
+    k = rng.integers(0, 5, n).astype(np.int32)
+    v = rng.integers(-1000, 1000, n).astype(np.int32)
+    db.sql("CREATE TABLE t (k INT, v INT)")
+    db.catalog.get_table("t").insert_columns({1: k, 2: v})
+    rows = sorted(db.sql("SELECT k, count(*), sum(v) FROM t GROUP BY k").rows())
+    ref_c = np.bincount(k, minlength=5)
+    ref_s = np.zeros(5, np.int64)
+    np.add.at(ref_s, k, v.astype(np.int64))
+    for i in range(5):
+        assert rows[i][1] == ref_c[i] and rows[i][2] == ref_s[i]
