@@ -61,6 +61,21 @@ class Connection:
         return RemoteResult(self._call("sql_execute", session=self.session,
                                        query=query))
 
+    def sql_df(self, query: str):
+        """Arrow-transport query → pyarrow.Table (reference sql_execute_df)."""
+        import base64
+        import io
+
+        import pyarrow as pa
+
+        res = self._call("sql_execute_df", session=self.session, query=query)
+        buf = base64.b64decode(res["arrow_ipc"])
+        with pa.ipc.open_stream(io.BytesIO(buf)) as r:
+            return r.read_all()
+
+    def get_queries_info(self) -> list:
+        return self._call("get_queries_info", session=self.session)
+
     def interrupt(self):
         return self._call("interrupt", session=self.session)
 

@@ -312,11 +312,11 @@ def _build_compound_kernel(node, batches, plan, config):
             out["num_groups"] = num_groups
 
             # partial aggregation + finalize
-            agg_tvs = []
-            for a in node.aggs:
-                la = AGG.LoweredAgg(a)
-                partials = la.accumulate(kc, gid, mask, slots)
-                agg_tvs.append(la.finalize(partials, aux))
+            lowered = [AGG.LoweredAgg(a) for a in node.aggs]
+            all_partials = AGG.accumulate_all(lowered, kc, gid, mask, slots)
+            agg_tvs = [
+                la.finalize(p, aux) for la, p in zip(lowered, all_partials)
+            ]
 
             # group presence
             if group_strategy[0] == "perfect":

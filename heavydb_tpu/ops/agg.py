@@ -33,6 +33,118 @@ class PartialSpec:
     merge: str  # 'sum' | 'min' | 'max'
 
 
+_BATCHABLE = None  # set below
+
+
+def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
+    """Partials for ALL aggregates of one group-by.  On the TPU mid-slot
+    path, every count/sum-style partial becomes one value stream of a SINGLE
+    shared-one-hot scan (separate scans would each re-stream the N×slots
+    one-hot traffic).  Per-aggregate filters fold into the streams
+    (count_i = Σ mask_i, sum_i = Σ value·mask_i), so one scan serves them
+    all.  Other kinds fall back to per-aggregate accumulation."""
+    from heavydb_tpu.ops.groupby import (
+        ONEHOT_MAX_SLOTS,
+        SMALL_SLOTS,
+        _on_tpu,
+        _onehot_scan,
+    )
+
+    A = E.AggKind
+    if not (_on_tpu() and SMALL_SLOTS < num_slots <= ONEHOT_MAX_SLOTS):
+        return [la.accumulate(compiler, gid, mask, num_slots) for la in lowered]
+
+    n = gid.shape[0]
+    base_mask = mask if mask is not None else jnp.ones(n, jnp.bool_)
+    g32 = gid.astype(jnp.int32)
+    streams = []  # (values f32, exact_f64_acc)
+    sinks = []    # (partials dict, key, post fn)
+    limb_jobs = []  # (partials dict, acc dtype)
+    partials: List[Optional[dict]] = [None] * len(lowered)
+
+    for idx, la in enumerate(lowered):
+        k = la.kind
+        agg = la.agg
+        if k not in (A.COUNT, A.COUNT_IF, A.SUM, A.SUM_IF, A.AVG,
+                     A.STDDEV, A.VARIANCE) or (
+            agg.arg is not None and agg.arg.type.is_decimal
+        ):
+            # decimals keep their scaled-int scatter path (exact)
+            partials[idx] = la.accumulate(compiler, gid, mask, num_slots)
+            continue
+        arg_tv = compiler.compile(agg.arg) if agg.arg is not None else None
+        cm = base_mask
+        if arg_tv is not None and arg_tv[1] is not None:
+            cm = cm & arg_tv[1]
+        if k in (A.COUNT_IF, A.SUM_IF):
+            cm = cm & compiler.compile_predicate(agg.arg2)
+        p: dict = {}
+        partials[idx] = p
+        cmf = cm.astype(jnp.float32)
+        streams.append((cmf, True))
+        sinks.append((p, "count", lambda x: x.astype(jnp.int64)))
+        if k in (A.COUNT, A.COUNT_IF):
+            continue
+        val = jnp.asarray(arg_tv[0])
+        vdt = np.dtype(val.dtype)
+        acc = np.dtype(np.float64) if k in (A.STDDEV, A.VARIANCE) \
+            else np.dtype(la._acc_dtype())
+        if acc.kind == "i" and vdt.kind in "iub" and vdt.itemsize <= 4:
+            # exact int sums: biased 8-bit limbs, masked, f64 accumulators
+            bias = np.int64(1) << 31
+            u = (jnp.asarray(val, jnp.int64) + bias).astype(jnp.uint32)
+            for kk in range(4):
+                limb = ((u >> jnp.uint32(8 * kk)) & jnp.uint32(0xFF)).astype(
+                    jnp.float32) * cmf
+                streams.append((limb, True))
+                sinks.append((p, f"$limb{kk}", None))
+            limb_jobs.append((p, acc))
+        else:
+            fv = jnp.asarray(val, jnp.float64)
+            if agg.arg.type.is_decimal:
+                fv = fv / (10**agg.arg.type.scale)
+            if acc == np.dtype(np.float64):
+                # hi/lo f32 split keeps ~f32-relative error with exact f64
+                # accumulation (full-f64 dots can't ride the MXU)
+                hi = fv.astype(jnp.float32)
+                lo = (fv - hi.astype(jnp.float64)).astype(jnp.float32)
+                cmd = cm
+                streams.append((jnp.where(cmd, hi, 0.0), True))
+                sinks.append((p, "$hi", None))
+                streams.append((jnp.where(cmd, lo, 0.0), True))
+                sinks.append((p, "$lo", None))
+                p["$split"] = acc
+            else:
+                fvv = jnp.where(cm, fv.astype(jnp.float32), 0.0)
+                streams.append((fvv, False))
+                sinks.append((p, "sum", lambda x, a=acc: x.astype(a)))
+        if k in (A.STDDEV, A.VARIANCE):
+            f32v = jnp.where(cm, jnp.asarray(val, jnp.float32), 0.0)
+            streams.append((f32v * f32v, True))
+            sinks.append((p, "sumsq", lambda x: x.astype(jnp.float64)))
+
+    if streams:
+        res = _onehot_scan(
+            g32, base_mask, [s for s, _ in streams], num_slots,
+            exact_accs=tuple(f for _, f in streams),
+        )
+        for (p, key, post), r in zip(sinks, res[1:]):
+            p[key] = post(r) if post is not None else r
+        bias = np.int64(1) << 31
+        for p, acc in limb_jobs:
+            total = jnp.zeros(num_slots, jnp.int64)
+            for kk in range(4):
+                total = total + (
+                    p.pop(f"$limb{kk}").astype(jnp.int64) << (8 * kk)
+                )
+            p["sum"] = (total - p["count"] * bias).astype(acc)
+        for p in partials:
+            if p is not None and "$split" in p:
+                acc = p.pop("$split")
+                p["sum"] = (p.pop("$hi") + p.pop("$lo")).astype(acc)
+    return partials
+
+
 class LoweredAgg:
     """One aggregate target, lowered."""
 

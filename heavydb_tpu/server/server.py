@@ -42,6 +42,8 @@ class HeavyTpuServer:
         # the native storage manager)
         self.write_lock = threading.Lock()
         self.start_time = time.time()
+        # in-flight queries per session (reference get_queries_info)
+        self.running: Dict[str, dict] = {}
 
     # ---- dispatch ----
     def handle(self, msg: dict) -> dict:
@@ -83,18 +85,56 @@ class HeavyTpuServer:
         s.interrupted = False
         self.db.executor.interrupt_check = lambda: s.interrupted
         t0 = time.time()
-        is_write = _is_write(query)
-        if is_write:
-            with self.write_lock:
+        self.running[s.id] = {"query": query, "start": t0}
+        try:
+            is_write = _is_write(query)
+            if is_write:
+                with self.write_lock:
+                    rs = self.db.sql(query)
+            else:
                 rs = self.db.sql(query)
-        else:
-            rs = self.db.sql(query)
+        finally:
+            self.running.pop(s.id, None)
         ms = (time.time() - t0) * 1e3
         if rs is None:
             return {"fields": [], "types": [], "columns": [],
                     "row_count": 0, "execution_time_ms": ms}
         out = P.encode_result(rs)
         out["execution_time_ms"] = ms
+        return out
+
+    def rpc_sql_execute_df(self, session: str, query: str) -> dict:
+        """Arrow results over the wire (reference sql_execute_df,
+        heavy.thrift): pyarrow IPC stream, base64."""
+        import base64
+        import io
+
+        import pyarrow as pa
+
+        s = self._session(session)
+        s.interrupted = False
+        t0 = time.time()
+        rs = self.db.sql(query)
+        tbl = rs.to_arrow()
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        return {
+            "arrow_ipc": base64.b64encode(sink.getvalue()).decode(),
+            "row_count": tbl.num_rows,
+            "execution_time_ms": (time.time() - t0) * 1e3,
+        }
+
+    def rpc_get_queries_info(self, session: str) -> list:
+        """Live queries (reference get_queries_info, heavy.thrift:717)."""
+        self._session(session)
+        out = []
+        for sid, info in list(self.running.items()):
+            out.append({
+                "session": sid[:8],
+                "query": info["query"][:200],
+                "elapsed_ms": (time.time() - info["start"]) * 1e3,
+            })
         return out
 
     def rpc_interrupt(self, session: str) -> bool:

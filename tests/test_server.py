@@ -83,3 +83,15 @@ def test_dates_over_wire(conn):
     conn.sql("INSERT INTO d VALUES ('2024-03-01', '2024-03-01 12:30:00')")
     rows = conn.sql("SELECT dt, ts FROM d").rows()
     assert list(rows[0]) == ["2024-03-01", "2024-03-01 12:30:00"]
+
+
+def test_arrow_over_wire(conn):
+    conn.sql("CREATE TABLE arr (x INT, s TEXT)")
+    conn.sql("INSERT INTO arr VALUES (1, 'a'), (2, NULL)")
+    tbl = conn.sql_df("SELECT * FROM arr ORDER BY x")
+    assert tbl.num_rows == 2
+    assert tbl.column("s").to_pylist() == ["a", None]
+
+
+def test_queries_info_empty_when_idle(conn):
+    assert conn.get_queries_info() == []
