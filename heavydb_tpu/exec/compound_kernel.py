@@ -189,6 +189,34 @@ def _build_compound_kernel(node, batches, plan, config):
             cap = caps[li]
             pb = paddeds[bi]
             left_outer = jp.kind == "LEFT"
+            if jp.kind in ("SEMI", "ANTI"):
+                # existence joins: refine the mask, NO domain expansion
+                # (reference: EXISTS/IN executed as hash-join quals)
+                pc = domain_compiler(jp.probe_keys)
+                probe_tvs = [pc.compile(e) for e in jp.probe_keys]
+                pkey, pvalid = pack_keys(probe_tvs, jp, is_build=False)
+                pvalid_m = mask if pvalid is None else (mask & pvalid)
+                build_tvs = [build_side_tv(e, bi) for e in jp.build_keys]
+                if jp.translate is not None:
+                    tbl = aux[jp.translate]
+                    bval, bvalid = build_tvs[0]
+                    safe = jnp.clip(bval, 0, tbl.shape[0] - 1)
+                    tval = jnp.where(
+                        (bval >= 0) & (bval < tbl.shape[0]), tbl[safe], -1
+                    )
+                    build_tvs = [(tval, bvalid)]
+                bkey, bvalid = pack_keys(build_tvs, jp, is_build=True)
+                build = J.build_sorted(bkey, bvalid, nrows[bi])
+                _, cnt = J.probe_counts(build, pkey, pvalid_m)
+                if jp.kind == "SEMI":
+                    mask = mask & (cnt > 0)
+                else:
+                    # ANTI keeps rows with NO match; rows whose key is NULL
+                    # never match, so they are kept (NOT EXISTS semantics)
+                    mask = mask & (cnt == 0)
+                join_needed.append(jnp.asarray(0, jnp.int64))
+                trivial = False
+                continue
             if jp.kind == "CROSS":
                 lo = jnp.zeros(domain_size, jnp.int32)
                 cnt = jnp.where(mask, nrows[bi], 0).astype(jnp.int32)

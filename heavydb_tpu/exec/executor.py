@@ -175,12 +175,16 @@ class Executor:
             ids = tuple(i for i in ids if i >= 0)
             return E.InValues(arg=arg, values=ids, negated=e.negated,
                               type=T.boolean(arg.type.nullable))
-        sentinel = ti.null_sentinel()
         pys = []
+        had_null = False
         for v in vals.tolist():
             if _is_null_value(v, ti):
+                had_null = True
                 continue
             pys.append(_const_to(v, ti, arg.type))
+        if e.negated and had_null:
+            # x NOT IN (..., NULL) is never TRUE (three-valued logic)
+            return E.Constant(0, T.boolean(nullable=False))
         return E.InValues(arg=arg, values=tuple(pys), negated=e.negated,
                           type=T.boolean(arg.type.nullable))
 

@@ -185,11 +185,15 @@ _EXTRACT_MAP = {f.value: f for f in E.ExtractField}
 
 
 class ExprBinder:
-    def __init__(self, scope: Scope, db, allow_aggs: bool):
+    def __init__(self, scope: Scope, db, allow_aggs: bool, outer_scope=None):
         self.scope = scope
         self.db = db  # Database facade for subquery planning
         self.allow_aggs = allow_aggs
         self.aggs: List[E.Agg] = []
+        # enclosing query's scope, for correlated subqueries (reference
+        # Analyzer::Var with rte_idx pointing at the outer query)
+        self.outer_scope = outer_scope
+        self.used_outer = False
 
     # -- public --
     def bind(self, node: A.Expr) -> E.Expr:
@@ -235,7 +239,14 @@ class ExprBinder:
         return E.Constant(float(node.value), T.double(nullable=False))
 
     def _bind_Identifier(self, node: A.Identifier) -> E.Expr:
-        fb = self.scope.resolve(node.parts)
+        try:
+            fb = self.scope.resolve(node.parts)
+        except BinderError:
+            if self.outer_scope is None:
+                raise
+            fb = self.outer_scope.resolve(node.parts)
+            self.used_outer = True
+            return E.OuterRef(fb.field_idx, fb.type, fb.dict_ref)
         return E.InputRef(0, fb.field_idx, fb.type, fb.dict_ref)
 
     def _bind_Unary(self, node: A.Unary) -> E.Expr:
@@ -576,8 +587,19 @@ class ExprBinder:
     def _bind_IntervalLit(self, node: A.IntervalLit):
         raise BinderError("INTERVAL literal only valid in +/- with a date/timestamp")
 
+    def _plan_subquery(self, sub):
+        """Plan a subquery with this binder's scope as the outer scope so
+        correlated references bind to OuterRefs."""
+        from heavydb_tpu.plan.select_planner import SelectPlanner, plan_has_outer_refs
+
+        planner = SelectPlanner(self.db, outer_scope=self.scope)
+        plan = planner.plan(sub)
+        return plan, plan_has_outer_refs(plan)
+
     def _bind_ScalarSubquery(self, node: A.ScalarSubquery) -> E.Expr:
-        plan = self.db._plan_select(node.subquery)
+        plan, correlated = self._plan_subquery(node.subquery)
+        if correlated:
+            raise NotSupported("correlated scalar subqueries")
         if plan.arity != 1:
             raise BinderError("scalar subquery must return one column")
         return E.SubqueryExpr(
@@ -586,19 +608,23 @@ class ExprBinder:
 
     def _bind_InSubquery(self, node: A.InSubquery) -> E.Expr:
         arg = self._bind(node.operand)
-        plan = self.db._plan_select(node.subquery)
+        plan, correlated = self._plan_subquery(node.subquery)
         if plan.arity != 1:
             raise BinderError("IN subquery must return one column")
+        if correlated and node.negated:
+            raise NotSupported(
+                "correlated NOT IN (NULL semantics); use NOT EXISTS"
+            )
         return E.SubqueryExpr(
             plan=plan, kind="in", arg=arg, negated=node.negated,
-            type=T.boolean(arg.type.nullable),
+            correlated=correlated, type=T.boolean(arg.type.nullable),
         )
 
     def _bind_Exists(self, node: A.Exists) -> E.Expr:
-        plan = self.db._plan_select(node.subquery)
+        plan, correlated = self._plan_subquery(node.subquery)
         return E.SubqueryExpr(
             plan=plan, kind="exists", negated=node.negated,
-            type=T.boolean(nullable=False),
+            correlated=correlated, type=T.boolean(nullable=False),
         )
 
     def _bind_FuncCall(self, node: A.FuncCall) -> E.Expr:

@@ -380,6 +380,23 @@ class WindowFunc(Expr):
 
 
 @dataclass(frozen=True)
+class OuterRef(Expr):
+    """Reference to a column of the ENCLOSING query inside a correlated
+    subquery (reference Analyzer::Var with rte_idx into the outer query).
+    Eliminated by decorrelation (→ semi/anti-join equi conditions)."""
+
+    field_idx: int = 0
+    type: T.TypeInfo = None
+    dict_ref: Optional[tuple] = None
+
+    def _key_parts(self):
+        return ("outer", self.field_idx)
+
+    def __repr__(self):
+        return f"$outer.{self.field_idx}"
+
+
+@dataclass(frozen=True)
 class SubqueryExpr(Expr):
     """Uncorrelated scalar subquery / IN-subquery placeholder.  The executor
     evaluates the sub-plan first and substitutes a Constant / InValues
@@ -389,6 +406,7 @@ class SubqueryExpr(Expr):
     kind: str = "scalar"  # 'scalar' | 'in' | 'exists'
     arg: Optional[Expr] = None  # lhs for IN
     negated: bool = False
+    correlated: bool = False  # plan contains OuterRefs → decorrelate
     type: T.TypeInfo = None
 
     def children(self):

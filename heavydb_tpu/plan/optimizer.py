@@ -94,7 +94,26 @@ def _extract_source(node: R.RelNode):
         # left-deep flatten: the left side may itself be a join chain
         l_inputs, l_levels, l_cond = _extract_source(node.inputs[0])
         right = _fuse(node.inputs[1])
-        levels = l_levels + [(node.kind, node.condition)]
+        # SEMI/ANTI levels hide their build fields from the planner's index
+        # space: conditions of levels stacked above them were numbered with
+        # visible (left-node) arity — shift build-side refs to combined space
+        visible = node.inputs[0].arity
+        combined = sum(i.arity for i in l_inputs)
+        cond = node.condition
+        if cond is not None and combined != visible:
+            delta = combined - visible
+
+            def shift(e):
+                if isinstance(e, E.InputRef) and e.field_idx >= visible:
+                    import dataclasses
+
+                    return dataclasses.replace(
+                        e, field_idx=e.field_idx + delta
+                    )
+                return e
+
+            cond = E.rewrite(cond, shift)
+        levels = l_levels + [(node.kind, cond)]
         # filters between joins stay as part of the final filter only for
         # INNER joins (safe to reorder); otherwise break the chain
         if l_cond is not None and node.kind == "LEFT":

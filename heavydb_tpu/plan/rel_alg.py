@@ -126,19 +126,25 @@ class Aggregate(RelNode):
 
 
 class Join(RelNode):
-    """Binary join.  Output schema = left fields ++ right fields.
-    condition references input 0 (left) and input 1 (right)."""
+    """Binary join.  Output schema = left fields ++ right fields, except
+    SEMI/ANTI (existence joins) whose output is the left schema only.
+    condition references the combined (left ++ right) schema."""
 
     def __init__(self, left: RelNode, right: RelNode, kind: str, condition):
         super().__init__([left, right])
         self.kind = kind  # INNER | LEFT | CROSS | SEMI | ANTI
         self.condition = condition
-        self.fields = list(left.fields) + list(right.fields)
-        ltypes = list(left.types)
-        rtypes = [
-            t.with_nullable(True) if kind == "LEFT" else t for t in right.types
-        ]
-        self.types = ltypes + rtypes
+        if kind in ("SEMI", "ANTI"):
+            self.fields = list(left.fields)
+            self.types = list(left.types)
+        else:
+            self.fields = list(left.fields) + list(right.fields)
+            ltypes = list(left.types)
+            rtypes = [
+                t.with_nullable(True) if kind == "LEFT" else t
+                for t in right.types
+            ]
+            self.types = ltypes + rtypes
 
     def _label(self):
         return f"Join({self.kind}, {self.condition})"

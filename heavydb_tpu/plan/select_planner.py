@@ -17,10 +17,23 @@ from heavydb_tpu.plan.builder import ExprBinder, Scope
 from heavydb_tpu.sql import ast as A
 
 
+def plan_has_outer_refs(node: R.RelNode) -> bool:
+    from heavydb_tpu.api import _iter_all_exprs
+
+    for n in R.topo_order(node):
+        for e in _iter_all_exprs(n):
+            for sub in E.walk(e):
+                if isinstance(sub, E.OuterRef):
+                    return True
+    return False
+
+
 class SelectPlanner:
-    def __init__(self, db, cte_env: Optional[Dict[str, R.RelNode]] = None):
+    def __init__(self, db, cte_env: Optional[Dict[str, R.RelNode]] = None,
+                 outer_scope=None):
         self.db = db  # Database facade (catalog access + subquery planning)
         self.cte_env = dict(cte_env or {})
+        self.outer_scope = outer_scope
 
     # ------------------------------------------------------------------
     def plan(self, sel: A.Select) -> R.RelNode:
@@ -152,14 +165,18 @@ class SelectPlanner:
         scope = Scope()
         rel = self._plan_from(sel.from_, scope, env)
 
-        binder = ExprBinder(scope, self.db, allow_aggs=False)
+        binder = ExprBinder(scope, self.db, allow_aggs=False,
+                            outer_scope=self.outer_scope)
 
-        # WHERE
+        # WHERE — correlated EXISTS/IN conjuncts decorrelate into SEMI/ANTI
+        # joins (reference: hash-join existence quals); the rest filters
         if sel.where is not None:
             cond = binder.bind_condition(sel.where)
             if E.is_aggregate(cond):
                 raise BinderError("aggregates not allowed in WHERE")
-            rel = R.Filter(rel, cond)
+            rel, cond = self._decorrelate_where(rel, cond)
+            if cond is not None:
+                rel = R.Filter(rel, cond)
 
         # expand stars, bind projections
         proj_items: List[Tuple[E.Expr, str]] = []
@@ -228,6 +245,115 @@ class SelectPlanner:
                 rel, sel, scope, rewrite_fn, has_aggs or sel.distinct
             )
         return rel
+
+    # ------------------------------------------------------------------
+    def _decorrelate_where(self, rel, cond):
+        """Pull correlated EXISTS/IN conjuncts out of the WHERE condition and
+        turn them into SEMI/ANTI joins on `rel`."""
+        from heavydb_tpu.plan.optimizer import _and_all, _split_conjuncts
+
+        conjs = _split_conjuncts(cond)
+        keep = []
+        for c in conjs:
+            anti = False
+            sub = c
+            if isinstance(c, E.UnOp) and c.op == E.UnOpKind.NOT and \
+                    isinstance(c.operand, E.SubqueryExpr):
+                sub = c.operand
+                anti = True
+            if not (isinstance(sub, E.SubqueryExpr) and sub.correlated
+                    and sub.kind in ("exists", "in")):
+                keep.append(c)
+                continue
+            if sub.negated:
+                anti = not anti
+            rel = self._build_existence_join(rel, sub, anti)
+        return rel, _and_all(keep)
+
+    def _build_existence_join(self, rel, sub: E.SubqueryExpr, anti: bool):
+        """Decorrelate one EXISTS/IN subquery into a SEMI/ANTI join."""
+        import dataclasses
+
+        plan = sub.plan
+        # peel Project/Filter chain; collect filter conjuncts over `base`
+        if not isinstance(plan, R.Project):
+            raise NotSupported("cannot decorrelate this subquery shape")
+        proj = plan
+        filters = []
+        base = proj.inputs[0]
+        while isinstance(base, R.Filter):
+            filters.append(base.condition)
+            base = base.inputs[0]
+        from heavydb_tpu.plan.optimizer import _and_all, _split_conjuncts
+
+        pairs = []  # (outer_expr, inner_expr)
+        residual = []
+        for f in filters:
+            for c in _split_conjuncts(f):
+                has_outer = any(
+                    isinstance(x, E.OuterRef) for x in E.walk(c)
+                )
+                if not has_outer:
+                    residual.append(c)
+                    continue
+                ok = (
+                    isinstance(c, E.BinOp) and c.op == E.BinOpKind.EQ
+                )
+                if ok:
+                    l_out = any(isinstance(x, E.OuterRef) for x in E.walk(c.left))
+                    r_out = any(isinstance(x, E.OuterRef) for x in E.walk(c.right))
+                    if l_out and not r_out:
+                        outer_e, inner_e = c.left, c.right
+                    elif r_out and not l_out:
+                        outer_e, inner_e = c.right, c.left
+                    else:
+                        ok = False
+                if not ok:
+                    raise NotSupported(
+                        "correlated predicate must be an equality between an "
+                        "outer expression and a subquery expression"
+                    )
+                # outer side must be PURE outer (becomes a probe-side expr)
+                def to_inner_ref(e):
+                    if isinstance(e, E.OuterRef):
+                        return E.InputRef(0, e.field_idx, e.type, e.dict_ref)
+                    return e
+
+                outer_probe = E.rewrite(outer_e, to_inner_ref)
+                if any(isinstance(x, E.OuterRef) for x in E.walk(inner_e)):
+                    raise NotSupported("mixed correlated predicate")
+                pairs.append((outer_probe, inner_e))
+        if not pairs:
+            raise NotSupported("correlated subquery without equi predicates")
+        # rebuild subplan: base + residual filters + projection of the
+        # original outputs ++ the inner join-key exprs
+        sq = base
+        resid = _and_all(residual)
+        if resid is not None:
+            sq = R.Filter(sq, resid)
+        inner_exprs = [p for _, p in pairs]
+        new_proj = R.Project(
+            sq,
+            list(proj.exprs) + inner_exprs,
+            list(proj.fields) + [f"$ck{i}" for i in range(len(inner_exprs))],
+        )
+        # join condition over combined schema [rel fields ++ subplan fields]
+        base_idx = rel.arity + len(proj.exprs)
+        conds = []
+        for i, (outer_probe, inner_e) in enumerate(pairs):
+            conds.append(E.BinOp(
+                E.BinOpKind.EQ, outer_probe,
+                E.InputRef(0, base_idx + i, inner_e.type),
+                T.boolean(True),
+            ))
+        if sub.kind == "in":
+            conds.append(E.BinOp(
+                E.BinOpKind.EQ, sub.arg,
+                E.InputRef(0, rel.arity + 0, plan.types[0]),
+                T.boolean(True),
+            ))
+        cond = _and_all(conds)
+        return R.Join(rel, new_proj, "ANTI" if anti else "SEMI", cond)
 
     # ------------------------------------------------------------------
     def _plan_windows(self, rel, proj_items):

@@ -520,3 +520,50 @@ def test_copy_autocreate_with_detection(db, tmp_path):
     types = {r[0]: r[1] for r in det}
     assert "INTEGER" in types["id"] or "BIGINT" in types["id"]
     assert types["score"].startswith("DOUBLE")
+
+
+def test_correlated_exists(db):
+    db.sql("CREATE TABLE c (id INT, name TEXT)")
+    db.sql("CREATE TABLE o (cid INT, amt DOUBLE)")
+    db.sql("INSERT INTO c VALUES (1,'alice'), (2,'bob'), (3,'carol')")
+    db.sql("INSERT INTO o VALUES (1, 10.0), (1, 20.0), (3, 5.0)")
+    rows = db.sql(
+        "SELECT name FROM c WHERE EXISTS "
+        "(SELECT 1 FROM o WHERE o.cid = c.id) ORDER BY name"
+    ).rows()
+    assert [r[0] for r in rows] == ["alice", "carol"]
+    rows = db.sql(
+        "SELECT name FROM c WHERE NOT EXISTS "
+        "(SELECT 1 FROM o WHERE o.cid = c.id) ORDER BY name"
+    ).rows()
+    assert [r[0] for r in rows] == ["bob"]
+    # with an extra uncorrelated predicate inside
+    rows = db.sql(
+        "SELECT name FROM c WHERE EXISTS "
+        "(SELECT 1 FROM o WHERE o.cid = c.id AND o.amt > 15) ORDER BY name"
+    ).rows()
+    assert [r[0] for r in rows] == ["alice"]
+
+
+def test_correlated_in(db):
+    db.sql("CREATE TABLE a (x INT, grp INT)")
+    db.sql("CREATE TABLE b (y INT, grp INT)")
+    db.sql("INSERT INTO a VALUES (1, 10), (2, 10), (3, 20)")
+    db.sql("INSERT INTO b VALUES (1, 10), (3, 10), (3, 20)")
+    rows = db.sql(
+        "SELECT x FROM a WHERE x IN (SELECT y FROM b WHERE b.grp = a.grp) "
+        "ORDER BY x"
+    ).rows()
+    assert [r[0] for r in rows] == [1, 3]
+
+
+def test_correlated_with_other_filters(db):
+    db.sql("CREATE TABLE t1 (k INT, v INT)")
+    db.sql("CREATE TABLE t2 (k INT)")
+    db.sql("INSERT INTO t1 VALUES (1, 100), (2, 5), (3, 100)")
+    db.sql("INSERT INTO t2 VALUES (1), (2)")
+    rows = db.sql(
+        "SELECT k FROM t1 WHERE v > 50 AND EXISTS "
+        "(SELECT 1 FROM t2 WHERE t2.k = t1.k)"
+    ).rows()
+    assert [r[0] for r in rows] == [1]
