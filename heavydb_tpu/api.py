@@ -56,6 +56,9 @@ class Database:
         # (UdfCompiler/): fns are jnp-traceable and fuse into query kernels
         self._udfs: Dict[str, tuple] = {}
         self._result_cache: Dict[tuple, ResultSet] = {}
+        from heavydb_tpu.storage.syscatalog import SysCatalog
+
+        self.syscatalog = SysCatalog()
         # table functions: name -> fn(*args, **kw) → dict of numpy columns
         # (reference TableFunctionsFactory UDTFs)
         self._table_functions: Dict[str, object] = {}
@@ -71,6 +74,11 @@ class Database:
             )
 
             self._catalog_store = PersistentCatalogStore(path)
+            sc_data = self._catalog_store.load_syscatalog()
+            if sc_data:
+                from heavydb_tpu.storage.syscatalog import SysCatalog
+
+                self.syscatalog = SysCatalog.from_json(sc_data)
             for t in self._catalog_store.load(self.catalog):
                 store = TableStore(path, getattr(t, "disk_table_id", t.table_id))
                 self._table_stores[t.table_id] = store
@@ -85,7 +93,7 @@ class Database:
             return
         from heavydb_tpu.storage.persist import TableStore
 
-        self._catalog_store.save(self.catalog)
+        self._catalog_store.save(self.catalog, self.syscatalog)
         live_ids = set()
         for name in self.catalog.list_tables():
             t = self.catalog.get_table(name)
@@ -128,12 +136,17 @@ class Database:
     # ------------------------------------------------------------------
     # public
     # ------------------------------------------------------------------
-    def sql(self, text: str) -> Optional[ResultSet]:
+    def sql(self, text: str, user: Optional[str] = None) -> Optional[ResultSet]:
         """Execute one SQL statement (the last result is returned if the text
-        contains several)."""
+        contains several).  `user` enables privilege checks (reference
+        SysCatalog object privileges); None = embedded superuser."""
         stmts = parse_many(text)
         out = None
         for st in stmts:
+            if user is not None:
+                self.syscatalog.check_statement(
+                    user, st, _stmt_tables(st)
+                )
             out = self._execute_statement(st)
             if not isinstance(st, (A.Select, A.Explain)):
                 self._persist_after_statement()
@@ -306,6 +319,51 @@ class Database:
             return None
         if isinstance(st, A.ValidateStmt):
             return _string_result("status", ["OK"])
+        if isinstance(st, A.CreateUser):
+            self.syscatalog.create_user(
+                st.name, str(st.options.get("password", "")),
+                bool(st.options.get("is_super", False)),
+            )
+            return None
+        if isinstance(st, A.DropUser):
+            self.syscatalog.drop_user(st.name)
+            return None
+        if isinstance(st, A.AlterUser):
+            self.syscatalog.alter_user(
+                st.name,
+                password=(str(st.options["password"])
+                          if "password" in st.options else None),
+                is_super=(bool(st.options["is_super"])
+                          if "is_super" in st.options else None),
+            )
+            return None
+        if isinstance(st, A.CreateRole):
+            self.syscatalog.create_role(st.name)
+            return None
+        if isinstance(st, A.DropRole):
+            self.syscatalog.drop_role(st.name)
+            return None
+        if isinstance(st, A.GrantStmt):
+            if st.privileges is not None:
+                for g in st.grantees:
+                    if st.revoke:
+                        self.syscatalog.revoke(st.privileges, st.object, g)
+                    else:
+                        self.syscatalog.grant(st.privileges, st.object, g)
+            else:
+                for r in st.roles:
+                    for g in st.grantees:
+                        if st.revoke:
+                            self.syscatalog.revoke_role(r, g)
+                        else:
+                            self.syscatalog.grant_role(r, g)
+            return None
+        if isinstance(st, A.ShowUsers):
+            return _string_result(
+                "user_name", [u.name for u in self.syscatalog.users.values()]
+            )
+        if isinstance(st, A.ShowRoles):
+            return _string_result("role_name", sorted(self.syscatalog.roles))
         if isinstance(st, A.DumpTable):
             self._dump_table(st.name, st.path)
             return _string_result("result", ["OK"])
@@ -728,6 +786,45 @@ def _host_cast_array(arr: np.ndarray, src: T.TypeInfo, dst: T.TypeInfo) -> np.nd
     else:
         out[nulls] = dst.null_sentinel()
     return out
+
+
+def _stmt_tables(st) -> list:
+    """Table names a statement touches, for privilege checks."""
+    out = []
+
+    def from_ref(r):
+        if r is None:
+            return
+        if isinstance(r, A.NamedTable):
+            out.append(r.name)
+        elif isinstance(r, A.JoinRef):
+            from_ref(r.left)
+            from_ref(r.right)
+        elif isinstance(r, A.SubqueryRef):
+            from_select(r.select)
+
+    def from_select(sel):
+        from_ref(sel.from_)
+        for _, cte in sel.ctes:
+            from_select(cte)
+        for _, rhs in sel.set_ops:
+            from_select(rhs)
+
+    if isinstance(st, A.Select):
+        from_select(st)
+    elif isinstance(st, (A.InsertValues, A.Update, A.Delete, A.CopyFrom,
+                         A.TruncateTable)):
+        out.append(getattr(st, "table", getattr(st, "name", "")))
+    elif isinstance(st, A.InsertSelect):
+        out.append(st.table)
+        from_select(st.select)
+    elif isinstance(st, (A.CreateTable,)):
+        out.append(st.name)
+        if st.as_select is not None:
+            from_select(st.as_select)
+    elif isinstance(st, A.DropTable):
+        out.append(st.name)
+    return [t for t in out if t]
 
 
 def _iter_all_exprs(node):

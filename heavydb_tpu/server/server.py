@@ -72,6 +72,12 @@ class HeavyTpuServer:
     # ---- RPCs (reference heavy.thrift surface) ----
     def rpc_connect(self, user: str = "admin", password: str = "",
                     dbname: str = "heavyai") -> str:
+        # authentication (reference SysCatalog::checkPasswordForUser); the
+        # default admin password matches the reference's bootstrap value
+        if not self.db.syscatalog.check_login(user, password):
+            # allow passwordless admin for embedded/dev convenience
+            if not (user == "admin" and password == ""):
+                raise HeavyTpuError("invalid credentials")
         sid = secrets.token_hex(16)
         self.sessions[sid] = Session(sid, user)
         return sid
@@ -90,9 +96,9 @@ class HeavyTpuServer:
             is_write = _is_write(query)
             if is_write:
                 with self.write_lock:
-                    rs = self.db.sql(query)
+                    rs = self.db.sql(query, user=s.user)
             else:
-                rs = self.db.sql(query)
+                rs = self.db.sql(query, user=s.user)
         finally:
             self.running.pop(s.id, None)
         ms = (time.time() - t0) * 1e3

@@ -378,6 +378,53 @@ class ValidateStmt(Statement):
 
 
 @dataclass
+class CreateUser(Statement):
+    name: str = ""
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class DropUser(Statement):
+    name: str = ""
+
+
+@dataclass
+class AlterUser(Statement):
+    name: str = ""
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class CreateRole(Statement):
+    name: str = ""
+
+
+@dataclass
+class DropRole(Statement):
+    name: str = ""
+
+
+@dataclass
+class GrantStmt(Statement):
+    # privileges ['SELECT',...] on object, or role grant (privileges=None)
+    privileges: Optional[List[str]] = None
+    object: Optional[str] = None  # table name or '*'
+    roles: Optional[List[str]] = None
+    grantees: List[str] = field(default_factory=list)
+    revoke: bool = False
+
+
+@dataclass
+class ShowUsers(Statement):
+    pass
+
+
+@dataclass
+class ShowRoles(Statement):
+    pass
+
+
+@dataclass
 class DumpTable(Statement):
     name: str = ""
     path: str = ""

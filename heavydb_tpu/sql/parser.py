@@ -156,10 +156,16 @@ class Parser:
             self.next()
             if self.eat_kw("TABLES"):
                 return A.ShowTables()
+            if self.eat_kw("USERS"):
+                return A.ShowUsers()
+            if self.eat_kw("ROLES"):
+                return A.ShowRoles()
             if self.eat_kw("CREATE"):
                 self.expect_kw("TABLE")
                 return A.ShowCreateTable(self.ident())
             raise ParserError(f"unsupported SHOW at {t.pos}")
+        if kw in ("GRANT", "REVOKE"):
+            return self._grant_revoke(kw == "REVOKE")
         if kw in ("DESCRIBE", "DESC"):
             self.next()
             return A.DescribeTable(self.ident())
@@ -184,9 +190,30 @@ class Parser:
             return A.RestoreTable(name, self.next().value)
         raise ParserError(f"unsupported statement {t.value!r} at {t.pos}")
 
+    def _user_options(self) -> dict:
+        opts = {}
+        if self.eat_op("("):
+            while True:
+                key = self.ident().lower()
+                self.expect_op("=")
+                tv = self.next()
+                val = tv.value
+                if isinstance(val, str) and val.lower() in ("true", "false"):
+                    val = val.lower() == "true"
+                opts[key] = val
+                if not self.eat_op(","):
+                    break
+            self.expect_op(")")
+        return opts
+
     def _create(self) -> A.Statement:
         self.expect_kw("CREATE")
         temporary = self.eat_kw("TEMPORARY") or self.eat_kw("TEMP")
+        if self.eat_kw("USER"):
+            name = self.ident()
+            return A.CreateUser(name, self._user_options())
+        if self.eat_kw("ROLE"):
+            return A.CreateRole(self.ident())
         if self.eat_kw("VIEW"):
             if_not_exists = self._if_not_exists()
             name = self.ident()
@@ -250,6 +277,10 @@ class Parser:
 
     def _drop(self) -> A.Statement:
         self.expect_kw("DROP")
+        if self.eat_kw("USER"):
+            return A.DropUser(self.ident())
+        if self.eat_kw("ROLE"):
+            return A.DropRole(self.ident())
         is_view = self.eat_kw("VIEW")
         if not is_view:
             self.expect_kw("TABLE")
@@ -262,6 +293,9 @@ class Parser:
 
     def _alter(self) -> A.Statement:
         self.expect_kw("ALTER")
+        if self.eat_kw("USER"):
+            name = self.ident()
+            return A.AlterUser(name, self._user_options())
         self.expect_kw("TABLE")
         table = self.ident()
         if self.eat_kw("RENAME"):
@@ -341,6 +375,37 @@ class Parser:
         table = self.ident()
         where = self.parse_expr() if self.eat_kw("WHERE") else None
         return A.Delete(table, where)
+
+    def _grant_revoke(self, revoke: bool) -> A.Statement:
+        self.next()  # GRANT / REVOKE
+        first = self.ident().upper()
+        _PRIVS = {"SELECT", "INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALL"}
+        if first in _PRIVS:
+            privs = [first]
+            while self.eat_op(","):
+                privs.append(self.ident().upper())
+            self.expect_kw("ON")
+            if self.eat_kw("TABLE"):
+                obj = self.ident()
+            elif self.eat_kw("DATABASE"):
+                self.ident()
+                obj = "*"
+            else:
+                obj = self.ident()
+            self.expect_kw("FROM" if revoke else "TO")
+            grantees = [self.ident()]
+            while self.eat_op(","):
+                grantees.append(self.ident())
+            return A.GrantStmt(privs, obj, None, grantees, revoke)
+        # role grant: GRANT role[, role] TO grantee[, ...]
+        roles = [first]
+        while self.eat_op(","):
+            roles.append(self.ident())
+        self.expect_kw("FROM" if revoke else "TO")
+        grantees = [self.ident()]
+        while self.eat_op(","):
+            grantees.append(self.ident())
+        return A.GrantStmt(None, None, roles, grantees, revoke)
 
     def _copy(self) -> A.Statement:
         self.expect_kw("COPY")

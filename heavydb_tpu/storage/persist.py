@@ -252,7 +252,7 @@ class PersistentCatalogStore:
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         self.path = os.path.join(root, "catalog.json")
 
-    def save(self, catalog):
+    def save(self, catalog, syscatalog=None):
         tables = []
         for name in catalog.list_tables():
             t = catalog.get_table(name)
@@ -266,10 +266,16 @@ class PersistentCatalogStore:
                     for cd in t.columns
                 ],
             })
-        _atomic_write(
-            self.path,
-            json.dumps({"version": 1, "tables": tables}).encode(),
-        )
+        payload = {"version": 1, "tables": tables}
+        if syscatalog is not None:
+            payload["syscatalog"] = syscatalog.to_json()
+        _atomic_write(self.path, json.dumps(payload).encode())
+
+    def load_syscatalog(self) -> Optional[dict]:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f).get("syscatalog")
 
     def load(self, catalog) -> list:
         """Recreate tables in the catalog; returns the Table objects."""
