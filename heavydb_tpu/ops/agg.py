@@ -57,7 +57,7 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
     n = gid.shape[0]
     base_mask = mask if mask is not None else jnp.ones(n, jnp.bool_)
     g32 = gid.astype(jnp.int32)
-    streams = []  # (values f32, exact_f64_acc)
+    streams = []  # (values f32, exact_f64_acc, bf16_ok)
     sinks = []    # (partials dict, key, post fn)
     limb_jobs = []  # (partials dict, acc dtype)
     partials: List[Optional[dict]] = [None] * len(lowered)
@@ -81,7 +81,7 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
         p: dict = {}
         partials[idx] = p
         cmf = cm.astype(jnp.float32)
-        streams.append((cmf, True))
+        streams.append((cmf, True, True))
         sinks.append((p, "count", lambda x: x.astype(jnp.int64)))
         if k in (A.COUNT, A.COUNT_IF):
             continue
@@ -96,7 +96,7 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
             for kk in range(4):
                 limb = ((u >> jnp.uint32(8 * kk)) & jnp.uint32(0xFF)).astype(
                     jnp.float32) * cmf
-                streams.append((limb, True))
+                streams.append((limb, True, True))
                 sinks.append((p, f"$limb{kk}", None))
             limb_jobs.append((p, acc))
         else:
@@ -109,24 +109,25 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
                 hi = fv.astype(jnp.float32)
                 lo = (fv - hi.astype(jnp.float64)).astype(jnp.float32)
                 cmd = cm
-                streams.append((jnp.where(cmd, hi, 0.0), True))
+                streams.append((jnp.where(cmd, hi, 0.0), True, False))
                 sinks.append((p, "$hi", None))
-                streams.append((jnp.where(cmd, lo, 0.0), True))
+                streams.append((jnp.where(cmd, lo, 0.0), True, False))
                 sinks.append((p, "$lo", None))
                 p["$split"] = acc
             else:
                 fvv = jnp.where(cm, fv.astype(jnp.float32), 0.0)
-                streams.append((fvv, False))
+                streams.append((fvv, False, False))
                 sinks.append((p, "sum", lambda x, a=acc: x.astype(a)))
         if k in (A.STDDEV, A.VARIANCE):
             f32v = jnp.where(cm, jnp.asarray(val, jnp.float32), 0.0)
-            streams.append((f32v * f32v, True))
+            streams.append((f32v * f32v, True, False))
             sinks.append((p, "sumsq", lambda x: x.astype(jnp.float64)))
 
     if streams:
         res = _onehot_scan(
-            g32, base_mask, [s for s, _ in streams], num_slots,
-            exact_accs=tuple(f for _, f in streams),
+            g32, base_mask, [s for s, _, _ in streams], num_slots,
+            exact_accs=tuple(f for _, f, _ in streams),
+            bf16_ok=tuple(b for _, _, b in streams),
         )
         for (p, key, post), r in zip(sinks, res[1:]):
             p[key] = post(r) if post is not None else r

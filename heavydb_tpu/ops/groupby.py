@@ -242,10 +242,12 @@ def _onehot_chunk(slots_p: int) -> int:
     return int(max(512, min(8192, (c // 512) * 512 if c >= 512 else 512)))
 
 
-def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=()):
+def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=(),
+                 bf16_ok=()):
     """Returns [counts i32, sums... per value] each [num_slots] — one scan,
-    shared one-hot.  exact_accs[i] True → value i accumulates in f64 (used
-    for 16-bit limb integer sums; per-chunk dots stay exact in f32)."""
+    shared one-hot.  exact_accs[i] True → value i accumulates in f64 (limb
+    integer sums; per-chunk dots stay exact).  bf16_ok[i] True → stream i's
+    values are small exact ints (≤255) that can ride the bf16 MXU path."""
     n = gid.shape[0]
     slots_p = ((max(num_slots, 128) + 127) // 128) * 128
     chunk = _onehot_chunk(slots_p)
@@ -267,23 +269,29 @@ def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=()):
 
     def body(accs, xs):
         gc = xs[0]
-        mc = xs[1].astype(jnp.float32)
-        oh = (gc[:, None] == iota[None, :]).astype(jnp.float32) * mc[:, None]
-        blk_cnt = jnp.dot(mc[None, :], oh,
-                          preferred_element_type=jnp.float32)[0]
+        mbool = xs[1]
+        # bf16 one-hot halves the dominant HBM traffic; 0/1 and the ≤255
+        # limb values are exact in bf16, and dots accumulate in f32
+        oh = ((gc[:, None] == iota[None, :]) & mbool[:, None]).astype(
+            jnp.bfloat16)
+        ones_bf = jnp.ones((1, oh.shape[0]), jnp.bfloat16)
+        blk_cnt = jnp.dot(ones_bf, oh, preferred_element_type=jnp.float32)[0]
         # counts exact: per-chunk dot is a small int in f32, accumulate i32
         outs = [accs[0] + blk_cnt.astype(jnp.int32)]
-        mbool = xs[1]
         for i, vc in enumerate(xs[2:]):
             # sanitize BEFORE the dot: masked rows may hold NaN sentinels and
             # NaN·0 would poison the whole product
             vc = jnp.where(mbool, vc, jnp.asarray(0, vc.dtype))
-            blk = jnp.dot(vc[None, :], oh,
-                          preferred_element_type=jnp.float32)[0]
+            # small-int streams (≤255 limbs / 0-1 masks) ride bf16 exactly
+            small = bool(bf_flags[i])
+            lhs = vc[None, :].astype(jnp.bfloat16) if small else vc[None, :]
+            rhs = oh if small else oh.astype(jnp.float32)
+            blk = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)[0]
             outs.append(accs[i + 1] + blk.astype(accs[i + 1].dtype))
         return tuple(outs), None
 
     flags = list(exact_accs) + [False] * (len(vals) - len(exact_accs))
+    bf_flags = list(bf16_ok) + [False] * (len(vals) - len(bf16_ok))
     init = tuple(
         [jnp.zeros(slots_p, jnp.int32)]
         + [jnp.zeros(slots_p, jnp.float64 if f else jnp.float32)
@@ -355,7 +363,8 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
                 for k in range(4)
             ]
             res = _onehot_scan(g32, cm, limbs, num_slots,
-                               exact_accs=(True,) * 4)
+                               exact_accs=(True,) * 4,
+                               bf16_ok=(True,) * 4)
             cnt = res[0].astype(jnp.int64)
             total = jnp.zeros(num_slots, jnp.int64)
             for k in range(4):
