@@ -206,8 +206,16 @@ def _build_compound_kernel(node, batches, plan, config):
                     )
                     build_tvs = [(tval, bvalid)]
                 bkey, bvalid = pack_keys(build_tvs, jp, is_build=True)
-                build = J.build_sorted(bkey, bvalid, nrows[bi])
-                _, cnt = J.probe_counts(build, pkey, pvalid_m)
+                if jp.key_min is not None:
+                    pbuild = J.build_perfect(
+                        bkey, bvalid, nrows[bi], jp.key_min, jp.key_range
+                    )
+                    _, cnt = J.probe_perfect(
+                        pbuild, pkey, pvalid_m, jp.key_range
+                    )
+                else:
+                    build = J.build_sorted(bkey, bvalid, nrows[bi])
+                    _, cnt = J.probe_counts(build, pkey, pvalid_m)
                 if jp.kind == "SEMI":
                     mask = mask & (cnt > 0)
                 else:
@@ -241,10 +249,22 @@ def _build_compound_kernel(node, batches, plan, config):
                     )
                     build_tvs = [(tval, bvalid)]
                 bkey, bvalid = pack_keys(build_tvs, jp, is_build=True)
-                build = J.build_sorted(bkey, bvalid, nrows[bi])
-                lo, cnt = J.probe_counts(build, pkey, pvalid_m)
+                if jp.key_min is not None:
+                    # dense-range positional build: probe = 2 gathers
+                    # (reference PerfectJoinHashTable — no sort, no search)
+                    pbuild = J.build_perfect(
+                        bkey, bvalid, nrows[bi], jp.key_min, jp.key_range
+                    )
+                    lo, cnt = J.probe_perfect(
+                        pbuild, pkey, pvalid_m, jp.key_range
+                    )
+                    rows_by_slot = pbuild.payload
+                else:
+                    build = J.build_sorted(bkey, bvalid, nrows[bi])
+                    lo, cnt = J.probe_counts(build, pkey, pvalid_m)
+                    rows_by_slot = build.rows_sorted
                 pidx, bidx, out_mask, m_new, needed = J.expand_matches(
-                    lo, cnt, build.rows_sorted, mask, cap, left_outer
+                    lo, cnt, rows_by_slot, mask, cap, left_outer
                 )
             join_needed.append(needed)
             # remap existing domain state through pidx

@@ -306,6 +306,18 @@ class Executor:
         key_specs = [(asc, nf) for _, asc, nf in node.keys]
         key_idxs = [i for i, _, _ in node.keys]
 
+        # top-k fast path: single sort key + small LIMIT → lax.top_k
+        # (reference StreamingTopN / TopKSort.cu role; full bitonic sorts of
+        # large domains are very slow on TPU)
+        limit_total = (node.limit or 0) + (node.offset or 0)
+        if (
+            len(node.keys) == 1
+            and node.limit is not None
+            and 0 < limit_total <= 16384
+            and not inp.types[key_idxs[0]].is_dict_string
+        ):
+            return self._exec_topk(node, inp, limit_total)
+
         # dict-encoded string keys sort by LEXICOGRAPHIC RANK, not id —
         # rank tables are the analogue of the reference's sorted string
         # dictionary index (StringDictionary::sortedIndex)
@@ -354,6 +366,49 @@ class Executor:
                 for c in sorted_cols
             ]
         return B.Batch(sorted_cols, n_out, list(node.types))
+
+    def _exec_topk(self, node: R.Sort, inp: B.Batch, k_total: int) -> B.Batch:
+        """ORDER BY <single key> LIMIT k via lax.top_k + gather."""
+        idx, asc, nulls_first = node.keys[0]
+        ti = inp.types[idx]
+        padded = inp.padded
+        k = min(k_total, padded)
+        present = [i for i, c in enumerate(inp.cols) if c is not None]
+
+        def kernel(nrows, *cols):
+            val = cols[present.index(idx)]
+            in_domain = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
+            valid = _derive_valid(val, ti) if ti.nullable else None
+            # build a DESCENDING-priority key in an order-exact dtype
+            if val.dtype.kind == "f":
+                key = jnp.where(jnp.isnan(val), 0, val)
+                lo_sent = jnp.asarray(-np.inf, key.dtype)
+                hi_sent = jnp.asarray(np.inf, key.dtype)
+            else:
+                key = jnp.asarray(val, jnp.int64)
+                lo_sent = jnp.asarray(np.iinfo(np.int64).min + 1, jnp.int64)
+                hi_sent = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+            if asc:
+                key = -key
+            if valid is not None:
+                key = jnp.where(valid, key, hi_sent if nulls_first else lo_sent)
+            key = jnp.where(in_domain, key, lo_sent)
+            _, top_idx = jax.lax.top_k(key, k)
+            return tuple(c[top_idx] for c in cols)
+
+        out_present = jax.jit(kernel)(
+            jnp.asarray(inp.nrows, jnp.int32), *[inp.cols[i] for i in present]
+        )
+        out_cols: List[Optional[jax.Array]] = [None] * len(inp.cols)
+        for j, i in enumerate(present):
+            out_cols[j if False else i] = out_present[j]
+        off = node.offset or 0
+        n_out = max(min(inp.nrows, k) - off, 0)
+        if node.limit is not None:
+            n_out = min(n_out, node.limit)
+        if off:
+            out_cols = [None if c is None else c[off:] for c in out_cols]
+        return B.Batch(out_cols, n_out, list(node.types))
 
     # ---- Window ----
     def _exec_window(self, node: R.Window, memo) -> B.Batch:
@@ -630,9 +685,21 @@ class Executor:
                     translate = (bref, pref)
             if pe.type.is_fp or be.type.is_fp:
                 raise NotSupported("float join keys")
+            # perfect (dense positional) build when the build key range is
+            # known and modest — probe becomes pure gathers (reference
+            # PerfectJoinHashTable); avoids device sorts entirely
+            key_min = key_range = None
+            if translate is None:
+                br = RNG.expr_range(be, node.inputs)
+                if br is not None and 0 < br.extent <= min(
+                    self.config.perfect_join_max_range,
+                    max(batches[build_input].padded * 4, 1 << 16),
+                ):
+                    key_min, key_range = br.lo, br.extent
             return _JoinPlan(kind=kind, probe_keys=probe_exprs,
                              build_keys=build_exprs, residual=residual,
-                             translate=translate, pack="single")
+                             translate=translate, pack="single",
+                             key_min=key_min, key_range=key_range)
         # multi-key: exact range packing if possible, else hash + recheck
         ranges = [RNG.expr_range(b, node.inputs) for b in build_exprs]
         pranges = [RNG.expr_range(p, node.inputs) for p in probe_exprs]
@@ -681,6 +748,11 @@ class Executor:
             tuple(plan.caps),
             plan.group_strategy,
             plan.group_cap,
+            tuple(
+                (jp.kind, jp.pack, jp.pack_spans, jp.key_min, jp.key_range,
+                 jp.translate)
+                for jp in plan.joins
+            ),
             tuple(sorted(plan.aux_specs.keys(), key=repr)),
         )
         hit = self.kernel_cache.get(key)
@@ -874,6 +946,9 @@ class _JoinPlan:
     translate: Optional[tuple] = None  # (from_dict_ref, to_dict_ref)
     pack: str = "single"  # single | range | hash | CROSS
     pack_spans: tuple = ()
+    # dense-range perfect build (reference PerfectJoinHashTable)
+    key_min: Optional[int] = None
+    key_range: Optional[int] = None
 
 
 @dataclasses.dataclass
