@@ -401,7 +401,7 @@ class Executor:
         )
         out_cols: List[Optional[jax.Array]] = [None] * len(inp.cols)
         for j, i in enumerate(present):
-            out_cols[j if False else i] = out_present[j]
+            out_cols[i] = out_present[j]
         off = node.offset or 0
         n_out = max(min(inp.nrows, k) - off, 0)
         if node.limit is not None:
