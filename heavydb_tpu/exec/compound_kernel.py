@@ -103,6 +103,7 @@ def _build_compound_kernel(node, batches, plan, config):
 
         error_flags: Dict[str, jax.Array] = {}
         join_needed: List[jax.Array] = []
+        join_dups: Dict[int, jax.Array] = {}
 
         # ---- domain state ----
         # idx[i]: row index into input i per domain slot (None = identity for
@@ -263,6 +264,27 @@ def _build_compound_kernel(node, batches, plan, config):
                     build = J.build_sorted(bkey, bvalid, nrows[bi])
                     lo, cnt = J.probe_counts(build, pkey, pvalid_m)
                     rows_by_slot = build.rows_sorted
+                if jp.unique_build:
+                    # PK-side join: ≤1 match per probe row → identity domain
+                    # (runtime dup check falls back to expansion)
+                    bidx_u, matched_u = J.probe_unique(
+                        lo, cnt, rows_by_slot, mask
+                    )
+                    join_dups[li] = cnt.max() > 1
+                    join_needed.append(jnp.asarray(0, jnp.int64))
+                    idx[bi] = bidx_u
+                    if left_outer:
+                        matched[bi] = matched_u
+                    else:
+                        mask = mask & matched_u
+                        matched[bi] = None
+                    trivial = False
+                    tv_cache.clear()
+                    if jp.residual:
+                        rc = domain_compiler(jp.residual)
+                        for r in jp.residual:
+                            mask = mask & rc.compile_predicate(r)
+                    continue
                 pidx, bidx, out_mask, m_new, needed = J.expand_matches(
                     lo, cnt, rows_by_slot, mask, cap, left_outer
                 )
@@ -296,6 +318,8 @@ def _build_compound_kernel(node, batches, plan, config):
         out: Dict[str, object] = {}
         for li, needed in enumerate(join_needed):
             out[f"join_needed_{li}"] = needed
+        for li, dup in join_dups.items():
+            out[f"join_dup_{li}"] = dup
 
         if not is_agg:
             # ---- projection ----

@@ -393,7 +393,7 @@ class Executor:
             if valid is not None:
                 key = jnp.where(valid, key, hi_sent if nulls_first else lo_sent)
             key = jnp.where(in_domain, key, lo_sent)
-            _, top_idx = jax.lax.top_k(key, k)
+            top_idx = S.topk_indices(key, k)
             return tuple(c[top_idx] for c in cols)
 
         out_present = jax.jit(kernel)(
@@ -614,9 +614,22 @@ class Executor:
             if kind == "LEFT" and residual:
                 raise NotSupported("LEFT JOIN with non-equi residual conditions")
             jp = self._plan_join_keys(node, equis, residual, kind, batches, build_input)
+            if (
+                jp.key_min is not None
+                and kind in ("INNER", "LEFT")
+                and not jp.residual
+                and jp.key_range >= batches[build_input].nrows
+            ):
+                # PK-side heuristic: dense range at least as wide as the row
+                # count → likely unique keys; runtime dup check corrects
+                jp.unique_build = True
             plan.joins.append(jp)
             est = max(probe.nrows, batches[build_input].nrows, 1)
-            plan.caps.append(B.bucket(est))
+            jp.fallback_cap = B.bucket(est)
+            if jp.unique_build:
+                plan.caps.append(0)  # identity domain, no expansion
+            else:
+                plan.caps.append(jp.fallback_cap)
 
         # group-by strategy
         if node.is_aggregate and node.group_exprs:
@@ -750,7 +763,7 @@ class Executor:
             plan.group_cap,
             tuple(
                 (jp.kind, jp.pack, jp.pack_spans, jp.key_min, jp.key_range,
-                 jp.translate)
+                 jp.translate, jp.unique_build)
                 for jp in plan.joins
             ),
             tuple(sorted(plan.aux_specs.keys(), key=repr)),
@@ -887,7 +900,7 @@ class Executor:
         scalar_keys = [
             k for k in d
             if k == "n_out" or k == "num_groups" or k.startswith("join_needed_")
-            or k.startswith("err_")
+            or k.startswith("join_dup_") or k.startswith("err_")
         ]
         host = dict(zip(scalar_keys, jax.device_get([d[k] for k in scalar_keys])))
         if bool(host.get("err_div_by_zero", False)):
@@ -895,6 +908,15 @@ class Executor:
         # capacity checks
         retry = False
         for li, cap in enumerate(plan.caps):
+            jp = plan.joins[li] if li < len(plan.joins) else None
+            if jp is not None and jp.unique_build and bool(
+                host.get(f"join_dup_{li}", False)
+            ):
+                # duplicate build keys detected → fall back to expansion
+                jp.unique_build = False
+                plan.caps[li] = jp.fallback_cap
+                retry = True
+                continue
             needed = int(host[f"join_needed_{li}"])
             if needed > cap:
                 plan.caps[li] = B.bucket(needed)
@@ -949,6 +971,10 @@ class _JoinPlan:
     # dense-range perfect build (reference PerfectJoinHashTable)
     key_min: Optional[int] = None
     key_range: Optional[int] = None
+    # build keys believed unique (PK side) → identity-domain probe, no
+    # expansion; verified at runtime (dup flag → retry with expansion)
+    unique_build: bool = False
+    fallback_cap: int = 0
 
 
 @dataclasses.dataclass

@@ -38,6 +38,32 @@ def _sortable_operands(val, valid, asc: bool, nulls_first: bool):
     return nullr, v
 
 
+def topk_indices(key, k: int):
+    """Indices of the k largest `key` values — EXACT two-stage block top-k
+    (single lax.top_k over 20M rows measured 20s on TPU; per-block top-k
+    then top-k of the block winners is massively parallel)."""
+    n = key.shape[0]
+    block = 4096
+    if k >= block or n <= block:
+        _, idx = lax.top_k(key, min(k, n))
+        return idx
+    nb = -(-n // block)
+    n_p = nb * block
+    if n_p != n:
+        if key.dtype.kind == "f":
+            fill = jnp.asarray(-np.inf, key.dtype)
+        else:
+            fill = jnp.asarray(np.iinfo(key.dtype).min, key.dtype)
+        key = jnp.concatenate([key, jnp.full(n_p - n, fill, key.dtype)])
+    k2 = min(k, block)
+    vals2, idx2 = lax.top_k(key.reshape(nb, block), k2)
+    base = (jnp.arange(nb, dtype=jnp.int32) * block)[:, None]
+    flat_idx = (base + idx2).reshape(-1)
+    flat_vals = vals2.reshape(-1)
+    _, sel = lax.top_k(flat_vals, k)
+    return flat_idx[sel]
+
+
 def sort_permutation(
     key_tvs: Sequence[TV],
     specs: Sequence[Tuple[bool, bool]],  # (asc, nulls_first) per key
