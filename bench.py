@@ -23,15 +23,9 @@ def main():
     import jax
 
     # persistent compile cache: repeat runs skip XLA compilation entirely
-    cache_dir = os.environ.get(
-        "HEAVYDB_TPU_JIT_CACHE", "/root/repo/.jax_cache"
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception as e:
-        log(f"compile cache unavailable: {e!r}")
+    # note: the jax persistent compile cache is deliberately NOT enabled —
+    # it does not work with the axon backend, and cross-host CPU AOT reuse
+    # risks SIGILL (machine-feature mismatch)
 
     import heavydb_tpu as hdt
 
