@@ -38,30 +38,75 @@ def _sortable_operands(val, valid, asc: bool, nulls_first: bool):
     return nullr, v
 
 
+def _orderable_bits(key):
+    """Map key → unsigned ints whose natural order equals the key order.
+    f32/f64 use the sign-flip trick; ints get the bias flip."""
+    dt = np.dtype(key.dtype)
+    if dt == np.float32:
+        u = lax.bitcast_convert_type(key, jnp.uint32)
+        mask = jnp.where(
+            (u >> jnp.uint32(31)) > 0,
+            jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000),
+        )
+        return u ^ mask, 32
+    if dt == np.float64:
+        u = lax.bitcast_convert_type(key, jnp.uint64)
+        mask = jnp.where(
+            (u >> jnp.uint64(63)) > 0,
+            jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64(0x8000000000000000),
+        )
+        return u ^ mask, 64
+    if dt.kind in "iu":
+        if dt.itemsize <= 4:
+            u = key.astype(jnp.int32).astype(jnp.uint32)
+            return u ^ jnp.uint32(0x80000000), 32
+        u = key.astype(jnp.int64).astype(jnp.uint64)
+        return u ^ jnp.uint64(0x8000000000000000), 64
+    raise TypeError(f"no orderable bits for {dt}")
+
+
 def topk_indices(key, k: int):
-    """Indices of the k largest `key` values — EXACT two-stage block top-k
-    (single lax.top_k over 20M rows measured 20s on TPU; per-block top-k
-    then top-k of the block winners is massively parallel)."""
+    """Indices of the k largest `key` values — EXACT radix-select: ~bits
+    masked-count passes to find the k-th value's bit pattern, then one
+    compaction pass.  Pure memory-bandwidth VPU work; lax.top_k and lax.sort
+    over tens of millions of rows measured 17-27s on TPU, this is O(32)
+    cheap reductions (reference role: thrust radix select / TopKSort.cu)."""
     n = key.shape[0]
-    block = 4096
-    if k >= block or n <= block:
+    if n <= 16384 or k >= n:
         _, idx = lax.top_k(key, min(k, n))
         return idx
-    nb = -(-n // block)
-    n_p = nb * block
-    if n_p != n:
-        if key.dtype.kind == "f":
-            fill = jnp.asarray(-np.inf, key.dtype)
-        else:
-            fill = jnp.asarray(np.iinfo(key.dtype).min, key.dtype)
-        key = jnp.concatenate([key, jnp.full(n_p - n, fill, key.dtype)])
-    k2 = min(k, block)
-    vals2, idx2 = lax.top_k(key.reshape(nb, block), k2)
-    base = (jnp.arange(nb, dtype=jnp.int32) * block)[:, None]
-    flat_idx = (base + idx2).reshape(-1)
-    flat_vals = vals2.reshape(-1)
-    _, sel = lax.top_k(flat_vals, k)
-    return flat_idx[sel]
+    u, bits = _orderable_bits(key)
+    kk = jnp.asarray(k, jnp.int32)
+    threshold, _ = _radix_loop(u, bits, kk)
+    above = u > threshold
+    at = u == threshold
+    n_above = above.sum(dtype=jnp.int32)
+    # take all strictly-above plus enough ties to reach k
+    tie_rank = jnp.cumsum(at.astype(jnp.int32))
+    sel = above | (at & (tie_rank <= (kk - n_above)))
+    pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    out = jnp.zeros(k + 1, jnp.int32).at[
+        jnp.where(sel & (pos < k), pos, k)
+    ].set(rows, mode="drop")[:k]
+    # order the k winners among themselves (k is small)
+    ksel = u[out]
+    _, order = lax.top_k(ksel, k)
+    return out[order]
+
+
+def _radix_loop(u, bits: int, kk):
+    one = jnp.asarray(1, u.dtype)
+
+    def body(i, carry):
+        prefix = carry
+        b = bits - 1 - i
+        test = prefix | (one << jnp.asarray(b, u.dtype))
+        cnt = (u >= test).sum(dtype=jnp.int32)
+        return jnp.where(cnt >= kk, test, prefix)
+
+    prefix = lax.fori_loop(0, bits, body, jnp.zeros((), u.dtype))
+    return prefix, None
 
 
 def sort_permutation(
