@@ -567,3 +567,31 @@ def test_correlated_with_other_filters(db):
         "(SELECT 1 FROM t2 WHERE t2.k = t1.k)"
     ).rows()
     assert [r[0] for r in rows] == [1]
+
+
+def test_mode_and_quantile(db):
+    db.sql("CREATE TABLE mq (g INT, v INT)")
+    db.sql(
+        "INSERT INTO mq VALUES (1,5),(1,5),(1,7),(2,3),(2,9),(2,9),(2,9),(1,NULL)"
+    )
+    rows = db.sql("SELECT g, MODE(v) FROM mq GROUP BY g ORDER BY g").rows()
+    assert rows == [(1, 5), (2, 9)]
+    assert db.sql("SELECT APPROX_QUANTILE(v, 0.5) FROM mq WHERE g = 2").scalar() == 9.0
+
+
+def test_sample_single_value(db):
+    db.sql("CREATE TABLE sv2 (g INT, s TEXT)")
+    db.sql("INSERT INTO sv2 VALUES (1, 'only'), (2, 'a'), (2, 'a')")
+    rows = db.sql("SELECT g, SAMPLE(s) FROM sv2 GROUP BY g ORDER BY g").rows()
+    assert rows[0] == (1, "only")
+    assert rows[1][1] == "a"
+
+
+def test_sql_device_api(db):
+    import jax
+
+    db.sql("CREATE TABLE t (x INT)")
+    db.sql("INSERT INTO t VALUES (1), (2)")
+    batch, decode = db.sql_device("SELECT sum(x) FROM t")
+    jax.block_until_ready(batch.cols)
+    assert decode().scalar() == 3
