@@ -385,9 +385,12 @@ class Executor:
                 lo_sent = jnp.asarray(-np.inf, key.dtype)
                 hi_sent = jnp.asarray(np.inf, key.dtype)
             else:
-                key = jnp.asarray(val, jnp.int64)
-                lo_sent = jnp.asarray(np.iinfo(np.int64).min + 1, jnp.int64)
-                hi_sent = jnp.asarray(np.iinfo(np.int64).max, jnp.int64)
+                # keep native width: 64-bit radix/compare ops are emulated
+                # on TPU (2x passes, each slower)
+                kdt = jnp.int64 if val.dtype.itemsize > 4 else jnp.int32
+                key = jnp.asarray(val, kdt)
+                lo_sent = jnp.asarray(jnp.iinfo(kdt).min + 1, kdt)
+                hi_sent = jnp.asarray(jnp.iinfo(kdt).max, kdt)
             if asc:
                 key = -key
             if valid is not None:
