@@ -161,21 +161,34 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart):
             dv, dvalid = comp.compile(w.args[2])
             default_tv = (dv, dvalid)
         return W.shift_in_partition(val, valid, pstart, off, default_tv)
-    if w.kind == K.FIRST_VALUE:
+    if w.kind in (K.FIRST_VALUE, K.LAST_VALUE, K.NTH_VALUE):
         val, valid = arg_tv(0)
-        return W.first_value(val, valid, pstart)
-    if w.kind == K.LAST_VALUE:
-        val, valid = arg_tv(0)
-        return W.last_value_frame(val, valid, pstart, ostart)
-    if w.kind == K.NTH_VALUE:
-        val, valid = arg_tv(0)
+        n = val.shape[0]
+        if w.frame is not None:
+            lo, hi = W.frame_bounds(pstart, ostart, w.frame)
+            if w.kind == K.FIRST_VALUE:
+                pos = lo
+            elif w.kind == K.LAST_VALUE:
+                pos = hi
+            else:
+                pos = lo + (const_arg(1, 1) - 1)
+            in_frame = (pos >= lo) & (pos <= hi)
+            pos_c = jnp.clip(pos, 0, n - 1)
+            out = val[pos_c]
+            outv = (valid[pos_c] if valid is not None
+                    else jnp.ones(n, jnp.bool_)) & in_frame
+            return out, outv
+        if w.kind == K.FIRST_VALUE:
+            return W.first_value(val, valid, pstart)
+        if w.kind == K.LAST_VALUE:
+            return W.last_value_frame(val, valid, pstart, ostart)
         nth = const_arg(1, 1)
-        idx = jnp.arange(val.shape[0])
+        idx = jnp.arange(n)
         _, start_idx = W.forward_fill_value(idx, pstart)
         pos = start_idx + (nth - 1)
         cnt = W.partition_counts(pstart)
         ok = (nth >= 1) & ((nth - 1) < cnt)
-        pos_c = jnp.clip(pos, 0, val.shape[0] - 1)
+        pos_c = jnp.clip(pos, 0, n - 1)
         out = val[pos_c]
         outv = (valid[pos_c] if valid is not None else jnp.ones_like(ok)) & ok
         return out, outv
@@ -193,6 +206,23 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart):
             acc = np.dtype(np.float64)
             if ati is not None and ati.is_decimal:
                 val = jnp.asarray(val, jnp.float64) / 10**ati.scale
+        if w.frame is not None:
+            unit, b1, b2 = w.frame
+            lo, hi = W.frame_bounds(pstart, ostart, w.frame)
+            lo_unb, hi_unb = b1[0] == "UP", b2[0] == "UF"
+            group_starts = None
+            rows_w = None
+            if not lo_unb and not hi_unb:
+                if unit == "RANGE":
+                    group_starts = pstart | ostart
+                else:
+                    lo_off = -b1[1] if b1[0] == "P" else (
+                        b1[1] if b1[0] == "F" else 0)
+                    hi_off = -b2[1] if b2[0] == "P" else (
+                        b2[1] if b2[0] == "F" else 0)
+                    rows_w = max(hi_off - lo_off + 1, 1)
+            return W.framed_agg(val, valid, pstart, lo, hi, kind, acc,
+                                lo_unb, hi_unb, rows_w, group_starts)
         if w.order_by:
             return W.running_agg(val, valid, pstart, ostart, kind, acc)
         return W.whole_partition_agg(val, valid, pstart, kind, acc)

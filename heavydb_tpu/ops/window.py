@@ -74,12 +74,29 @@ def dense_rank(pstart, ostart):
     return g - base
 
 
+def _next_start_idx(starts):
+    """For each row, the index of the next segment start AFTER it (n if
+    none).  Reverse min-scan — no scatter (a scatter keyed by segment id
+    serializes on TPU when segments are few and large)."""
+    n = starts.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s = jnp.where(starts, idx, jnp.int32(n))
+    r = lax.associative_scan(jnp.minimum, s, reverse=True)
+    return jnp.concatenate([r[1:], jnp.full(1, n, jnp.int32)])
+
+
+def segment_bounds(starts):
+    """(start_idx[i], end_idx[i]) of the segment containing each row.
+    starts[0] must be True."""
+    idx = jnp.arange(starts.shape[0], dtype=jnp.int32)
+    _, start_idx = forward_fill_value(idx, starts)
+    return start_idx.astype(jnp.int32), _next_start_idx(starts) - 1
+
+
 def partition_counts(pstart):
     """Partition size broadcast to each row (sorted order)."""
-    n = pstart.shape[0]
-    pid = partition_ids(pstart)
-    counts = jnp.zeros(n + 1, jnp.int64).at[pid].add(1)[:n]
-    return counts[pid]
+    ps, pe = segment_bounds(pstart)
+    return (pe - ps + 1).astype(jnp.int64)
 
 
 def percent_rank(pstart, ostart):
@@ -90,15 +107,8 @@ def percent_rank(pstart, ostart):
 
 def cume_dist(pstart, ostart):
     """# peers with order-key ≤ current / partition size."""
-    n = pstart.shape[0]
-    idx = jnp.arange(n)
-    # last row index of each peer group, broadcast backward: compute group id,
-    # then for each group its end position
-    newgrp = pstart | ostart
-    gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
-    gmax = jnp.zeros(n + 1, jnp.int64).at[gid].max(idx)[:n]
-    peer_end = gmax[gid]
-    _, pstart_idx = forward_fill_value(idx, pstart)
+    _, peer_end = segment_bounds(pstart | ostart)
+    pstart_idx, _ = segment_bounds(pstart)
     c = partition_counts(pstart)
     return (peer_end - pstart_idx + 1) / c
 
@@ -151,12 +161,7 @@ def first_value(vals, valid, pstart):
 def last_value_frame(vals, valid, pstart, ostart):
     """LAST_VALUE over the default frame (… AND CURRENT ROW with RANGE
     peers): value at the last peer row."""
-    n = vals.shape[0]
-    idx = jnp.arange(n)
-    newgrp = pstart | ostart
-    gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
-    gmax = jnp.zeros(n + 1, jnp.int64).at[gid].max(idx)[:n]
-    peer_end = gmax[gid]
+    _, peer_end = segment_bounds(pstart | ostart)
     out = vals[peer_end]
     outv = valid[peer_end] if valid is not None else None
     return out, outv
@@ -169,10 +174,12 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
     ok = valid if valid is not None else jnp.ones(n, jnp.bool_)
     if kind in ("SUM", "AVG", "COUNT"):
         contrib = jnp.where(ok, jnp.asarray(vals, acc_dtype), 0) if kind != "COUNT" \
-            else ok.astype(jnp.int64)
+            else ok.astype(jnp.int32)
         pre = jnp.cumsum(contrib)
         base, _ = forward_fill_value(pre - contrib, pstart)
         run = pre - base
+        if kind == "COUNT":
+            run = run.astype(jnp.int64)
     elif kind in ("MIN", "MAX"):
         # segmented running min/max via associative scan with partition reset
         fp = np.dtype(acc_dtype).kind == "f"
@@ -194,16 +201,12 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
         run, _ = jax.lax.associative_scan(combine, (x, pstart))
     else:
         raise ValueError(kind)
-    cnt_contrib = ok.astype(jnp.int64)
+    cnt_contrib = ok.astype(jnp.int32)
     cpre = jnp.cumsum(cnt_contrib)
     cbase, _ = forward_fill_value(cpre - cnt_contrib, pstart)
     crun = cpre - cbase
     # RANGE frame: every row sees the value at the END of its peer group
-    idx = jnp.arange(n)
-    newgrp = pstart | ostart
-    gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
-    gmax = jnp.zeros(n + 1, jnp.int64).at[gid].max(idx)[:n]
-    peer_end = gmax[gid]
+    _, peer_end = segment_bounds(pstart | ostart)
     run = run[peer_end]
     crun = crun[peer_end]
     if kind == "COUNT":
@@ -214,37 +217,142 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
 
 
 def whole_partition_agg(vals, valid, pstart, kind: str, acc_dtype):
-    """Aggregate over the ENTIRE partition (no ORDER BY in the window)."""
+    """Aggregate over the ENTIRE partition (no ORDER BY in the window).
+    Implemented as the [partition_start, partition_end] frame — prefix
+    sums / segmented scans, no per-partition scatter (which serializes on
+    TPU when partitions are few and large)."""
+    ps, pe = segment_bounds(pstart)
+    return framed_agg(vals, valid, pstart, ps, pe, kind, acc_dtype,
+                      lo_unbounded=True, hi_unbounded=True)
+
+
+def _minmax_ident(kind: str, acc_dtype):
+    fp = np.dtype(acc_dtype).kind == "f"
+    if kind == "MIN":
+        return jnp.asarray(np.inf if fp else np.iinfo(acc_dtype).max,
+                           acc_dtype), jnp.minimum
+    return jnp.asarray(-np.inf if fp else np.iinfo(acc_dtype).min,
+                       acc_dtype), jnp.maximum
+
+
+def _seg_running_op(x, starts, op):
+    """Segmented inclusive running op (reset at starts)."""
+
+    def combine(a, b):
+        av, areset = a
+        bv, breset = b
+        return jnp.where(breset, bv, op(av, bv)), areset | breset
+
+    run, _ = jax.lax.associative_scan(combine, (x, starts))
+    return run
+
+
+def _prefix(x):
+    c = jnp.cumsum(x)
+    return jnp.concatenate([jnp.zeros(1, c.dtype), c])
+
+
+def _window_minmax_table(x, lo, hi, max_width: int, op, ident):
+    """min/max over [lo, hi] per row via a doubling sparse table with
+    ceil(log2(max_width)) levels; windows are ≤ max_width after clamping.
+    Cost: log2(w) shifted elementwise ops + 2 gathers — no sort, no
+    scatter."""
+    n = x.shape[0]
+    tables = [x]
+    shift = 1
+    while shift < max_width:
+        prev = tables[-1]
+        shifted = jnp.concatenate(
+            [prev[shift:], jnp.full(shift, ident, x.dtype)]
+        )
+        tables.append(op(prev, shifted))
+        shift *= 2
+    stk = jnp.stack(tables).reshape(-1)  # [L*n]
+    length = jnp.maximum(hi - lo + 1, 1).astype(jnp.uint32)
+    j = (jnp.uint32(31) - lax.clz(length)).astype(jnp.int32)
+    pw = jnp.left_shift(jnp.int32(1), j)
+    a = stk[j * n + lo]
+    b = stk[j * n + hi - pw + 1]
+    return op(a, b)
+
+
+def framed_agg(vals, valid, pstart, lo, hi, kind: str, acc_dtype,
+               lo_unbounded: bool, hi_unbounded: bool,
+               rows_max_width: Optional[int] = None,
+               group_starts=None):
+    """SUM/COUNT/AVG/MIN/MAX over the per-row frame [lo, hi] (row-space
+    bounds already clamped to the partition; empty frame iff lo > hi).
+
+    Reference: WindowContext.cpp segment-tree walks per row.  TPU-native:
+    prefix sums for the invertible aggregates; for MIN/MAX one of three
+    scan forms depending on which side is unbounded — forward segmented
+    scan (prefix frames), reverse segmented scan (suffix frames), or a
+    doubling sparse table (bounded ROWS frames, `rows_max_width` static).
+    `group_starts` marks peer-group starts for RANGE CURRENT..CURRENT."""
     n = vals.shape[0]
-    pid = partition_ids(pstart)
     ok = valid if valid is not None else jnp.ones(n, jnp.bool_)
-    nparts = n  # upper bound
-    seg = jnp.where(ok, pid, nparts)
+    empty = lo > hi
+    loc = jnp.clip(lo, 0, n - 1)
+    hic = jnp.clip(hi, 0, n - 1)
+    # counts in int32 (n < 2^31; int64 cumsum is emulated and slow on TPU)
+    pc = _prefix(ok.astype(jnp.int32))
+    cnt = jnp.where(empty, 0, pc[hic + 1] - pc[loc])
     if kind == "COUNT":
-        c = jnp.zeros(nparts + 1, jnp.int64).at[seg].add(1)[:nparts]
-        return c[pid], None
+        return cnt.astype(jnp.int64), None
     x = jnp.asarray(vals, acc_dtype)
-    counts = jnp.zeros(nparts + 1, jnp.int64).at[seg].add(1)[:nparts]
     if kind in ("SUM", "AVG"):
-        s = jnp.zeros(nparts + 1, acc_dtype).at[seg].add(
-            jnp.where(ok, x, 0)
-        )[:nparts]
+        pv = _prefix(jnp.where(ok, x, jnp.asarray(0, acc_dtype)))
+        s = jnp.where(empty, jnp.asarray(0, acc_dtype),
+                      pv[hic + 1] - pv[loc])
         if kind == "AVG":
-            out = s[pid] / jnp.maximum(counts[pid], 1)
-        else:
-            out = s[pid]
-        return out, counts[pid] > 0
+            return s / jnp.maximum(cnt, 1), cnt > 0
+        return s, cnt > 0
     if kind in ("MIN", "MAX"):
-        if np.dtype(acc_dtype).kind == "f":
-            ident = np.inf if kind == "MIN" else -np.inf
+        ident, op = _minmax_ident(kind, acc_dtype)
+        xm = jnp.where(ok, x, ident)
+        if lo_unbounded:
+            run = _seg_running_op(xm, pstart, op)
+            out = run[hic]
+        elif hi_unbounded:
+            pend_flag = jnp.concatenate(
+                [pstart[1:], jnp.ones(1, jnp.bool_)]
+            )
+            run = _seg_running_op(xm[::-1], pend_flag[::-1], op)[::-1]
+            out = run[loc]
+        elif group_starts is not None:
+            # RANGE CURRENT ROW .. CURRENT ROW: peer-group aggregate
+            run = _seg_running_op(xm, group_starts, op)
+            _, ge = segment_bounds(group_starts)
+            out = run[ge]
         else:
-            info = np.iinfo(acc_dtype)
-            ident = info.max if kind == "MIN" else info.min
-        buf = jnp.full(nparts + 1, ident, acc_dtype)
-        x2 = jnp.where(ok, x, jnp.asarray(ident, acc_dtype))
-        if kind == "MIN":
-            m = buf.at[seg].min(x2)[:nparts]
-        else:
-            m = buf.at[seg].max(x2)[:nparts]
-        return m[pid], counts[pid] > 0
+            assert rows_max_width is not None
+            out = _window_minmax_table(xm, loc, hic, rows_max_width, op,
+                                       ident)
+        return out, cnt > 0
     raise ValueError(kind)
+
+
+def frame_bounds(pstart, ostart, frame):
+    """Row-space [lo, hi] per row for an explicit frame spec
+    (unit, lo_bound, hi_bound).  RANGE bounds are peer-group based
+    (UNBOUNDED/CURRENT only); ROWS bounds are row offsets.  Clamped to
+    the partition; empty frames come out as lo > hi."""
+    unit, b1, b2 = frame
+    n = pstart.shape[0]
+    i = jnp.arange(n, dtype=jnp.int32)
+    ps, pe = segment_bounds(pstart)
+    if unit == "ROWS":
+        def bnd(b):
+            if b[0] == "UP":
+                return ps
+            if b[0] == "UF":
+                return pe
+            if b[0] == "CR":
+                return i
+            return i - b[1] if b[0] == "P" else i + b[1]
+        lo, hi = bnd(b1), bnd(b2)
+    else:
+        gs, ge = segment_bounds(pstart | ostart)
+        lo = ps if b1[0] == "UP" else gs
+        hi = pe if b2[0] == "UF" else ge
+    return jnp.maximum(lo, ps), jnp.minimum(hi, pe)

@@ -808,8 +808,16 @@ class ExprBinder:
         kind = self._WINDOW_KINDS.get(fc.name)
         if kind is None:
             raise NotSupported(f"window function {fc.name}")
+        frame = None
         if node.spec.frame is not None:
-            raise NotSupported("explicit window frames")
+            unit, b1, b2 = node.spec.frame
+            if b1[0] == "UF" or b2[0] == "UP":
+                raise BinderError("invalid window frame bounds")
+            if unit == "RANGE" and (len(b1) > 1 or len(b2) > 1):
+                raise NotSupported(
+                    "RANGE frames with numeric offsets (use ROWS)"
+                )
+            frame = (unit, b1, b2)
         args = tuple(self._bind(a) for a in fc.args) if not fc.star else ()
         partition = tuple(self._bind(p) for p in node.spec.partition_by)
         order = tuple(
@@ -848,9 +856,16 @@ class ExprBinder:
             # HeavyDB requires ORDER BY for ranking functions
             raise BinderError(f"{fc.name} requires a window ORDER BY")
         dref = getattr(args[0], "dict_ref", None) if args else None
+        if kind in (K.SUM, K.AVG, K.MIN, K.MAX, K.COUNT,
+                    K.FIRST_VALUE, K.LAST_VALUE, K.NTH_VALUE):
+            # framed aggregates/navigation can see an empty frame → NULL
+            if frame is not None:
+                ti = ti.with_nullable(True)
+        else:
+            frame = None  # ranking functions ignore the frame clause
         return E.WindowFunc(
             kind=kind, args=args, partition_by=partition, order_by=order,
-            type=ti, dict_ref=dref,
+            type=ti, dict_ref=dref, frame=frame,
         )
 
 

@@ -367,6 +367,9 @@ class WindowFunc(Expr):
     order_by: Tuple[tuple, ...] = ()
     type: T.TypeInfo = None
     dict_ref: Optional[tuple] = None
+    # explicit frame ("ROWS"|"RANGE", lo_bound, hi_bound) with bounds
+    # ("UP",)/("CR",)/("UF",)/("P", n)/("F", n); None = default frame
+    frame: Optional[tuple] = None
 
     def children(self):
         return tuple(self.args) + tuple(self.partition_by) + tuple(
@@ -374,7 +377,7 @@ class WindowFunc(Expr):
         )
 
     def _key_parts(self):
-        return (self.kind.value,) + tuple(self.args) + tuple(
+        return (self.kind.value, self.frame) + tuple(self.args) + tuple(
             self.partition_by
         ) + tuple((e, a, nf) for e, a, nf in self.order_by)
 

@@ -937,10 +937,44 @@ class Parser:
                     spec.order_by.append(A.OrderItem(e, asc, nf))
                     if not self.eat_op(","):
                         break
-            # frame clauses (ROWS BETWEEN ...) parsed permissively later
+            if self.at_kw("ROWS", "RANGE"):
+                unit = self.next().upper
+                if self.eat_kw("BETWEEN"):
+                    b1 = self._frame_bound()
+                    self.expect_kw("AND")
+                    b2 = self._frame_bound()
+                else:
+                    b1 = self._frame_bound()
+                    b2 = ("CR",)
+                spec.frame = (unit, b1, b2)
             self.expect_op(")")
             return A.WindowFuncCall(fc, spec)
         return fc
+
+    def _frame_bound(self) -> tuple:
+        """UNBOUNDED PRECEDING/FOLLOWING | CURRENT ROW | <n> PRECEDING/
+        FOLLOWING → ("UP",)/("UF",)/("CR",)/("P", n)/("F", n)."""
+        if self.eat_kw("UNBOUNDED"):
+            if self.eat_kw("PRECEDING"):
+                return ("UP",)
+            self.expect_kw("FOLLOWING")
+            return ("UF",)
+        if self.eat_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return ("CR",)
+        t = self.next()
+        try:
+            nv = int(t.value)
+        except ValueError:
+            raise ParserError(
+                f"expected frame bound, got {t.value!r} at {t.pos}"
+            )
+        if nv < 0:
+            raise ParserError(f"negative frame offset at {t.pos}")
+        if self.eat_kw("PRECEDING"):
+            return ("P", nv)
+        self.expect_kw("FOLLOWING")
+        return ("F", nv)
 
     def _case(self) -> A.Expr:
         self.expect_kw("CASE")

@@ -142,3 +142,120 @@ def test_window_over_filtered_subquery(wdb):
     assert rows == [
         ("a", 30.0), ("a", 30.0), ("b", 12.0), ("b", 12.0), ("b", 12.0)
     ]
+
+
+# ---- explicit frames (ROWS/RANGE BETWEEN) ----------------------------------
+
+FRAMED_QUERIES = [
+    "SELECT g, x, SUM(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM w ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, AVG(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM w ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, MIN(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST "
+    "ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) FROM w ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, MAX(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM w "
+    "ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, COUNT(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST "
+    "ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) FROM w ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, SUM(x) OVER (PARTITION BY g ORDER BY x "
+    "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) FROM w "
+    "ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, MAX(v) OVER (PARTITION BY g ORDER BY x "
+    "RANGE BETWEEN CURRENT ROW AND CURRENT ROW) FROM w ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, MIN(x) OVER (PARTITION BY g ORDER BY x "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM w "
+    "ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM w ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, LAST_VALUE(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM w ORDER BY g, x, v NULLS FIRST",
+    "SELECT g, x, SUM(v) OVER (PARTITION BY g "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "FROM w ORDER BY g, x, v NULLS FIRST",
+]
+
+
+@pytest.mark.parametrize("q", FRAMED_QUERIES)
+def test_framed_vs_sqlite(wdb, q):
+    import math
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE w (g TEXT, x INT, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO w VALUES (?,?,?)",
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+         ("b", 1, 5.0), ("b", 2, None), ("b", 2, 7.0), ("c", 9, 1.0)],
+    )
+    want = con.execute(q).fetchall()
+    got = wdb.sql(q).rows()
+    assert len(got) == len(want), (got, want)
+    for rg, rw in zip(got, want):
+        for a, b in zip(rg, rw):
+            if isinstance(a, float) and b is not None:
+                assert math.isclose(a, b, rel_tol=1e-9), (q, got, want)
+            else:
+                assert a == b, (q, got, want)
+
+
+def test_framed_larger_random_vs_sqlite(db):
+    import math
+    import sqlite3
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    g = rng.integers(0, 7, n)
+    x = rng.integers(0, 50, n)
+    v = np.where(rng.random(n) < 0.1, np.nan, rng.normal(0, 10, n))
+    db.sql("CREATE TABLE wr (g INT, x INT, v DOUBLE, r INT)")
+    db.load_table("wr", {"g": g.astype(np.int32), "x": x.astype(np.int32),
+                         "v": v, "r": np.arange(n, dtype=np.int32)})
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE wr (g INT, x INT, v DOUBLE, r INT)")
+    con.executemany(
+        "INSERT INTO wr VALUES (?,?,?,?)",
+        [(int(g[i]), int(x[i]), None if np.isnan(v[i]) else float(v[i]), i)
+         for i in range(n)],
+    )
+    for q in [
+        "SELECT g, x, SUM(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST, r "
+        "ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) s FROM wr "
+        "ORDER BY g, r",
+        "SELECT g, x, MIN(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST, r "
+        "ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM wr "
+        "ORDER BY g, r",
+        "SELECT g, x, MAX(v) OVER (PARTITION BY g ORDER BY x, v NULLS FIRST, r "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) s FROM wr "
+        "ORDER BY g, r",
+        "SELECT g, x, COUNT(v) OVER (PARTITION BY g ORDER BY x "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) s FROM wr "
+        "ORDER BY g, r",
+    ]:
+        want = con.execute(q).fetchall()
+        got = db.sql(q).rows()
+        assert len(got) == len(want)
+        mismatch = 0
+        for rg, rw in zip(got, want):
+            a, b = rg[2], rw[2]
+            if a is None or b is None:
+                assert a == b, (q, rg, rw)
+            elif isinstance(a, float):
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (q, rg, rw)
+            else:
+                assert a == b, (q, rg, rw)
+
+
+def test_frame_errors(db):
+    db.sql("CREATE TABLE fe (x INT)")
+    db.sql("INSERT INTO fe VALUES (1), (2)")
+    import pytest as _pt
+
+    from heavydb_tpu.errors import BinderError, NotSupported
+
+    with _pt.raises(NotSupported):
+        db.sql("SELECT SUM(x) OVER (ORDER BY x "
+               "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) FROM fe")
+    with _pt.raises(BinderError):
+        db.sql("SELECT SUM(x) OVER (ORDER BY x "
+               "ROWS BETWEEN UNBOUNDED FOLLOWING AND CURRENT ROW) FROM fe")
