@@ -332,22 +332,29 @@ class Executor:
         in_domain_n = jnp.asarray(n, jnp.int32)
         present = [i for i, c in enumerate(inp.cols) if c is not None]
 
-        def sort_kernel(nrows, ranks, *cols):
-            in_domain = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
-            key_tvs = []
-            for ki, idx in enumerate(key_idxs):
-                ti = inp.types[idx]
-                val = cols[present.index(idx)]
-                valid = _derive_valid(val, ti) if ti.nullable else None
-                if ki in rank_tables:
-                    tbl = ranks[list(rank_tables).index(ki)]
-                    safe = jnp.clip(val, 0, tbl.shape[0] - 1)
-                    val = jnp.where(val >= 0, tbl[safe], -1)
-                key_tvs.append((val, valid))
-            perm, vsorted = S.sort_permutation(key_tvs, key_specs, in_domain)
-            return tuple(c[perm] for c in cols)
+        ck = ("sort", node.plan_key(), padded, tuple(present),
+              tuple(str(inp.cols[i].dtype) for i in present),
+              tuple(rank_tables))
+        jitted = self.kernel_cache.get(ck)
+        if jitted is None:
+            def sort_kernel(nrows, ranks, *cols):
+                in_domain = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
+                key_tvs = []
+                for ki, idx in enumerate(key_idxs):
+                    ti = inp.types[idx]
+                    val = cols[present.index(idx)]
+                    valid = _derive_valid(val, ti) if ti.nullable else None
+                    if ki in rank_tables:
+                        tbl = ranks[list(rank_tables).index(ki)]
+                        safe = jnp.clip(val, 0, tbl.shape[0] - 1)
+                        val = jnp.where(val >= 0, tbl[safe], -1)
+                    key_tvs.append((val, valid))
+                perm, vsorted = S.sort_permutation(key_tvs, key_specs, in_domain)
+                return tuple(c[perm] for c in cols)
 
-        sorted_cols_present = jax.jit(sort_kernel)(
+            jitted = jax.jit(sort_kernel)
+            self.kernel_cache[ck] = jitted
+        sorted_cols_present = jitted(
             in_domain_n,
             tuple(rank_tables.values()),
             *[inp.cols[i] for i in present],
@@ -375,31 +382,38 @@ class Executor:
         k = min(k_total, padded)
         present = [i for i, c in enumerate(inp.cols) if c is not None]
 
-        def kernel(nrows, *cols):
-            val = cols[present.index(idx)]
-            in_domain = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
-            valid = _derive_valid(val, ti) if ti.nullable else None
-            # build a DESCENDING-priority key in an order-exact dtype
-            if val.dtype.kind == "f":
-                key = jnp.where(jnp.isnan(val), 0, val)
-                lo_sent = jnp.asarray(-np.inf, key.dtype)
-                hi_sent = jnp.asarray(np.inf, key.dtype)
-            else:
-                # keep native width: 64-bit radix/compare ops are emulated
-                # on TPU (2x passes, each slower)
-                kdt = jnp.int64 if val.dtype.itemsize > 4 else jnp.int32
-                key = jnp.asarray(val, kdt)
-                lo_sent = jnp.asarray(jnp.iinfo(kdt).min + 1, kdt)
-                hi_sent = jnp.asarray(jnp.iinfo(kdt).max, kdt)
-            if asc:
-                key = -key
-            if valid is not None:
-                key = jnp.where(valid, key, hi_sent if nulls_first else lo_sent)
-            key = jnp.where(in_domain, key, lo_sent)
-            top_idx = S.topk_indices(key, k)
-            return tuple(c[top_idx] for c in cols)
+        ck = ("topk", node.plan_key(), padded, k, tuple(present),
+              tuple(str(inp.cols[i].dtype) for i in present))
+        jitted = self.kernel_cache.get(ck)
+        if jitted is None:
+            def kernel(nrows, *cols):
+                val = cols[present.index(idx)]
+                in_domain = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
+                valid = _derive_valid(val, ti) if ti.nullable else None
+                # build a DESCENDING-priority key in an order-exact dtype
+                if val.dtype.kind == "f":
+                    key = jnp.where(jnp.isnan(val), 0, val)
+                    lo_sent = jnp.asarray(-np.inf, key.dtype)
+                    hi_sent = jnp.asarray(np.inf, key.dtype)
+                else:
+                    # keep native width: 64-bit radix/compare ops are
+                    # emulated on TPU (2x passes, each slower)
+                    kdt = jnp.int64 if val.dtype.itemsize > 4 else jnp.int32
+                    key = jnp.asarray(val, kdt)
+                    lo_sent = jnp.asarray(jnp.iinfo(kdt).min + 1, kdt)
+                    hi_sent = jnp.asarray(jnp.iinfo(kdt).max, kdt)
+                if asc:
+                    key = -key
+                if valid is not None:
+                    key = jnp.where(valid, key,
+                                    hi_sent if nulls_first else lo_sent)
+                key = jnp.where(in_domain, key, lo_sent)
+                top_idx = S.topk_indices(key, k)
+                return tuple(c[top_idx] for c in cols)
 
-        out_present = jax.jit(kernel)(
+            jitted = jax.jit(kernel)
+            self.kernel_cache[ck] = jitted
+        out_present = jitted(
             jnp.asarray(inp.nrows, jnp.int32), *[inp.cols[i] for i in present]
         )
         out_cols: List[Optional[jax.Array]] = [None] * len(inp.cols)
@@ -429,7 +443,7 @@ class Executor:
             for sub in E.walk(w):
                 if isinstance(sub, E.DictStrPredicate):
                     aux[sub.key()] = self._aux_array(("strpred", sub))
-        wcols = run_window(node, inp, aux)
+        wcols = run_window(node, inp, aux, cache=self.kernel_cache)
         return B.Batch(
             list(inp.cols) + list(wcols), inp.nrows, list(node.types)
         )

@@ -25,12 +25,23 @@ from heavydb_tpu.ops.sort import _sortable_operands
 from heavydb_tpu.plan import exprs as E
 
 
-def run_window(node, inp, aux) -> List[jax.Array]:
+def run_window(node, inp, aux, cache=None) -> List[jax.Array]:
     from heavydb_tpu.exec.executor import _derive_valid
 
     padded = inp.padded
     present = [i for i, c in enumerate(inp.cols) if c is not None]
     wfuncs = node.wfuncs
+    ck = ("window", node.plan_key(), padded, tuple(present),
+          tuple(str(inp.cols[i].dtype) for i in present),
+          tuple(sorted(aux.keys(), key=repr)))
+    if cache is not None and ck in cache:
+        jitted = cache[ck]
+        aux_keys = sorted(aux.keys(), key=repr)
+        return jitted(
+            jnp.asarray(inp.nrows, jnp.int32),
+            tuple(aux[k] for k in aux_keys),
+            *[inp.cols[i] for i in present],
+        )
 
     # group funcs by (partition, order) spec so each spec sorts once
     spec_groups: Dict[tuple, List[int]] = {}
@@ -108,6 +119,8 @@ def run_window(node, inp, aux) -> List[jax.Array]:
 
     aux_keys = sorted(aux.keys(), key=repr)
     jitted = jax.jit(kernel)
+    if cache is not None:
+        cache[ck] = jitted
     return jitted(
         jnp.asarray(inp.nrows, jnp.int32),
         tuple(aux[k] for k in aux_keys),
