@@ -73,6 +73,16 @@ class TypeInfo:
     scale: int = 0  # DECIMAL scale
     encoding: Encoding = Encoding.NONE
     comp_param: int = 0  # dict id for DICT, bit width for FIXED
+    # ARRAY column of this element type (reference sqltypes.h kARRAY with
+    # subtype; stored as per-row variable-length lists, ArrayNoneEncoder)
+    is_array: bool = False
+
+    def elem_type(self) -> "TypeInfo":
+        """Element TypeInfo of an array type."""
+        return replace(self, is_array=False)
+
+    def as_array(self) -> "TypeInfo":
+        return replace(self, is_array=True)
 
     # ---- classification ----
     @property
