@@ -183,8 +183,12 @@ class Database:
             dicts = []
             for i in range(plan.arity):
                 ref = _node_dict_ref(plan, i)
-                dicts.append(self.dict_by_ref(ref) if ref else None)
-            return from_batch(batch, plan.fields, plan.types, dicts)
+                dicts.append(
+                    self.dict_by_ref(ref)
+                    if ref and not plan.types[i].is_array else None
+                )
+            rs = from_batch(batch, plan.fields, plan.types, dicts)
+            return self._fix_array_cols(rs, plan)
 
         return batch, decode
 
@@ -209,6 +213,47 @@ class Database:
 
     def _get_view(self, name: str) -> Optional[A.Select]:
         return self._views.get(name.lower())
+
+    def _array_col_for_insert(self, plan, i, rowids, t, cd):
+        """Array column flowing into a (possibly different) table: decode
+        rowids to payload rows; TEXT[] re-interns into the target dict."""
+        ref = _node_dict_ref(plan, i)
+        if ref is None:
+            raise NotSupported("INSERT of computed arrays")
+        objs, sd = self._rowids_to_object(ref, rowids)
+        eti = cd.type.elem_type()
+        if eti.is_dict_string and ref != (t.table_id, cd.col_id):
+            from heavydb_tpu.storage.table import from_physical
+
+            lists = from_physical(objs, cd.type, sd)
+            return to_physical(lists, cd.type, t.dicts.get(cd.col_id))
+        return objs
+
+    def _rowids_to_object(self, ref, rowids: np.ndarray):
+        """Array-column result decode: device rowids → object ndarray of
+        per-row element arrays (None = NULL / out of range)."""
+        tid, cid = ref
+        t = self.catalog.get_table_by_id(tid)
+        payload = t.column_values(cid)
+        out = np.empty(len(rowids), object)
+        np_len = len(payload)
+        for j, rid in enumerate(rowids.tolist()):
+            out[j] = payload[rid] if 0 <= rid < np_len else None
+        return out, t.dicts.get(cid)
+
+    def _fix_array_cols(self, rs: ResultSet, plan) -> ResultSet:
+        """Replace array-column rowid handles with host payloads before the
+        ResultSet is handed to the client."""
+        for i, ti in enumerate(plan.types):
+            if not ti.is_array:
+                continue
+            ref = _node_dict_ref(plan, i)
+            if ref is None:
+                raise NotSupported("SELECT of computed arrays")
+            objs, sd = self._rowids_to_object(ref, rs._cols[i])
+            rs._cols[i] = objs
+            rs._dicts[i] = sd
+        return rs
 
     def dict_by_ref(self, ref):
         table_id, col_id = ref
@@ -458,8 +503,12 @@ class Database:
                 dicts = []
                 for i in range(plan.arity):
                     ref = _node_dict_ref(plan, i)
-                    dicts.append(self.dict_by_ref(ref) if ref else None)
+                    dicts.append(
+                        self.dict_by_ref(ref)
+                        if ref and not plan.types[i].is_array else None
+                    )
                 rs = from_batch(batch, plan.fields, plan.types, dicts)
+                rs = self._fix_array_cols(rs, plan)
         if cache_key is not None:
             self._result_cache[cache_key] = rs
         self.last_query_timings = timer.to_dict()
@@ -535,7 +584,9 @@ class Database:
             cols = {}
             for cd, (i, ti) in zip(t.columns, enumerate(rs_plan.types)):
                 arr = host[i]
-                if ti.is_dict_string:
+                if ti.is_array:
+                    arr = self._array_col_for_insert(rs_plan, i, arr, t, cd)
+                elif ti.is_dict_string:
                     src_ref = _node_dict_ref(rs_plan, i)
                     src = self.dict_by_ref(src_ref) if src_ref else None
                     strings = (
@@ -572,6 +623,11 @@ class Database:
                 raise SqlError("INSERT value count mismatch")
             provided = {}
             for cd, expr_ast in zip(target_cols, row):
+                if cd.type.is_array:
+                    provided[cd.col_id] = self._array_literal_value(
+                        expr_ast, cd, binder
+                    )
+                    continue
                 e = binder.bind(expr_ast)
                 v = _const_value(e, cd.type)
                 provided[cd.col_id] = v
@@ -587,7 +643,13 @@ class Database:
         arrays = {}
         for cd in t.columns:
             vals = by_col[cd.col_id]
-            if cd.type.is_dict_string:
+            if cd.type.is_array:
+                from heavydb_tpu.storage.table import to_physical
+
+                arrays[cd.col_id] = to_physical(
+                    vals, cd.type, t.dicts.get(cd.col_id)
+                )
+            elif cd.type.is_dict_string:
                 arrays[cd.col_id] = t.dict_for(cd.col_id).get_or_add_bulk(vals)
             else:
                 # _const_value already produced PHYSICAL values
@@ -597,6 +659,32 @@ class Database:
                     [sent if v is None else v for v in vals], dt
                 )
         t.insert_columns(arrays)
+
+    def _array_literal_value(self, expr_ast, cd, binder):
+        """{...} / ARRAY[...] / NULL in INSERT VALUES → python list of
+        element values (reference Importer TypedImportBuffer addArray)."""
+        from heavydb_tpu.sql import ast as A
+
+        if isinstance(expr_ast, A.Literal) and expr_ast.kind == "null":
+            return None
+        if not isinstance(expr_ast, A.ArrayLiteral):
+            raise SqlError(
+                f"column {cd.name} expects an array literal"
+            )
+        eti = cd.type.elem_type()
+        out = []
+        for item in expr_ast.items:
+            e = binder.bind(item)
+            if eti.is_dict_string:
+                from heavydb_tpu.plan import exprs as E
+
+                if isinstance(e, E.Constant):
+                    out.append(None if e.value is None else str(e.value))
+                else:
+                    raise SqlError("array literal elements must be constant")
+            else:
+                out.append(_const_value(e, eti))
+        return out
         return None
 
     def _insert_select(self, st: A.InsertSelect) -> None:
@@ -615,7 +703,11 @@ class Database:
         for cd, i in zip(target_cols, range(plan.arity)):
             src_ti = plan.types[i]
             arr = host[i]
-            if cd.type.is_dict_string:
+            if cd.type.is_array:
+                if not src_ti.is_array:
+                    raise SqlError(f"cannot insert {src_ti} into array column")
+                arr = self._array_col_for_insert(plan, i, arr, t, cd)
+            elif cd.type.is_dict_string:
                 src_ref = _node_dict_ref(plan, i)
                 if src_ref is None:
                     raise NotSupported("INSERT of computed strings")
@@ -693,7 +785,12 @@ class Database:
         for cd, i in zip(t.columns, range(plan.arity)):
             arr = host[i]
             src_ti = plan.types[i]
-            if cd.type.is_dict_string:
+            if cd.type.is_array:
+                ref = _node_dict_ref(plan, i)
+                if ref is None:
+                    raise NotSupported("UPDATE of array columns")
+                arr, _ = self._rowids_to_object(ref, arr)
+            elif cd.type.is_dict_string:
                 # ids are already in this table's dictionary (identity or CASE
                 # over the same column); CASE over dict strings keeps ids
                 arr = arr.astype(np.int32)
@@ -899,7 +996,19 @@ def _normalize_tabular(data) -> Dict[str, np.ndarray]:
     except ImportError:
         pass
     if isinstance(data, dict):
-        return {k: np.asarray(v) for k, v in data.items()}
+        out = {}
+        for k, v in data.items():
+            if isinstance(v, list) and any(
+                isinstance(x, (list, tuple, np.ndarray)) for x in v
+            ):
+                # ragged list-of-lists (array column): keep as object rows
+                a = np.empty(len(v), object)
+                for i, x in enumerate(v):
+                    a[i] = x
+                out[k] = a
+            else:
+                out[k] = np.asarray(v)
+        return out
     raise StorageError(f"cannot load {type(data)}")
 
 

@@ -229,6 +229,8 @@ class Executor:
                 out = self._exec_union(node, memo)
             elif isinstance(node, R.Sort):
                 out = self._exec_sort(node, memo)
+            elif isinstance(node, R.Unnest):
+                out = self._exec_unnest(node, memo)
             elif isinstance(node, R.Compound):
                 out = self._exec_compound(node, memo)
             elif isinstance(node, R.Window):
@@ -258,7 +260,25 @@ class Executor:
             key = (t.table_id, t.generation, cd.col_id, size, fkey)
             arr = self.scan_cache.get(key)
             if arr is None:
-                if frags is None:
+                if cd.type.is_array:
+                    # array column device handle = GLOBAL rowid (stable
+                    # across fragment skipping); lengths/offsets/flat ride
+                    # as aux arrays (see _aux_array "array")
+                    gstart = np.cumsum(
+                        [0] + [f.num_rows for f in t.fragments[:-1]]
+                    )
+                    use = (
+                        list(zip(gstart, t.fragments)) if frags is None
+                        else [(gstart[f.fragment_id], f) for f in frags]
+                    )
+                    host = (
+                        np.concatenate([
+                            g + np.arange(f.num_rows, dtype=np.int32)
+                            for g, f in use if f.num_rows
+                        ]) if any(f.num_rows for _, f in use)
+                        else np.empty(0, np.int32)
+                    )
+                elif frags is None:
                     host = t.column_values(cd.col_id)
                 else:
                     parts = [f.chunks[cd.col_id] for f in frags if f.num_rows]
@@ -426,6 +446,52 @@ class Executor:
         if off:
             out_cols = [None if c is None else c[off:] for c in out_cols]
         return B.Batch(out_cols, n_out, list(node.types))
+
+    # ---- Unnest ----
+    def _exec_unnest(self, node: "R.Unnest", memo) -> B.Batch:
+        """One output row per array element: join-expansion machinery
+        (unique-index scatters + i32 prefix sums) over the flat element
+        payload.  Capacity = full flat size, so no retry is ever needed."""
+        child = node.inputs[0]
+        inp = self._exec(child, memo, set(range(child.arity)))
+        afn = node.afn
+        lengths_a, offsets_a, flat_a = self._array_aux(afn)
+        cap = int(flat_a.shape[0])
+        arr_idx = afn.rowid.field_idx
+        present = [i for i, c in enumerate(inp.cols) if c is not None]
+        padded = inp.padded
+
+        ck = ("unnest", node.plan_key(), padded, cap, tuple(present),
+              tuple(str(inp.cols[i].dtype) for i in present))
+        jitted = self.kernel_cache.get(ck)
+        if jitted is None:
+            def kernel(nrows, lengths, offsets, flat, *cols):
+                rid = jnp.asarray(cols[present.index(arr_idx)], jnp.int32)
+                in_domain = (
+                    jax.lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
+                )
+                okr = in_domain & (rid >= 0)
+                ridc = jnp.clip(rid, 0, lengths.shape[0] - 1)
+                cnt = jnp.where(okr, jnp.maximum(lengths[ridc], 0), 0)
+                lo = offsets[ridc]
+                pidx, elem, out_mask, _, needed = J.expand_matches(
+                    lo, cnt, flat, None, cap, False
+                )
+                pidx = jnp.where(out_mask, pidx, 0)
+                return tuple(c[pidx] for c in cols) + (elem, needed)
+
+            jitted = jax.jit(kernel)
+            self.kernel_cache[ck] = jitted
+        outs = jitted(
+            jnp.asarray(inp.nrows, jnp.int32), lengths_a, offsets_a, flat_a,
+            *[inp.cols[i] for i in present],
+        )
+        needed = int(jax.device_get(outs[-1]))
+        out_cols: List[Optional[jax.Array]] = [None] * len(inp.cols)
+        for j, i in enumerate(present):
+            out_cols[i] = outs[j]
+        out_cols.append(outs[-2])
+        return B.Batch(out_cols, needed, list(node.types))
 
     # ---- Window ----
     def _exec_window(self, node: R.Window, memo) -> B.Batch:
@@ -683,6 +749,8 @@ class Executor:
                     plan.aux_specs.setdefault(sub.key(), ("strpred", sub))
                 if isinstance(sub, E.StringTransform):
                     plan.aux_specs.setdefault(sub.key(), ("strtransform", sub))
+                if isinstance(sub, E.ArrayFn) and sub.op != "UNNEST":
+                    plan.aux_specs.setdefault(sub.key(), ("array", sub))
                 if isinstance(sub, E.Agg) and sub.kind in (
                     E.AggKind.MIN, E.AggKind.MAX
                 ) and sub.arg is not None and sub.arg.type.is_dict_string:
@@ -898,7 +966,124 @@ class Executor:
             arr = jax.device_put(host)
             self.aux_cache[cache_key] = arr
             return arr
+        if kind == "array":
+            return self._array_aux(payload)
         raise NotSupported(f"aux {kind}")
+
+    def _array_aux(self, afn):
+        """Aux device arrays for an ArrayFn over a base-table array column.
+
+        CARDINALITY/SUBSCRIPT → (lengths[n] int32 (-1 = NULL array),
+        offsets[n+1] int32, flat elem values); ANY/ALL → (res[n] int8:
+        1 true / 0 false / -1 NULL) precomputed per table row with
+        three-valued semantics (reference ArrayIR.cpp codegenArrayAt /
+        Analyzer::BinOper kANY-kALL lowering)."""
+        tid, cid = afn.arr_ref
+        t = self.db.catalog.get_table_by_id(tid)
+        cache_key = ("array", afn.op, afn.key(), tid, cid, t.generation)
+        hit = self.aux_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        eti = afn.elem
+        rows = t.column_values(cid)
+        n = len(rows)
+        lengths = np.array(
+            [-1 if r is None else len(r) for r in rows], np.int32
+        )
+        clamped = np.maximum(lengths, 0)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(clamped, out=offsets[1:])
+        parts = [r for r in rows if r is not None and r.size]
+        flat = (
+            np.concatenate(parts) if parts
+            else np.empty(0, eti.np_dtype())
+        )
+        if flat.dtype.kind == "f":
+            validf = ~np.isnan(flat)
+        else:
+            validf = flat != eti.null_sentinel()
+
+        if afn.op in ("CARDINALITY", "SUBSCRIPT", "UNNEST"):
+            res = (
+                jax.device_put(B.pad_to(lengths, B.bucket(max(n, 1)),
+                                        T.integer(False))),
+                jax.device_put(
+                    np.concatenate([
+                        offsets.astype(np.int32),
+                        np.full(B.bucket(n + 1) - (n + 1), offsets[-1],
+                                np.int32),
+                    ])
+                ),
+                jax.device_put(
+                    B.pad_to(flat, B.bucket(max(len(flat), 1)), eti)
+                ),
+            )
+            self.aux_cache[cache_key] = res
+            return res
+
+        # ANY / ALL with a constant lhs
+        lit = afn.args[0]
+        litval = lit.value
+        flat_rowid = np.repeat(np.arange(n), clamped)
+        if litval is None:
+            out = np.where(
+                clamped == 0,
+                np.int8(0 if afn.op == "ANY" else 1),
+                np.int8(-1),
+            ).astype(np.int8)
+        else:
+            if eti.is_dict_string:
+                d = t.dict_for(cid)
+                # compare_ids evaluates `entry <op> pattern`; the quantified
+                # comparison is `lit <op> elem`, so flip the operator
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                        "=": "=", "<>": "<>"}
+                match_ids = d.compare_ids(flip[afn.cmp_op], str(litval))
+                table = np.zeros(max(d.size, 1) + 1, bool)
+                table[match_ids] = True
+                safe = np.where(validf, flat, d.size)
+                cmpf = table[safe]
+            else:
+                if lit.type.is_decimal:
+                    litv = litval / 10**lit.type.scale
+                else:
+                    litv = litval
+                ops = {
+                    "=": np.equal, "<>": np.not_equal, "<": np.less,
+                    "<=": np.less_equal, ">": np.greater,
+                    ">=": np.greater_equal,
+                }
+                vals = flat
+                if eti.is_decimal:
+                    vals = flat / 10**eti.scale
+                # quantified comparison is `lit <op> elem`
+                with np.errstate(invalid="ignore"):
+                    cmpf = ops[afn.cmp_op](litv, vals)
+            n_true = np.bincount(
+                flat_rowid, weights=(cmpf & validf), minlength=n
+            )[:n] if n else np.zeros(0)
+            n_nullel = np.bincount(
+                flat_rowid, weights=~validf, minlength=n
+            )[:n] if n else np.zeros(0)
+            n_false = np.bincount(
+                flat_rowid, weights=(~cmpf & validf), minlength=n
+            )[:n] if n else np.zeros(0)
+            if afn.op == "ANY":
+                out = np.where(
+                    n_true > 0, 1, np.where(n_nullel > 0, -1, 0)
+                ).astype(np.int8)
+            else:
+                out = np.where(
+                    n_false > 0, 0, np.where(n_nullel > 0, -1, 1)
+                ).astype(np.int8)
+            out = np.where(lengths < 0, np.int8(-1), out)
+        res = (
+            jax.device_put(
+                B.pad_to(out, B.bucket(max(n, 1)), T.tinyint(False))
+            ),
+        )
+        self.aux_cache[cache_key] = res
+        return res
 
     # ---- postprocess & retry ----
     def _postprocess(self, node, plan, outs) -> Optional[B.Batch]:

@@ -82,6 +82,44 @@ class ExprCompiler:
         dt = e.type.np_dtype()
         return jnp.asarray(e.value, dt), None
 
+    def _c_ArrayFn(self, e: E.ArrayFn) -> TV:
+        """Array ops: the column's device value is its global ROWID; aux
+        carries (lengths, offsets, flat) or the precomputed ANY/ALL result
+        (executor._array_aux).  Reference QueryEngine/ArrayIR.cpp."""
+        if e.op == "UNNEST":
+            raise NotSupported("UNNEST is only allowed in the SELECT list")
+        rid, ridv = self.compile(e.rowid)
+        aux = self.aux[e.key()]
+        nmax = aux[0].shape[0]
+        rid = jnp.asarray(rid, jnp.int32)
+        ridc = jnp.clip(rid, 0, nmax - 1)
+        okrid = rid >= 0
+        if ridv is not None:
+            okrid = okrid & ridv
+        if e.op == "CARDINALITY":
+            ln = aux[0][ridc]
+            return ln, okrid & (ln >= 0)
+        if e.op in ("ANY", "ALL"):
+            r = aux[0][ridc]
+            return r == 1, okrid & (r != -1)
+        # SUBSCRIPT
+        lengths, offsets, flat = aux
+        k, kvalid = self.compile(e.args[0])
+        k = jnp.asarray(k, jnp.int32)
+        ln = lengths[ridc]
+        off = offsets[ridc]
+        pos = jnp.clip(off + k - 1, 0, flat.shape[0] - 1)
+        v = flat[pos]
+        ok = okrid & (k >= 1) & (k <= jnp.maximum(ln, 0))
+        if kvalid is not None:
+            ok = ok & kvalid
+        if e.elem.nullable:
+            if flat.dtype.kind == "f":
+                ok = ok & ~jnp.isnan(v)
+            else:
+                ok = ok & (v != e.elem.null_sentinel())
+        return v, ok
+
     # ---- operators ----
     def _c_BinOp(self, e: E.BinOp) -> TV:
         if e.op in E.LOGIC_OPS:

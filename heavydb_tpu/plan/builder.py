@@ -51,6 +51,11 @@ def resolve_type_name(tn: A.TypeName) -> T.TypeInfo:
     kind = _TYPE_ALIASES.get(tn.name)
     if kind is None:
         raise BinderError(f"unknown type {tn.name}")
+    if tn.is_array:
+        base = resolve_type_name(A.TypeName(tn.name, tn.params,
+                                            not_null=tn.not_null,
+                                            encoding=tn.encoding))
+        return base.as_array()
     nullable = not tn.not_null
     if kind == T.SQLTypeKind.DECIMAL:
         p = tn.params[0] if tn.params else 10
@@ -296,6 +301,10 @@ class ExprBinder:
         raise NotSupported(f"operator {op}")
 
     def _bind_comparison(self, op: str, l: E.Expr, r: E.Expr) -> E.Expr:
+        if l.type.is_array or r.type.is_array:
+            raise BinderError(
+                "arrays cannot be compared directly (use = ANY / <> ALL)"
+            )
         # dict-string vs string literal → launch-time dictionary predicate
         lt, rt = l.type, r.type
         if lt.is_dict_string or rt.is_dict_string:
@@ -627,10 +636,69 @@ class ExprBinder:
             correlated=correlated, type=T.boolean(nullable=False),
         )
 
+    # ---- arrays (reference QueryEngine/ArrayIR.cpp) ----
+    def _array_base(self, ast_node) -> E.Expr:
+        """Bind an expression that must be an ARRAY column reference."""
+        base = self._bind(ast_node)
+        if not base.type.is_array:
+            raise BinderError("expected an ARRAY column")
+        if getattr(base, "dict_ref", None) is None or not isinstance(
+            base, E.InputRef
+        ):
+            raise NotSupported(
+                "array operations on computed arrays (base-table array "
+                "columns only)"
+            )
+        return base
+
+    def _bind_Subscript(self, node: A.Subscript) -> E.Expr:
+        base = self._array_base(node.base)
+        idx = self._bind(node.index)
+        if not idx.type.is_integer:
+            raise BinderError("array subscript must be an integer")
+        eti = base.type.elem_type()
+        return E.ArrayFn(
+            op="SUBSCRIPT", arr_ref=base.dict_ref, rowid=base, args=(idx,),
+            elem=eti, type=eti.with_nullable(True),
+            dict_ref=base.dict_ref if eti.is_dict_string else None,
+        )
+
+    def _bind_QuantCmp(self, node: A.QuantCmp) -> E.Expr:
+        base = self._array_base(node.rhs)
+        lhs = self._bind(node.lhs)
+        if not isinstance(lhs, E.Constant):
+            raise NotSupported(
+                f"{node.quant} comparison with a non-constant left side"
+            )
+        return E.ArrayFn(
+            op=node.quant, arr_ref=base.dict_ref, rowid=base, args=(lhs,),
+            cmp_op=node.op, elem=base.type.elem_type(),
+            type=T.boolean(True),
+        )
+
+    def _bind_ArrayLiteral(self, node: A.ArrayLiteral) -> E.Expr:
+        raise NotSupported(
+            "array literals outside INSERT ... VALUES"
+        )
+
     def _bind_FuncCall(self, node: A.FuncCall) -> E.Expr:
         name = node.name
         if name in _AGG_NAMES or (name == "COUNT"):
             return self._bind_agg(node)
+        if name in ("CARDINALITY", "ARRAY_LENGTH") and len(node.args) == 1:
+            base = self._array_base(node.args[0])
+            return E.ArrayFn(
+                op="CARDINALITY", arr_ref=base.dict_ref, rowid=base,
+                elem=base.type.elem_type(), type=T.integer(True),
+            )
+        if name == "UNNEST" and len(node.args) == 1:
+            base = self._array_base(node.args[0])
+            eti = base.type.elem_type()
+            return E.ArrayFn(
+                op="UNNEST", arr_ref=base.dict_ref, rowid=base, elem=eti,
+                type=eti.with_nullable(True),
+                dict_ref=base.dict_ref if eti.is_dict_string else None,
+            )
         if name in ("COALESCE", "IFNULL", "NVL"):
             if len(node.args) < 2:
                 raise BinderError(f"{name} needs ≥2 args")

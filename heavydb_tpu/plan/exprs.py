@@ -383,6 +383,39 @@ class WindowFunc(Expr):
 
 
 @dataclass(frozen=True)
+class ArrayFn(Expr):
+    """Array operation over a base-table ARRAY column (reference
+    Analyzer::CardinalityExpr, BinOper with kARRAY_AT, Analyzer::BinOper
+    qualifier kANY/kALL over array RHS — QueryEngine/ArrayIR.cpp).
+
+    The device representation of an array column is its global ROWID
+    (int32); lengths/offsets/flat-values ride as aux arrays resolved by
+    `arr_ref` = (table_id, col_id).  op:
+      CARDINALITY — element count (NULL for NULL array)
+      SUBSCRIPT   — 1-based element access, args=(index,)
+      ANY / ALL   — quantified comparison, args=(lhs value expr,) with
+                    cmp_op; lhs must be a constant for now
+    """
+
+    op: str = ""
+    arr_ref: tuple = ()
+    rowid: "Expr" = None
+    args: Tuple["Expr", ...] = ()
+    cmp_op: str = ""
+    elem: T.TypeInfo = None
+    type: T.TypeInfo = None
+    dict_ref: Optional[tuple] = None
+
+    def children(self):
+        return (self.rowid,) + tuple(self.args)
+
+    def _key_parts(self):
+        return (self.op, self.arr_ref, self.cmp_op, self.rowid) + tuple(
+            self.args
+        )
+
+
+@dataclass(frozen=True)
 class OuterRef(Expr):
     """Reference to a column of the ENCLOSING query inside a correlated
     subquery (reference Analyzer::Var with rte_idx into the outer query).
@@ -467,4 +500,9 @@ def rewrite(e: Expr, fn):
         return fn(dataclasses.replace(e, arg=arg, arg2=arg2))
     if isinstance(e, SubqueryExpr) and e.arg is not None:
         return fn(dataclasses.replace(e, arg=rewrite(e.arg, fn)))
+    if isinstance(e, ArrayFn):
+        return fn(dataclasses.replace(
+            e, rowid=rewrite(e.rowid, fn),
+            args=tuple(rewrite(a, fn) for a in e.args),
+        ))
     return fn(e)

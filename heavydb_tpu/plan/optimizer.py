@@ -146,6 +146,9 @@ def _fuse(node: R.RelNode) -> R.RelNode:
     if isinstance(node, R.Window):
         node.inputs = [_fuse(node.inputs[0])]
         return node
+    if isinstance(node, R.Unnest):
+        node.inputs = [_fuse(node.inputs[0])]
+        return node
 
     if isinstance(node, R.Project):
         inner = node.inputs[0]

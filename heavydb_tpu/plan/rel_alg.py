@@ -247,6 +247,25 @@ class Window(RelNode):
         return tuple(w.key() for w in self.wfuncs)
 
 
+class Unnest(RelNode):
+    """Expands each input row into one row per array element (reference:
+    Calcite UNNEST → correlated join over an array iterator; HeavyDB
+    RelLogicalValues/ArrayIR UNNEST support).  Output schema = input
+    fields ++ the element column."""
+
+    def __init__(self, input_: RelNode, afn):
+        super().__init__([input_])
+        self.afn = afn  # E.ArrayFn op=UNNEST (carries arr_ref + rowid)
+        self.fields = list(input_.fields) + ["$unnest"]
+        self.types = list(input_.types) + [afn.type]
+
+    def _label(self):
+        return f"Unnest({self.afn.arr_ref})"
+
+    def _key_parts(self):
+        return (self.afn.key(),)
+
+
 class Compound(RelNode):
     """Fused join→filter→aggregate→project work unit — the unit of kernel
     compilation (reference RelCompound + RelAlgExecutionUnit,

@@ -206,6 +206,30 @@ class SelectPlanner:
             name = alias or _auto_name(expr_ast, len(proj_items))
             proj_items.append((e, name))
 
+        # UNNEST expansion — one row per array element, before aggregation
+        # (reference: Calcite rewrites SELECT-list UNNEST into a correlated
+        # join over an array iterator)
+        unnest_keys = {}
+        for e, _ in proj_items:
+            for n_ in E.walk(e):
+                if isinstance(n_, E.ArrayFn) and n_.op == "UNNEST":
+                    unnest_keys.setdefault(n_.key(), n_)
+        if unnest_keys:
+            if len(unnest_keys) > 1:
+                raise NotSupported("multiple distinct UNNEST expressions")
+            u = next(iter(unnest_keys.values()))
+            base_arity = rel.arity
+            rel = R.Unnest(rel, u)
+
+            def _swap_unnest(e_):
+                if isinstance(e_, E.ArrayFn) and e_.op == "UNNEST":
+                    return E.InputRef(0, base_arity, u.type, u.dict_ref)
+                return e_
+
+            proj_items = [
+                (E.rewrite(e, _swap_unnest), n) for e, n in proj_items
+            ]
+
         has_aggs = bool(sel.group_by) or any(
             E.is_aggregate(e) for e, _ in proj_items
         ) or (sel.having is not None)
@@ -438,6 +462,9 @@ class SelectPlanner:
                 base = R.Project(
                     rel, all_refs + extra_exprs, list(rel.fields) + extra_names
                 )
+        for _ki, _, _ in keys:
+            if base.types[_ki].is_array:
+                raise BinderError("array columns cannot be ORDER BY keys")
         sorted_ = R.Sort(base, keys, sel.limit, sel.offset)
         if extra_exprs:
             keep = [
@@ -474,7 +501,8 @@ class SelectPlanner:
             node = R.Scan(table)
             alias = ref.alias or ref.name
             dict_refs = [
-                (table.table_id, cd.col_id) if cd.type.is_dict_string else None
+                (table.table_id, cd.col_id)
+                if (cd.type.is_dict_string or cd.type.is_array) else None
                 for cd in table.columns
             ]
             scope.add_relation(alias, node.fields, node.types, dict_refs)
@@ -613,6 +641,9 @@ class SelectPlanner:
         if having_expr is not None:
             collect_aggs(having_expr)
 
+        for g in group_exprs:
+            if g.type.is_array:
+                raise BinderError("array columns cannot be GROUP BY keys")
         group_keys = [g.key() for g in group_exprs]
         n_keys = len(group_exprs)
 
@@ -729,6 +760,9 @@ class SelectPlanner:
             ] + extra_exprs
             names = list(rel.fields) + extra_names
             base = R.Project(rel, all_exprs, names)
+        for _ki, _, _ in keys:
+            if base.types[_ki].is_array:
+                raise BinderError("array columns cannot be ORDER BY keys")
         sorted_ = R.Sort(base, keys, sel.limit, sel.offset)
         if extra_exprs:
             keep = [
@@ -782,7 +816,9 @@ def _node_dict_ref(node: R.RelNode, field_idx: int):
     """Propagate dictionary identity through Scan/Project/Aggregate outputs."""
     if isinstance(node, R.Scan):
         cd = node.table.columns[field_idx]
-        return (node.table.table_id, cd.col_id) if cd.type.is_dict_string else None
+        if cd.type.is_dict_string or cd.type.is_array:
+            return (node.table.table_id, cd.col_id)
+        return None
     if isinstance(node, R.Project):
         e = node.exprs[field_idx]
         return getattr(e, "dict_ref", None)
@@ -805,6 +841,11 @@ def _node_dict_ref(node: R.RelNode, field_idx: int):
         if field_idx < base:
             return _node_dict_ref(node.inputs[0], field_idx)
         return node.wfuncs[field_idx - base].dict_ref
+    if isinstance(node, R.Unnest):
+        base = node.inputs[0].arity
+        if field_idx < base:
+            return _node_dict_ref(node.inputs[0], field_idx)
+        return node.afn.dict_ref
     if isinstance(node, R.TableData):
         return node.dict_refs[field_idx]
     if isinstance(node, R.Compound):

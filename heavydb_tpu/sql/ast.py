@@ -110,6 +110,7 @@ class CaseWhen(Expr):
 class TypeName(Node):
     name: str  # canonical upper-case base name
     params: Tuple[int, ...] = ()  # (p, s) / (n)
+    is_array: bool = False  # TYPE[] / TYPE[n] (size hint ignored)
     not_null: bool = False
     encoding: Optional[str] = None  # 'DICT' | 'NONE' | 'FIXED' | 'DAYS'
     encoding_param: int = 0
@@ -119,6 +120,31 @@ class TypeName(Node):
 class Cast(Expr):
     operand: Expr
     type_name: TypeName
+
+
+@dataclass
+class Subscript(Expr):
+    """arr[idx] — 1-based array element access (HeavyDB kARRAY_AT)."""
+
+    base: Expr = None
+    index: Expr = None
+
+
+@dataclass
+class ArrayLiteral(Expr):
+    """ARRAY[...] / {...} literal."""
+
+    items: List[Expr] = field(default_factory=list)
+
+
+@dataclass
+class QuantCmp(Expr):
+    """lhs <op> ANY/ALL rhs where rhs is an array expression."""
+
+    op: str = "="
+    lhs: Expr = None
+    rhs: Expr = None
+    quant: str = "ANY"  # ANY | ALL
 
 
 @dataclass

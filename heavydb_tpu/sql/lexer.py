@@ -37,6 +37,10 @@ _OPERATORS = [
     "<",
     ">",
     ".",
+    "[",
+    "]",
+    "{",
+    "}",
 ]
 
 

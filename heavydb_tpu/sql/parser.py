@@ -453,7 +453,14 @@ class Parser:
                 ps.append(int(self.next().value))
             self.expect_op(")")
             params = tuple(ps)
-        return A.TypeName(base, params)
+        is_array = False
+        if self.at_op("["):
+            self.next()
+            if not self.at_op("]"):
+                self.next()  # fixed-size hint, stored arrays are variable
+            self.expect_op("]")
+            is_array = True
+        return A.TypeName(base, params, is_array)
 
     # ---- SELECT ----
     def parse_select(self) -> A.Select:
@@ -680,6 +687,10 @@ class Parser:
                 op = self.next().value
                 if op == "!=":
                     op = "<>"
+                if self.at_kw("ANY", "SOME", "ALL"):
+                    quant = "ALL" if self.next().upper == "ALL" else "ANY"
+                    left = A.QuantCmp(op, left, self._additive(), quant)
+                    continue
                 right = self._additive()
                 left = A.Binary(op, left, right)
                 continue
@@ -767,8 +778,16 @@ class Parser:
 
     def _postfix(self) -> A.Expr:
         e = self._primary()
-        while self.eat_op("::"):
-            e = A.Cast(e, self._type_name())
+        while True:
+            if self.eat_op("::"):
+                e = A.Cast(e, self._type_name())
+            elif self.at_op("["):
+                self.next()
+                idx = self.parse_expr()
+                self.expect_op("]")
+                e = A.Subscript(e, idx)
+            else:
+                break
         return e
 
     def _primary(self) -> A.Expr:
@@ -784,6 +803,15 @@ class Parser:
         if t.kind == STRING:
             self.next()
             return A.Literal(t.value, "string", t.value)
+        if t.kind == OP and t.value == "{":
+            self.next()
+            items = []
+            if not self.at_op("}"):
+                items.append(self.parse_expr())
+                while self.eat_op(","):
+                    items.append(self.parse_expr())
+            self.expect_op("}")
+            return A.ArrayLiteral(items)
         if t.kind == OP and t.value == "(":
             self.next()
             if self.at_kw("SELECT", "WITH"):
@@ -849,6 +877,16 @@ class Parser:
                 raise ParserError(
                     f"unexpected keyword {t.value!r} at {t.pos}"
                 )
+            if kw == "ARRAY" and self.at_op("[", ahead=1):
+                self.next()
+                self.next()
+                items = []
+                if not self.at_op("]"):
+                    items.append(self.parse_expr())
+                    while self.eat_op(","):
+                        items.append(self.parse_expr())
+                self.expect_op("]")
+                return A.ArrayLiteral(items)
             if kw == "DATE" and self.peek(1).kind == STRING:
                 self.next()
                 s = self.next().value

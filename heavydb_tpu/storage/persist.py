@@ -60,6 +60,7 @@ def _atomic_write(path: str, data: bytes):
 def _type_to_json(ti: T.TypeInfo) -> dict:
     return {
         "kind": ti.kind.value,
+        "is_array": ti.is_array,
         "nullable": ti.nullable,
         "precision": ti.precision,
         "scale": ti.scale,
@@ -72,7 +73,8 @@ def _type_from_json(d: dict) -> T.TypeInfo:
     kind = next(k for k in T.SQLTypeKind if k.value == d["kind"])
     enc = next(e for e in T.Encoding if e.value == d["encoding"])
     return T.TypeInfo(
-        kind, d["nullable"], d["precision"], d["scale"], enc, d["comp_param"]
+        kind, d["nullable"], d["precision"], d["scale"], enc, d["comp_param"],
+        is_array=d.get("is_array", False),
     )
 
 
@@ -148,7 +150,22 @@ class TableStore:
                     continue
                 path = self._chunk_path(frag.fragment_id, cid, epoch)
                 with open(path, "wb") as f:
-                    np.save(f, arr)
+                    if arr.dtype == object:
+                        # array column: (lengths, flat) pair — no pickling
+                        # (reference ArrayNoneEncoder's offsets+data layout)
+                        lens = np.array(
+                            [-1 if r is None else len(r) for r in arr],
+                            np.int64,
+                        )
+                        parts = [r for r in arr if r is not None and r.size]
+                        flat = (
+                            np.concatenate(parts) if parts
+                            else np.empty(0, np.int64)
+                        )
+                        np.save(f, lens)
+                        np.save(f, flat)
+                    else:
+                        np.save(f, arr)
                     f.flush()
                     os.fsync(f.fileno())
                 manifest["chunks"][key] = {
@@ -221,7 +238,22 @@ class TableStore:
             t.fragments.append(frag)
         for key, ref in m["chunks"].items():
             f_s, c_s = key.split(":")
-            arr = np.load(self._chunk_path(int(f_s), int(c_s), ref["epoch"]))
+            cd = t.column_by_id(int(c_s))
+            path = self._chunk_path(int(f_s), int(c_s), ref["epoch"])
+            if cd.type.is_array:
+                with open(path, "rb") as fh:
+                    lens = np.load(fh)
+                    flat = np.load(fh)
+                arr = np.empty(len(lens), object)
+                pos = 0
+                for i, ln in enumerate(lens.tolist()):
+                    if ln < 0:
+                        arr[i] = None
+                    else:
+                        arr[i] = flat[pos:pos + ln]
+                        pos += ln
+            else:
+                arr = np.load(path)
             t.fragments_by_id()[int(f_s)].chunks[int(c_s)] = arr
         for cid_s, ref in m["dicts"].items():
             cid = int(cid_s)

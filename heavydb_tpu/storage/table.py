@@ -70,6 +70,24 @@ class Fragment:
     def compute_stats(self, cd: ColumnDescriptor):
         vals = self.chunks[cd.col_id]
         st = ChunkStats(num_rows=self.num_rows)
+        if cd.type.is_array:
+            # stats over the flattened elements (reference ArrayNoneEncoder
+            # updateStats walks every element)
+            st.has_nulls = any(row is None for row in vals)
+            parts = [row for row in vals if row is not None and row.size]
+            if parts:
+                flat = np.concatenate(parts)
+                eti = cd.type.elem_type()
+                if flat.dtype.kind == "f":
+                    valid = flat[~np.isnan(flat)]
+                else:
+                    valid = flat[flat != eti.null_sentinel()]
+                st.has_nulls = st.has_nulls or valid.size < flat.size
+                if valid.size:
+                    st.min = valid.min().item()
+                    st.max = valid.max().item()
+            self.stats[cd.col_id] = st
+            return st
         if vals.size:
             if vals.dtype.kind == "f":
                 valid = vals[~np.isnan(vals)]
@@ -104,7 +122,9 @@ class Table:
         self.fragments: List[Fragment] = []
         self.dicts: Dict[int, StringDictionary] = {}  # col_id -> dict
         for cd in self.columns:
-            if cd.type.is_dict_string:
+            if cd.type.is_dict_string or (
+                cd.type.is_array and cd.type.elem_type().is_dict_string
+            ):
                 self.dicts[cd.col_id] = StringDictionary(dict_id=cd.col_id)
         # generation bumps on every data mutation; device caches key on it
         # (reference TableGenerations for multi-host snapshot consistency)
@@ -183,7 +203,9 @@ class Table:
             col_id = max((cd.col_id for cd in self.columns), default=0) + 1
             cd = ColumnDescriptor(name, ti, col_id, default)
             self.columns.append(cd)
-            if ti.is_dict_string:
+            if ti.is_dict_string or (
+                ti.is_array and ti.elem_type().is_dict_string
+            ):
                 self.dicts[col_id] = StringDictionary(dict_id=col_id)
             fill_vals = [default] if default is not None else [None]
             for frag in self.fragments:
@@ -306,6 +328,18 @@ def to_physical(
 ) -> np.ndarray:
     """Convert a python/numpy/pandas sequence into the physical column array
     (sentinel nulls in-band)."""
+    if ti.is_array:
+        # array column: object ndarray of per-row element arrays (None =
+        # NULL array).  Reference ArrayNoneEncoder / TypedImportBuffer
+        # addArray (ImportExport/Importer.h).
+        eti = ti.elem_type()
+        out = np.empty(len(values), object)
+        for i, row in enumerate(values):
+            if row is None or (isinstance(row, float) and np.isnan(row)):
+                out[i] = None
+            else:
+                out[i] = to_physical(list(row), eti, sdict)
+        return out
     dtype = ti.np_dtype()
     sentinel = ti.null_sentinel()
 
@@ -370,6 +404,12 @@ def from_physical(arr: np.ndarray, ti: T.TypeInfo, sdict=None) -> list:
     """Physical array → python values (None for nulls) for client results.
     Vectorized per type (a per-value Python loop was the egress bottleneck;
     numpy datetime64 conversion gives C-speed date/datetime objects)."""
+    if ti.is_array:
+        eti = ti.elem_type()
+        return [
+            None if row is None else from_physical(row, eti, sdict)
+            for row in arr
+        ]
     if ti.is_string and (sdict is None and arr.dtype.kind in ("U", "O")):
         # host-materialized strings (metadata results)
         return list(arr)

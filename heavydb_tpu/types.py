@@ -87,31 +87,33 @@ class TypeInfo:
     # ---- classification ----
     @property
     def is_integer(self) -> bool:
-        return self.kind in _INT_KINDS
+        return self.kind in _INT_KINDS and not self.is_array
 
     @property
     def is_fp(self) -> bool:
-        return self.kind in _FLOAT_KINDS
+        return self.kind in _FLOAT_KINDS and not self.is_array
 
     @property
     def is_decimal(self) -> bool:
-        return self.kind == SQLTypeKind.DECIMAL
+        return self.kind == SQLTypeKind.DECIMAL and not self.is_array
 
     @property
     def is_number(self) -> bool:
-        return self.is_integer or self.is_fp or self.is_decimal
+        return (self.is_integer or self.is_fp or self.is_decimal) \
+            and not self.is_array
 
     @property
     def is_string(self) -> bool:
-        return self.kind == SQLTypeKind.TEXT
+        return self.kind == SQLTypeKind.TEXT and not self.is_array
 
     @property
     def is_dict_string(self) -> bool:
-        return self.kind == SQLTypeKind.TEXT and self.encoding == Encoding.DICT
+        return (self.kind == SQLTypeKind.TEXT
+                and self.encoding == Encoding.DICT and not self.is_array)
 
     @property
     def is_time(self) -> bool:
-        return self.kind in _TIME_KINDS
+        return self.kind in _TIME_KINDS and not self.is_array
 
     @property
     def is_boolean(self) -> bool:
@@ -124,6 +126,10 @@ class TypeInfo:
     # ---- physical representation ----
     def np_dtype(self) -> np.dtype:
         """Physical numpy/JAX dtype of the stored column."""
+        if self.is_array:
+            # device handle of an array column: the global rowid (int32);
+            # lengths/offsets/flat values ride as aux arrays (ArrayFn)
+            return np.dtype(np.int32)
         k = self.kind
         if k == SQLTypeKind.BOOLEAN:
             return np.dtype(np.int8)
@@ -162,6 +168,8 @@ class TypeInfo:
 
     # ---- display ----
     def sql_name(self) -> str:
+        if self.is_array:
+            return self.elem_type().sql_name() + "[]"
         if self.kind == SQLTypeKind.DECIMAL:
             return f"DECIMAL({self.precision},{self.scale})"
         if self.kind == SQLTypeKind.TIMESTAMP and self.precision:
