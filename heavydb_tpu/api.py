@@ -63,6 +63,19 @@ class Database:
         # (reference TableFunctionsFactory UDTFs)
         self._table_functions: Dict[str, object] = {}
         _register_system_tfs(self._table_functions)
+        # FSI foreign servers (reference Catalog/ForeignServer.h; default
+        # servers created at InitDB, Catalog.cpp createDefaultServers)
+        self._servers: Dict[str, dict] = {
+            "default_local_delimited": {
+                "wrapper": "delimited_file", "options": {}
+            },
+            "default_local_parquet": {
+                "wrapper": "parquet_file", "options": {}
+            },
+            "default_local_regex_parsed": {
+                "wrapper": "regex_parser", "options": {}
+            },
+        }
         self.path = path
         self._catalog_store = None
         self._table_stores: Dict[int, object] = {}
@@ -98,6 +111,8 @@ class Database:
         for name in self.catalog.list_tables():
             t = self.catalog.get_table(name)
             live_ids.add(t.table_id)
+            if getattr(t, "foreign", None) is not None:
+                continue  # FSI data lives in the source file, not FileMgr
             store = self._table_stores.get(t.table_id)
             if store is None:
                 store = TableStore(
@@ -214,6 +229,114 @@ class Database:
     def _get_view(self, name: str) -> Optional[A.Select]:
         return self._views.get(name.lower())
 
+    # ------------------------------------------------------------------
+    # FSI foreign tables (reference DataMgr/ForeignStorage/ wrappers:
+    # CsvDataWrapper, ParquetDataWrapper, RegexParserDataWrapper; lazy
+    # chunk population + REFRESH FOREIGN TABLES)
+    # ------------------------------------------------------------------
+    def _create_foreign_table(self, st: A.CreateForeignTable):
+        if self.catalog.get_table_opt(st.name) is not None:
+            if st.if_not_exists:
+                return None
+            raise SqlError(f"table {st.name!r} already exists")
+        server = self._servers.get(st.server)
+        if server is None:
+            raise SqlError(f"no server {st.server!r}")
+        path = self._foreign_path(server, st.options)
+        if st.columns:
+            defs = [
+                (cd.name, resolve_type_name(cd.type_name))
+                for cd in st.columns
+            ]
+        else:
+            # schema inference from the file (reference: parquet wrappers
+            # derive the schema; delimited requires detect)
+            if server["wrapper"] == "parquet_file":
+                import pandas as pd
+
+                df = pd.read_parquet(path)
+                defs = [(c, _infer_type(df[c].to_numpy())) for c in df.columns]
+            else:
+                from heavydb_tpu.io.csv_import import detect_column_types
+
+                defs = detect_column_types(path, st.options)
+        t = self.catalog.create_table(st.name, defs, 32_000_000)
+        t.foreign = {
+            "server": st.server,
+            "options": dict(st.options),
+            "loaded": False,
+        }
+        return None
+
+    def _foreign_path(self, server: dict, options: dict) -> str:
+        path = options.get("file_path")
+        if path is None:
+            raise SqlError("foreign table requires file_path option")
+        base = server["options"].get("base_path")
+        if base and not os.path.isabs(path):
+            path = os.path.join(base, path)
+        return path
+
+    def ensure_foreign_loaded(self, t: Table):
+        if getattr(t, "foreign", None) is not None and not t.foreign["loaded"]:
+            self._load_foreign(t)
+
+    def _load_foreign(self, t: Table):
+        """(Re)populate a foreign table from its source file."""
+        fo = t.foreign
+        server = self._servers.get(fo["server"])
+        if server is None:
+            raise SqlError(f"no server {fo['server']!r}")
+        path = self._foreign_path(server, fo["options"])
+        wrapper = server["wrapper"]
+        import pandas as pd
+
+        if wrapper == "parquet_file":
+            df = pd.read_parquet(path)
+            cols = {c: df[c].to_numpy() for c in df.columns}
+        elif wrapper == "regex_parser":
+            import re as _re
+
+            regex = fo["options"].get("line_regex")
+            if not regex:
+                raise SqlError("regex_parser requires line_regex option")
+            pat = _re.compile(regex)
+            rows = []
+            with open(path) as f:
+                if fo["options"].get("header", True):
+                    next(f, None)
+                for line in f:
+                    m = pat.match(line.rstrip("\n"))
+                    rows.append(
+                        m.groups() if m
+                        else (None,) * len(t.columns)
+                    )
+            cols = {
+                cd.name: np.array(
+                    [r[i] if i < len(r) else None for r in rows], object
+                )
+                for i, cd in enumerate(t.columns)
+            }
+        else:  # delimited
+            delim = fo["options"].get("delimiter", ",")
+            df = pd.read_csv(path, delimiter=delim)
+            cols = {c: df[c].to_numpy() for c in df.columns}
+        t.delete_all()
+        by_name = {k.lower(): v for k, v in cols.items()}
+        arrays = {}
+        for cd in t.columns:
+            v = by_name.get(cd.name.lower())
+            if v is None:
+                v = [None] * max(
+                    (len(x) for x in by_name.values()), default=0
+                )
+            arrays[cd.col_id] = to_physical(
+                v, cd.type, t.dicts.get(cd.col_id)
+            )
+        if arrays and len(next(iter(arrays.values()))):
+            t.insert_columns(arrays)
+        fo["loaded"] = True
+
     def _array_col_for_insert(self, plan, i, rowids, t, cd):
         """Array column flowing into a (possibly different) table: decode
         rowids to payload rows; TEXT[] re-interns into the target dict."""
@@ -283,6 +406,35 @@ class Database:
             return self._explain(st)
         if isinstance(st, A.CreateTable):
             return self._create_table(st)
+        if isinstance(st, A.CreateServer):
+            if st.name in self._servers and not st.if_not_exists:
+                raise SqlError(f"server {st.name!r} already exists")
+            self._servers.setdefault(
+                st.name, {"wrapper": st.wrapper.lower(),
+                          "options": dict(st.options)}
+            )
+            return None
+        if isinstance(st, A.DropServer):
+            if st.name not in self._servers:
+                if st.if_exists:
+                    return None
+                raise SqlError(f"no server {st.name!r}")
+            del self._servers[st.name]
+            return None
+        if isinstance(st, A.ShowServers):
+            return _string_result(
+                "server_name",
+                [f"{n} ({s['wrapper']})" for n, s in self._servers.items()],
+            )
+        if isinstance(st, A.CreateForeignTable):
+            return self._create_foreign_table(st)
+        if isinstance(st, A.RefreshForeignTables):
+            for name in st.tables:
+                t = self.catalog.get_table(name)
+                if getattr(t, "foreign", None) is None:
+                    raise SqlError(f"{name!r} is not a foreign table")
+                self._load_foreign(t)
+            return None
         if isinstance(st, A.DropTable):
             self.catalog.drop_table(st.name, st.if_exists)
             return None
@@ -609,6 +761,7 @@ class Database:
     # ------------------------------------------------------------------
     def _insert_values(self, st: A.InsertValues) -> None:
         t = self.catalog.get_table(st.table)
+        _reject_foreign_write(t)
         target_cols = (
             [self._col_of(t, c) for c in st.columns]
             if st.columns
@@ -689,6 +842,7 @@ class Database:
 
     def _insert_select(self, st: A.InsertSelect) -> None:
         t = self.catalog.get_table(st.table)
+        _reject_foreign_write(t)
         plan = optimize(self._plan_select(st.select))
         batch = self.executor.execute(plan)
         host = batch.to_numpy()
@@ -746,6 +900,7 @@ class Database:
     # ------------------------------------------------------------------
     def _update(self, st: A.Update) -> None:
         t = self.catalog.get_table(st.table)
+        _reject_foreign_write(t)
         assigned = {name.lower(): expr for name, expr in st.assignments}
         proj = []
         for cd in t.columns:
@@ -766,6 +921,7 @@ class Database:
 
     def _delete(self, st: A.Delete) -> None:
         t = self.catalog.get_table(st.table)
+        _reject_foreign_write(t)
         proj = [(A.Identifier((cd.name,)), cd.name) for cd in t.columns]
         where = (
             A.Unary("NOT", _coalesce_bool(st.where)) if st.where is not None else None
@@ -825,6 +981,7 @@ class Database:
         return _string_result("result", [f"Exported: {n} recs"])
 
     def _insert_columns(self, t: Table, cols: Dict[str, np.ndarray]):
+        _reject_foreign_write(t)
         arrays = {}
         for cd in t.columns:
             key = None
@@ -841,6 +998,14 @@ class Database:
 
 
 # ---------------------------------------------------------------------------
+
+
+def _reject_foreign_write(t):
+    if getattr(t, "foreign", None) is not None:
+        raise SqlError(
+            f"foreign table {t.name!r} is read-only (REFRESH FOREIGN "
+            "TABLES to re-import)"
+        )
 
 
 def _coalesce_bool(e: A.Expr) -> A.Expr:

@@ -498,6 +498,8 @@ class SelectPlanner:
                 scope.add_relation(alias, node.fields, node.types, dict_refs)
                 return node
             table = self.db.catalog.get_table(ref.name)
+            if hasattr(self.db, "ensure_foreign_loaded"):
+                self.db.ensure_foreign_loaded(table)  # lazy FSI population
             node = R.Scan(table)
             alias = ref.alias or ref.name
             dict_refs = [

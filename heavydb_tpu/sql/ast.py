@@ -273,6 +273,46 @@ class ColumnDef(Node):
 
 
 @dataclass
+class CreateServer(Statement):
+    """CREATE SERVER name FOREIGN DATA WRAPPER wrapper WITH (...) —
+    reference FSI ForeignServer (Catalog/ForeignServer.h)."""
+
+    name: str = ""
+    wrapper: str = ""
+    options: dict = field(default_factory=dict)
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropServer(Statement):
+    name: str = ""
+    if_exists: bool = False
+
+
+@dataclass
+class CreateForeignTable(Statement):
+    """CREATE FOREIGN TABLE ... SERVER srv WITH (file_path=...) —
+    reference Catalog/ForeignTable.h + foreign storage wrappers."""
+
+    name: str = ""
+    columns: List["ColumnDef"] = field(default_factory=list)
+    server: str = ""
+    options: dict = field(default_factory=dict)
+    if_not_exists: bool = False
+
+
+@dataclass
+class RefreshForeignTables(Statement):
+    tables: List[str] = field(default_factory=list)
+    evict: bool = False
+
+
+@dataclass
+class ShowServers(Statement):
+    pass
+
+
+@dataclass
 class CreateTable(Statement):
     name: str
     columns: List[ColumnDef] = field(default_factory=list)

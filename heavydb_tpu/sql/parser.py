@@ -160,6 +160,8 @@ class Parser:
                 return A.ShowUsers()
             if self.eat_kw("ROLES"):
                 return A.ShowRoles()
+            if self.eat_kw("SERVERS"):
+                return A.ShowServers()
             if self.eat_kw("CREATE"):
                 self.expect_kw("TABLE")
                 return A.ShowCreateTable(self.ident())
@@ -169,6 +171,16 @@ class Parser:
         if kw in ("DESCRIBE", "DESC"):
             self.next()
             return A.DescribeTable(self.ident())
+        if kw == "REFRESH":
+            self.next()
+            self.expect_kw("FOREIGN")
+            self.expect_kw("TABLES")
+            tables = [self.ident()]
+            while self.eat_op(","):
+                tables.append(self.ident())
+            opts = self._with_options()
+            evict = bool(opts.get("evict", False))
+            return A.RefreshForeignTables(tables, evict)
         if kw == "VALIDATE":
             self.next()
             return A.ValidateStmt()
@@ -219,6 +231,36 @@ class Parser:
             name = self.ident()
             self.expect_kw("AS")
             return A.CreateView(name, self.parse_select(), if_not_exists)
+        if self.eat_kw("SERVER"):
+            if_not_exists = self._if_not_exists()
+            name = self.ident()
+            self.expect_kw("FOREIGN")
+            self.expect_kw("DATA")
+            self.expect_kw("WRAPPER")
+            wrapper = self.ident()
+            opts = self._with_options()
+            return A.CreateServer(name, wrapper, opts, if_not_exists)
+        if self.eat_kw("FOREIGN"):
+            self.expect_kw("TABLE")
+            if_not_exists = self._if_not_exists()
+            name = self.ident()
+            st = A.CreateForeignTable(name, if_not_exists=if_not_exists)
+            if self.at_op("("):
+                self.expect_op("(")
+                while True:
+                    cname = self.ident()
+                    tn = self._type_name()
+                    if self.eat_kw("NOT"):
+                        self.expect_kw("NULL")
+                        tn.not_null = True
+                    st.columns.append(A.ColumnDef(cname, tn, None))
+                    if not self.eat_op(","):
+                        break
+                self.expect_op(")")
+            self.expect_kw("SERVER")
+            st.server = self.ident()
+            st.options = self._with_options()
+            return st
         self.expect_kw("TABLE")
         if_not_exists = self._if_not_exists()
         name = self.ident()
@@ -249,6 +291,16 @@ class Parser:
                 if not self.eat_op(","):
                     break
             self.expect_op(")")
+        if self.at_kw("WITH"):
+            stmt.options = self._with_options()
+        if self.eat_kw("AS"):
+            stmt.as_select = self.parse_select()
+        if not stmt.columns and stmt.as_select is None:
+            raise ParserError("CREATE TABLE needs a column list or AS SELECT")
+        return stmt
+
+    def _with_options(self) -> dict:
+        opts = {}
         if self.eat_kw("WITH"):
             self.expect_op("(")
             while True:
@@ -258,15 +310,13 @@ class Parser:
                 val = tv.value
                 if tv.kind == NUMBER:
                     val = float(val) if "." in val else int(val)
-                stmt.options[key] = val
+                elif isinstance(val, str) and val.lower() in ("true", "false"):
+                    val = val.lower() == "true"
+                opts[key] = val
                 if not self.eat_op(","):
                     break
             self.expect_op(")")
-        if self.eat_kw("AS"):
-            stmt.as_select = self.parse_select()
-        if not stmt.columns and stmt.as_select is None:
-            raise ParserError("CREATE TABLE needs a column list or AS SELECT")
-        return stmt
+        return opts
 
     def _if_not_exists(self) -> bool:
         if self.eat_kw("IF"):
@@ -281,6 +331,12 @@ class Parser:
             return A.DropUser(self.ident())
         if self.eat_kw("ROLE"):
             return A.DropRole(self.ident())
+        if self.eat_kw("SERVER"):
+            if_exists = False
+            if self.eat_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return A.DropServer(self.ident(), if_exists)
         is_view = self.eat_kw("VIEW")
         if not is_view:
             self.expect_kw("TABLE")

@@ -297,6 +297,7 @@ class PersistentCatalogStore:
                      "type": _type_to_json(cd.type)}
                     for cd in t.columns
                 ],
+                "foreign": getattr(t, "foreign", None),
             })
         payload = {"version": 1, "tables": tables}
         if syscatalog is not None:
@@ -326,5 +327,8 @@ class PersistentCatalogStore:
             )
             # preserve original table id mapping for on-disk dirs
             t.disk_table_id = tm["table_id"]
+            if tm.get("foreign"):
+                t.foreign = dict(tm["foreign"])
+                t.foreign["loaded"] = False  # lazy re-import on first scan
             out.append(t)
         return out

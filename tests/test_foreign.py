@@ -1,0 +1,122 @@
+"""FSI foreign table tests — reference DataMgr/ForeignStorage wrappers
+(CsvDataWrapper, ParquetDataWrapper, RegexParserDataWrapper), CREATE
+SERVER / CREATE FOREIGN TABLE / REFRESH FOREIGN TABLES DDL."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("a,b,c\n1,x,1.5\n2,y,2.5\n3,x,3.5\n")
+    return str(p)
+
+
+def test_delimited_foreign_table(db, csv_file):
+    db.sql(
+        f"CREATE FOREIGN TABLE ft (a INT, b TEXT, c DOUBLE) "
+        f"SERVER default_local_delimited WITH (file_path='{csv_file}')"
+    )
+    assert db.sql(
+        "SELECT b, SUM(c) FROM ft GROUP BY b ORDER BY b"
+    ).rows() == [("x", 5.0), ("y", 2.5)]
+
+
+def test_refresh_picks_up_changes(db, csv_file):
+    db.sql(
+        f"CREATE FOREIGN TABLE ft (a INT, b TEXT, c DOUBLE) "
+        f"SERVER default_local_delimited WITH (file_path='{csv_file}')"
+    )
+    assert db.sql("SELECT COUNT(*) FROM ft").scalar() == 3
+    with open(csv_file, "a") as f:
+        f.write("4,z,9.0\n")
+    # without refresh: stale snapshot
+    assert db.sql("SELECT COUNT(*) FROM ft").scalar() == 3
+    db.sql("REFRESH FOREIGN TABLES ft")
+    assert db.sql("SELECT COUNT(*) FROM ft").scalar() == 4
+
+
+def test_foreign_tables_are_read_only(db, csv_file):
+    from heavydb_tpu.errors import SqlError
+
+    db.sql(
+        f"CREATE FOREIGN TABLE ft (a INT, b TEXT, c DOUBLE) "
+        f"SERVER default_local_delimited WITH (file_path='{csv_file}')"
+    )
+    for stmt in [
+        "INSERT INTO ft VALUES (9, 'w', 0.0)",
+        "UPDATE ft SET a = 0",
+        "DELETE FROM ft WHERE a = 1",
+    ]:
+        with pytest.raises(SqlError):
+            db.sql(stmt)
+
+
+def test_parquet_schema_inference(db, tmp_path):
+    import pandas as pd
+
+    pq = str(tmp_path / "d.parquet")
+    pd.DataFrame({"k": [10, 20], "s": ["p", "q"]}).to_parquet(pq)
+    db.sql(
+        f"CREATE FOREIGN TABLE fp SERVER default_local_parquet "
+        f"WITH (file_path='{pq}')"
+    )
+    assert db.sql("SELECT * FROM fp ORDER BY k").rows() == [
+        (10, "p"), (20, "q"),
+    ]
+
+
+def test_custom_server_base_path(db, csv_file):
+    base = os.path.dirname(csv_file)
+    db.sql(
+        f"CREATE SERVER s1 FOREIGN DATA WRAPPER delimited_file "
+        f"WITH (base_path='{base}')"
+    )
+    db.sql(
+        "CREATE FOREIGN TABLE ft2 (a INT, b TEXT, c DOUBLE) SERVER s1 "
+        "WITH (file_path='data.csv')"
+    )
+    assert db.sql("SELECT COUNT(*) FROM ft2").scalar() == 3
+    names = [r[0] for r in db.sql("SHOW SERVERS").rows()]
+    assert any(n.startswith("s1 ") for n in names)
+    db.sql("DROP TABLE ft2")
+    db.sql("DROP SERVER s1")
+    from heavydb_tpu.errors import SqlError
+
+    with pytest.raises(SqlError):
+        db.sql("DROP SERVER s1")
+    db.sql("DROP SERVER IF EXISTS s1")
+
+
+def test_regex_parser_wrapper(db, tmp_path):
+    log = tmp_path / "app.log"
+    log.write_text("header\n2024-01-01 ERROR boom\n2024-01-02 INFO ok\n")
+    db.sql(
+        f"CREATE FOREIGN TABLE fl (d TEXT, lvl TEXT, msg TEXT) "
+        f"SERVER default_local_regex_parsed "
+        f"WITH (file_path='{log}', line_regex='(\\S+) (\\S+) (.*)')"
+    )
+    assert db.sql("SELECT lvl, msg FROM fl ORDER BY d").rows() == [
+        ("ERROR", "boom"), ("INFO", "ok"),
+    ]
+
+
+def test_foreign_table_persists_definition(tmp_path, csv_file):
+    import heavydb_tpu as hdt
+
+    d = str(tmp_path / "db")
+    db = hdt.connect(d)
+    db.sql(
+        f"CREATE FOREIGN TABLE ft (a INT, b TEXT, c DOUBLE) "
+        f"SERVER default_local_delimited WITH (file_path='{csv_file}')"
+    )
+    assert db.sql("SELECT COUNT(*) FROM ft").scalar() == 3
+    del db
+    # file grows while the DB is down; reopen re-imports lazily
+    with open(csv_file, "a") as f:
+        f.write("4,z,9.0\n")
+    db2 = hdt.connect(d)
+    assert db2.sql("SELECT COUNT(*) FROM ft").scalar() == 4
