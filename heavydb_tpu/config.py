@@ -66,6 +66,13 @@ class Config:
 
     # ---- logging / debug ----
     enable_debug_timer: bool = False
+
+    # admission control (reference ExecutorResourceMgr; enable-executor-
+    # resource-mgr + executor-cpu-result-mem-ratio style knobs)
+    enable_executor_resource_mgr: bool = True
+    max_concurrent_queries: int = 4
+    max_exec_bytes: int = 0  # 0 = unlimited
+    admission_queue_timeout_s: float = 300.0
     log_level: str = os.environ.get("HEAVYDB_TPU_LOG", "WARNING")
 
     def clone(self, **overrides) -> "Config":

@@ -83,6 +83,15 @@ class Executor:
         from heavydb_tpu.utils.timer import NullTimer
 
         self.timer = NullTimer()
+        self.resource_mgr = None
+        if self.config.enable_executor_resource_mgr:
+            from heavydb_tpu.exec.resource_mgr import ResourceMgr
+
+            self.resource_mgr = ResourceMgr(
+                self.config.max_concurrent_queries,
+                self.config.max_exec_bytes or None,
+                self.config.admission_queue_timeout_s,
+            )
         self.mesh = None
         n = self.config.num_shards
         if n and n > 1:
@@ -101,6 +110,13 @@ class Executor:
     # entry
     # ------------------------------------------------------------------
     def execute(self, root: R.RelNode) -> B.Batch:
+        if self.resource_mgr is not None:
+            est = self.resource_mgr.estimate_scan_bytes(root)
+            with self.resource_mgr.acquire(est):
+                return self._execute_admitted(root)
+        return self._execute_admitted(root)
+
+    def _execute_admitted(self, root: R.RelNode) -> B.Batch:
         self._substitute_subqueries(root, set())
         memo: Dict[int, B.Batch] = {}
         return self._exec(root, memo, needed=set(range(root.arity)))
@@ -140,7 +156,10 @@ class Executor:
         from heavydb_tpu.plan.optimizer import optimize
 
         plan = optimize(e.plan)
-        out = self.execute(plan)
+        # NOT self.execute: the parent query already holds its admission
+        # grant; re-acquiring for a subquery could self-deadlock at
+        # max_concurrent
+        out = self._execute_admitted(plan)
         if e.kind == "scalar":
             if out.nrows == 0:
                 return E.Constant(None, e.type)

@@ -198,11 +198,16 @@ class HeavyTpuServer:
         }
 
     def rpc_get_status(self, session: str = "") -> dict:
-        return {
+        out = {
             "version": __version__,
             "uptime_s": time.time() - self.start_time,
             "sessions": len(self.sessions),
         }
+        rm = self.db.executor.resource_mgr
+        if rm is not None:
+            # reference get_executor_resource_pool_info
+            out["resource_pool"] = rm.info()
+        return out
 
     def rpc_get_version(self) -> str:
         return __version__
