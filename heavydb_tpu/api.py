@@ -820,6 +820,14 @@ class Database:
 
         if isinstance(expr_ast, A.Literal) and expr_ast.kind == "null":
             return None
+        if cd.type.is_geo:
+            if isinstance(expr_ast, A.FuncCall) and expr_ast.name in (
+                "ST_GEOMFROMTEXT", "ST_GEOGFROMTEXT"
+            ):
+                expr_ast = expr_ast.args[0]
+            if isinstance(expr_ast, A.Literal) and expr_ast.kind == "string":
+                return expr_ast.value  # WKT; to_physical parses
+            raise SqlError(f"column {cd.name} expects a WKT literal")
         if not isinstance(expr_ast, A.ArrayLiteral):
             raise SqlError(
                 f"column {cd.name} expects an array literal"

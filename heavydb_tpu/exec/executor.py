@@ -1022,6 +1022,10 @@ class Executor:
         else:
             validf = flat != eti.null_sentinel()
 
+        if afn.op in ("AREA", "PERIMETER", "CONTAINS", "CONTAINS_LITPOLY"):
+            res = self._geo_aux(afn, t, cid, rows, lengths, flat)
+            self.aux_cache[cache_key] = res
+            return res
         if afn.op in ("CARDINALITY", "SUBSCRIPT", "UNNEST"):
             res = (
                 jax.device_put(B.pad_to(lengths, B.bucket(max(n, 1)),
@@ -1103,6 +1107,85 @@ class Executor:
         )
         self.aux_cache[cache_key] = res
         return res
+
+    def _geo_aux(self, afn, t, cid, rows, lengths, flat):
+        """Per-table-row geo scalars precomputed at aux-build time
+        (reference QueryEngine/GeoOps; ST_Contains uses even-odd ray
+        casting like the reference's point-in-polygon runtime function).
+        AREA/PERIMETER → f64[n]; CONTAINS* → int8[n] (1/0/-1)."""
+        n = len(rows)
+        if afn.op == "AREA":
+            out = np.full(n, np.nan)
+            for i, r in enumerate(rows):
+                if r is None or len(r) < 6:
+                    continue
+                x, y = r[0::2], r[1::2]
+                out[i] = 0.5 * abs(
+                    np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+                )
+            res = (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                           T.double(True))),)
+            return res
+        if afn.op == "PERIMETER":
+            out = np.full(n, np.nan)
+            closed = afn.elem.kind != T.SQLTypeKind.GEO_LINESTRING
+            for i, r in enumerate(rows):
+                if r is None or len(r) < 4:
+                    continue
+                x, y = r[0::2], r[1::2]
+                if closed:
+                    x = np.append(x, x[0])
+                    y = np.append(y, y[0])
+                out[i] = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2).sum()
+            res = (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                           T.double(True))),)
+            return res
+
+        from heavydb_tpu.storage.table import wkt_to_coords
+
+        def ray_cast(px, py, ring):
+            """Even-odd point-in-polygon; boundary counts as inside."""
+            x, y = ring[0::2], ring[1::2]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            crosses = ((y > py) != (y2 > py)) & (
+                px < (x2 - x) * (py - y) / np.where(y2 == y, 1e-300, y2 - y)
+                + x
+            )
+            return int(crosses.sum()) % 2 == 1
+
+        out = np.full(n, -1, np.int8)
+        if afn.op == "CONTAINS_LITPOLY":
+            ring = wkt_to_coords(afn.args[0].value,
+                                 T.SQLTypeKind.GEO_POLYGON)
+            x, y = ring[0::2], ring[1::2]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            for i, r in enumerate(rows):
+                if r is None or len(r) < 2:
+                    continue
+                out[i] = 1 if ray_cast(r[0], r[1], ring) else 0
+        else:  # CONTAINS: per-row polygon, point column or literal point
+            pt = afn.args[0]
+            if isinstance(pt, E.Constant):
+                c = wkt_to_coords(pt.value, T.SQLTypeKind.GEO_POINT)
+                pxs = np.full(n, c[0])
+                pys = np.full(n, c[1])
+                pok = np.ones(n, bool)
+            else:
+                prows = t.column_values(pt.dict_ref[1])
+                pxs = np.full(n, np.nan)
+                pys = np.full(n, np.nan)
+                for i, pr in enumerate(prows):
+                    if pr is not None and len(pr) >= 2:
+                        pxs[i], pys[i] = pr[0], pr[1]
+                pok = ~np.isnan(pxs)
+            for i, r in enumerate(rows):
+                if r is None or len(r) < 6 or not pok[i]:
+                    continue
+                out[i] = 1 if ray_cast(pxs[i], pys[i], r) else 0
+        return (
+            jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                    T.tinyint(False))),
+        )
 
     # ---- postprocess & retry ----
     def _postprocess(self, node, plan, outs) -> Optional[B.Batch]:

@@ -99,9 +99,12 @@ class ExprCompiler:
         if e.op == "CARDINALITY":
             ln = aux[0][ridc]
             return ln, okrid & (ln >= 0)
-        if e.op in ("ANY", "ALL"):
+        if e.op in ("ANY", "ALL", "CONTAINS", "CONTAINS_LITPOLY"):
             r = aux[0][ridc]
             return r == 1, okrid & (r != -1)
+        if e.op in ("AREA", "PERIMETER"):
+            v = aux[0][ridc]
+            return v, okrid & ~jnp.isnan(v)
         # SUBSCRIPT
         lengths, offsets, flat = aux
         k, kvalid = self.compile(e.args[0])

@@ -47,7 +47,19 @@ _TYPE_ALIASES = {
 }
 
 
+_GEO_TYPE_NAMES = {
+    "POINT": T.SQLTypeKind.GEO_POINT,
+    "LINESTRING": T.SQLTypeKind.GEO_LINESTRING,
+    "POLYGON": T.SQLTypeKind.GEO_POLYGON,
+    "MULTIPOLYGON": T.SQLTypeKind.GEO_MULTIPOLYGON,
+}
+
+
 def resolve_type_name(tn: A.TypeName) -> T.TypeInfo:
+    gk = _GEO_TYPE_NAMES.get(tn.name)
+    if gk is not None:
+        srid = tn.params[0] if tn.params else 0
+        return T.geo(gk, srid, nullable=not tn.not_null)
     kind = _TYPE_ALIASES.get(tn.name)
     if kind is None:
         raise BinderError(f"unknown type {tn.name}")
@@ -681,8 +693,142 @@ class ExprBinder:
             "array literals outside INSERT ... VALUES"
         )
 
+    # ---- geospatial (reference QueryEngine/GeoIR.cpp + Geospatial/) ----
+    def _geo_xy(self, ast_node) -> Tuple[E.Expr, E.Expr]:
+        """A POINT-valued AST node → (x expr, y expr).  Columns become
+        coordinate gathers (flat[off], flat[off+1]); WKT literals and
+        ST_Point become scalar expressions."""
+        from heavydb_tpu.storage.table import wkt_to_coords
+
+        if isinstance(ast_node, A.Literal) and ast_node.kind == "string":
+            c = wkt_to_coords(ast_node.value, T.SQLTypeKind.GEO_POINT)
+            return (E.Constant(float(c[0]), T.double(False)),
+                    E.Constant(float(c[1]), T.double(False)))
+        if isinstance(ast_node, A.FuncCall):
+            if ast_node.name in ("ST_GEOMFROMTEXT", "ST_GEOGFROMTEXT"):
+                return self._geo_xy(ast_node.args[0])
+            if ast_node.name == "ST_POINT":
+                x = self._bind(ast_node.args[0])
+                y = self._bind(ast_node.args[1])
+                return (E.Cast(x, T.double(x.type.nullable)),
+                        E.Cast(y, T.double(y.type.nullable)))
+        base = self._array_base(ast_node)
+        if base.type.kind != T.SQLTypeKind.GEO_POINT:
+            raise BinderError("expected a POINT column or WKT literal")
+        eti = base.type.elem_type()
+
+        def coord(i):
+            return E.ArrayFn(
+                op="SUBSCRIPT", arr_ref=base.dict_ref, rowid=base,
+                args=(E.Constant(i, T.integer(False)),), elem=eti,
+                type=T.double(True),
+            )
+
+        return coord(1), coord(2)
+
+    def _bind_geo_fn(self, node: A.FuncCall) -> Optional[E.Expr]:
+        name = node.name
+        K = T.SQLTypeKind
+        if name in ("ST_X", "ST_Y") and len(node.args) == 1:
+            x, y = self._geo_xy(node.args[0])
+            return x if name == "ST_X" else y
+        if name == "ST_NPOINTS" and len(node.args) == 1:
+            base = self._array_base(node.args[0])
+            card = E.ArrayFn(
+                op="CARDINALITY", arr_ref=base.dict_ref, rowid=base,
+                elem=base.type.elem_type(), type=T.integer(True),
+            )
+            return E.BinOp(E.BinOpKind.DIV, card,
+                           E.Constant(2, T.integer(False)), T.integer(True))
+        if name == "ST_DISTANCE" and len(node.args) == 2:
+            ax, ay = self._geo_xy(node.args[0])
+            bx, by = self._geo_xy(node.args[1])
+            ti = T.double(True)
+
+            def sub(a, b):
+                return E.BinOp(E.BinOpKind.SUB, a, b, ti)
+
+            def mul(a, b):
+                return E.BinOp(E.BinOpKind.MUL, a, b, ti)
+
+            dx, dy = sub(ax, bx), sub(ay, by)
+            return E.FunctionOp(
+                "SQRT",
+                (E.BinOp(E.BinOpKind.ADD, mul(dx, dx), mul(dy, dy), ti),),
+                ti,
+            )
+        if name == "ST_DWITHIN" and len(node.args) == 3:
+            dist = self._bind_geo_fn(
+                A.FuncCall("ST_DISTANCE", [node.args[0], node.args[1]])
+            )
+            r = self._bind(node.args[2])
+            return E.BinOp(E.BinOpKind.LE, dist,
+                           E.Cast(r, T.double(r.type.nullable)),
+                           T.boolean(True))
+        if name in ("ST_AREA", "ST_PERIMETER") and len(node.args) == 1:
+            base = self._array_base(node.args[0])
+            if not base.type.is_geo:
+                raise BinderError(f"{name} expects a geo column")
+            return E.ArrayFn(
+                op="AREA" if name == "ST_AREA" else "PERIMETER",
+                arr_ref=base.dict_ref, rowid=base,
+                elem=base.type.elem_type(), type=T.double(True),
+            )
+        if name == "ST_CONTAINS" and len(node.args) == 2:
+            poly_ast, pt_ast = node.args
+            # literal polygon + point column → test the point column
+            if isinstance(poly_ast, A.Literal) or (
+                isinstance(poly_ast, A.FuncCall)
+                and poly_ast.name in ("ST_GEOMFROMTEXT", "ST_GEOGFROMTEXT")
+            ):
+                wkt = (
+                    poly_ast.value if isinstance(poly_ast, A.Literal)
+                    else poly_ast.args[0].value
+                )
+                base = self._array_base(pt_ast)
+                if base.type.kind != K.GEO_POINT:
+                    raise BinderError("ST_CONTAINS point argument")
+                return E.ArrayFn(
+                    op="CONTAINS_LITPOLY", arr_ref=base.dict_ref,
+                    rowid=base,
+                    args=(E.Constant(str(wkt), T.text_dict(False)),),
+                    elem=base.type.elem_type(), type=T.boolean(True),
+                )
+            base = self._array_base(poly_ast)
+            if base.type.kind not in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
+                raise BinderError("ST_CONTAINS expects a POLYGON first arg")
+            if isinstance(pt_ast, A.Literal) or (
+                isinstance(pt_ast, A.FuncCall)
+                and pt_ast.name in ("ST_GEOMFROMTEXT", "ST_GEOGFROMTEXT")
+            ):
+                wkt = (
+                    pt_ast.value if isinstance(pt_ast, A.Literal)
+                    else pt_ast.args[0].value
+                )
+                arg = E.Constant(str(wkt), T.text_dict(False))
+            else:
+                arg = self._array_base(pt_ast)
+                if arg.type.kind != K.GEO_POINT:
+                    raise BinderError("ST_CONTAINS point argument")
+                if arg.dict_ref[0] != base.dict_ref[0]:
+                    raise NotSupported(
+                        "ST_CONTAINS with point and polygon from "
+                        "different tables"
+                    )
+            return E.ArrayFn(
+                op="CONTAINS", arr_ref=base.dict_ref, rowid=base,
+                args=(arg,), elem=base.type.elem_type(),
+                type=T.boolean(True),
+            )
+        return None
+
     def _bind_FuncCall(self, node: A.FuncCall) -> E.Expr:
         name = node.name
+        if name.startswith("ST_"):
+            out = self._bind_geo_fn(node)
+            if out is not None:
+                return out
+            raise NotSupported(f"geo function {name}")
         if name in _AGG_NAMES or (name == "COUNT"):
             return self._bind_agg(node)
         if name in ("CARDINALITY", "ARRAY_LENGTH") and len(node.args) == 1:

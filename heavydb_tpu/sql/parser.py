@@ -501,6 +501,14 @@ class Parser:
         base = self.ident().upper()
         if base == "DOUBLE" and self.eat_kw("PRECISION"):
             pass
+        if base == "GEOMETRY" and self.at_op("("):
+            self.next()
+            sub = self.ident().upper()
+            srid = 0
+            if self.eat_op(","):
+                srid = int(self.next().value)
+            self.expect_op(")")
+            return A.TypeName(sub, (srid,) if srid else ())
         params: Tuple[int, ...] = ()
         if self.at_op("("):
             self.expect_op("(")

@@ -331,12 +331,15 @@ def to_physical(
     if ti.is_array:
         # array column: object ndarray of per-row element arrays (None =
         # NULL array).  Reference ArrayNoneEncoder / TypedImportBuffer
-        # addArray (ImportExport/Importer.h).
+        # addArray (ImportExport/Importer.h).  Geo columns accept WKT
+        # strings (reference Geospatial/Types.cpp GeoPoint/GeoPolygon).
         eti = ti.elem_type()
         out = np.empty(len(values), object)
         for i, row in enumerate(values):
             if row is None or (isinstance(row, float) and np.isnan(row)):
                 out[i] = None
+            elif ti.is_geo and isinstance(row, str):
+                out[i] = wkt_to_coords(row, ti.kind)
             else:
                 out[i] = to_physical(list(row), eti, sdict)
         return out
@@ -405,6 +408,11 @@ def from_physical(arr: np.ndarray, ti: T.TypeInfo, sdict=None) -> list:
     Vectorized per type (a per-value Python loop was the egress bottleneck;
     numpy datetime64 conversion gives C-speed date/datetime objects)."""
     if ti.is_array:
+        if ti.is_geo:
+            return [
+                None if row is None else coords_to_wkt(row, ti.kind)
+                for row in arr
+            ]
         eti = ti.elem_type()
         return [
             None if row is None else from_physical(row, eti, sdict)
@@ -448,3 +456,69 @@ def from_physical(arr: np.ndarray, ti: T.TypeInfo, sdict=None) -> list:
     if nulls.any():
         out[nulls] = None
     return out.tolist()
+
+
+# ---------------------------------------------------------------------------
+# WKT ↔ flat coordinates (reference Geospatial/Types.cpp; coords are stored
+# as one flat f64 array per row like the reference's geo physical columns)
+# ---------------------------------------------------------------------------
+
+
+def wkt_to_coords(wkt: str, kind: T.SQLTypeKind) -> np.ndarray:
+    import re as _re
+
+    s = wkt.strip()
+    m = _re.match(r"(\w+)\s*\((.*)\)\s*$", s, _re.S)
+    if not m:
+        raise StorageError(f"bad WKT: {wkt!r}")
+    tag = m.group(1).upper()
+    body = m.group(2)
+    K = T.SQLTypeKind
+    expect = {
+        K.GEO_POINT: "POINT", K.GEO_LINESTRING: "LINESTRING",
+        K.GEO_POLYGON: "POLYGON", K.GEO_MULTIPOLYGON: "MULTIPOLYGON",
+    }[kind]
+    if tag != expect:
+        raise StorageError(f"expected {expect} WKT, got {tag}")
+    if kind == K.GEO_POINT:
+        x, y = body.split()
+        return np.array([float(x), float(y)], np.float64)
+    if kind == K.GEO_LINESTRING:
+        pts = [p.split() for p in body.split(",")]
+        return np.array(
+            [float(v) for p in pts for v in p[:2]], np.float64
+        )
+    if kind == K.GEO_POLYGON:
+        rings = _re.findall(r"\(([^()]*)\)", body)
+        if len(rings) != 1:
+            raise StorageError("polygons with holes are not supported yet")
+        pts = [p.split() for p in rings[0].split(",")]
+        coords = [float(v) for p in pts for v in p[:2]]
+        # drop the closing vertex if it repeats the first
+        if len(coords) >= 4 and coords[:2] == coords[-2:]:
+            coords = coords[:-2]
+        return np.array(coords, np.float64)
+    # MULTIPOLYGON: single-ring polygons, flattened with ring sizes lost →
+    # store each polygon's ring; only single-polygon multis supported yet
+    polys = _re.findall(r"\(\(([^()]*)\)\)", body)
+    if len(polys) != 1:
+        raise StorageError("multi-part MULTIPOLYGON not supported yet")
+    return wkt_to_coords(f"POLYGON(({polys[0]}))", K.GEO_POLYGON)
+
+
+def coords_to_wkt(coords: np.ndarray, kind: T.SQLTypeKind) -> str:
+    K = T.SQLTypeKind
+    pts = ", ".join(
+        f"{coords[i]:g} {coords[i + 1]:g}"
+        for i in range(0, len(coords) - 1, 2)
+    )
+    if kind == K.GEO_POINT:
+        return f"POINT ({pts})"
+    if kind == K.GEO_LINESTRING:
+        return f"LINESTRING ({pts})"
+    closing = ""
+    if len(coords) >= 2:
+        closing = f", {coords[0]:g} {coords[1]:g}"
+    if kind == K.GEO_POLYGON:
+        return f"POLYGON (({pts}{closing}))"
+    return f"MULTIPOLYGON ((({pts}{closing})))"

@@ -44,6 +44,12 @@ class SQLTypeKind(enum.Enum):
     TIME = "TIME"
     TIMESTAMP = "TIMESTAMP"
     NULLT = "NULL"  # type of a bare NULL literal
+    # geospatial (reference Shared/sqltypes.h kPOINT..kMULTIPOLYGON);
+    # stored as flat f64 coordinate payloads via the array machinery
+    GEO_POINT = "POINT"
+    GEO_LINESTRING = "LINESTRING"
+    GEO_POLYGON = "POLYGON"
+    GEO_MULTIPOLYGON = "MULTIPOLYGON"
 
 
 class Encoding(enum.Enum):
@@ -61,6 +67,10 @@ _INT_KINDS = {
 }
 _FLOAT_KINDS = {SQLTypeKind.FLOAT, SQLTypeKind.DOUBLE}
 _TIME_KINDS = {SQLTypeKind.DATE, SQLTypeKind.TIME, SQLTypeKind.TIMESTAMP}
+_GEO_KINDS = {
+    SQLTypeKind.GEO_POINT, SQLTypeKind.GEO_LINESTRING,
+    SQLTypeKind.GEO_POLYGON, SQLTypeKind.GEO_MULTIPOLYGON,
+}
 
 
 @dataclass(frozen=True)
@@ -120,6 +130,10 @@ class TypeInfo:
         return self.kind == SQLTypeKind.BOOLEAN
 
     @property
+    def is_geo(self) -> bool:
+        return self.kind in _GEO_KINDS
+
+    @property
     def is_null_type(self) -> bool:
         return self.kind == SQLTypeKind.NULLT
 
@@ -157,6 +171,8 @@ class TypeInfo:
             return np.dtype(np.int64)  # seconds since midnight
         if k == SQLTypeKind.TIMESTAMP:
             return np.dtype(np.int64)
+        if k in _GEO_KINDS:
+            return np.dtype(np.float64)  # coordinate element
         raise TypeError(f"no physical dtype for {k}")
 
     def null_sentinel(self):
@@ -169,6 +185,9 @@ class TypeInfo:
     # ---- display ----
     def sql_name(self) -> str:
         if self.is_array:
+            if self.kind in _GEO_KINDS:
+                srid = f", {self.comp_param}" if self.comp_param else ""
+                return f"GEOMETRY({self.kind.value}{srid})"
             return self.elem_type().sql_name() + "[]"
         if self.kind == SQLTypeKind.DECIMAL:
             return f"DECIMAL({self.precision},{self.scale})"
@@ -232,6 +251,12 @@ def time_(nullable=True):
 
 def timestamp(precision=0, nullable=True):
     return TypeInfo(SQLTypeKind.TIMESTAMP, nullable, precision=precision)
+
+
+def geo(kind: SQLTypeKind, srid: int = 0, nullable=True):
+    """Geo column TypeInfo: is_array=True so storage/aux/rowid-handle
+    machinery is shared with ARRAY columns; payload = flat f64 coords."""
+    return TypeInfo(kind, nullable, comp_param=srid, is_array=True)
 
 
 def null_type():

@@ -1,0 +1,103 @@
+"""Geospatial tests — reference Geospatial/ types + GeoIR ST_* functions
+(point/polygon WKT storage, ST_X/Y, ST_Distance, ST_DWithin, ST_Contains
+via even-odd ray casting, ST_Area/Perimeter/NPoints)."""
+
+import math
+
+import pytest
+
+
+@pytest.fixture()
+def gdb(db):
+    db.sql("CREATE TABLE geo (id INT, p POINT, zone GEOMETRY(POLYGON, 4326))")
+    db.sql(
+        "INSERT INTO geo VALUES "
+        "(1, 'POINT(1 1)', 'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'), "
+        "(2, 'POINT(10 10)', 'POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))'), "
+        "(3, NULL, NULL)"
+    )
+    return db
+
+
+def test_wkt_roundtrip(gdb):
+    rows = gdb.sql("SELECT id, p, zone FROM geo ORDER BY id").rows()
+    assert rows[0] == (
+        1, "POINT (1 1)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+    )
+    assert rows[2] == (3, None, None)
+
+
+def test_st_x_y(gdb):
+    rows = gdb.sql("SELECT ST_X(p), ST_Y(p) FROM geo ORDER BY id").rows()
+    assert rows == [(1.0, 1.0), (10.0, 10.0), (None, None)]
+
+
+def test_st_distance_and_dwithin(gdb):
+    rows = gdb.sql(
+        "SELECT ST_Distance(p, 'POINT(0 0)') FROM geo ORDER BY id"
+    ).rows()
+    assert math.isclose(rows[0][0], math.sqrt(2))
+    assert rows[2][0] is None
+    assert gdb.sql(
+        "SELECT id FROM geo WHERE ST_DWithin(p, 'POINT(0 0)', 2.0)"
+    ).rows() == [(1,)]
+
+
+def test_st_distance_two_columns(db):
+    db.sql("CREATE TABLE pts (a POINT, b POINT)")
+    db.sql("INSERT INTO pts VALUES ('POINT(0 0)', 'POINT(3 4)')")
+    assert db.sql("SELECT ST_Distance(a, b) FROM pts").scalar() == 5.0
+
+
+def test_st_contains_per_row(gdb):
+    rows = gdb.sql(
+        "SELECT id, ST_Contains(zone, p) FROM geo ORDER BY id"
+    ).rows()
+    assert rows == [(1, True), (2, False), (3, None)]
+
+
+def test_st_contains_literal_polygon(gdb):
+    assert gdb.sql(
+        "SELECT id FROM geo WHERE "
+        "ST_Contains('POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))', p)"
+    ).rows() == [(1,)]
+
+
+def test_st_contains_literal_point(gdb):
+    rows = gdb.sql(
+        "SELECT id, ST_Contains(zone, ST_GeomFromText('POINT(1 1)')) "
+        "FROM geo ORDER BY id"
+    ).rows()
+    assert rows == [(1, True), (2, True), (3, None)]
+
+
+def test_area_perimeter_npoints(gdb):
+    rows = gdb.sql(
+        "SELECT ST_Area(zone), ST_Perimeter(zone), ST_NPoints(zone) "
+        "FROM geo ORDER BY id"
+    ).rows()
+    assert rows == [(16.0, 16.0, 4), (4.0, 8.0, 4), (None, None, None)]
+
+
+def test_geo_aggregation(gdb):
+    # geo expressions fuse into normal aggregates
+    assert gdb.sql(
+        "SELECT COUNT(*) FROM geo WHERE ST_Contains(zone, p)"
+    ).scalar() == 1
+    rows = gdb.sql(
+        "SELECT SUM(ST_Area(zone)) FROM geo"
+    ).rows()
+    assert rows == [(20.0,)]
+
+
+def test_geo_persistence(tmp_path):
+    import heavydb_tpu as hdt
+
+    d = str(tmp_path / "gdb")
+    db = hdt.connect(d)
+    db.sql("CREATE TABLE g (p POINT)")
+    db.sql("INSERT INTO g VALUES ('POINT(2.5 -3)')")
+    del db
+    db2 = hdt.connect(d)
+    assert db2.sql("SELECT p FROM g").scalar() == "POINT (2.5 -3)"
+    assert db2.sql("SELECT ST_X(p) FROM g").scalar() == 2.5
