@@ -1140,8 +1140,103 @@ def _register_system_tfs(registry):
             "num_iterations": it.ravel(),
         }
 
+    # ---- ML table functions (reference TableFunctions/SystemFunctions/
+    # os/ML: LINEAR_REG_FIT/PREDICT, KMEANS, PCA via oneDAL — here as
+    # closed-form / Lloyd's numpy implementations over CURSOR inputs) ----
+    def linear_reg_fit(*args, cursor=None):
+        """CURSOR(SELECT y, x1 [, x2 ...]) → one coefficient per row
+        (intercept first), least squares."""
+        cols = list(cursor.values())
+        y = np.asarray(cols[0], np.float64)
+        X = np.column_stack(
+            [np.ones_like(y)] + [np.asarray(c, np.float64) for c in cols[1:]]
+        )
+        ok = np.isfinite(y)
+        for j in range(1, X.shape[1]):
+            ok &= np.isfinite(X[:, j])
+        coef, *_ = np.linalg.lstsq(X[ok], y[ok], rcond=None)
+        return {
+            "coef_idx": np.arange(len(coef), dtype=np.int32),
+            "coef": coef,
+        }
+
+    def linear_reg_predict(*args, cursor=None):
+        """CURSOR(SELECT id, x1 [, x2 ...]) + coef args → predictions."""
+        cols = list(cursor.values())
+        ids = np.asarray(cols[0])
+        X = np.column_stack(
+            [np.ones(len(ids))]
+            + [np.asarray(c, np.float64) for c in cols[1:]]
+        )
+        coef = np.asarray([float(a) for a in args], np.float64)
+        return {"id": ids, "prediction": X @ coef}
+
+    def kmeans(*args, cursor=None):
+        """CURSOR(SELECT id, f1 [, f2 ...]), k[, iters] → cluster per row
+        (Lloyd's algorithm, k-means++ style farthest-point seeding)."""
+        cols = list(cursor.values())
+        ids = np.asarray(cols[0])
+        X = np.column_stack([np.asarray(c, np.float64) for c in cols[1:]])
+        k = int(args[0])
+        iters = int(args[1]) if len(args) > 1 else 20
+        rng = np.random.default_rng(0)
+        cent = X[rng.choice(len(X), 1)]
+        while len(cent) < k:
+            d = ((X[:, None, :] - cent[None]) ** 2).sum(-1).min(1)
+            cent = np.vstack([cent, X[d.argmax()][None]])
+        for _ in range(iters):
+            a = ((X[:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+            for j in range(k):
+                if (a == j).any():
+                    cent[j] = X[a == j].mean(0)
+        return {"id": ids, "cluster_id": a.astype(np.int32)}
+
+    def pca_project(*args, cursor=None):
+        """CURSOR(SELECT id, f1, f2, ...), n_components → projections onto
+        the top principal components."""
+        cols = list(cursor.values())
+        ids = np.asarray(cols[0])
+        X = np.column_stack([np.asarray(c, np.float64) for c in cols[1:]])
+        nc = int(args[0]) if args else min(2, X.shape[1])
+        Xc = X - X.mean(0)
+        _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+        proj = Xc @ vt[:nc].T
+        out = {"id": ids}
+        for j in range(nc):
+            out[f"pc{j + 1}"] = proj[:, j]
+        return out
+
+    def tf_compute_dwell_times(*args, cursor=None):
+        """CURSOR(SELECT entity_id, site_id, ts) → per-visit dwell times
+        (reference SystemFunctions tf_compute_dwell_times: sessionize by
+        entity, dwell = next-ts - ts within entity)."""
+        cols = list(cursor.values())
+        ent = np.asarray(cols[0])
+        site = np.asarray(cols[1])
+        ts = np.asarray(cols[2], np.int64)
+        order = np.lexsort((ts, ent))
+        ent_s, site_s, ts_s = ent[order], site[order], ts[order]
+        same_next = np.zeros(len(ent), bool)
+        if len(ent):
+            same_next[:-1] = ent_s[:-1] == ent_s[1:]
+        dwell = np.where(
+            same_next, np.roll(ts_s, -1) - ts_s, -1
+        ).astype(np.int64)
+        keep = dwell >= 0
+        return {
+            "entity_id": ent_s[keep],
+            "site_id": site_s[keep],
+            "ts": ts_s[keep],
+            "dwell_time_sec": dwell[keep],
+        }
+
     registry["generate_series"] = generate_series
     registry["tf_mandelbrot"] = tf_mandelbrot
+    registry["linear_reg_fit"] = linear_reg_fit
+    registry["linear_reg_predict"] = linear_reg_predict
+    registry["kmeans"] = kmeans
+    registry["pca_project"] = pca_project
+    registry["tf_compute_dwell_times"] = tf_compute_dwell_times
 
 
 def _string_result(name: str, values: List[str]) -> ResultSet:

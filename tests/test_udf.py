@@ -75,3 +75,54 @@ def test_table_function_join(db):
         "JOIN r ON g.generate_series = r.n ORDER BY 1"
     ).rows()
     assert rows == [(2, "two"), (4, "four")]
+
+
+# ---- ML / system table functions (reference SystemFunctions/os/ML) -------
+
+
+def test_linear_reg_fit_predict(db):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    y = 3.0 + 2.0 * x1
+    db.sql("CREATE TABLE ml (id INT, y DOUBLE, x1 DOUBLE)")
+    db.load_table("ml", {"id": np.arange(n, dtype=np.int32), "y": y, "x1": x1})
+    coefs = db.sql(
+        "SELECT coef FROM TABLE(linear_reg_fit(CURSOR(SELECT y, x1 FROM ml)))"
+        " ORDER BY coef_idx"
+    ).rows()
+    assert abs(coefs[0][0] - 3.0) < 1e-6 and abs(coefs[1][0] - 2.0) < 1e-6
+    preds = db.sql(
+        "SELECT prediction FROM TABLE(linear_reg_predict("
+        "CURSOR(SELECT id, x1 FROM ml), 3.0, 2.0)) ORDER BY id LIMIT 1"
+    ).scalar()
+    assert abs(preds - y[0]) < 1e-9
+
+
+def test_kmeans_separates_blobs(db):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    f = np.concatenate([rng.normal(0, 0.1, 50), rng.normal(10, 0.1, 50)])
+    db.sql("CREATE TABLE km (id INT, f DOUBLE)")
+    db.load_table("km", {"id": np.arange(100, dtype=np.int32), "f": f})
+    rows = db.sql(
+        "SELECT cluster_id, COUNT(*) c FROM TABLE(kmeans("
+        "CURSOR(SELECT id, f FROM km), 2)) GROUP BY cluster_id ORDER BY c"
+    ).rows()
+    assert [r[1] for r in rows] == [50, 50]
+
+
+def test_dwell_times(db):
+    db.sql("CREATE TABLE ev (e INT, s INT, ts BIGINT)")
+    db.sql(
+        "INSERT INTO ev VALUES (1, 100, 0), (1, 101, 60), (1, 102, 180), "
+        "(2, 100, 10)"
+    )
+    rows = db.sql(
+        "SELECT * FROM TABLE(tf_compute_dwell_times("
+        "CURSOR(SELECT e, s, ts FROM ev))) ORDER BY ts"
+    ).rows()
+    assert rows == [(1, 100, 0, 60), (1, 101, 60, 120)]
