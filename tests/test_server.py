@@ -95,3 +95,55 @@ def test_arrow_over_wire(conn):
 
 def test_queries_info_empty_when_idle(conn):
     assert conn.get_queries_info() == []
+
+
+# ---- HTTP transport (reference --http-port DBHandler sharing) ------------
+
+
+def test_http_server():
+    import json
+    import threading
+    import urllib.request
+
+    from heavydb_tpu.server.http_server import serve_http
+
+    srv = serve_http(port=0)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    host, port = srv.server_address
+    base = f"http://{host}:{port}"
+    try:
+        # status without a session
+        with urllib.request.urlopen(f"{base}/status") as r:
+            st = json.loads(r.read())
+        assert "version" in st
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, out = post("/", {"method": "connect", "params": {}, "id": 1})
+        assert code == 200
+        sid = out["result"]
+        code, _ = post("/sql", {"session": sid,
+                                "query": "CREATE TABLE h (x INT)"})
+        assert code == 200
+        post("/sql", {"session": sid,
+                      "query": "INSERT INTO h VALUES (1), (2), (41)"})
+        code, res = post("/sql", {"session": sid,
+                                  "query": "SELECT SUM(x) FROM h"})
+        assert code == 200
+        assert res["columns"] == [[44]]
+        # malformed request → clean 400, not a hung socket
+        code, res = post("/sql", {"session": "nope", "query": "SELECT 1"})
+        assert code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
