@@ -916,6 +916,15 @@ class Executor:
                 host = np.zeros(padded, np.int32)
                 for i, s in enumerate(d.entries()):
                     host[i] = len(s)
+            elif pred.kind == "INTFN":
+                import json as _json
+
+                from heavydb_tpu.storage.string_ops import int_string_fn
+
+                args = tuple(_json.loads(pred.pattern))
+                host = np.zeros(padded, np.int32)
+                for i, s in enumerate(d.entries()):
+                    host[i] = int_string_fn(s, pred.cmp_op, args)
             else:
                 host = np.zeros(padded, bool)
                 if pred.kind in ("LIKE", "ILIKE"):

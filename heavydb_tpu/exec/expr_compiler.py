@@ -279,8 +279,8 @@ class ExprCompiler:
     def _c_DictStrPredicate(self, e: E.DictStrPredicate) -> TV:
         ids, valid = self.compile(e.arg)
         aux = self.aux[e.key()]
-        if e.kind == "LENGTH":
-            # aux: int32 length per dict id
+        if e.kind in ("LENGTH", "INTFN"):
+            # aux: int32 value per dict id (LENGTH / POSITION / ...)
             n = aux.shape[0]
             safe = jnp.clip(ids, 0, max(n - 1, 0))
             out = aux[safe] if n else jnp.zeros_like(ids)

@@ -195,7 +195,18 @@ _STRING_FNS = {
     "UPPER", "UCASE", "LOWER", "LCASE", "INITCAP", "REVERSE", "TRIM",
     "LTRIM", "RTRIM", "SUBSTRING", "SUBSTR", "REPLACE", "LPAD", "RPAD",
     "REPEAT", "SPLIT_PART", "REGEXP_REPLACE", "BASE64_ENCODE",
-    "BASE64_DECODE", "URL_ENCODE", "URL_DECODE",
+    "BASE64_DECODE", "URL_ENCODE", "URL_DECODE", "OVERLAY", "JSON_VALUE",
+    "REGEXP_SUBSTR",
+}
+
+# integer-valued string kernels → per-entry int lookup tables
+_INT_STRING_FNS = {
+    "INSTR": "POSITION",
+    "STRPOS": "POSITION",
+    "POSITION": "POSITION",
+    "REGEXP_COUNT": "REGEXP_COUNT",
+    "LEVENSHTEIN_DISTANCE": "LEVENSHTEIN",
+    "LEVENSHTEIN": "LEVENSHTEIN",
 }
 
 _EXTRACT_MAP = {f.value: f for f in E.ExtractField}
@@ -898,6 +909,24 @@ class ExprBinder:
             return E.FunctionOp(name, args, out)
         if name in _STRING_FNS:
             return self._bind_string_fn(name, node.args)
+        if name in _INT_STRING_FNS:
+            arg = self._bind(node.args[0])
+            if not arg.type.is_dict_string:
+                raise NotSupported(f"{name} on non-dictionary strings")
+            import json as _json
+
+            extra = []
+            for a in node.args[1:]:
+                c = self._bind(a)
+                if not isinstance(c, E.Constant):
+                    raise NotSupported(f"{name} requires constant arguments")
+                extra.append(c.value)
+            return E.DictStrPredicate(
+                arg=arg, kind="INTFN", cmp_op=_INT_STRING_FNS[name],
+                pattern=_json.dumps(extra),
+                dict_ref=getattr(arg, "dict_ref", None),
+                type=T.integer(arg.type.nullable),
+            )
         udf = getattr(self.db, "_udfs", {}).get(name)
         if udf is not None:
             fn, arg_types, ret_type = udf

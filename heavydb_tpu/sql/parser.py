@@ -999,6 +999,14 @@ class Parser:
     def _call(self, name: str) -> A.Expr:
         fname = name.upper()
         self.expect_op("(")
+        if fname == "POSITION":
+            # POSITION(substr IN str) — IN is part of the syntax, not a
+            # membership test
+            sub = self._additive()
+            self.expect_kw("IN")
+            src = self.parse_expr()
+            self.expect_op(")")
+            return A.FuncCall("POSITION", [src, sub])
         fc = A.FuncCall(fname)
         if self.at_op("*"):
             self.next()

@@ -70,6 +70,45 @@ def apply_op(s: str, name: str, args: Tuple) -> Optional[str]:
         return s + str(args[0])
     if name == "PRECONCAT":
         return str(args[0]) + s
+    if name == "OVERLAY":
+        # OVERLAY(s PLACING r FROM start [FOR len]) — bound as
+        # OVERLAY(s, r, start[, len]); 1-based start
+        r = str(args[0])
+        start = int(args[1])
+        ln = int(args[2]) if len(args) > 2 else len(r)
+        i = max(start - 1, 0)
+        return s[:i] + r + s[i + ln:]
+    if name == "JSON_VALUE":
+        # simple JSONPath subset: $.a.b[0].c (reference JSON_VALUE op)
+        import json as _json
+
+        try:
+            v = _json.loads(s)
+        except _json.JSONDecodeError:
+            return None
+        path = str(args[0])
+        if path.startswith("$"):
+            path = path[1:]
+        for part in re.findall(r"\.([A-Za-z_][\w]*)|\[(\d+)\]", path):
+            key, idx = part
+            try:
+                v = v[key] if key else v[int(idx)]
+            except (KeyError, IndexError, TypeError):
+                return None
+        if v is None or isinstance(v, (dict, list)):
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    if name == "REGEXP_SUBSTR":
+        # REGEXP_SUBSTR(s, pattern[, position[, occurrence]])
+        pat = str(args[0])
+        pos = int(args[1]) if len(args) > 1 else 1
+        occ = int(args[2]) if len(args) > 2 else 1
+        ms = list(re.finditer(pat, s[max(pos - 1, 0):]))
+        if len(ms) < occ or occ < 1:
+            return None
+        return ms[occ - 1].group(0)
     if name == "BASE64_ENCODE":
         return base64.b64encode(s.encode()).decode()
     if name == "BASE64_DECODE":
@@ -90,3 +129,30 @@ def apply_chain(s: Optional[str], ops) -> Optional[str]:
             return None
         s = apply_op(s, name, args)
     return s
+
+
+def int_string_fn(s: str, fn: str, args: Tuple):
+    """Integer-valued string kernels evaluated per dictionary entry
+    (reference StringOps POSITION/REGEXP_COUNT/LEVENSHTEIN...)."""
+    if fn == "POSITION":
+        sub = str(args[0])
+        start = int(args[1]) if len(args) > 1 else 1
+        i = s.find(sub, max(start - 1, 0))
+        return i + 1  # 0 = not found (1-based like the reference)
+    if fn == "REGEXP_COUNT":
+        pat = str(args[0])
+        pos = int(args[1]) if len(args) > 1 else 1
+        return len(re.findall(pat, s[max(pos - 1, 0):]))
+    if fn == "LEVENSHTEIN":
+        t = str(args[0])
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+    raise ValueError(fn)

@@ -88,3 +88,67 @@ def test_chained(sdb):
         sdb.sql("SELECT UPPER(REPLACE(t, 'l', 'L')) FROM s WHERE k = 1").scalar()
         == "HELLO WORLD"
     )
+
+
+# ---- extended string kernels (reference SqlStringOpKind coverage) --------
+
+
+def test_position_and_instr(db):
+    db.sql("CREATE TABLE sp (t TEXT)")
+    db.sql("INSERT INTO sp VALUES ('hello world'), ('banana'), ('abc')")
+    rows = db.sql(
+        "SELECT t, POSITION('an' IN t), INSTR(t, 'o') FROM sp ORDER BY t"
+    ).rows()
+    assert rows == [
+        ("abc", 0, 0), ("banana", 2, 0), ("hello world", 0, 5),
+    ]
+
+
+def test_overlay(db):
+    db.sql("CREATE TABLE so (t TEXT)")
+    db.sql("INSERT INTO so VALUES ('banana')")
+    assert db.sql("SELECT OVERLAY(t, 'XX', 2) FROM so").scalar() == "bXXana"
+    assert db.sql(
+        "SELECT OVERLAY(t, 'Z', 2, 4) FROM so"
+    ).scalar() == "bZa"
+
+
+def test_json_value(db):
+    db.sql("CREATE TABLE sj (j TEXT)")
+    db.sql(
+        "INSERT INTO sj VALUES ('{\"a\": {\"b\": [1, 2]}}'), "
+        "('{\"a\": 5}'), ('nope')"
+    )
+    rows = db.sql(
+        "SELECT JSON_VALUE(j, '$.a.b[1]'), JSON_VALUE(j, '$.a') FROM sj"
+    ).rows()
+    assert rows == [("2", None), (None, "5"), (None, None)]
+
+
+def test_regexp_substr_count(db):
+    db.sql("CREATE TABLE sr (t TEXT)")
+    db.sql("INSERT INTO sr VALUES ('banana'), ('xyz')")
+    rows = db.sql(
+        "SELECT REGEXP_SUBSTR(t, '[aeiou]+'), REGEXP_COUNT(t, 'a') "
+        "FROM sr ORDER BY t"
+    ).rows()
+    assert rows == [("a", 3), (None, 0)]
+
+
+def test_levenshtein(db):
+    db.sql("CREATE TABLE sl (t TEXT)")
+    db.sql("INSERT INTO sl VALUES ('banana'), ('banal')")
+    rows = db.sql(
+        "SELECT t, LEVENSHTEIN_DISTANCE(t, 'banal') FROM sl ORDER BY t"
+    ).rows()
+    assert rows == [("banal", 0), ("banana", 2)]
+
+
+def test_intfn_in_where_and_agg(db):
+    db.sql("CREATE TABLE sw (t TEXT, v INT)")
+    db.sql(
+        "INSERT INTO sw VALUES ('apple', 1), ('grape', 2), ('plum', 4)"
+    )
+    assert db.sql(
+        "SELECT SUM(v) FROM sw WHERE POSITION('ap' IN t) > 0"
+    ).scalar() == 3
