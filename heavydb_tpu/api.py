@@ -906,39 +906,73 @@ class Database:
     # rebuild keeps semantics identical while the fragment-level in-place
     # update path arrives with the storage shell)
     # ------------------------------------------------------------------
+    def _row_mask_and_values(self, t: Table, where, value_exprs):
+        """Evaluate (WHERE mask, value columns...) over the WHOLE table in
+        row order on device — the predicate/expression half of
+        fragment-level UPDATE/DELETE (reference UpdelStorage: the update
+        kernel computes values, the fragmenter applies them in place)."""
+        # guard value expressions behind the predicate (CASE) so e.g.
+        # UPDATE t SET a = 1/b WHERE b <> 0 never evaluates 1/0
+        def guarded(e):
+            if where is None:
+                return e
+            return A.CaseWhen([(where, e)], A.Literal(None, "null"))
+
+        proj = [(
+            _coalesce_bool(where) if where is not None
+            else A.Literal(True, "bool"),
+            "$m",
+        )] + [(guarded(e), f"$v{i}") for i, e in enumerate(value_exprs)]
+        sel = A.Select(projections=proj, from_=A.NamedTable(t.name))
+        plan = optimize(self._plan_select(sel))
+        batch = self.executor.execute(plan)
+        host = batch.to_numpy()
+        mask = np.asarray(host[0]) != 0
+        return mask, host[1:], plan
+
     def _update(self, st: A.Update) -> None:
         t = self.catalog.get_table(st.table)
         _reject_foreign_write(t)
-        assigned = {name.lower(): expr for name, expr in st.assignments}
-        proj = []
-        for cd in t.columns:
-            if cd.name.lower() in assigned:
-                new_expr = assigned[cd.name.lower()]
-                if st.where is not None:
-                    expr = A.CaseWhen(
-                        [(st.where, new_expr)], A.Identifier((cd.name,))
-                    )
-                else:
-                    expr = new_expr
-            else:
-                expr = A.Identifier((cd.name,))
-            proj.append((expr, cd.name))
-        sel = A.Select(projections=proj, from_=A.NamedTable(st.table))
-        self._replace_table_data(t, sel)
+        assigned = [(self._col_of(t, name), expr)
+                    for name, expr in st.assignments]
+        if any(cd.type.is_array for cd, _ in assigned):
+            raise NotSupported("UPDATE of array/geo columns")
+        mask, vals, plan = self._row_mask_and_values(
+            t, st.where, [e for _, e in assigned]
+        )
+        if not mask.any():
+            return None
+        new_cols = {}
+        for (cd, _), arr, i in zip(assigned, vals, range(1, len(vals) + 1)):
+            src_ti = plan.types[i]
+            if cd.type.is_dict_string:
+                src_ref = _node_dict_ref(plan, i)
+                arr = arr.astype(np.int32)
+                if src_ref != (t.table_id, cd.col_id):
+                    # re-intern values coming from another dictionary
+                    # (literals land in per-query transient dicts)
+                    src = self.dict_by_ref(src_ref) if src_ref else None
+                    if src is None:
+                        raise NotSupported("UPDATE from computed strings")
+                    strings = src.get_strings(arr)
+                    arr = t.dict_for(cd.col_id).get_or_add_bulk(strings)
+            elif src_ti.kind != cd.type.kind or (
+                cd.type.is_decimal and src_ti.scale != cd.type.scale
+            ):
+                arr = _host_cast_array(arr, src_ti, cd.type)
+            new_cols[cd.col_id] = arr
+        t.update_rows(mask, new_cols)
         return None
 
     def _delete(self, st: A.Delete) -> None:
         t = self.catalog.get_table(st.table)
         _reject_foreign_write(t)
-        proj = [(A.Identifier((cd.name,)), cd.name) for cd in t.columns]
-        where = (
-            A.Unary("NOT", _coalesce_bool(st.where)) if st.where is not None else None
-        )
-        if where is None:
+        if st.where is None:
             t.delete_all()
             return None
-        sel = A.Select(projections=proj, from_=A.NamedTable(st.table), where=where)
-        self._replace_table_data(t, sel)
+        mask, _, _ = self._row_mask_and_values(t, st.where, [])
+        if mask.any():
+            t.delete_rows_by_mask(mask)
         return None
 
     def _replace_table_data(self, t: Table, sel: A.Select):

@@ -315,6 +315,17 @@ def _build_compound_kernel(node, batches, plan, config):
             mask = mask & fc.compile_predicate(node.filter_cond)
             trivial = False
 
+        def merge_masked_flags(tmp, m):
+            # error flags raised by expressions only count for rows/groups
+            # that actually survive to be evaluated (reference: row-wise
+            # codegen guards expression eval behind the filter)
+            for name, vec in tmp.items():
+                v = vec & m
+                if name in error_flags:
+                    error_flags[name] = error_flags[name] | v
+                else:
+                    error_flags[name] = v
+
         out: Dict[str, object] = {}
         for li, needed in enumerate(join_needed):
             out[f"join_needed_{li}"] = needed
@@ -324,6 +335,8 @@ def _build_compound_kernel(node, batches, plan, config):
         if not is_agg:
             # ---- projection ----
             tc = domain_compiler(node.target_exprs)
+            tflags = {}
+            tc.error_flags = tflags
             outs = []
             for e, ti in zip(node.target_exprs, node.types):
                 val, valid = tc.compile(e)
@@ -331,6 +344,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 if valid is not None and getattr(valid, "shape", ()) != (domain_size,):
                     valid = jnp.broadcast_to(valid, (domain_size,))
                 outs.append(_sentinelize(val, valid, ti))
+            merge_masked_flags(tflags, mask)
             if trivial:
                 out["cols"] = tuple(outs)
                 out["n_out"] = nrows[0].astype(jnp.int32)
@@ -342,6 +356,8 @@ def _build_compound_kernel(node, batches, plan, config):
             # ---- aggregation ----
             n_keys = len(node.group_exprs)
             kc = domain_compiler(node.group_exprs + list(node.aggs))
+            aflags = {}
+            kc.error_flags = aflags
             if group_strategy[0] == "perfect":
                 ranges = group_strategy[1]
                 key_tvs = [kc.compile(g) for g in node.group_exprs]
@@ -386,6 +402,7 @@ def _build_compound_kernel(node, batches, plan, config):
             # partial aggregation + finalize
             lowered = [AGG.LoweredAgg(a) for a in node.aggs]
             all_partials = AGG.accumulate_all(lowered, kc, gid, mask, slots)
+            merge_masked_flags(aflags, mask)
             agg_tvs = [
                 la.finalize(p, aux) for la, p in zip(lowered, all_partials)
             ]
@@ -407,7 +424,8 @@ def _build_compound_kernel(node, batches, plan, config):
                 gcols[i] = tv
             for j, tv in enumerate(agg_tvs):
                 gcols[n_keys + j] = tv
-            gcomp = ExprCompiler(gcols, aux, error_flags, udfs)
+            gflags = {}
+            gcomp = ExprCompiler(gcols, aux, gflags, udfs)
 
             if node.having is not None:
                 present = present & gcomp.compile_predicate(node.having)
@@ -420,6 +438,7 @@ def _build_compound_kernel(node, batches, plan, config):
                     valid = jnp.broadcast_to(valid, (slots,))
                 outs.append(_sentinelize(val, valid, ti))
 
+            merge_masked_flags(gflags, present)
             if group_strategy[0] == "keyless":
                 out["cols"] = tuple(outs)
                 out["n_out"] = jnp.asarray(1, jnp.int32)
@@ -429,7 +448,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 out["n_out"] = present.sum().astype(jnp.int32)
 
         for name, flag in error_flags.items():
-            out[f"err_{name}"] = flag
+            out[f"err_{name}"] = jnp.any(flag)
         return out
 
     return kernel, layout

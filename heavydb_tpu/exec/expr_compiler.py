@@ -181,12 +181,31 @@ class ExprCompiler:
         raise NotSupported(f"binop {op}")
 
     def _flag_error(self, name: str, cond_vec, valid):
+        # store the per-row VECTOR (kernels any() it at the end): CASE
+        # branches can then mask out rows their condition doesn't select
+        # (UPDATE t SET a = 1/b WHERE b <> 0 must not trip on b = 0)
         active = cond_vec if valid is None else (cond_vec & valid)
-        flag = jnp.any(active)
         if name in self.error_flags:
-            self.error_flags[name] = self.error_flags[name] | flag
+            self.error_flags[name] = self.error_flags[name] | active
         else:
-            self.error_flags[name] = flag
+            self.error_flags[name] = active
+
+    def _compile_guarded(self, e, mask):
+        """Compile a CASE branch; error flags it raises only count where
+        `mask` (the branch's effective condition) holds."""
+        outer = self.error_flags
+        self.error_flags = {}
+        try:
+            val, valid = self.compile(e)
+            for name, vec in self.error_flags.items():
+                masked = vec & mask
+                if name in outer:
+                    outer[name] = outer[name] | masked
+                else:
+                    outer[name] = masked
+        finally:
+            self.error_flags = outer
+        return val, valid
 
     def _logic(self, e: E.BinOp) -> TV:
         lv, lvalid = self.compile(e.left)
@@ -237,15 +256,22 @@ class ExprCompiler:
 
     def _c_Case(self, e: E.Case) -> TV:
         out_dt = e.type.np_dtype()
-        # fold from the last WHEN backwards over the ELSE
+        # effective per-branch conditions (first matching WHEN wins)
+        conds = [ExprCompiler.compile_predicate(self, ce)
+                 for ce, _ in e.whens]
+        taken = None
+        effs = []
+        for c in conds:
+            eff = c if taken is None else (c & ~taken)
+            taken = c if taken is None else (taken | c)
+            effs.append(eff)
         if e.else_ is not None:
-            val, valid = self.compile(e.else_)
+            val, valid = self._compile_guarded(e.else_, ~taken)
             val = jnp.asarray(val, out_dt)
         else:
             val, valid = jnp.asarray(e.type.null_sentinel() if out_dt.kind != "f" else jnp.nan, out_dt), jnp.asarray(False)
-        for cond_e, res_e in reversed(e.whens):
-            c = ExprCompiler.compile_predicate(self, cond_e)
-            rv, rvalid = self.compile(res_e)
+        for (cond_e, res_e), c in zip(reversed(e.whens), reversed(effs)):
+            rv, rvalid = self._compile_guarded(res_e, c)
             rv = jnp.asarray(rv, out_dt)
             val = jnp.where(c, rv, val)
             if rvalid is None and valid is None:

@@ -144,7 +144,10 @@ class TableStore:
             for cid, arr in frag.chunks.items():
                 key = f"{frag.fragment_id}:{cid}"
                 prev = old_chunks.get(key)
-                if prev is not None and prev["rows"] == arr.shape[0]:
+                if (
+                    prev is not None and prev["rows"] == arr.shape[0]
+                    and cid not in frag.dirty_cols
+                ):
                     # unchanged chunk (append-only fragments): reuse
                     manifest["chunks"][key] = prev
                     continue
@@ -181,6 +184,8 @@ class TableStore:
             self._manifest_path(epoch), json.dumps(manifest).encode()
         )
         self._commit_epoch(epoch)
+        for frag in t.fragments:
+            frag.dirty_cols.clear()
         self._gc(epoch, max_rollback_epochs)
 
     def _gc(self, epoch: int, keep: int):

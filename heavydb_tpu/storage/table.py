@@ -57,6 +57,9 @@ class Fragment:
         self.num_rows = 0
         self.chunks: Dict[int, np.ndarray] = {}  # col_id -> values
         self.stats: Dict[int, ChunkStats] = {}
+        # columns mutated in place since the last checkpoint (reference
+        # Chunk dirty flags; append-only row counts don't catch these)
+        self.dirty_cols: set = set()
 
     def append(self, col_arrays: Dict[int, np.ndarray], start: int, n: int):
         for col_id, arr in col_arrays.items():
@@ -187,6 +190,49 @@ class Table:
                         cd.col_id
                     ].num_rows != frag.num_rows:
                         frag.compute_stats(cd)
+            self.generation += 1
+
+    def delete_rows_by_mask(self, mask: np.ndarray):
+        """Fragment-level in-place DELETE: compact only the fragments the
+        mask touches (reference: delete via $deleted column + vacuum; here
+        the compaction is immediate).  mask is table-row-ordered, True =
+        delete."""
+        with self._lock:
+            pos = 0
+            for frag in self.fragments:
+                m = mask[pos:pos + frag.num_rows]
+                pos += frag.num_rows
+                if not m.any():
+                    continue
+                keep = ~m
+                for cid in list(frag.chunks):
+                    frag.chunks[cid] = frag.chunks[cid][keep]
+                frag.num_rows = int(keep.sum())
+                frag.dirty_cols.update(frag.chunks.keys())
+                for cd in self.columns:
+                    frag.compute_stats(cd)
+            self.generation += 1
+
+    def update_rows(self, mask: np.ndarray, new_cols: Dict[int, np.ndarray]):
+        """Fragment-level in-place UPDATE: overwrite only the SET columns
+        of only the fragments the mask touches (reference
+        UpdelStorage.cpp updateColumn).  new_cols are full-table-length
+        physical arrays aligned with mask."""
+        with self._lock:
+            pos = 0
+            for frag in self.fragments:
+                n = frag.num_rows
+                m = mask[pos:pos + n]
+                if m.any():
+                    for cid, vals in new_cols.items():
+                        chunk = frag.chunks[cid].copy()
+                        chunk[m] = vals[pos:pos + n][m]
+                        frag.chunks[cid] = chunk
+                        frag.dirty_cols.add(cid)
+                    for cd in self.columns:
+                        if cd.col_id in new_cols:
+                            frag.compute_stats(cd)
+                pos += n
             self.generation += 1
 
     def delete_all(self):

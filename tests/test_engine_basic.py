@@ -595,3 +595,23 @@ def test_sql_device_api(db):
     batch, decode = db.sql_device("SELECT sum(x) FROM t")
     jax.block_until_ready(batch.cols)
     assert decode().scalar() == 3
+
+
+def test_div_by_zero_only_for_surviving_rows(db):
+    db.sql("CREATE TABLE dz (x INT, g INT)")
+    db.sql("INSERT INTO dz VALUES (0, 1), (5, 1), (0, 2)")
+    # filtered-out rows must not trip the error (reference: row-wise
+    # codegen evaluates targets behind the filter guard)
+    assert db.sql("SELECT 10 / x FROM dz WHERE x <> 0").rows() == [(2,)]
+    assert db.sql(
+        "SELECT SUM(10 / x) FROM dz WHERE x <> 0"
+    ).scalar() == 2
+    assert db.sql(
+        "SELECT g, 10 / SUM(x) FROM dz WHERE x <> 0 GROUP BY g"
+    ).rows() == [(1, 2)]
+    import pytest as _pt
+
+    from heavydb_tpu.errors import DivisionByZero
+
+    with _pt.raises(DivisionByZero):
+        db.sql("SELECT 10 / x FROM dz").rows()

@@ -97,3 +97,59 @@ def test_crash_recovery_ignores_uncommitted(tmp_path):
     del db
     db2 = hdt.connect(p)
     assert db2.sql("SELECT count(*) FROM t").scalar() == 1
+
+
+# ---- fragment-level in-place UPDATE/DELETE (reference UpdelStorage) ------
+
+
+def test_inplace_update_touches_only_affected_fragments(db):
+    import numpy as np
+
+    import heavydb_tpu as hdt
+
+    d = hdt.connect()
+    d.sql("CREATE TABLE f (x INT, y DOUBLE) WITH (fragment_size=100)")
+    d.load_table("f", {"x": np.arange(250, dtype=np.int32),
+                       "y": np.zeros(250)})
+    t = d.catalog.get_table("f")
+    assert len(t.fragments) == 3
+    chunk0_before = t.fragments[0].chunks[2]
+    # rows 200..249 live in fragment 2 only
+    d.sql("UPDATE f SET y = 1.5 WHERE x >= 200")
+    assert t.fragments[0].chunks[2] is chunk0_before  # untouched fragment
+    assert t.fragments[2].dirty_cols == {2}
+    assert d.sql("SELECT SUM(y) FROM f").scalar() == 75.0
+    # guarded evaluation: no division-by-zero on unselected rows
+    d.sql("UPDATE f SET y = 100.0 / x WHERE x = 200")
+    assert d.sql("SELECT y FROM f WHERE x = 200").scalar() == 0.5
+
+
+def test_inplace_delete_compacts_fragment(db):
+    import numpy as np
+    import heavydb_tpu as hdt
+
+    d = hdt.connect()
+    d.sql("CREATE TABLE g (x INT) WITH (fragment_size=100)")
+    d.load_table("g", {"x": np.arange(250, dtype=np.int32)})
+    t = d.catalog.get_table("g")
+    c1_before = t.fragments[1].chunks[1]
+    d.sql("DELETE FROM g WHERE x < 10")
+    assert t.fragments[0].num_rows == 90
+    assert t.fragments[1].chunks[1] is c1_before
+    assert d.sql("SELECT COUNT(*), MIN(x) FROM g").rows() == [(240, 10)]
+
+
+def test_inplace_update_persists(tmp_path):
+    import heavydb_tpu as hdt
+
+    p = str(tmp_path / "upd")
+    db = hdt.connect(p)
+    db.sql("CREATE TABLE u (k INT, s TEXT)")
+    db.sql("INSERT INTO u VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    db.sql("UPDATE u SET s = 'zz' WHERE k = 2")
+    db.sql("DELETE FROM u WHERE k = 3")
+    del db
+    db2 = hdt.connect(p)
+    assert db2.sql("SELECT k, s FROM u ORDER BY k").rows() == [
+        (1, "a"), (2, "zz"),
+    ]
