@@ -123,6 +123,16 @@ def expr_range(e: E.Expr, inputs: Sequence[R.RelNode]) -> Optional[IntRange]:
             return IntRange(r.lo // div, r.hi // div, r.has_nulls)
         if (src.is_integer or src.is_boolean) and (dst.is_integer or dst.kind == T.SQLTypeKind.BIGINT):
             return r
+        if (src.is_integer or src.is_boolean) and dst.is_fp:
+            # int→float cast keys stay perfect-hashable: the float values
+            # are exact integers (reference: ExpressionRange propagates
+            # through kCAST; GROUP BY CAST(x AS DOUBLE) is the BH001/PHS001
+            # benchmark shape).  FLOAT only below 2^24 (exactness bound).
+            if dst.kind == T.SQLTypeKind.FLOAT and not (
+                -(1 << 24) <= r.lo and r.hi <= (1 << 24)
+            ):
+                return None
+            return r
         if src.is_integer and dst.is_decimal:
             m = 10**dst.scale
             return IntRange(r.lo * m, r.hi * m, r.has_nulls)
