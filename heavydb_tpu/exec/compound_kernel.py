@@ -358,10 +358,20 @@ def _build_compound_kernel(node, batches, plan, config):
             kc = domain_compiler(node.group_exprs + list(node.aggs))
             aflags = {}
             kc.error_flags = aflags
-            if group_strategy[0] == "perfect":
-                ranges = group_strategy[1]
+            if group_strategy[0] in ("perfect", "hash"):
                 key_tvs = [kc.compile(g) for g in node.group_exprs]
-                gid, num_slots = G.perfect_group_ids(key_tvs, ranges, mask)
+                if group_strategy[0] == "perfect":
+                    gid, num_slots = G.perfect_group_ids(
+                        key_tvs, group_strategy[1], mask
+                    )
+                else:
+                    # sparse keys: multi-round hash slot claiming
+                    # (reference GroupByBaselineHash open addressing)
+                    packed = G.pack_group_keys(key_tvs, group_strategy[1])
+                    gid, num_slots, unresolved = G.hash_group_ids(
+                        packed, mask, group_cap
+                    )
+                    out["hash_unresolved"] = unresolved
                 slots = num_slots
                 num_groups = jnp.asarray(num_slots, jnp.int32)
                 # materialize keys per slot: all rows of a slot share the key
@@ -408,7 +418,7 @@ def _build_compound_kernel(node, batches, plan, config):
             ]
 
             # group presence
-            if group_strategy[0] == "perfect":
+            if group_strategy[0] in ("perfect", "hash"):
                 present = G.segment_count(gid, mask, slots) > 0
             elif group_strategy[0] == "keyless":
                 present = jnp.ones(1, jnp.bool_)

@@ -752,11 +752,18 @@ class Executor:
                 ))
                 plan.group_cap = slots
             else:
-                plan.group_strategy = ("sort", None)
-                plan.group_cap = B.bucket(
-                    min(cfg.baseline_groupby_initial_entries,
-                        max(batches[0].padded, 8))
-                )
+                pack = _hash_pack_spec(node.group_exprs, ranges)
+                if pack is not _NO_PACK:
+                    plan.group_strategy = ("hash", pack)
+                    plan.group_cap = B.bucket(
+                        min(max(batches[0].padded // 4, 4096), 1 << 21)
+                    )
+                else:
+                    plan.group_strategy = ("sort", None)
+                    plan.group_cap = B.bucket(
+                        min(cfg.baseline_groupby_initial_entries,
+                            max(batches[0].padded, 8))
+                    )
         elif node.is_aggregate:
             plan.group_strategy = ("keyless", None)
             plan.group_cap = 1
@@ -1212,7 +1219,8 @@ class Executor:
         # round-trips dominate latency on remote-attached TPUs)
         scalar_keys = [
             k for k in d
-            if k == "n_out" or k == "num_groups" or k.startswith("join_needed_")
+            if k == "n_out" or k == "num_groups" or k == "hash_unresolved"
+            or k.startswith("join_needed_")
             or k.startswith("join_dup_") or k.startswith("err_")
         ]
         host = dict(zip(scalar_keys, jax.device_get([d[k] for k in scalar_keys])))
@@ -1239,6 +1247,10 @@ class Executor:
             if ng > plan.group_cap:
                 plan.group_cap = B.bucket(ng)
                 retry = True
+        if plan.group_strategy and plan.group_strategy[0] == "hash":
+            if int(host["hash_unresolved"]) > 0:
+                plan.group_cap = plan.group_cap * 4
+                retry = True
         if retry:
             return None
         n_out = int(host["n_out"])
@@ -1248,6 +1260,31 @@ class Executor:
         if cols and cols[0].shape[0] > size:
             cols = [c[:size] for c in cols]
         return B.Batch(cols, n_out, list(node.types))
+
+
+_NO_PACK = object()
+
+
+def _hash_pack_spec(group_exprs, ranges):
+    """Packing spec for hash grouping: None = single-key identity packing
+    (any scalar key type); ((lo, span), ...) = range packing for
+    multi-key tuples with known ranges fitting 63 bits; _NO_PACK = not
+    hashable (fall back to sort grouping)."""
+    for g in group_exprs:
+        if g.type.is_array or g.type.is_string and not g.type.is_dict_string:
+            return _NO_PACK
+    if len(group_exprs) == 1:
+        return None
+    spec = []
+    total = 1
+    for r in ranges:
+        if r is None or r.extent <= 0:
+            return _NO_PACK
+        spec.append((r.lo, r.extent))
+        total *= r.extent + 2
+        if total >= (1 << 62):
+            return _NO_PACK
+    return tuple(spec)
 
 
 def _is_null_value(v, ti: T.TypeInfo) -> bool:

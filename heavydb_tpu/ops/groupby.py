@@ -149,6 +149,85 @@ def sort_group_ids(key_tvs: Sequence[TV], mask, cap: int):
     return gid, num_groups, rep_rows
 
 
+def pack_group_keys(key_tvs: Sequence[TV], spec):
+    """Fold a key tuple into ONE int64 for hash grouping.
+
+    spec None → single key, identity packing (nulls ride in-band; floats
+    are canonicalized-NaN bitcast so equal keys have equal bits).
+    spec = ((lo, span), ...) → range packing with a reserved 0 for NULL
+    per key (requires the product of (span+2) to fit 63 bits — checked by
+    the planner)."""
+    if spec is None:
+        val, valid = key_tvs[0]
+        v = jnp.asarray(val)
+        if v.dtype.kind == "f":
+            canon = jnp.where(jnp.isnan(v), jnp.asarray(jnp.inf, v.dtype), v)
+            if v.dtype == jnp.float64:
+                p = lax.bitcast_convert_type(canon, jnp.int64)
+            else:
+                p = lax.bitcast_convert_type(
+                    canon.astype(jnp.float32), jnp.int32
+                ).astype(jnp.int64)
+        else:
+            p = jnp.asarray(v, jnp.int64)
+        if valid is not None:
+            p = jnp.where(valid, p, jnp.int64(np.iinfo(np.int64).min))
+        return p
+    packed = None
+    for (val, valid), (lo, span) in zip(key_tvs, spec):
+        iv = jnp.asarray(val, jnp.int64) - jnp.int64(lo) + 1
+        iv = jnp.clip(iv, 1, span + 1)
+        if valid is not None:
+            iv = jnp.where(valid, iv, jnp.int64(0))
+        packed = iv if packed is None else packed * jnp.int64(span + 2) + iv
+    return packed
+
+
+def hash_group_ids(packed, mask, slots: int, rounds: int = 4):
+    """Hash grouping for SPARSE key spaces — the TPU restatement of the
+    reference BaselineHash open-addressing table (BaselineJoinHashTable /
+    GroupByBaselineHash): no atomics, so each round every unresolved row
+    scatter-mins its KEY into its hashed slot and rows whose key owns the
+    slot are resolved; distinct keys that collided re-hash next round.
+    All rows of one key follow the same probe sequence, so a key resolves
+    exactly once.  Collisions are rare at ≤50% fill → the scatters stay
+    near-unique (the colliding-scatter serialization pathology needs
+    heavy collision).
+
+    Returns (gid[N] int32 in [0, rounds*slots] — rounds*slots for masked/
+    unresolved rows, total_slots, unresolved count (device scalar) for the
+    retry ladder)."""
+    n = packed.shape[0]
+    total = rounds * slots
+    in_domain = mask if mask is not None else jnp.ones(n, jnp.bool_)
+    unresolved = in_domain
+    gid = jnp.full(n, total, jnp.int32)
+    big = jnp.int64(np.iinfo(np.int64).max)
+    lo32 = (packed & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi32 = lax.shift_right_logical(
+        packed, jnp.int64(32)
+    ).astype(jnp.uint32)
+    for r in range(rounds):
+        # 32-bit murmur-style mix (64-bit multiplies are emulated on TPU)
+        h = lo32 * jnp.uint32(0x85EBCA6B) + hi32 * jnp.uint32(
+            0xC2B2AE35
+        ) + jnp.uint32(0x9E3779B9 * (r + 1) & 0xFFFFFFFF)
+        h = h ^ (h >> jnp.uint32(16))
+        h = h * jnp.uint32(0x7FEB352D)
+        h = h ^ (h >> jnp.uint32(15))
+        slot = (h & jnp.uint32(slots - 1)).astype(jnp.int32)
+        claim_idx = jnp.where(unresolved, slot, slots)
+        # resolved/masked rows write the CONSTANT sentinel into the dump
+        # slot: identical-value collisions don't serialize, varying ones do
+        claim_val = jnp.where(unresolved, packed, big)
+        buf = jnp.full(slots + 1, big, jnp.int64).at[claim_idx].min(claim_val)
+        owner = buf[jnp.clip(slot, 0, slots)] == packed
+        won = unresolved & owner
+        gid = jnp.where(won, r * slots + slot, gid)
+        unresolved = unresolved & ~owner
+    return gid, total, unresolved.sum(dtype=jnp.int32)
+
+
 # Scatter with massively-colliding indices serializes on TPU (XLA lowers
 # conflicting scatter-adds to sequential updates) — 100M rows into 2 slots
 # took 33.8s; 20M rows into 1k slots took 1.28s.  Strategy by slot count
