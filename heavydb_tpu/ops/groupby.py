@@ -514,12 +514,22 @@ def distinct_count_per_group(gid, val_tv: TV, mask, num_slots: int):
     ].add(1, mode="drop")[:num_slots]
 
 
+# above this row count, APPROX_QUANTILE switches from the exact sorted
+# formulation to the histogram sketch (lax.sort at tens of millions of rows
+# costs seconds on TPU; the reference's t-digest is approximate anyway)
+QUANTILE_EXACT_MAX_ROWS = 1 << 21
+
+
 def quantile_per_group(gid, val_tv: TV, mask, num_slots: int, q: float):
-    """Exact per-group quantile with linear interpolation (numpy semantics) —
-    our exact stand-in for the reference's t-digest APPROX_QUANTILE
-    (Shared/quantile.h)."""
+    """Per-group quantile — our stand-in for the reference's t-digest
+    APPROX_QUANTILE (Shared/quantile.h).  Exact (sorted segments, numpy
+    interpolation semantics) up to QUANTILE_EXACT_MAX_ROWS; histogram
+    sketch beyond (two scatter-add passes, error ≤ range/2^16 refined by
+    a second zoomed pass)."""
     val, valid = val_tv
     n = val.shape[0]
+    if n > QUANTILE_EXACT_MAX_ROWS:
+        return _quantile_histogram(gid, val_tv, mask, num_slots, q)
     contrib = mask if mask is not None else jnp.ones(n, jnp.bool_)
     if valid is not None:
         contrib = contrib & valid
@@ -539,6 +549,76 @@ def quantile_per_group(gid, val_tv: TV, mask, num_slots: int, q: float):
     hi_v = sv[jnp.clip(starts + hi, 0, max_i)]
     out = lo_v * (1 - frac) + hi_v * frac
     return out, counts > 0
+
+
+def _quantile_histogram(gid, val_tv: TV, mask, num_slots: int, q: float):
+    """Histogram-sketch quantile: per-group [lo, hi) interval iteratively
+    zoomed through scatter-add histograms — pure memory-bandwidth passes,
+    no sort.  Role of the reference's t-digest merge (Shared/quantile.h);
+    error after the zoom passes ≤ range / bins^zooms."""
+    val, valid = val_tv
+    n = val.shape[0]
+    contrib = mask if mask is not None else jnp.ones(n, jnp.bool_)
+    if valid is not None:
+        contrib = contrib & valid
+    fval = jnp.asarray(val, jnp.float64)
+    fval = jnp.where(contrib, fval, jnp.asarray(0.0, jnp.float64))
+    g = jnp.where(contrib, gid, num_slots).astype(jnp.int32)
+
+    if num_slots <= 1024:
+        bins, zooms = 4096, 2
+    elif num_slots <= (1 << 16):
+        bins, zooms = 256, 3
+    else:
+        bins, zooms = 64, 3
+
+    cnt = segment_count(gid, contrib, num_slots)
+    glo = segment_minmax(gid, fval, contrib, num_slots, is_min=True)
+    ghi = segment_minmax(gid, fval, contrib, num_slots, is_min=False)
+    pos = q * jnp.maximum(cnt - 1, 0).astype(jnp.float64)
+    frac = pos - jnp.floor(pos)
+
+    def value_at_rank(rank):  # rank: int64 per group (0-based)
+        lo = glo
+        hi = ghi
+        rk = rank
+        for _ in range(zooms):
+            width = jnp.maximum((hi - lo) / bins, 1e-300)
+            gs = jnp.clip(g, 0, num_slots - 1)
+            b = jnp.clip(
+                jnp.floor((fval - lo[gs]) / width[gs]), 0, bins - 1
+            ).astype(jnp.int32)
+            # rows outside the zoomed interval no longer participate (the
+            # residual rank rk is relative to the interval start)
+            in_iv = contrib & (fval >= lo[gs]) & (fval <= hi[gs])
+            flat = jnp.where(
+                in_iv, g * bins + b, num_slots * bins
+            )
+            hist = jnp.zeros(num_slots * bins + 1, jnp.int32).at[flat].add(
+                1, mode="drop"
+            )[:-1].reshape(num_slots, bins)
+            cum = jnp.cumsum(hist, axis=1)
+            below = jnp.concatenate(
+                [jnp.zeros((num_slots, 1), jnp.int32), cum[:, :-1]], axis=1
+            )
+            # first bin whose cumulative count exceeds the rank
+            sel = cum.astype(jnp.int64) > rk[:, None]
+            bstar = jnp.argmax(sel, axis=1).astype(jnp.int32)
+            rk = rk - jnp.take_along_axis(
+                below, bstar[:, None], axis=1
+            )[:, 0].astype(jnp.int64)
+            nlo = lo + bstar.astype(jnp.float64) * width
+            hi = nlo + width
+            lo = nlo
+        return (lo + hi) * 0.5
+
+    rlo = jnp.floor(pos).astype(jnp.int64)
+    rhi = jnp.ceil(pos).astype(jnp.int64)
+    vlo = value_at_rank(rlo)
+    vhi = value_at_rank(rhi)
+    out = vlo * (1 - frac) + vhi * frac
+    out = jnp.clip(out, glo, ghi)
+    return out, cnt > 0
 
 
 def mode_per_group(gid, val_tv: TV, mask, num_slots: int):
