@@ -125,6 +125,31 @@ def _extract_source(node: R.RelNode):
     return [_fuse(node)], [], None
 
 
+def _inline_projections(source: R.RelNode, exprs_lists):
+    """While `source` is a pure Project over a fusable chain, substitute its
+    output expressions into every expression of `exprs_lists` (lists are
+    rewritten IN PLACE) and descend — so Aggregate(Project(Filter(Scan)))
+    becomes one Compound instead of materializing the projection
+    (reference: create_compound coalesces Project into the work unit)."""
+    node = source
+    while isinstance(node, R.Project) and isinstance(
+        node.inputs[0], (R.Filter, R.Join, R.Scan)
+    ):
+        pex = node.exprs
+
+        def sub(e):
+            if isinstance(e, E.InputRef):
+                return pex[e.field_idx]
+            return e
+
+        for lst in exprs_lists:
+            for i, e in enumerate(lst):
+                if e is not None:
+                    lst[i] = E.rewrite(e, sub)
+        node = node.inputs[0]
+    return node
+
+
 def _identity_targets(node: R.RelNode):
     return [
         E.InputRef(0, i, t) for i, t in enumerate(node.types)
@@ -160,10 +185,14 @@ def _fuse(node: R.RelNode) -> R.RelNode:
         elif isinstance(inner, R.Aggregate):
             agg = inner
         if agg is not None:
-            inputs, levels, fcond = _extract_source(agg.inputs[0])
+            groups = list(agg.group_exprs)
+            aggs = list(agg.agg_exprs)
+            hv = [having]
+            src = _inline_projections(agg.inputs[0], [groups, aggs, hv])
+            inputs, levels, fcond = _extract_source(src)
             return R.Compound(
-                inputs, levels, fcond, agg.group_exprs, agg.agg_exprs,
-                node.exprs, node.fields, having,
+                inputs, levels, fcond, groups, aggs,
+                node.exprs, node.fields, hv[0],
             )
         inputs, levels, fcond = _extract_source(inner)
         return R.Compound(
@@ -172,7 +201,12 @@ def _fuse(node: R.RelNode) -> R.RelNode:
 
     if isinstance(node, R.Aggregate):
         # bare Aggregate (DISTINCT wrapper): identity projection over outputs
-        inputs, levels, fcond = _extract_source(node.inputs[0])
+        groups = list(node.group_exprs)
+        aggs_l = list(node.agg_exprs)
+        src = _inline_projections(node.inputs[0], [groups, aggs_l])
+        node.group_exprs = groups
+        node.agg_exprs = aggs_l
+        inputs, levels, fcond = _extract_source(src)
         n_keys = len(node.group_exprs)
         targets = []
         for i, t in enumerate(node.types):
