@@ -358,6 +358,9 @@ def _build_compound_kernel(node, batches, plan, config):
             kc = domain_compiler(node.group_exprs + list(node.aggs))
             aflags = {}
             kc.error_flags = aflags
+            kc.distinct_force_sort = bool(
+                getattr(plan, "distinct_force_sort", False)
+            )
             if group_strategy[0] in ("perfect", "hash"):
                 key_tvs = [kc.compile(g) for g in node.group_exprs]
                 if group_strategy[0] == "perfect":

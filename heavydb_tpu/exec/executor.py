@@ -872,6 +872,7 @@ class Executor:
             tuple(plan.caps),
             plan.group_strategy,
             plan.group_cap,
+            getattr(plan, "distinct_force_sort", False),
             tuple(
                 (jp.kind, jp.pack, jp.pack_spans, jp.key_min, jp.key_range,
                  jp.translate, jp.unique_build)
@@ -1224,6 +1225,10 @@ class Executor:
             or k.startswith("join_dup_") or k.startswith("err_")
         ]
         host = dict(zip(scalar_keys, jax.device_get([d[k] for k in scalar_keys])))
+        if bool(host.get("err_count_distinct_overflow", False)):
+            # hash claim table overflowed → redo with the sorted formulation
+            plan.distinct_force_sort = True
+            return None
         if bool(host.get("err_div_by_zero", False)):
             raise DivisionByZero("division by zero")
         # capacity checks

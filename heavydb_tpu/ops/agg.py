@@ -246,7 +246,16 @@ class LoweredAgg:
                 "count": G.segment_count(gid, cm, num_slots),
             }
         if k == A.COUNT_DISTINCT:
-            cnt = G.distinct_count_per_group(gid, arg_tv, mask, num_slots)
+            cnt, overflow = G.distinct_count_per_group(
+                gid, arg_tv, mask, num_slots,
+                allow_hash=not getattr(compiler, "distinct_force_sort",
+                                       False),
+            )
+            # claim-table overflow (astronomically rare at ≤50% fill ×
+            # 6 rounds) → executor retries with the sorted formulation
+            compiler._flag_error(
+                "count_distinct_overflow", overflow > 0, None
+            )
             return {"count": cnt}
         if k == A.APPROX_COUNT_DISTINCT:
             return {"hll": G.hll_registers(gid, arg_tv, mask, num_slots)}

@@ -493,9 +493,61 @@ def segment_minmax(gid, values, contrib_mask, num_slots: int, is_min: bool):
     return out[:num_slots]
 
 
-def distinct_count_per_group(gid, val_tv: TV, mask, num_slots: int):
-    """Exact COUNT(DISTINCT x) GROUP BY — sort (gid, x) then count first
-    occurrences (reference: CountDistinct bitmap/set, CountDistinct.h)."""
+def distinct_count_per_group(gid, val_tv: TV, mask, num_slots: int,
+                             allow_hash: bool = True):
+    """Exact COUNT(DISTINCT x) GROUP BY.  32-bit-wide args at scale use
+    hash slot claiming on the packed (group, value) pair — each distinct
+    pair resolves exactly one winner row, so the distinct count is a
+    segment-count of winners (reference: CountDistinct bitmap role).
+    Wider args / tiny inputs / claim overflow use the sorted formulation
+    (reference CountDistinct set).  Returns (counts[num_slots] int64,
+    overflow count — 0 for the sort path)."""
+    val, valid = val_tv
+    n = val.shape[0]
+    v0 = jnp.asarray(val)
+    if (
+        allow_hash and n > (1 << 21)
+        and np.dtype(v0.dtype).itemsize <= 4
+        and num_slots <= (1 << 30)
+    ):
+        contrib = mask if mask is not None else jnp.ones(n, jnp.bool_)
+        if valid is not None:
+            contrib = contrib & valid
+        if v0.dtype.kind == "f":
+            canon = jnp.where(jnp.isnan(v0), jnp.asarray(jnp.inf, v0.dtype),
+                              v0)
+            bits = lax.bitcast_convert_type(
+                canon.astype(jnp.float32), jnp.uint32
+            )
+        else:
+            bits = v0.astype(jnp.int32).astype(jnp.uint32)
+        packed = lax.shift_left(
+            jnp.asarray(gid, jnp.int64), jnp.int64(32)
+        ) | bits.astype(jnp.int64)
+        slots = bucket_pow2(max(n // 2, 1 << 12))
+        cgid, total, unresolved = hash_group_ids(
+            packed, contrib, slots, rounds=6
+        )
+        # each claimed slot == one distinct (group, value) pair; all rows
+        # of the pair write the SAME group id (identical-value scatter
+        # collisions don't serialize) → count claimed slots per group
+        slot_g = jnp.full(total + 1, -1, jnp.int32).at[cgid].max(
+            jnp.asarray(gid, jnp.int32)
+        )[:total]
+        counts = segment_count(
+            jnp.clip(slot_g, 0, num_slots), slot_g >= 0, num_slots
+        )
+        return counts, unresolved
+    return _distinct_count_sorted(gid, val_tv, mask, num_slots), jnp.asarray(
+        0, jnp.int32
+    )
+
+
+def bucket_pow2(x: int) -> int:
+    return 1 << max(int(x - 1).bit_length(), 1)
+
+
+def _distinct_count_sorted(gid, val_tv: TV, mask, num_slots: int):
     val, valid = val_tv
     n = val.shape[0]
     contrib = mask if mask is not None else jnp.ones(n, jnp.bool_)
