@@ -237,7 +237,12 @@ def hash_group_ids(packed, mask, slots: int, rounds: int = 4):
 #   slots ≤ SMALL_SLOTS    → per-slot masked reductions (fused cheap passes)
 #   slots ≤ PALLAS_MAX     → Pallas VMEM one-hot MXU kernel (TPU only)
 #   otherwise              → scatter (collisions rare at high cardinality)
-SMALL_SLOTS = 8
+# per-slot masked reductions: each slot is one fused pass over the data —
+# XLA compiles these in seconds and runs them memory-bound, while the
+# exact-int one-hot scan kernels compile in MINUTES for f64/limb
+# accumulators (876s measured for a 6-agg 10-slot query); 32 masked
+# passes are still cheaper than that at 20M rows
+SMALL_SLOTS = 32
 
 
 def _on_tpu() -> bool:
