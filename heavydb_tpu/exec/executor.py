@@ -753,10 +753,21 @@ class Executor:
                 plan.group_cap = slots
             else:
                 pack = _hash_pack_spec(node.group_exprs, ranges)
-                if pack is not _NO_PACK:
+                ndv = self._estimate_group_ndv(node)
+                n_rows = max(batches[0].nrows, 1)
+                # hash slot claiming serializes with the per-slot collision
+                # count (rows per distinct key); low-NDV keys go to sort
+                # (reference: CardinalityEstimator drives the same choice)
+                hash_ok = pack is not _NO_PACK and (
+                    ndv is None or n_rows // max(ndv, 1) <= 32
+                )
+                if hash_ok:
                     plan.group_strategy = ("hash", pack)
+                    cap = batches[0].padded // 4
+                    if ndv is not None:
+                        cap = min(cap, 4 * ndv)
                     plan.group_cap = B.bucket(
-                        min(max(batches[0].padded // 4, 4096), 1 << 21)
+                        min(max(cap, 4096), 1 << 21)
                     )
                 else:
                     plan.group_strategy = ("sort", None)
@@ -1124,6 +1135,51 @@ class Executor:
         )
         self.aux_cache[cache_key] = res
         return res
+
+    def _estimate_group_ndv(self, node) -> Optional[int]:
+        """Chao1 distinct estimate from a host sample of the group key
+        columns (reference: CardinalityEstimator / NDV sketch before
+        choosing the group-by scheme).  Only for plain column keys over a
+        single Scan; None = unknown."""
+        if len(node.inputs) != 1 or not isinstance(node.inputs[0], R.Scan):
+            return None
+        t = node.inputs[0].table
+        idxs = []
+        for g in node.group_exprs:
+            e = g
+            while isinstance(e, E.Cast):
+                e = e.operand
+            if not isinstance(e, E.InputRef):
+                return None
+            idxs.append(e.field_idx)
+        cols = []
+        for i in idxs:
+            cd = t.columns[i]
+            if cd.type.is_array:
+                return None
+            frag = next((f for f in t.fragments if f.num_rows), None)
+            if frag is None:
+                return 1
+            cols.append(np.asarray(frag.chunks[cd.col_id][:65536]))
+        if not cols:
+            return None
+        m = len(cols[0])
+        if m == 0:
+            return 1
+        if len(cols) == 1:
+            sample = cols[0]
+        else:
+            sample = np.rec.fromarrays(cols)
+        _, counts = np.unique(sample, return_counts=True)
+        u = len(counts)
+        f1 = int((counts == 1).sum())
+        f2 = int((counts == 2).sum())
+        chao = u + (f1 * f1) / (2.0 * (f2 + 1))
+        # scale: if the sample was saturated (few singletons), chao ≈ u is
+        # the table-wide NDV; if mostly unique, extrapolate linearly
+        frac_unique = f1 / m
+        est = chao + frac_unique * max(t.num_rows - m, 0)
+        return max(int(est), 1)
 
     def _geo_aux(self, afn, t, cid, rows, lengths, flat):
         """Per-table-row geo scalars precomputed at aux-build time
