@@ -367,12 +367,13 @@ def _build_compound_kernel(node, batches, plan, config):
                     gid, num_slots = G.perfect_group_ids(
                         key_tvs, group_strategy[1], mask
                     )
+                    hash_slot_keys = None
                 else:
                     # sparse keys: multi-round hash slot claiming
                     # (reference GroupByBaselineHash open addressing)
                     packed = G.pack_group_keys(key_tvs, group_strategy[1])
-                    gid, num_slots, unresolved = G.hash_group_ids(
-                        packed, mask, group_cap
+                    gid, num_slots, unresolved, hash_slot_keys = (
+                        G.hash_group_ids(packed, mask, group_cap)
                     )
                     out["hash_unresolved"] = unresolved
                 slots = num_slots
@@ -383,18 +384,28 @@ def _build_compound_kernel(node, batches, plan, config):
                 # reference get_group_value_fast_with_original_key); rows with
                 # a NULL key occupy their own slot, so per-slot key validity
                 # is (count of valid-key rows) > 0
-                key_out_tvs = []
-                for (val, valid), gexpr in zip(key_tvs, node.group_exprs):
-                    dt = gexpr.type.np_dtype()
-                    kbuf = G.segment_minmax(
-                        gid, jnp.asarray(val, dt), mask, slots, is_min=True
+                if hash_slot_keys is not None:
+                    # keys come straight from the claim tables — no
+                    # segment-minmax scatters (int64 scatters are emulated
+                    # and slow on TPU)
+                    key_out_tvs = G.unpack_group_keys(
+                        hash_slot_keys, group_strategy[1],
+                        [g.type for g in node.group_exprs],
                     )
-                    if valid is not None:
-                        vmask = valid if mask is None else (mask & valid)
-                        vbuf = G.segment_count(gid, vmask, slots) > 0
-                    else:
-                        vbuf = None
-                    key_out_tvs.append((kbuf, vbuf))
+                else:
+                    key_out_tvs = []
+                    for (val, valid), gexpr in zip(key_tvs, node.group_exprs):
+                        dt = gexpr.type.np_dtype()
+                        kbuf = G.segment_minmax(
+                            gid, jnp.asarray(val, dt), mask, slots,
+                            is_min=True
+                        )
+                        if valid is not None:
+                            vmask = valid if mask is None else (mask & valid)
+                            vbuf = G.segment_count(gid, vmask, slots) > 0
+                        else:
+                            vbuf = None
+                        key_out_tvs.append((kbuf, vbuf))
             elif group_strategy[0] == "keyless":
                 slots = 1
                 gid = jnp.zeros(domain_size, jnp.int32)

@@ -161,7 +161,13 @@ def pack_group_keys(key_tvs: Sequence[TV], spec):
         val, valid = key_tvs[0]
         v = jnp.asarray(val)
         if v.dtype.kind == "f":
-            canon = jnp.where(jnp.isnan(v), jnp.asarray(jnp.inf, v.dtype), v)
+            # canonical NaN = the NULL group (floats' in-band sentinel);
+            # unpacking bitcasts back so the representation roundtrips
+            isnull = jnp.isnan(v)
+            if valid is not None:
+                isnull = isnull | ~valid
+            canon = jnp.where(isnull, jnp.asarray(jnp.nan, v.dtype), v)
+            canon = jnp.where(canon == 0, jnp.asarray(0, v.dtype), canon)
             if v.dtype == jnp.float64:
                 p = lax.bitcast_convert_type(canon, jnp.int64)
             else:
@@ -170,8 +176,12 @@ def pack_group_keys(key_tvs: Sequence[TV], spec):
                 ).astype(jnp.int64)
         else:
             p = jnp.asarray(v, jnp.int64)
-        if valid is not None:
-            p = jnp.where(valid, p, jnp.int64(np.iinfo(np.int64).min))
+            if valid is not None:
+                # the VALUE dtype's sentinel, so narrowing on unpack
+                # recovers it
+                p = jnp.where(
+                    valid, p, jnp.int64(int(np.iinfo(v.dtype).min))
+                )
         return p
     packed = None
     for (val, valid), (lo, span) in zip(key_tvs, spec):
@@ -194,19 +204,27 @@ def hash_group_ids(packed, mask, slots: int, rounds: int = 4):
     near-unique (the colliding-scatter serialization pathology needs
     heavy collision).
 
+    All claim scatters are 32-bit (int64 scatter-min is emulated on TPU and
+    measured ~25x slower): each round writes min AND max of the key's hi/lo
+    halves; a slot is cleanly claimed iff min==max for both halves (exactly
+    one distinct key hashed there) — contested slots resolve nobody that
+    round and their keys re-hash.
+
     Returns (gid[N] int32 in [0, rounds*slots] — rounds*slots for masked/
     unresolved rows, total_slots, unresolved count (device scalar) for the
-    retry ladder)."""
+    retry ladder, slot_keys[total] int64 — the packed key per claimed
+    slot, for direct key materialization)."""
     n = packed.shape[0]
-    total = rounds * slots
+    total = (rounds + 2) * slots  # + the two winner-claim cleanup rounds
     in_domain = mask if mask is not None else jnp.ones(n, jnp.bool_)
     unresolved = in_domain
     gid = jnp.full(n, total, jnp.int32)
-    big = jnp.int64(np.iinfo(np.int64).max)
     lo32 = (packed & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
     hi32 = lax.shift_right_logical(
         packed, jnp.int64(32)
     ).astype(jnp.uint32)
+    umax = jnp.uint32(0xFFFFFFFF)
+    key_tables = []
     for r in range(rounds):
         # 32-bit murmur-style mix (64-bit multiplies are emulated on TPU)
         h = lo32 * jnp.uint32(0x85EBCA6B) + hi32 * jnp.uint32(
@@ -216,16 +234,53 @@ def hash_group_ids(packed, mask, slots: int, rounds: int = 4):
         h = h * jnp.uint32(0x7FEB352D)
         h = h ^ (h >> jnp.uint32(15))
         slot = (h & jnp.uint32(slots - 1)).astype(jnp.int32)
-        claim_idx = jnp.where(unresolved, slot, slots)
-        # resolved/masked rows write the CONSTANT sentinel into the dump
-        # slot: identical-value collisions don't serialize, varying ones do
-        claim_val = jnp.where(unresolved, packed, big)
-        buf = jnp.full(slots + 1, big, jnp.int64).at[claim_idx].min(claim_val)
+        idx = jnp.where(unresolved, slot, slots)
+        # dump-slot writes use CONSTANT values: identical-value scatter
+        # collisions don't serialize, varying ones do
+        vlo = jnp.where(unresolved, lo32, umax)
+        vhi = jnp.where(unresolved, hi32, umax)
+        lo_mn = jnp.full(slots + 1, umax, jnp.uint32).at[idx].min(vlo)
+        lo_mx = jnp.zeros(slots + 1, jnp.uint32).at[idx].max(
+            jnp.where(unresolved, lo32, jnp.uint32(0))
+        )
+        hi_mn = jnp.full(slots + 1, umax, jnp.uint32).at[idx].min(vhi)
+        hi_mx = jnp.zeros(slots + 1, jnp.uint32).at[idx].max(
+            jnp.where(unresolved, hi32, jnp.uint32(0))
+        )
+        clean = (lo_mn == lo_mx) & (hi_mn == hi_mx)
+        sc = jnp.clip(slot, 0, slots)
+        owner = clean[sc] & (lo_mn[sc] == lo32) & (hi_mn[sc] == hi32)
+        won = unresolved & owner
+        gid = jnp.where(won, r * slots + slot, gid)
+        unresolved = unresolved & ~owner
+        key_tables.append(
+            lax.shift_left(hi_mn[:slots].astype(jnp.int64), jnp.int64(32))
+            | lo_mn[:slots].astype(jnp.int64)
+        )
+    # contested-slot semantics leaves a geometric tail (a key stays
+    # unresolved only if EVERY round's slot was contested) — two final
+    # winner-takes-slot rounds with an int64 min-claim clear it; by now the
+    # residue is tiny, so the emulated 64-bit scatter touches few real
+    # slots (dump writes are constant-valued and cheap)
+    big = jnp.int64(np.iinfo(np.int64).max)
+    for r in range(rounds, rounds + 2):
+        h = lo32 * jnp.uint32(0x85EBCA6B) + hi32 * jnp.uint32(
+            0xC2B2AE35
+        ) + jnp.uint32(0x9E3779B9 * (r + 1) & 0xFFFFFFFF)
+        h = h ^ (h >> jnp.uint32(16))
+        h = h * jnp.uint32(0x7FEB352D)
+        h = h ^ (h >> jnp.uint32(15))
+        slot = (h & jnp.uint32(slots - 1)).astype(jnp.int32)
+        idx = jnp.where(unresolved, slot, slots)
+        val = jnp.where(unresolved, packed, big)
+        buf = jnp.full(slots + 1, big, jnp.int64).at[idx].min(val)
         owner = buf[jnp.clip(slot, 0, slots)] == packed
         won = unresolved & owner
         gid = jnp.where(won, r * slots + slot, gid)
         unresolved = unresolved & ~owner
-    return gid, total, unresolved.sum(dtype=jnp.int32)
+        key_tables.append(buf[:slots])
+    slot_keys = jnp.concatenate(key_tables)
+    return gid, total, unresolved.sum(dtype=jnp.int32), slot_keys
 
 
 # Scatter with massively-colliding indices serializes on TPU (XLA lowers
@@ -530,7 +585,7 @@ def distinct_count_per_group(gid, val_tv: TV, mask, num_slots: int,
             jnp.asarray(gid, jnp.int64), jnp.int64(32)
         ) | bits.astype(jnp.int64)
         slots = bucket_pow2(max(n // 2, 1 << 12))
-        cgid, total, unresolved = hash_group_ids(
+        cgid, total, unresolved, _ = hash_group_ids(
             packed, contrib, slots, rounds=6
         )
         # each claimed slot == one distinct (group, value) pair; all rows
@@ -771,3 +826,40 @@ def hll_estimate(registers):
     lc = m * jnp.log(jnp.where(zeros > 0, m / jnp.maximum(zeros, 1), 1.0))
     est = jnp.where(small & (zeros > 0), lc, est)
     return jnp.round(est).astype(jnp.int64)
+
+
+def unpack_group_keys(slot_keys, spec, group_types):
+    """Inverse of pack_group_keys: per-slot packed int64 → key column TVs
+    (direct materialization for the hash path; slots never cleanly claimed
+    hold garbage but are filtered by group presence)."""
+    out = []
+    if spec is None:
+        ti = group_types[0]
+        dt = ti.np_dtype()
+        if dt.kind == "f":
+            if dt == np.float64:
+                kv = lax.bitcast_convert_type(slot_keys, jnp.float64)
+            else:
+                kv = lax.bitcast_convert_type(
+                    slot_keys.astype(jnp.int32), jnp.float32
+                )
+            valid = ~jnp.isnan(kv) if ti.nullable else None
+        else:
+            kv = slot_keys.astype(dt)
+            valid = (
+                kv != jnp.asarray(int(np.iinfo(dt).min), dt)
+                if ti.nullable else None
+            )
+        return [(kv, valid)]
+    rem = slot_keys
+    parts = []
+    for lo, span in reversed(spec):
+        parts.append(rem % jnp.int64(span + 2))
+        rem = rem // jnp.int64(span + 2)
+    parts.reverse()
+    for ti, iv, (lo, span) in zip(group_types, parts, spec):
+        dt = ti.np_dtype()
+        kv = (iv - 1 + jnp.int64(lo)).astype(dt)
+        valid = iv != 0 if ti.nullable else None
+        out.append((kv, valid))
+    return out
