@@ -57,6 +57,11 @@ def _sentinelize(val, valid, ti: T.TypeInfo):
     return jnp.where(valid, val, jnp.asarray(ti.null_sentinel(), dt))
 
 
+def _join_hash_slots(build_padded: int) -> int:
+    # ≥2x the build row count (unique keys ≤ rows), pow2 for masking
+    return 1 << max(int(build_padded * 2 - 1).bit_length(), 12)
+
+
 def _build_compound_kernel(node, batches, plan, config):
     """Returns (kernel_fn, layout).  kernel_fn(*args) -> dict."""
     from heavydb_tpu.exec.executor import _derive_valid, _KernelLayout
@@ -104,6 +109,7 @@ def _build_compound_kernel(node, batches, plan, config):
         error_flags: Dict[str, jax.Array] = {}
         join_needed: List[jax.Array] = []
         join_dups: Dict[int, jax.Array] = {}
+        join_hash_miss: Dict[int, jax.Array] = {}
 
         # ---- domain state ----
         # idx[i]: row index into input i per domain slot (None = identity for
@@ -214,9 +220,16 @@ def _build_compound_kernel(node, batches, plan, config):
                     _, cnt = J.probe_perfect(
                         pbuild, pkey, pvalid_m, jp.key_range
                     )
-                else:
+                elif getattr(jp, "hash_fallback", False):
                     build = J.build_sorted(bkey, bvalid, nrows[bi])
                     _, cnt = J.probe_counts(build, pkey, pvalid_m)
+                else:
+                    build = J.build_sorted(bkey, bvalid, nrows[bi])
+                    table = J.build_hash_table(
+                        build, _join_hash_slots(build.keys_sorted.shape[0])
+                    )
+                    join_hash_miss[li] = table.unresolved
+                    _, cnt = J.probe_counts_hash(table, pkey, pvalid_m)
                 if jp.kind == "SEMI":
                     mask = mask & (cnt > 0)
                 else:
@@ -260,9 +273,20 @@ def _build_compound_kernel(node, batches, plan, config):
                         pbuild, pkey, pvalid_m, jp.key_range
                     )
                     rows_by_slot = pbuild.payload
-                else:
+                elif getattr(jp, "hash_fallback", False):
                     build = J.build_sorted(bkey, bvalid, nrows[bi])
                     lo, cnt = J.probe_counts(build, pkey, pvalid_m)
+                    rows_by_slot = build.rows_sorted
+                else:
+                    # sparse keys: open-addressing hash table over the
+                    # sorted build (reference BaselineJoinHashTable);
+                    # probing is O(rounds) gathers, not a binary search
+                    build = J.build_sorted(bkey, bvalid, nrows[bi])
+                    table = J.build_hash_table(
+                        build, _join_hash_slots(build.keys_sorted.shape[0])
+                    )
+                    join_hash_miss[li] = table.unresolved
+                    lo, cnt = J.probe_counts_hash(table, pkey, pvalid_m)
                     rows_by_slot = build.rows_sorted
                 if jp.unique_build:
                     # PK-side join: ≤1 match per probe row → identity domain
@@ -331,6 +355,8 @@ def _build_compound_kernel(node, batches, plan, config):
             out[f"join_needed_{li}"] = needed
         for li, dup in join_dups.items():
             out[f"join_dup_{li}"] = dup
+        for li, miss in join_hash_miss.items():
+            out[f"join_hash_miss_{li}"] = miss
 
         if not is_agg:
             # ---- projection ----

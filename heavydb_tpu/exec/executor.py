@@ -886,7 +886,8 @@ class Executor:
             getattr(plan, "distinct_force_sort", False),
             tuple(
                 (jp.kind, jp.pack, jp.pack_spans, jp.key_min, jp.key_range,
-                 jp.translate, jp.unique_build)
+                 jp.translate, jp.unique_build,
+                 getattr(jp, "hash_fallback", False))
                 for jp in plan.joins
             ),
             tuple(sorted(plan.aux_specs.keys(), key=repr)),
@@ -1277,7 +1278,7 @@ class Executor:
         scalar_keys = [
             k for k in d
             if k == "n_out" or k == "num_groups" or k == "hash_unresolved"
-            or k.startswith("join_needed_")
+            or k.startswith("join_needed_") or k.startswith("join_hash_miss_")
             or k.startswith("join_dup_") or k.startswith("err_")
         ]
         host = dict(zip(scalar_keys, jax.device_get([d[k] for k in scalar_keys])))
@@ -1289,6 +1290,14 @@ class Executor:
             raise DivisionByZero("division by zero")
         # capacity checks
         retry = False
+        for li, jp0 in enumerate(plan.joins):
+            if int(host.get(f"join_hash_miss_{li}", 0)) > 0:
+                # pathological hash collisions in the join claim table →
+                # redo this level with the sorted/searchsorted formulation
+                jp0.hash_fallback = True
+                retry = True
+        if retry:
+            return None
         for li, cap in enumerate(plan.caps):
             jp = plan.joins[li] if li < len(plan.joins) else None
             if jp is not None and jp.unique_build and bool(

@@ -68,6 +68,101 @@ def probe_counts(build: SortedBuild, probe_keys, probe_valid):
     return lo.astype(jnp.int32), cnt
 
 
+class HashJoinTable(NamedTuple):
+    keys: object      # int64 [rounds*slots] — key per claimed slot
+    lo: object        # int32 [rounds*slots] — first match pos in sorted build
+    cnt: object       # int32 [rounds*slots] — run length
+    rows_sorted: object
+    slots: int
+    rounds: int
+    unresolved: object  # device scalar — build keys that failed to claim
+
+
+def _mix32(lo32, hi32, r: int):
+    h = lo32 * jnp.uint32(0x85EBCA6B) + hi32 * jnp.uint32(0xC2B2AE35) + \
+        jnp.uint32(0x9E3779B9 * (r + 1) & 0xFFFFFFFF)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x7FEB352D)
+    return h ^ (h >> jnp.uint32(15))
+
+
+def build_hash_table(build: SortedBuild, slots: int, rounds: int = 4):
+    """Open-addressing join table from a sorted build (reference
+    BaselineJoinHashTable / fill_baseline_hash_join_buff_64): each UNIQUE
+    build key claims a hashed slot (winner-takes-slot min-claim, losers
+    re-hash) and stores its (first position, run length) in the sorted
+    array.  Probing is then O(rounds) gathers — no binary search
+    (searchsorted over large arrays costs seconds on TPU)."""
+    b = build.keys_sorted.shape[0]
+    first = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        build.keys_sorted[1:] != build.keys_sorted[:-1],
+    ]) & build.valid_sorted
+    pos = lax.broadcasted_iota(jnp.int32, (b,), 0)
+    # run length: next unique start − own start
+    nvalid = build.valid_sorted.sum().astype(jnp.int32)
+    nxt = jnp.concatenate([pos[1:], jnp.full(1, b, jnp.int32)])
+    # index of next first ≥ i: reverse min-scan over first positions
+    s = jnp.where(first, pos, b)
+    rev = lax.associative_scan(jnp.minimum, s, reverse=True)
+    nxt_first = jnp.concatenate([rev[1:], jnp.full(1, b, jnp.int32)])
+    run = jnp.minimum(nxt_first, nvalid) - pos
+    big = jnp.int64(np.iinfo(np.int64).max)
+    uk = jnp.where(first, build.keys_sorted, big)
+    lo32 = (uk & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi32 = lax.shift_right_logical(uk, jnp.int64(32)).astype(jnp.uint32)
+    unresolved = first
+    keys_t, lo_t, cnt_t = [], [], []
+    for r in range(rounds):
+        slot = (_mix32(lo32, hi32, r) & jnp.uint32(slots - 1)).astype(
+            jnp.int32
+        )
+        idx = jnp.where(unresolved, slot, slots)
+        val = jnp.where(unresolved, uk, big)
+        buf = jnp.full(slots + 1, big, jnp.int64).at[idx].min(val)
+        owner = unresolved & (buf[jnp.clip(slot, 0, slots)] == uk)
+        widx = jnp.where(owner, slot, slots)
+        lo_buf = jnp.zeros(slots + 1, jnp.int32).at[widx].set(
+            pos, mode="drop"
+        )[:slots]
+        cnt_buf = jnp.zeros(slots + 1, jnp.int32).at[widx].set(
+            run.astype(jnp.int32), mode="drop"
+        )[:slots]
+        keys_t.append(buf[:slots])
+        lo_t.append(lo_buf)
+        cnt_t.append(cnt_buf)
+        unresolved = unresolved & ~owner
+    return HashJoinTable(
+        jnp.concatenate(keys_t), jnp.concatenate(lo_t),
+        jnp.concatenate(cnt_t), build.rows_sorted, slots, rounds,
+        unresolved.sum(dtype=jnp.int32),
+    )
+
+
+def probe_counts_hash(table: HashJoinTable, probe_keys, probe_valid):
+    """(first match position, match count) per probe row via O(rounds)
+    table gathers (reference probe side of codegenMatchingSet)."""
+    pk = jnp.asarray(probe_keys, jnp.int64)
+    lo32 = (pk & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi32 = lax.shift_right_logical(pk, jnp.int64(32)).astype(jnp.uint32)
+    n = pk.shape[0]
+    hit_at = jnp.full(n, -1, jnp.int32)
+    for r in range(table.rounds):
+        slot = (
+            _mix32(lo32, hi32, r) & jnp.uint32(table.slots - 1)
+        ).astype(jnp.int32) + r * table.slots
+        k = table.keys[slot]
+        hit = (k == pk) & (hit_at < 0)
+        hit_at = jnp.where(hit, slot, hit_at)
+    found = hit_at >= 0
+    sl = jnp.clip(hit_at, 0, table.rounds * table.slots - 1)
+    lo = jnp.where(found, table.lo[sl], 0)
+    cnt = jnp.where(found, table.cnt[sl], 0)
+    if probe_valid is not None:
+        cnt = jnp.where(probe_valid, cnt, 0)
+    return lo, cnt
+
+
 def expand_matches(
     lo, cnt, build_rows_sorted, probe_mask, cap: int, left_outer: bool
 ):
