@@ -1017,9 +1017,9 @@ class Database:
 
     def _copy_to(self, st: A.CopyTo) -> ResultSet:
         rs = self._run_select(st.select)
-        from heavydb_tpu.io.csv_export import export_csv
+        from heavydb_tpu.io.csv_export import export_result
 
-        n = export_csv(rs, st.path, st.options)
+        n = export_result(rs, st.path, st.options)
         return _string_result("result", [f"Exported: {n} recs"])
 
     def _insert_columns(self, t: Table, cols: Dict[str, np.ndarray]):

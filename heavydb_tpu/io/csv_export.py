@@ -1,4 +1,5 @@
-"""COPY TO export (reference ImportExport/QueryExporterCSV)."""
+"""COPY TO export (reference ImportExport/QueryExporterCSV + parquet via
+the arrow writer)."""
 
 from __future__ import annotations
 
@@ -27,3 +28,18 @@ def export_csv(rs, path: str, options: Dict) -> int:
                     out.append(str(v))
             f.write(delim.join(out) + "\n")
     return rs.row_count
+
+
+def export_result(rs, path: str, options: Dict) -> int:
+    """Dispatch by file_type option / path suffix (reference CopyParams
+    file_type: csv | parquet)."""
+    ftype = str(options.get("file_type", "")).lower()
+    if not ftype:
+        ftype = "parquet" if path.endswith((".parquet", ".pq")) else "csv"
+    if ftype == "parquet":
+        import pyarrow.parquet as pq
+
+        table = rs.to_arrow()
+        pq.write_table(table, path)
+        return rs.row_count
+    return export_csv(rs, path, options)
