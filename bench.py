@@ -133,10 +133,17 @@ def _secondary(db, rng, log):
     v = rng.random(n, dtype=np.float32)
     db.sql("CREATE TABLE g (k1 INT, k2 INT, v FLOAT) WITH (fragment_size=33554432)")
     db.catalog.get_table("g").insert_columns({1: k1, 2: k2, 3: v})
+    db.sql("CREATE TABLE dim (k1 INT, nm INT)")
+    db.catalog.get_table("dim").insert_columns({
+        1: np.arange(1000, dtype=np.int32),
+        2: rng.integers(0, 50, 1000).astype(np.int32),
+    })
     for label, q in [
         ("groupby_1k_perfect", "SELECT k1, count(*), sum(v) FROM g GROUP BY k1"),
-        ("groupby_10m_sort", "SELECT k2, count(*) FROM g GROUP BY k2"),
-        ("topk_sort", "SELECT k2, v FROM g ORDER BY v DESC, k2 LIMIT 100"),
+        ("groupby_10m_hash", "SELECT k2, count(*) FROM g GROUP BY k2"),
+        ("topk_radix", "SELECT k2, v FROM g ORDER BY v DESC LIMIT 100"),
+        ("join_groupby", "SELECT d.nm, count(*), sum(g.v) FROM g "
+                         "JOIN dim d ON g.k1 = d.k1 GROUP BY d.nm"),
     ]:
         db.sql(q)  # warm
         t0 = time.time()
