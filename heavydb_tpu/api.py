@@ -234,6 +234,39 @@ class Database:
     # CsvDataWrapper, ParquetDataWrapper, RegexParserDataWrapper; lazy
     # chunk population + REFRESH FOREIGN TABLES)
     # ------------------------------------------------------------------
+    # runtime-settable flags (reference ALTER SYSTEM/SESSION SET +
+    # CommandLineOptions g_* bindings)
+    _SETTABLE = {
+        "enable_watchdog", "watchdog_max_projected_rows",
+        "enable_dynamic_watchdog", "dynamic_watchdog_time_limit_ms",
+        "enable_debug_timer", "enable_fragment_skipping",
+        "enable_executor_resource_mgr", "max_concurrent_queries",
+        "max_exec_bytes", "admission_queue_timeout_s",
+        "baseline_groupby_threshold", "perfect_join_max_range",
+    }
+
+    def _alter_setting(self, st: A.AlterSetting):
+        key = st.key
+        if key not in self._SETTABLE or not hasattr(self.config, key):
+            raise SqlError(f"unknown or non-settable parameter {key!r}")
+        cur = getattr(self.config, key)
+        val = st.value
+        if isinstance(cur, bool):
+            val = bool(val)
+        elif isinstance(cur, int):
+            val = int(val)
+        elif isinstance(cur, float):
+            val = float(val)
+        setattr(self.config, key, val)
+        rm = self.executor.resource_mgr
+        if key == "max_concurrent_queries" and rm is not None:
+            rm.max_concurrent = int(val)
+        if key == "max_exec_bytes" and rm is not None:
+            rm.max_bytes = int(val) or None
+        if key == "admission_queue_timeout_s" and rm is not None:
+            rm.queue_timeout_s = float(val)
+        return _string_result("result", [f"{key} = {val}"])
+
     def _create_foreign_table(self, st: A.CreateForeignTable):
         if self.catalog.get_table_opt(st.name) is not None:
             if st.if_not_exists:
@@ -406,6 +439,8 @@ class Database:
             return self._explain(st)
         if isinstance(st, A.CreateTable):
             return self._create_table(st)
+        if isinstance(st, A.AlterSetting):
+            return self._alter_setting(st)
         if isinstance(st, A.CreateServer):
             if st.name in self._servers and not st.if_not_exists:
                 raise SqlError(f"server {st.name!r} already exists")

@@ -273,6 +273,16 @@ class ColumnDef(Node):
 
 
 @dataclass
+class AlterSetting(Statement):
+    """ALTER SYSTEM|SESSION SET key = value (reference DdlCommandExecutor
+    AlterSystemCommand / runtime-settable g_* flags)."""
+
+    scope: str = "SESSION"  # SESSION | SYSTEM
+    key: str = ""
+    value: object = None
+
+
+@dataclass
 class CreateServer(Statement):
     """CREATE SERVER name FOREIGN DATA WRAPPER wrapper WITH (...) —
     reference FSI ForeignServer (Catalog/ForeignServer.h)."""

@@ -352,6 +352,19 @@ class Parser:
         if self.eat_kw("USER"):
             name = self.ident()
             return A.AlterUser(name, self._user_options())
+        if self.at_kw("SYSTEM", "SESSION"):
+            scope = self.next().upper
+            self.expect_kw("SET")
+            key = self.ident().lower()
+            self.expect_op("=")
+            tv = self.next()
+            val = tv.value
+            if tv.kind == NUMBER:
+                val = float(val) if "." in val else int(val)
+            elif isinstance(val, str) and val.lower() in ("true", "false",
+                                                          "on", "off"):
+                val = val.lower() in ("true", "on")
+            return A.AlterSetting(scope, key, val)
         self.expect_kw("TABLE")
         table = self.ident()
         if self.eat_kw("RENAME"):

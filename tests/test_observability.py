@@ -71,3 +71,17 @@ def test_interrupt(db):
         db.sql("SELECT count(*) FROM t")
     db.executor.interrupt_check = None
     assert db.sql("SELECT count(*) FROM t").scalar() == 1
+
+
+def test_alter_session_set(db):
+    from heavydb_tpu.errors import SqlError
+    import pytest as _pt
+
+    db.sql("ALTER SESSION SET enable_watchdog = true")
+    assert db.config.enable_watchdog is True
+    db.sql("ALTER SYSTEM SET max_concurrent_queries = 2")
+    assert db.executor.resource_mgr.max_concurrent == 2
+    db.sql("ALTER SESSION SET watchdog_max_projected_rows = 1000")
+    assert db.config.watchdog_max_projected_rows == 1000
+    with _pt.raises(SqlError):
+        db.sql("ALTER SESSION SET bogus_flag = 1")
