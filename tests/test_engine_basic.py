@@ -615,3 +615,15 @@ def test_div_by_zero_only_for_surviving_rows(db):
 
     with _pt.raises(DivisionByZero):
         db.sql("SELECT 10 / x FROM dz").rows()
+
+
+def test_copy_to_parquet(db, tmp_path):
+    import pandas as pd
+
+    db.sql("CREATE TABLE cp (a INT, s TEXT)")
+    db.sql("INSERT INTO cp VALUES (1, 'x'), (2, NULL)")
+    p = str(tmp_path / "out.parquet")
+    db.sql(f"COPY (SELECT * FROM cp) TO '{p}'")
+    df = pd.read_parquet(p)
+    assert list(df["a"]) == [1, 2]
+    assert df["s"][0] == "x" and pd.isna(df["s"][1])
