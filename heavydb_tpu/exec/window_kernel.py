@@ -167,16 +167,62 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart):
     if w.kind in (K.LAG, K.LEAD):
         val, valid = arg_tv(0)
         off = const_arg(1, 1)
-        if w.kind == K.LEAD:
-            off = -off
         default_tv = None
         if len(w.args) > 2:
             dv, dvalid = comp.compile(w.args[2])
+            if w.args[2].type.is_decimal:
+                # decimals are scaled ints on device; the output column is
+                # a plain float/int — rescale the default to match
+                dv = jnp.asarray(dv, jnp.float64) / 10**w.args[2].type.scale
             default_tv = (dv, dvalid)
+        if w.ignore_nulls:
+            # k-th non-null strictly before (LAG) / after (LEAD) the row
+            compact, base, c, ok = W.nonnull_lookup(val, valid, pstart)
+            n = val.shape[0]
+            if w.kind == K.LAG:
+                ordinal = c - ok.astype(jnp.int32) - (off - 1)
+            else:
+                _, pe = W.segment_bounds(pstart)
+                total = c[pe]
+                ordinal = c + off
+                ordinal = jnp.where(ordinal <= total, ordinal, 0)
+            hit = ordinal >= 1
+            idx = jnp.clip(base + ordinal - 1, 0, n - 1)
+            out = compact[idx]
+            outv = hit
+            if default_tv is not None:
+                dv, dvalid = default_tv
+                out = jnp.where(hit, out, jnp.asarray(dv, out.dtype))
+                dvv = jnp.asarray(True) if dvalid is None else dvalid
+                outv = jnp.where(hit, outv, dvv)
+            return out, outv
+        if w.kind == K.LEAD:
+            off = -off
         return W.shift_in_partition(val, valid, pstart, off, default_tv)
     if w.kind in (K.FIRST_VALUE, K.LAST_VALUE, K.NTH_VALUE):
         val, valid = arg_tv(0)
         n = val.shape[0]
+        if w.ignore_nulls:
+            compact, base, c, ok = W.nonnull_lookup(val, valid, pstart)
+            if w.frame is not None:
+                lo, hi = W.frame_bounds(pstart, ostart, w.frame)
+            else:
+                ps0, _ = W.segment_bounds(pstart)
+                _, hi = W.segment_bounds(pstart | ostart)
+                lo = ps0
+            loc = jnp.clip(lo, 0, n - 1)
+            hic = jnp.clip(hi, 0, n - 1)
+            cb_lo = c[loc] - ok[loc].astype(jnp.int32)
+            c_hi = c[hic]
+            if w.kind == K.FIRST_VALUE:
+                ordinal = cb_lo + 1
+            elif w.kind == K.LAST_VALUE:
+                ordinal = c_hi
+            else:
+                ordinal = cb_lo + const_arg(1, 1)
+            hit = (ordinal >= cb_lo + 1) & (ordinal <= c_hi) & (lo <= hi)                 & (ordinal >= 1)
+            idx = jnp.clip(base + ordinal - 1, 0, n - 1)
+            return compact[idx], hit
         if w.frame is not None:
             lo, hi = W.frame_bounds(pstart, ostart, w.frame)
             if w.kind == K.FIRST_VALUE:

@@ -130,6 +130,26 @@ def ntile(pstart, n_buckets):
     return (t + 1).astype(jnp.int64)
 
 
+def nonnull_lookup(vals, valid, pstart):
+    """IGNORE NULLS support (reference WindowContext
+    IGNORE_NULLS navigation): globally compact the non-null values, and
+    per row expose (compact[], base[i] — compact index of the partition's
+    first non-null, c[i] — inclusive non-null count within the partition).
+    The j-th non-null of a partition is compact[base + j - 1]."""
+    n = vals.shape[0]
+    ok = valid if valid is not None else jnp.ones(n, jnp.bool_)
+    oki = ok.astype(jnp.int32)
+    cpre = jnp.cumsum(oki)
+    pos = cpre - 1
+    compact = jnp.zeros(n + 1, vals.dtype).at[
+        jnp.where(ok, pos, n)
+    ].set(vals, mode="drop")[:n]
+    before_part, _ = forward_fill_value(cpre - oki, pstart)
+    c = cpre - before_part  # inclusive non-null count within partition
+    base = before_part  # global compact index of partition's first non-null
+    return compact, base.astype(jnp.int32), c.astype(jnp.int32), ok
+
+
 def shift_in_partition(vals, valid, pstart, offset: int, default_tv=None):
     """LAG (offset>0) / LEAD (offset<0) within partitions, sorted order."""
     n = vals.shape[0]

@@ -1106,9 +1106,14 @@ class ExprBinder:
                 ti = ti.with_nullable(True)
         else:
             frame = None  # ranking functions ignore the frame clause
+        ignore_nulls = bool(getattr(node, "ignore_nulls", False))
+        if ignore_nulls and kind not in (
+            K.LAG, K.LEAD, K.FIRST_VALUE, K.LAST_VALUE, K.NTH_VALUE
+        ):
+            raise BinderError("IGNORE NULLS applies to navigation functions")
         return E.WindowFunc(
             kind=kind, args=args, partition_by=partition, order_by=order,
-            type=ti, dict_ref=dref, frame=frame,
+            type=ti, dict_ref=dref, frame=frame, ignore_nulls=ignore_nulls,
         )
 
 

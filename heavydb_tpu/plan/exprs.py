@@ -370,6 +370,7 @@ class WindowFunc(Expr):
     # explicit frame ("ROWS"|"RANGE", lo_bound, hi_bound) with bounds
     # ("UP",)/("CR",)/("UF",)/("P", n)/("F", n); None = default frame
     frame: Optional[tuple] = None
+    ignore_nulls: bool = False
 
     def children(self):
         return tuple(self.args) + tuple(self.partition_by) + tuple(
@@ -377,9 +378,11 @@ class WindowFunc(Expr):
         )
 
     def _key_parts(self):
-        return (self.kind.value, self.frame) + tuple(self.args) + tuple(
-            self.partition_by
-        ) + tuple((e, a, nf) for e, a, nf in self.order_by)
+        return (self.kind.value, self.frame, self.ignore_nulls) + tuple(
+            self.args
+        ) + tuple(self.partition_by) + tuple(
+            (e, a, nf) for e, a, nf in self.order_by
+        )
 
 
 @dataclass(frozen=True)

@@ -190,6 +190,7 @@ class WindowSpec(Node):
 class WindowFuncCall(Expr):
     func: FuncCall = None
     spec: WindowSpec = None
+    ignore_nulls: bool = False
 
 
 # ---------------------------------------------------------------------------

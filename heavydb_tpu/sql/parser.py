@@ -1033,6 +1033,12 @@ class Parser:
             while self.eat_op(","):
                 fc.args.append(self.parse_expr())
         self.expect_op(")")
+        ignore_nulls = False
+        if self.eat_kw("IGNORE"):
+            self.expect_kw("NULLS")
+            ignore_nulls = True
+        elif self.eat_kw("RESPECT"):
+            self.expect_kw("NULLS")
         if self.at_kw("OVER"):
             self.next()
             self.expect_op("(")
@@ -1071,7 +1077,9 @@ class Parser:
                     b2 = ("CR",)
                 spec.frame = (unit, b1, b2)
             self.expect_op(")")
-            return A.WindowFuncCall(fc, spec)
+            return A.WindowFuncCall(fc, spec, ignore_nulls)
+        if ignore_nulls:
+            raise ParserError("IGNORE NULLS requires an OVER clause")
         return fc
 
     def _frame_bound(self) -> tuple:

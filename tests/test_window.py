@@ -259,3 +259,31 @@ def test_frame_errors(db):
     with _pt.raises(BinderError):
         db.sql("SELECT SUM(x) OVER (ORDER BY x "
                "ROWS BETWEEN UNBOUNDED FOLLOWING AND CURRENT ROW) FROM fe")
+
+
+def test_ignore_nulls_navigation(db):
+    db.sql("CREATE TABLE wn (g INT, x INT, v DOUBLE)")
+    db.sql(
+        "INSERT INTO wn VALUES (1,1,10.0),(1,2,NULL),(1,3,NULL),"
+        "(1,4,40.0),(1,5,NULL),(2,1,NULL),(2,2,7.0)"
+    )
+    base = "OVER (PARTITION BY g ORDER BY x) FROM wn ORDER BY g, x"
+    assert [r[2] for r in db.sql(
+        f"SELECT g, x, LAG(v) IGNORE NULLS {base}"
+    ).rows()] == [None, 10.0, 10.0, 10.0, 40.0, None, None]
+    assert [r[2] for r in db.sql(
+        f"SELECT g, x, LEAD(v) IGNORE NULLS {base}"
+    ).rows()] == [40.0, 40.0, 40.0, None, None, 7.0, None]
+    assert [r[2] for r in db.sql(
+        f"SELECT g, x, LAST_VALUE(v) IGNORE NULLS {base}"
+    ).rows()] == [10.0, 10.0, 10.0, 40.0, 40.0, None, 7.0]
+    assert [r[2] for r in db.sql(
+        f"SELECT g, x, FIRST_VALUE(v) IGNORE NULLS {base}"
+    ).rows()] == [10.0] * 5 + [None, 7.0]
+    # LAG(expr, 2) IGNORE NULLS + default; RESPECT NULLS is a no-op
+    assert [r[2] for r in db.sql(
+        f"SELECT g, x, LAG(v, 2, -1.0) IGNORE NULLS {base}"
+    ).rows()] == [-1.0, -1.0, -1.0, -1.0, 10.0, -1.0, -1.0]
+    assert [r[2] for r in db.sql(
+        f"SELECT g, x, LAG(v) RESPECT NULLS {base}"
+    ).rows()] == [None, 10.0, None, None, 40.0, None, None]
