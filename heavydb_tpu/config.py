@@ -28,7 +28,10 @@ class Config:
 
     # ---- group-by ----
     # Max dense key-space size for the perfect-hash (positional) group-by path
-    # (reference g_baseline_groupby_threshold, Execute.cpp:113 — 1M entries).
+    # dense ranges up to 16M slots take the positional perfect-hash path
+    # (scatter-tier buffers at 16M x 8B are fine; const-add scatters are
+    # memory-bound) - only wider/sparse key spaces go to hash/sort
+    baseline_groupby_threshold: int = 1 << 24
     baseline_groupby_threshold: int = 1 << 20
     # Initial entry-count guess for baseline (sort-based) group-by when no
     # estimate is available; retry ladder doubles on OutOfSlots.
