@@ -69,6 +69,15 @@ def resolve_type_name(tn: A.TypeName) -> T.TypeInfo:
                                             encoding=tn.encoding))
         return base.as_array()
     nullable = not tn.not_null
+    if tn.encoding == "FIXED":
+        if kind not in (T.SQLTypeKind.BIGINT, T.SQLTypeKind.INT,
+                        T.SQLTypeKind.SMALLINT,
+                        T.SQLTypeKind.TIMESTAMP, T.SQLTypeKind.TIME):
+            raise NotSupported(f"ENCODING FIXED on {tn.name}")
+        if tn.encoding_param not in (8, 16, 32):
+            raise BinderError("ENCODING FIXED width must be 8/16/32")
+        return T.TypeInfo(kind, nullable, encoding=T.Encoding.FIXED,
+                          comp_param=tn.encoding_param)
     if kind == T.SQLTypeKind.DECIMAL:
         p = tn.params[0] if tn.params else 10
         s = tn.params[1] if len(tn.params) > 1 else 0

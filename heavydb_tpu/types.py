@@ -144,6 +144,10 @@ class TypeInfo:
             # device handle of an array column: the global rowid (int32);
             # lengths/offsets/flat values ride as aux arrays (ArrayFn)
             return np.dtype(np.int32)
+        if self.encoding == Encoding.FIXED and self.comp_param in (8, 16, 32):
+            # fixed-width narrowing (reference kENCODING_FIXED): logical
+            # type stays (BIGINT...), storage/device dtype narrows
+            return np.dtype(f"int{self.comp_param}")
         k = self.kind
         if k == SQLTypeKind.BOOLEAN:
             return np.dtype(np.int8)

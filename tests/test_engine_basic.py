@@ -627,3 +627,28 @@ def test_copy_to_parquet(db, tmp_path):
     df = pd.read_parquet(p)
     assert list(df["a"]) == [1, 2]
     assert df["s"][0] == "x" and pd.isna(df["s"][1])
+
+
+def test_fixed_width_encoding(db):
+    import numpy as np
+
+    db.sql(
+        "CREATE TABLE fx (a BIGINT ENCODING FIXED(32), "
+        "t TIMESTAMP ENCODING FIXED(32), s SMALLINT)"
+    )
+    db.sql(
+        "INSERT INTO fx VALUES (123456789, '2024-01-01 12:00:00', 5), "
+        "(NULL, NULL, NULL)"
+    )
+    t = db.catalog.get_table("fx")
+    assert t.fragments[0].chunks[1].dtype == np.int32  # narrowed BIGINT
+    assert t.fragments[0].chunks[2].dtype == np.int32  # narrowed TIMESTAMP
+    rows = db.sql("SELECT a, s FROM fx ORDER BY a NULLS LAST").rows()
+    assert rows == [(123456789, 5), (None, None)]
+    assert db.sql("SELECT SUM(a) FROM fx").scalar() == 123456789
+    import pytest as _pt
+
+    from heavydb_tpu.errors import NotSupported
+
+    with _pt.raises(NotSupported):
+        db.sql("CREATE TABLE bad (x DOUBLE ENCODING FIXED(32))")
