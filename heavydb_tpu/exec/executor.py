@@ -936,6 +936,28 @@ class Executor:
                 host = np.zeros(padded, np.int32)
                 for i, s in enumerate(d.entries()):
                     host[i] = len(s)
+            elif pred.kind == "TRYCAST":
+                import json as _json
+
+                kind_name, scale = _json.loads(pred.pattern)
+                ti = pred.type
+                dt = ti.np_dtype()
+                sent = ti.null_sentinel()
+                host = np.full(padded, sent, dt)
+                for i, entry in enumerate(d.entries()):
+                    try:
+                        v = float(entry.strip())
+                    except ValueError:
+                        continue
+                    if dt.kind == "f":
+                        host[i] = v
+                    else:
+                        if ti.is_decimal:
+                            v = round(v * 10**scale)
+                        if abs(v - round(v)) < 1e-9 or ti.is_decimal:
+                            iv = int(round(v))
+                            if np.iinfo(dt).min < iv <= np.iinfo(dt).max:
+                                host[i] = iv
             elif pred.kind == "INTFN":
                 import json as _json
 

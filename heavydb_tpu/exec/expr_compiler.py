@@ -311,6 +311,15 @@ class ExprCompiler:
             safe = jnp.clip(ids, 0, max(n - 1, 0))
             out = aux[safe] if n else jnp.zeros_like(ids)
             return out, valid
+        if e.kind == "TRYCAST":
+            n = aux.shape[0]
+            safe = jnp.clip(ids, 0, max(n - 1, 0))
+            out = aux[safe]
+            if aux.dtype.kind == "f":
+                ok = ~jnp.isnan(out)
+            else:
+                ok = out != jnp.asarray(e.type.null_sentinel(), aux.dtype)
+            return out, and_valid(valid, ok & (ids >= 0))
         # aux: bool match-table per dict id
         n = aux.shape[0]
         if n == 0:

@@ -605,6 +605,18 @@ class ExprBinder:
     def _bind_Cast(self, node: A.Cast) -> E.Expr:
         operand = self._bind(node.operand)
         target = resolve_type_name(node.type_name)
+        if getattr(node, "try_", False) and operand.type.is_dict_string \
+                and target.is_number:
+            # TRY_CAST(text AS numeric): per-dictionary-entry parse table
+            # (reference TRY_CAST string op); unparsable → NULL
+            import json as _json
+
+            return E.DictStrPredicate(
+                arg=operand, kind="TRYCAST",
+                pattern=_json.dumps([target.kind.value, target.scale]),
+                dict_ref=getattr(operand, "dict_ref", None),
+                type=target.with_nullable(True),
+            )
         if target.is_dict_string:
             if operand.type.is_dict_string:
                 return operand

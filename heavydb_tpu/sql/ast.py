@@ -120,6 +120,7 @@ class TypeName(Node):
 class Cast(Expr):
     operand: Expr
     type_name: TypeName
+    try_: bool = False
 
 
 @dataclass

@@ -913,14 +913,14 @@ class Parser:
                 return A.Literal(False, "bool", "FALSE")
             if kw == "CASE":
                 return self._case()
-            if kw == "CAST" and self.at_op("(", ahead=1):
+            if kw in ("CAST", "TRY_CAST") and self.at_op("(", ahead=1):
                 self.next()
                 self.expect_op("(")
                 e = self.parse_expr()
                 self.expect_kw("AS")
                 tn = self._type_name()
                 self.expect_op(")")
-                return A.Cast(e, tn)
+                return A.Cast(e, tn, try_=(kw == "TRY_CAST"))
             if kw == "EXTRACT" and self.at_op("(", ahead=1):
                 self.next()
                 self.expect_op("(")

@@ -152,3 +152,19 @@ def test_intfn_in_where_and_agg(db):
     assert db.sql(
         "SELECT SUM(v) FROM sw WHERE POSITION('ap' IN t) > 0"
     ).scalar() == 3
+
+
+def test_try_cast(db):
+    db.sql("CREATE TABLE tc (s TEXT)")
+    db.sql("INSERT INTO tc VALUES ('42'), ('3.5'), ('nope'), (NULL), ('-7')")
+    rows = db.sql(
+        "SELECT s, TRY_CAST(s AS INT), TRY_CAST(s AS DOUBLE) FROM tc"
+    ).rows()
+    assert rows == [
+        ("42", 42, 42.0), ("3.5", None, 3.5), ("nope", None, None),
+        (None, None, None), ("-7", -7, -7.0),
+    ]
+    assert db.sql("SELECT SUM(TRY_CAST(s AS DOUBLE)) FROM tc").scalar() == 38.5
+    assert db.sql(
+        "SELECT COUNT(*) FROM tc WHERE TRY_CAST(s AS INT) IS NOT NULL"
+    ).scalar() == 2
