@@ -863,6 +863,20 @@ class ExprBinder:
             raise NotSupported(f"geo function {name}")
         if name in _AGG_NAMES or (name == "COUNT"):
             return self._bind_agg(node)
+        if name in ("NOW", "CURRENT_TIMESTAMP") and not node.args:
+            import time as _time
+
+            return E.Constant(int(_time.time()), T.timestamp(0, False))
+        if name == "CURRENT_DATE" and not node.args:
+            import time as _time
+
+            return E.Constant(int(_time.time()) // 86400,
+                              T.date(nullable=False))
+        if name == "CURRENT_TIME" and not node.args:
+            import time as _time
+
+            return E.Constant(int(_time.time()) % 86400,
+                              T.time_(nullable=False))
         if name in ("CARDINALITY", "ARRAY_LENGTH") and len(node.args) == 1:
             base = self._array_base(node.args[0])
             return E.ArrayFn(

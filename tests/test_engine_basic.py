@@ -652,3 +652,15 @@ def test_fixed_width_encoding(db):
 
     with _pt.raises(NotSupported):
         db.sql("CREATE TABLE bad (x DOUBLE ENCODING FIXED(32))")
+
+
+def test_now_current_date(db):
+    import datetime
+
+    rows = db.sql("SELECT NOW(), CURRENT_DATE()").rows()
+    now, today = rows[0]
+    assert isinstance(now, datetime.datetime)
+    assert today == datetime.datetime.utcnow().date()
+    db.sql("CREATE TABLE nw (ts TIMESTAMP)")
+    db.sql("INSERT INTO nw VALUES ('2020-01-01 00:00:00')")
+    assert db.sql("SELECT COUNT(*) FROM nw WHERE ts < NOW()").scalar() == 1
