@@ -456,6 +456,20 @@ class Database:
                 raise SqlError(f"no server {st.name!r}")
             del self._servers[st.name]
             return None
+        if isinstance(st, A.ShowFunctions):
+            if st.table_functions:
+                return _string_result(
+                    "table_function", sorted(self._table_functions)
+                )
+            from heavydb_tpu.plan.builder import (
+                _INT_STRING_FNS, _MATH_FNS, _STRING_FNS,
+            )
+
+            names = sorted(
+                _MATH_FNS | _STRING_FNS | set(_INT_STRING_FNS)
+                | set(self._udfs)
+            )
+            return _string_result("function", names)
         if isinstance(st, A.ShowServers):
             return _string_result(
                 "server_name",

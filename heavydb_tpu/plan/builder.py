@@ -903,6 +903,14 @@ class ExprBinder:
             return self._bind(
                 A.CaseWhen([(A.Binary("=", a, b), A.Literal(None, "null"))], a)
             )
+        if name == "DATE_PART" and len(node.args) == 2:
+            fld = _lit_str(node.args[0]).upper()
+            operand = self._bind(node.args[1])
+            f = _EXTRACT_MAP.get(fld)
+            if f is None:
+                raise NotSupported(f"DATE_PART field {fld}")
+            return E.Extract(f, operand,
+                             T.bigint(operand.type.nullable))
         if name in ("DATE_TRUNC", "DATETRUNC"):
             fld_ast, arg_ast = node.args
             fld = _lit_str(fld_ast).upper()

@@ -325,6 +325,11 @@ class ShowServers(Statement):
 
 
 @dataclass
+class ShowFunctions(Statement):
+    table_functions: bool = False
+
+
+@dataclass
 class CreateTable(Statement):
     name: str
     columns: List[ColumnDef] = field(default_factory=list)

@@ -162,6 +162,11 @@ class Parser:
                 return A.ShowRoles()
             if self.eat_kw("SERVERS"):
                 return A.ShowServers()
+            if self.eat_kw("FUNCTIONS"):
+                return A.ShowFunctions(False)
+            if self.eat_kw("TABLE"):
+                self.expect_kw("FUNCTIONS")
+                return A.ShowFunctions(True)
             if self.eat_kw("CREATE"):
                 self.expect_kw("TABLE")
                 return A.ShowCreateTable(self.ident())
