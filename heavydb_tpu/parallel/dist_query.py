@@ -65,6 +65,53 @@ def distributed_groupby_sum_count(
     return jax.jit(mapped)
 
 
+def distributed_groupby_reduce_scatter(mesh: Mesh, num_slots: int):
+    """Owner-sharded distributed group-by: shard-local dense partials,
+    then ONE reduce_scatter so each shard owns slots [s*B, (s+1)*B).
+
+    This is the scalable form of distributed_groupby_sum_count (psum
+    replicates the whole slot space on every chip; reduce_scatter moves
+    1/S as many bytes and leaves results distributed for downstream
+    sharded consumption).  Map-side combining makes it skew-immune: a
+    key appearing on every row still contributes one partial per shard
+    (reference: leaf partial aggregation + aggregator merge, without the
+    row shuffle)."""
+    n_shards = mesh.shape[SHARD_AXIS]
+    block = -(-num_slots // n_shards)
+    padded_slots = block * n_shards
+
+    def shard_body(keys, values, nrows):
+        n_local = keys.shape[0]
+        in_domain = lax.broadcasted_iota(jnp.int32, (n_local,), 0) < nrows[0]
+        gid = jnp.clip(keys.astype(jnp.int32), 0, num_slots - 1)
+        seg = jnp.where(in_domain, gid, padded_slots)
+        counts = jnp.zeros(padded_slots + 1, jnp.int32).at[seg].add(
+            1
+        )[:padded_slots]
+        vals = jnp.where(in_domain, values, 0).astype(jnp.float32)
+        sums = jnp.zeros(padded_slots + 1, jnp.float32).at[seg].add(
+            vals
+        )[:padded_slots]
+        # sum across shards, scattering slot-blocks to their owners (ICI)
+        counts = lax.psum_scatter(
+            counts.reshape(n_shards, block), SHARD_AXIS,
+            scatter_dimension=0, tiled=False,
+        )
+        sums = lax.psum_scatter(
+            sums.reshape(n_shards, block), SHARD_AXIS,
+            scatter_dimension=0, tiled=False,
+        )
+        return counts.reshape(block), sums.reshape(block)
+
+    mapped = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    )
+    return jax.jit(mapped)
+
+
 def hash_repartition(mesh: Mesh, row_block: int):
     """Builds a jitted shuffle step: route rows to shard hash(key) % S.
 

@@ -68,3 +68,30 @@ def test_mesh_created(pair):
     _, sharded = pair
     assert sharded.executor.mesh is not None
     assert sharded.executor.mesh.devices.size == 8
+
+
+def test_reduce_scatter_groupby_owner_sharded():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from heavydb_tpu.parallel.dist_query import (
+        distributed_groupby_reduce_scatter,
+    )
+    from heavydb_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    n = 8 * 1000
+    keys = rng.integers(0, 64, n).astype(np.int32)
+    keys[: n // 2] = 7  # heavy skew: one key on half the rows
+    vals = rng.random(n).astype(np.float32)
+    nrows = np.full(8, 1000, np.int32)
+    fn = distributed_groupby_reduce_scatter(mesh, 64)
+    counts, sums = fn(jnp.asarray(keys), jnp.asarray(vals),
+                      jnp.asarray(nrows))
+    counts = np.asarray(counts)
+    want_c = np.bincount(keys, minlength=64)
+    want_s = np.zeros(64)
+    np.add.at(want_s, keys, vals)
+    assert np.array_equal(counts, want_c)
+    assert np.allclose(np.asarray(sums), want_s, rtol=1e-5)
