@@ -797,7 +797,8 @@ class ExprBinder:
             return E.BinOp(E.BinOpKind.LE, dist,
                            E.Cast(r, T.double(r.type.nullable)),
                            T.boolean(True))
-        if name in ("ST_AREA", "ST_PERIMETER") and len(node.args) == 1:
+        if name in ("ST_AREA", "ST_PERIMETER", "ST_LENGTH") \
+                and len(node.args) == 1:
             base = self._array_base(node.args[0])
             if not base.type.is_geo:
                 raise BinderError(f"{name} expects a geo column")
@@ -805,7 +806,7 @@ class ExprBinder:
                 op="AREA" if name == "ST_AREA" else "PERIMETER",
                 arr_ref=base.dict_ref, rowid=base,
                 elem=base.type.elem_type(), type=T.double(True),
-            )
+            )  # ST_LENGTH == open-path perimeter (LINESTRING)
         if name == "ST_CONTAINS" and len(node.args) == 2:
             poly_ast, pt_ast = node.args
             # literal polygon + point column → test the point column

@@ -101,3 +101,11 @@ def test_geo_persistence(tmp_path):
     db2 = hdt.connect(d)
     assert db2.sql("SELECT p FROM g").scalar() == "POINT (2.5 -3)"
     assert db2.sql("SELECT ST_X(p) FROM g").scalar() == 2.5
+
+
+def test_linestring_length(db):
+    db.sql("CREATE TABLE ln (path LINESTRING)")
+    db.sql("INSERT INTO ln VALUES ('LINESTRING(0 0, 3 4, 3 8)')")
+    assert db.sql("SELECT ST_Length(path) FROM ln").scalar() == 9.0
+    assert db.sql("SELECT ST_NPoints(path) FROM ln").scalar() == 3
+    assert db.sql("SELECT path FROM ln").scalar() == "LINESTRING (0 0, 3 4, 3 8)"
