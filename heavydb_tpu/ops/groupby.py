@@ -514,12 +514,9 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
         # four 16-bit limb f64 scatter-adds (each limb sum ≤ n·2^16 < 2^53)
         g = jnp.minimum(gid, num_slots)
         if acc_dtype.kind == "f":
-            # f64: Dekker hi/lo f32 split, two f32-accumulated... f32
-            # scatter-adds lose exactness across many adds — accumulate the
-            # split halves in separate f64-free form is not possible, so
-            # keep one f64 scatter only for float sums of f64 VALUES; for
-            # f64 sums of f32/int values the f32-splittable path below is
-            # exact enough? → use plain f64 scatter (values vary anyway)
+            # f64 float sums keep the plain scatter: float addition isn't
+            # decomposable into exact integer limbs, and SQL float SUM
+            # tolerates rounding
             return jnp.zeros(num_slots + 1, acc_dtype).at[g].add(
                 v, mode="drop"
             )[:num_slots]
