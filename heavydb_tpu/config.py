@@ -28,10 +28,18 @@ class Config:
 
     # ---- group-by ----
     # Max dense key-space size for the perfect-hash (positional) group-by path
-    # dense ranges up to 16M slots take the positional perfect-hash path
-    # (scatter-tier buffers at 16M x 8B are fine; const-add scatters are
-    # memory-bound) - only wider/sparse key spaces go to hash/sort
-    baseline_groupby_threshold: int = 1 << 24
+    # dense-range ceiling for the positional perfect-hash path.  Measured
+    # on the dev TPU runtime: colliding scatters cost ~4.6us PER OUTPUT
+    # SLOT once the buffer exceeds VMEM (20M-row COUNT into 10M slots =
+    # 46s vs 0.8s into 200k), so beyond ~1M slots the flat ~8-10s sort
+    # path wins.  Unique-index scatters are immune (join compaction).
+    baseline_groupby_threshold: int = 1 << 20
+    # multi-round hash slot claiming for sparse keys: claims + compacted
+    # accumulation are several colliding scatters over claim-table-sized
+    # buffers, which loses to the sort path under the per-slot scatter
+    # cost above.  Off by default on this runtime; flip on to re-evaluate
+    # on runtimes with native scatter performance.
+    enable_hash_groupby: bool = False
     baseline_groupby_threshold: int = 1 << 20
     # Initial entry-count guess for baseline (sort-based) group-by when no
     # estimate is available; retry ladder doubles on OutOfSlots.

@@ -386,7 +386,7 @@ def _build_compound_kernel(node, batches, plan, config):
             kc.error_flags = aflags
             kc.distinct_force_sort = bool(
                 getattr(plan, "distinct_force_sort", False)
-            )
+            ) or not getattr(config, "enable_hash_groupby", False)
             if group_strategy[0] in ("perfect", "hash"):
                 key_tvs = [kc.compile(g) for g in node.group_exprs]
                 if group_strategy[0] == "perfect":

@@ -755,11 +755,16 @@ class Executor:
                 pack = _hash_pack_spec(node.group_exprs, ranges)
                 ndv = self._estimate_group_ndv(node)
                 n_rows = max(batches[0].nrows, 1)
-                # hash slot claiming serializes with the per-slot collision
-                # count (rows per distinct key); low-NDV keys go to sort
+                # hash claiming needs BOTH low collision depth (rows/NDV)
+                # and VMEM-sized claim tables; on this runtime colliding
+                # scatters cost ~4.6us/slot past VMEM, so it's opt-in
                 # (reference: CardinalityEstimator drives the same choice)
-                hash_ok = pack is not _NO_PACK and (
-                    ndv is None or n_rows // max(ndv, 1) <= 32
+                hash_ok = (
+                    cfg.enable_hash_groupby
+                    and pack is not _NO_PACK
+                    and ndv is not None
+                    and n_rows // max(ndv, 1) <= 32
+                    and ndv <= (1 << 19)
                 )
                 if hash_ok:
                     plan.group_strategy = ("hash", pack)
@@ -1197,11 +1202,13 @@ class Executor:
         u = len(counts)
         f1 = int((counts == 1).sum())
         f2 = int((counts == 2).sum())
+        # Chao1 for saturated samples; it explodes as f2→0 (all
+        # singletons), where the linear unseen-mass extrapolation is the
+        # right model — take the smaller of the two
         chao = u + (f1 * f1) / (2.0 * (f2 + 1))
-        # scale: if the sample was saturated (few singletons), chao ≈ u is
-        # the table-wide NDV; if mostly unique, extrapolate linearly
         frac_unique = f1 / m
-        est = chao + frac_unique * max(t.num_rows - m, 0)
+        linear = u + frac_unique * max(t.num_rows - m, 0)
+        est = min(chao + frac_unique * max(t.num_rows - m, 0), linear * 1.5)
         return max(int(est), 1)
 
     def _geo_aux(self, afn, t, cid, rows, lengths, flat):

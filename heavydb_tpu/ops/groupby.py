@@ -509,44 +509,6 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
             for k in range(4):
                 total = total + (res[1 + k].astype(jnp.int64) << (8 * k))
             return (total - cnt * bias).astype(acc_dtype)
-    if _on_tpu() and acc_dtype.itemsize == 8:
-        # 64-bit scatter-add is emulated on TPU (~25x); EXACT big sums via
-        # four 16-bit limb f64 scatter-adds (each limb sum ≤ n·2^16 < 2^53)
-        g = jnp.minimum(gid, num_slots)
-        if acc_dtype.kind == "f":
-            # f64 float sums keep the plain scatter: float addition isn't
-            # decomposable into exact integer limbs, and SQL float SUM
-            # tolerates rounding
-            return jnp.zeros(num_slots + 1, acc_dtype).at[g].add(
-                v, mode="drop"
-            )[:num_slots]
-        # sign-flip bias maps int64 onto [0, 2^64) with pure bit ops; all
-        # arithmetic below is mod 2^64, recovered exactly at the end
-        u = lax.bitcast_convert_type(
-            jnp.asarray(v, jnp.int64), jnp.uint64
-        ) ^ jnp.uint64(1 << 63)
-        cmask = contrib_mask if contrib_mask is not None else jnp.ones(
-            n, jnp.bool_
-        )
-        total = jnp.zeros(num_slots, jnp.uint64)
-        for k in range(4):
-            limb = lax.shift_right_logical(
-                u, jnp.uint64(16 * k)
-            ).astype(jnp.uint32) & jnp.uint32(0xFFFF)
-            fl = jnp.where(cmask, limb.astype(jnp.float64), 0.0)
-            ls = jnp.zeros(num_slots + 1, jnp.float64).at[g].add(
-                fl, mode="drop"
-            )[:num_slots]
-            total = total + lax.shift_left(
-                ls.astype(jnp.uint64), jnp.uint64(16 * k)
-            )
-        cnt = jnp.zeros(num_slots + 1, jnp.int32).at[
-            jnp.where(cmask, g, num_slots)
-        ].add(1, mode="drop")[:num_slots]
-        total = total - lax.shift_left(
-            cnt.astype(jnp.uint64), jnp.uint64(63)
-        )
-        return lax.bitcast_convert_type(total, jnp.int64)
     return jnp.zeros(num_slots + 1, acc_dtype).at[jnp.minimum(gid, num_slots)].add(
         v, mode="drop"
     )[:num_slots]

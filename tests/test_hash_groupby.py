@@ -24,7 +24,13 @@ def _strategy_for(db, q):
 
 
 @pytest.fixture()
-def hdb(db):
+def hdb():
+    import heavydb_tpu as hdt
+    from heavydb_tpu.config import Config
+
+    # the hash strategy is opt-in on this runtime (colliding-scatter
+    # cost); tests exercise it explicitly
+    db = hdt.connect(config=Config(enable_hash_groupby=True))
     rng = np.random.default_rng(0)
     n = 300_000
     db.sql("CREATE TABLE h (sparse BIGINT, dupy BIGINT, f DOUBLE, "
