@@ -101,7 +101,6 @@ def build_hash_table(build: SortedBuild, slots: int, rounds: int = 4):
     pos = lax.broadcasted_iota(jnp.int32, (b,), 0)
     # run length: next unique start − own start
     nvalid = build.valid_sorted.sum().astype(jnp.int32)
-    nxt = jnp.concatenate([pos[1:], jnp.full(1, b, jnp.int32)])
     # index of next first ≥ i: reverse min-scan over first positions
     s = jnp.where(first, pos, b)
     rev = lax.associative_scan(jnp.minimum, s, reverse=True)
