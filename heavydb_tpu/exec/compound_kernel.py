@@ -62,6 +62,11 @@ def _join_hash_slots(build_padded: int) -> int:
     return 1 << max(int(build_padded * 2 - 1).bit_length(), 12)
 
 
+# colliding claim scatters cost ~4.6µs/slot beyond VMEM on this runtime —
+# big builds keep the sorted/searchsorted formulation
+_JOIN_HASH_MAX_SLOTS = 1 << 21
+
+
 def _build_compound_kernel(node, batches, plan, config):
     """Returns (kernel_fn, layout).  kernel_fn(*args) -> dict."""
     from heavydb_tpu.exec.executor import _derive_valid, _KernelLayout
@@ -220,7 +225,8 @@ def _build_compound_kernel(node, batches, plan, config):
                     _, cnt = J.probe_perfect(
                         pbuild, pkey, pvalid_m, jp.key_range
                     )
-                elif getattr(jp, "hash_fallback", False):
+                elif getattr(jp, "hash_fallback", False) or \
+                        _join_hash_slots(pb) > _JOIN_HASH_MAX_SLOTS:
                     build = J.build_sorted(bkey, bvalid, nrows[bi])
                     _, cnt = J.probe_counts(build, pkey, pvalid_m)
                 else:
@@ -273,7 +279,8 @@ def _build_compound_kernel(node, batches, plan, config):
                         pbuild, pkey, pvalid_m, jp.key_range
                     )
                     rows_by_slot = pbuild.payload
-                elif getattr(jp, "hash_fallback", False):
+                elif getattr(jp, "hash_fallback", False) or \
+                        _join_hash_slots(pb) > _JOIN_HASH_MAX_SLOTS:
                     build = J.build_sorted(bkey, bvalid, nrows[bi])
                     lo, cnt = J.probe_counts(build, pkey, pvalid_m)
                     rows_by_slot = build.rows_sorted

@@ -44,14 +44,14 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
     (count_i = Σ mask_i, sum_i = Σ value·mask_i), so one scan serves them
     all.  Other kinds fall back to per-aggregate accumulation."""
     from heavydb_tpu.ops.groupby import (
-        ONEHOT_MAX_SLOTS,
+        ONEHOT_TILED_MAX_SLOTS,
         SMALL_SLOTS,
         _on_tpu,
         _onehot_scan,
     )
 
     A = E.AggKind
-    if not (_on_tpu() and SMALL_SLOTS < num_slots <= ONEHOT_MAX_SLOTS):
+    if not (_on_tpu() and SMALL_SLOTS < num_slots <= ONEHOT_TILED_MAX_SLOTS):
         return [la.accumulate(compiler, gid, mask, num_slots) for la in lowered]
 
     n = gid.shape[0]

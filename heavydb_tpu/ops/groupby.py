@@ -374,6 +374,11 @@ def _pallas_eligible(num_slots: int, f64: bool = False) -> bool:
 # chunked one-hot matmul under lax.scan — N×slots MXU FLOPs, bounded
 # [chunk, slots] intermediates, ~12x faster than serialized scatter.
 ONEHOT_MAX_SLOTS = 4096
+# slot-TILED one-hot extends the MXU path: S/4096 passes over the data,
+# each a VMEM-sized one-hot matmul.  20M rows x 64k slots is ~1.2e12 bf16
+# MACs (~6ms of MXU) + a dozen data re-streams — far cheaper than the
+# colliding-scatter tier at these widths (46656-slot AVG measured 5.8s)
+ONEHOT_TILED_MAX_SLOTS = 1 << 16
 
 
 def _onehot_chunk(slots_p: int) -> int:
@@ -386,7 +391,22 @@ def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=(),
     """Returns [counts i32, sums... per value] each [num_slots] — one scan,
     shared one-hot.  exact_accs[i] True → value i accumulates in f64 (limb
     integer sums; per-chunk dots stay exact).  bf16_ok[i] True → stream i's
-    values are small exact ints (≤255) that can ride the bf16 MXU path."""
+    values are small exact ints (≤255) that can ride the bf16 MXU path.
+    Above ONEHOT_MAX_SLOTS the slot space is processed in 4096-wide tiles
+    (one data pass per tile; rows outside the tile mask out)."""
+    if num_slots > ONEHOT_MAX_SLOTS:
+        outs = None
+        for t0 in range(0, num_slots, ONEHOT_MAX_SLOTS):
+            tw = min(ONEHOT_MAX_SLOTS, num_slots - t0)
+            in_tile = (gid >= t0) & (gid < t0 + tw)
+            m2 = in_tile if mask is None else (mask & in_tile)
+            part = _onehot_scan(
+                gid - t0, m2, value_list, tw, exact_accs, bf16_ok
+            )
+            outs = part if outs is None else [
+                jnp.concatenate([a, b]) for a, b in zip(outs, part)
+            ]
+        return outs
     n = gid.shape[0]
     slots_p = ((max(num_slots, 128) + 127) // 128) * 128
     chunk = _onehot_chunk(slots_p)
@@ -455,7 +475,7 @@ def segment_count(gid, contrib_mask, num_slots: int):
         from heavydb_tpu.kernels.groupby_pallas import count_per_slot
 
         return count_per_slot(gid.astype(jnp.int32), cm, num_slots)
-    if _on_tpu() and num_slots <= ONEHOT_MAX_SLOTS:
+    if _on_tpu() and num_slots <= ONEHOT_TILED_MAX_SLOTS:
         return _onehot_scan(gid, cm, [], num_slots)[0].astype(jnp.int64)
     seg = jnp.where(cm, gid, num_slots)
     return jnp.zeros(num_slots + 1, jnp.int32).at[seg].add(
@@ -487,7 +507,7 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
         # int sums use the XLA limb scan below (the Pallas f64 accumulator
         # variant is disabled: f64-in-Pallas support varies across
         # toolchains); f64/int64-valued sums also fall through
-    if _on_tpu() and num_slots <= ONEHOT_MAX_SLOTS:
+    if _on_tpu() and num_slots <= ONEHOT_TILED_MAX_SLOTS:
         if acc_dtype.kind == "f" and acc_dtype.itemsize == 4:
             s = _onehot_scan(g32, cm, [v0], num_slots)[1]
             return s.astype(acc_dtype)
@@ -539,9 +559,19 @@ def segment_minmax(gid, values, contrib_mask, num_slots: int, is_min: bool):
         return minmax_per_slot(
             gid.astype(jnp.int32), values, cm, num_slots, is_min
         )
-    if _on_tpu() and num_slots <= ONEHOT_MAX_SLOTS:
+    if _on_tpu() and num_slots <= ONEHOT_TILED_MAX_SLOTS:
         n = values.shape[0]
         cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
+        if num_slots > ONEHOT_MAX_SLOTS:
+            parts = []
+            for t0 in range(0, num_slots, ONEHOT_MAX_SLOTS):
+                tw = min(ONEHOT_MAX_SLOTS, num_slots - t0)
+                m2 = cm & (gid >= t0) & (gid < t0 + tw)
+                parts.append(_minmax_scan(
+                    gid.astype(jnp.int32) - t0, m2, values, tw,
+                    is_min, ident, dt,
+                ))
+            return jnp.concatenate(parts)
         return _minmax_scan(gid.astype(jnp.int32), cm, values, num_slots,
                             is_min, ident, dt)
     buf = jnp.full(num_slots + 1, ident, dt)

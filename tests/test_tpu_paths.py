@@ -60,3 +60,32 @@ def test_small_slot_paths_exact(tpu_paths, rng):
     np.add.at(ref_s, k, v.astype(np.int64))
     for i in range(5):
         assert rows[i][1] == ref_c[i] and rows[i][2] == ref_s[i]
+
+
+def test_tiled_onehot_scan_exact(tpu_paths, rng):
+    # slots > 4096 → the slot-tiled one-hot path (flights Q004 shape)
+    db = hdt.connect()
+    n = 120_000
+    k = rng.integers(0, 9000, n).astype(np.int32)
+    v = np.where(rng.random(n) < 0.1, np.nan, rng.normal(5, 3, n))
+    db.sql("CREATE TABLE tt (k INT, v DOUBLE)")
+    db.catalog.get_table("tt").insert_columns({1: k, 2: v})
+    rows = db.sql(
+        "SELECT k, COUNT(*), COUNT(v), SUM(v), MIN(v), MAX(v) FROM tt "
+        "GROUP BY k ORDER BY k"
+    ).rows()
+    m = ~np.isnan(v)
+    want_c = np.bincount(k, minlength=9000)
+    want_cv = np.bincount(k[m], minlength=9000)
+    want_s = np.zeros(9000)
+    np.add.at(want_s, k[m], v[m])
+    seen = 0
+    for r in rows:
+        i = r[0]
+        assert r[1] == want_c[i] and r[2] == want_cv[i]
+        assert r[3] is None or abs(r[3] - want_s[i]) < 1e-4
+        if want_cv[i]:
+            assert abs(r[4] - v[m][k[m] == i].min()) < 1e-12
+            assert abs(r[5] - v[m][k[m] == i].max()) < 1e-12
+        seen += 1
+    assert seen == (want_c > 0).sum()
