@@ -660,7 +660,7 @@ def test_now_current_date(db):
     rows = db.sql("SELECT NOW(), CURRENT_DATE()").rows()
     now, today = rows[0]
     assert isinstance(now, datetime.datetime)
-    assert today == datetime.datetime.utcnow().date()
+    assert today == datetime.datetime.now(datetime.timezone.utc).date()
     db.sql("CREATE TABLE nw (ts TIMESTAMP)")
     db.sql("INSERT INTO nw VALUES ('2020-01-01 00:00:00')")
     assert db.sql("SELECT COUNT(*) FROM nw WHERE ts < NOW()").scalar() == 1
