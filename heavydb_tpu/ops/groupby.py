@@ -395,18 +395,25 @@ def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=(),
     Above ONEHOT_MAX_SLOTS the slot space is processed in 4096-wide tiles
     (one data pass per tile; rows outside the tile mask out)."""
     if num_slots > ONEHOT_MAX_SLOTS:
-        outs = None
-        for t0 in range(0, num_slots, ONEHOT_MAX_SLOTS):
-            tw = min(ONEHOT_MAX_SLOTS, num_slots - t0)
-            in_tile = (gid >= t0) & (gid < t0 + tw)
-            m2 = in_tile if mask is None else (mask & in_tile)
-            part = _onehot_scan(
-                gid - t0, m2, value_list, tw, exact_accs, bf16_ok
-            )
-            outs = part if outs is None else [
-                jnp.concatenate([a, b]) for a, b in zip(outs, part)
-            ]
-        return outs
+        # lax.map over slot tiles: ONE compiled body (a Python loop would
+        # unroll T copies of the scan and blow up compile time)
+        tile = ONEHOT_MAX_SLOTS
+        t_count = -(-num_slots // tile)
+        base_mask = mask if mask is not None else jnp.ones(
+            gid.shape[0], jnp.bool_
+        )
+
+        def one_tile(t0):
+            m2 = base_mask & (gid >= t0) & (gid < t0 + tile)
+            return tuple(_onehot_scan(
+                gid - t0, m2, value_list, tile, exact_accs, bf16_ok
+            ))
+
+        stacked = jax.lax.map(
+            one_tile,
+            jnp.arange(t_count, dtype=jnp.int32) * tile,
+        )
+        return [a.reshape(t_count * tile)[:num_slots] for a in stacked]
     n = gid.shape[0]
     slots_p = ((max(num_slots, 128) + 127) // 128) * 128
     chunk = _onehot_chunk(slots_p)
@@ -563,15 +570,19 @@ def segment_minmax(gid, values, contrib_mask, num_slots: int, is_min: bool):
         n = values.shape[0]
         cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
         if num_slots > ONEHOT_MAX_SLOTS:
-            parts = []
-            for t0 in range(0, num_slots, ONEHOT_MAX_SLOTS):
-                tw = min(ONEHOT_MAX_SLOTS, num_slots - t0)
-                m2 = cm & (gid >= t0) & (gid < t0 + tw)
-                parts.append(_minmax_scan(
-                    gid.astype(jnp.int32) - t0, m2, values, tw,
-                    is_min, ident, dt,
-                ))
-            return jnp.concatenate(parts)
+            tile = ONEHOT_MAX_SLOTS
+            t_count = -(-num_slots // tile)
+            g32 = gid.astype(jnp.int32)
+
+            def one_tile(t0):
+                m2 = cm & (g32 >= t0) & (g32 < t0 + tile)
+                return _minmax_scan(g32 - t0, m2, values, tile,
+                                    is_min, ident, dt)
+
+            stacked = jax.lax.map(
+                one_tile, jnp.arange(t_count, dtype=jnp.int32) * tile
+            )
+            return stacked.reshape(t_count * tile)[:num_slots]
         return _minmax_scan(gid.astype(jnp.int32), cm, values, num_slots,
                             is_min, ident, dt)
     buf = jnp.full(num_slots + 1, ident, dt)
