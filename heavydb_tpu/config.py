@@ -40,7 +40,6 @@ class Config:
     # cost above.  Off by default on this runtime; flip on to re-evaluate
     # on runtimes with native scatter performance.
     enable_hash_groupby: bool = False
-    baseline_groupby_threshold: int = 1 << 20
     # Initial entry-count guess for baseline (sort-based) group-by when no
     # estimate is available; retry ladder doubles on OutOfSlots.
     baseline_groupby_initial_entries: int = 1 << 14

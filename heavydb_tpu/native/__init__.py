@@ -41,11 +41,16 @@ def load_strdict_ext():
         if _EXT_TRIED:
             return _EXT
         _EXT_TRIED = True
+        import hashlib
         import sysconfig
 
         src = os.path.join(_HERE, "strdict_ext.cpp")
-        out = os.path.join(_HERE, "_strdict_ext.so")
-        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        # content-addressed build output: a stale or foreign .so can never
+        # be picked up (mtime comparisons fail on fresh clones)
+        out = os.path.join(_HERE, f"_strdict_ext_{digest}.so")
+        if not os.path.exists(out):
             inc = sysconfig.get_path("include")
             try:
                 subprocess.run(

@@ -177,7 +177,13 @@ PyObject* py_export_payload(PyObject*, PyObject* args) {
   PyObject* offsets = PyBytes_FromStringAndSize(
       reinterpret_cast<const char*>(d->offsets.data()),
       (Py_ssize_t)(d->offsets.size() * sizeof(int64_t)));
-  return PyTuple_Pack(2, payload, offsets);
+  if (!payload || !offsets) {
+    Py_XDECREF(payload);
+    Py_XDECREF(offsets);
+    return nullptr;
+  }
+  // "NN" steals both references (PyTuple_Pack would incref and leak them)
+  return Py_BuildValue("(NN)", payload, offsets);
 }
 
 PyMethodDef methods[] = {

@@ -89,16 +89,18 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
         vdt = np.dtype(val.dtype)
         acc = np.dtype(np.float64) if k in (A.STDDEV, A.VARIANCE) \
             else np.dtype(la._acc_dtype())
-        if acc.kind == "i" and vdt.kind in "iub" and vdt.itemsize <= 4:
+        if vdt.kind in "iub" and (acc.kind == "i" or k == A.AVG):
             # exact int sums: biased 8-bit limbs, masked, f64 accumulators
-            bias = np.int64(1) << 31
-            u = (jnp.asarray(val, jnp.int64) + bias).astype(jnp.uint32)
-            for kk in range(4):
-                limb = ((u >> jnp.uint32(8 * kk)) & jnp.uint32(0xFF)).astype(
-                    jnp.float32) * cmf
-                streams.append((limb, True, True))
+            # (4 limbs for ≤32-bit args, 8 for BIGINT — see _biased_limbs).
+            # AVG over int args also sums exactly in int64 (two-slot kAVG
+            # semantics); finalize divides in f64.
+            nl = G._limb_count(vdt)
+            for kk, lm in enumerate(G._biased_limbs(val, nl)):
+                streams.append((lm * cmf, True, True))
                 sinks.append((p, f"$limb{kk}", None))
-            limb_jobs.append((p, acc))
+            limb_jobs.append(
+                (p, np.dtype(np.int64) if acc.kind == "f" else acc, nl)
+            )
         else:
             fv = jnp.asarray(val, jnp.float64)
             if agg.arg.type.is_decimal:
@@ -131,14 +133,9 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
         )
         for (p, key, post), r in zip(sinks, res[1:]):
             p[key] = post(r) if post is not None else r
-        bias = np.int64(1) << 31
-        for p, acc in limb_jobs:
-            total = jnp.zeros(num_slots, jnp.int64)
-            for kk in range(4):
-                total = total + (
-                    p.pop(f"$limb{kk}").astype(jnp.int64) << (8 * kk)
-                )
-            p["sum"] = (total - p["count"] * bias).astype(acc)
+        for p, acc, nl in limb_jobs:
+            limbs = [p.pop(f"$limb{kk}") for kk in range(nl)]
+            p["sum"] = G._limb_reconstruct(limbs, p["count"], nl, acc)
         for p in partials:
             if p is not None and "$split" in p:
                 acc = p.pop("$split")

@@ -467,6 +467,51 @@ def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=(),
     return [a[:num_slots] for a in accs]
 
 
+def _limb_count(value_dtype) -> int:
+    """Limbs needed for an exact integer one-hot sum of this arg dtype:
+    4 for args ≤32-bit (2^31-biased int64 math), 8 for BIGINT (uint64
+    bit-flip bias; mod-2^64 arithmetic keeps reconstruction exact whenever
+    the true per-group sum fits in int64 — wider is a SQL overflow anyway,
+    matching the reference's overflow contract)."""
+    return 8 if np.dtype(value_dtype).itemsize > 4 else 4
+
+
+def _biased_limbs(v0, nl: int):
+    """8-bit limb streams (f32, each in [0,255]) of a biased encoding of an
+    integer column.  Per-chunk one-hot dots of a limb are ≤ chunk·255 and
+    stay exact in f32; f64 accumulation is exact to 2^53."""
+    if nl == 4:
+        u = (jnp.asarray(v0, jnp.int64) + (np.int64(1) << 31)).astype(jnp.uint32)
+        return [
+            ((u >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.float32)
+            for k in range(4)
+        ]
+    # BIGINT: biased-by-2^63 two's-complement == flip the sign bit
+    u = lax.bitcast_convert_type(jnp.asarray(v0, jnp.int64), jnp.uint64)
+    u = u ^ (jnp.uint64(1) << jnp.uint64(63))
+    return [
+        ((u >> jnp.uint64(8 * k)) & jnp.uint64(0xFF)).astype(jnp.float32)
+        for k in range(nl)
+    ]
+
+
+def _limb_reconstruct(limb_sums, counts_i64, nl: int, acc_dtype):
+    """Per-slot Σ value from per-slot limb sums + contributing-row counts
+    (undoes the per-row bias).  limb_sums arrive as exactly-integral f64."""
+    if nl == 4:
+        total = jnp.zeros(counts_i64.shape, jnp.int64)
+        for k in range(nl):
+            total = total + (limb_sums[k].astype(jnp.int64) << (8 * k))
+        return (total - counts_i64 * (np.int64(1) << 31)).astype(acc_dtype)
+    total = jnp.zeros(counts_i64.shape, jnp.uint64)
+    for k in range(nl):
+        total = total + (limb_sums[k].astype(jnp.uint64) << jnp.uint64(8 * k))
+    total = total - counts_i64.astype(jnp.uint64) * (
+        jnp.uint64(1) << jnp.uint64(63)
+    )
+    return lax.bitcast_convert_type(total, jnp.int64).astype(acc_dtype)
+
+
 def segment_count(gid, contrib_mask, num_slots: int):
     # accumulate in i32 (i64 is emulated on TPU), widen at the end; per-chip
     # row counts stay under 2^31
@@ -518,24 +563,16 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
         if acc_dtype.kind == "f" and acc_dtype.itemsize == 4:
             s = _onehot_scan(g32, cm, [v0], num_slots)[1]
             return s.astype(acc_dtype)
-        if acc_dtype.kind == "i" and np.dtype(v0.dtype).kind in "iub" \
-                and np.dtype(v0.dtype).itemsize <= 4:
-            # EXACT int sums: 8-bit limbs of the 2^31-biased value; per-chunk
-            # dots ≤ chunk·255 stay exact in f32, f64 accumulation to 2^53
-            bias = np.int64(1) << 31
-            u = (jnp.asarray(v0, jnp.int64) + bias).astype(jnp.uint32)
-            limbs = [
-                ((u >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)).astype(jnp.float32)
-                for k in range(4)
-            ]
+        if acc_dtype.kind == "i" and np.dtype(v0.dtype).kind in "iub":
+            # EXACT int sums: 8-bit limbs of the biased value (4 limbs for
+            # ≤32-bit args, 8 for BIGINT)
+            nl = _limb_count(v0.dtype)
+            limbs = _biased_limbs(v0, nl)
             res = _onehot_scan(g32, cm, limbs, num_slots,
-                               exact_accs=(True,) * 4,
-                               bf16_ok=(True,) * 4)
+                               exact_accs=(True,) * nl,
+                               bf16_ok=(True,) * nl)
             cnt = res[0].astype(jnp.int64)
-            total = jnp.zeros(num_slots, jnp.int64)
-            for k in range(4):
-                total = total + (res[1 + k].astype(jnp.int64) << (8 * k))
-            return (total - cnt * bias).astype(acc_dtype)
+            return _limb_reconstruct(res[1:], cnt, nl, acc_dtype)
     return jnp.zeros(num_slots + 1, acc_dtype).at[jnp.minimum(gid, num_slots)].add(
         v, mode="drop"
     )[:num_slots]

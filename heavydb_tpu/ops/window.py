@@ -26,16 +26,6 @@ from jax import lax
 TV = Tuple[object, Optional[object]]
 
 
-def segmented_prefix_sum(x, pstart):
-    """Inclusive prefix sum that resets at partition starts."""
-    c = jnp.cumsum(x, axis=0)
-    # value of c just before each partition start, broadcast forward
-    base = jnp.where(pstart, c - x, 0)
-    run_base = jax.lax.associative_scan(jnp.maximum, jnp.where(pstart, c - x, jnp.asarray(0, c.dtype)))
-    # run_base holds, for each row, the cumsum offset at its partition start
-    return c - run_base
-
-
 def forward_fill_value(x, pstart):
     """Broadcast the value at each partition start to the whole partition.
     x must already be zero except at partition starts (or any value; only

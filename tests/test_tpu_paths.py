@@ -47,6 +47,27 @@ def test_onehot_scan_groupby_exact(tpu_paths, rng):
         assert r[7] == pytest.approx(ref_sf[i] / max(ref_cf[i], 1), rel=1e-3)
 
 
+def test_onehot_scan_bigint_sum_exact(tpu_paths, rng):
+    # BIGINT args must take the 8-limb exact path, not the f32 stream
+    # (round-1 advisor finding: int64 sums were accumulated in f32)
+    db = hdt.connect()
+    n = 60_000
+    k = rng.integers(0, 300, n).astype(np.int32)
+    v = rng.integers(-(2**52), 2**52, n).astype(np.int64)
+    db.sql("CREATE TABLE tb (k INT, v BIGINT)")
+    db.catalog.get_table("tb").insert_columns({1: k, 2: v})
+    rows = sorted(
+        db.sql("SELECT k, SUM(v), AVG(v), COUNT(*) FROM tb GROUP BY k").rows()
+    )
+    ref = np.zeros(300, np.int64)
+    np.add.at(ref, k, v)
+    ref_c = np.bincount(k, minlength=300)
+    for i in range(300):
+        assert rows[i][1] == ref[i], f"BIGINT sum mismatch at group {i}"
+        assert rows[i][3] == ref_c[i]
+        assert rows[i][2] == pytest.approx(ref[i] / ref_c[i], rel=1e-12)
+
+
 def test_small_slot_paths_exact(tpu_paths, rng):
     db = hdt.connect()
     n = 50_000
