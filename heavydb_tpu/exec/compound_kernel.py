@@ -200,7 +200,7 @@ def _build_compound_kernel(node, batches, plan, config):
             bi = li + 1
             cap = caps[li]
             pb = paddeds[bi]
-            left_outer = jp.kind == "LEFT"
+            left_outer = jp.kind in ("LEFT", "FULL")
             if jp.kind in ("SEMI", "ANTI"):
                 # existence joins: refine the mask, NO domain expansion
                 # (reference: EXISTS/IN executed as hash-join quals)
@@ -332,6 +332,33 @@ def _build_compound_kernel(node, batches, plan, config):
             matched[bi] = m_new if left_outer else None
             mask = out_mask
             domain_size = cap
+            if jp.kind == "FULL":
+                # append one slot per build row; valid = real, unmatched
+                # build rows (probe-side fields NULL there) — reference has
+                # no FULL OUTER; SQL semantics: inner ∪ left-null ∪ right-null
+                bm = J.build_matched_flags(
+                    lo, cnt, rows_by_slot, pvalid_m, pb
+                )
+                extra_iota = jax.lax.broadcasted_iota(jnp.int32, (pb,), 0)
+                extra_valid = (extra_iota < nrows[bi]) & ~bm
+                for i in list(idx.keys()):
+                    if i == bi:
+                        continue
+                    idx[i] = jnp.concatenate(
+                        [idx[i], jnp.zeros(pb, idx[i].dtype)]
+                    )
+                    pm = matched.get(i)
+                    if pm is None:
+                        pm = jnp.ones(cap, jnp.bool_)
+                    matched[i] = jnp.concatenate(
+                        [pm, jnp.zeros(pb, jnp.bool_)]
+                    )
+                idx[bi] = jnp.concatenate([idx[bi], extra_iota])
+                matched[bi] = jnp.concatenate(
+                    [matched[bi], jnp.ones(pb, jnp.bool_)]
+                )
+                mask = jnp.concatenate([mask, extra_valid])
+                domain_size = cap + pb
             trivial = False
             tv_cache.clear()
             # residual conjuncts (INNER semantics)

@@ -713,8 +713,10 @@ class Executor:
                 continue
             if not equis:
                 raise NotSupported("non-equi join conditions require ≥1 equality")
-            if kind == "LEFT" and residual:
-                raise NotSupported("LEFT JOIN with non-equi residual conditions")
+            if kind in ("LEFT", "FULL") and residual:
+                raise NotSupported(
+                    f"{kind} JOIN with non-equi residual conditions"
+                )
             jp = self._plan_join_keys(node, equis, residual, kind, batches, build_input)
             if (
                 jp.key_min is not None
@@ -736,6 +738,34 @@ class Executor:
         # group-by strategy
         if node.is_aggregate and node.group_exprs:
             ranges = [RNG.expr_range(g, node.inputs) for g in node.group_exprs]
+            # chunk-stat ranges don't know about outer-join null extension:
+            # LEFT makes the build side nullable, FULL makes both sides
+            # nullable — group keys over those fields need a null slot
+            outer_nullable = set()
+            acc = 0
+            offs = []
+            for i_ in node.inputs:
+                offs.append(acc)
+                acc += i_.arity
+            for li, (kind_, _) in enumerate(node.join_levels):
+                bi_ = li + 1
+                if kind_ == "LEFT":
+                    outer_nullable |= set(
+                        range(offs[bi_], offs[bi_] + node.inputs[bi_].arity)
+                    )
+                elif kind_ == "FULL":
+                    outer_nullable |= set(
+                        range(0, offs[bi_] + node.inputs[bi_].arity)
+                    )
+            if outer_nullable:
+                for gi, g in enumerate(node.group_exprs):
+                    if ranges[gi] is not None and not ranges[gi].has_nulls \
+                            and any(r.field_idx in outer_nullable
+                                    for r in E.collect_input_refs(g)):
+                        ranges[gi] = RNG.IntRange(
+                            ranges[gi].lo, ranges[gi].hi, True,
+                            bucket=ranges[gi].bucket,
+                        )
             slots = 1
             ok = True
             for r in ranges:
@@ -863,8 +893,10 @@ class Executor:
             return _JoinPlan(kind=kind, probe_keys=probe_exprs,
                              build_keys=build_exprs, residual=residual,
                              pack="range", pack_spans=tuple(spans))
-        if kind == "LEFT":
-            raise NotSupported("LEFT JOIN with unpackable multi-column keys")
+        if kind in ("LEFT", "FULL"):
+            raise NotSupported(
+                f"{kind} JOIN with unpackable multi-column keys"
+            )
         # hash pack: append equality recheck to residual
         eq_conds = []
         for l, r in zip(probe_exprs, build_exprs):

@@ -214,6 +214,29 @@ def expand_matches(
     return pidx, bidx, out_mask, matched & out_mask, needed
 
 
+def build_matched_flags(lo, cnt, build_rows_sorted, contributing, n_build: int):
+    """FULL OUTER support: which BUILD rows matched ≥ 1 probe row.
+
+    Interval coverage over the slot-grouped payload order: +1 at each
+    contributing probe row's [lo, lo+cnt) start, -1 past its end, prefix
+    sum > 0 → covered payload positions → scatter through the payload to
+    per-build-row flags.  All unique/duplicate-index scatters + one i32
+    cumsum — no sorts, no searches (same cost shape as expand_matches)."""
+    m = build_rows_sorted.shape[0]
+    has = cnt > 0
+    if contributing is not None:
+        has = has & contributing
+    diff = jnp.zeros(m + 1, jnp.int32)
+    diff = diff.at[jnp.where(has, lo, m)].add(1, mode="drop")
+    diff = diff.at[jnp.where(has, lo + cnt, m)].add(-1, mode="drop")
+    covered = jnp.cumsum(diff[:m]) > 0
+    tgt = jnp.where(covered, build_rows_sorted, n_build)
+    flags = jnp.zeros(n_build + 1, jnp.bool_).at[tgt].set(
+        True, mode="drop"
+    )
+    return flags[:n_build]
+
+
 def probe_unique(lo, cnt, build_rows_sorted, mask):
     """Identity-domain probe for UNIQUE-key builds (each probe row matches
     ≤ 1 build row — the PK side of a PK-FK join): no expansion at all.

@@ -18,7 +18,165 @@ from heavydb_tpu.plan import rel_alg as R
 
 def optimize(root: R.RelNode) -> R.RelNode:
     root = _hoist_cross_join_filters(root)
-    return _fuse(root)
+    root = _fuse(root)
+    return _reorder_joins(root)
+
+
+# ---------------------------------------------------------------------------
+# Pass 3: cardinality-based join reordering (reference
+# QueryEngine/FromTableReordering.cpp) — pick the largest input as the probe
+# side and greedily order build inputs small-first, so a query phrased with
+# the big table second doesn't build a huge hash table and probe with the
+# small one.  INNER-only chains (reordering LEFT/SEMI/ANTI changes results).
+# ---------------------------------------------------------------------------
+
+
+def _estimate_rows(n: R.RelNode) -> Optional[int]:
+    """Plan-time cardinality estimate (table row counts + crude selectivity
+    discounts; the reference uses the same table-cardinality ordering)."""
+    if isinstance(n, R.Scan):
+        return n.table.num_rows
+    if isinstance(n, R.Values):
+        return len(n.rows)
+    if isinstance(n, R.TableData):
+        return n.num_rows
+    if isinstance(n, R.Sort):
+        e = _estimate_rows(n.inputs[0])
+        if e is None:
+            return None
+        return min(e, n.limit) if n.limit is not None else e
+    if isinstance(n, R.Union):
+        es = [_estimate_rows(i) for i in n.inputs]
+        return None if any(e is None for e in es) else sum(es)
+    if isinstance(n, (R.Window, R.Unnest)):
+        return _estimate_rows(n.inputs[0])
+    if isinstance(n, R.Compound):
+        if not n.inputs:
+            return None
+        base = _estimate_rows(n.inputs[0])
+        if base is None:
+            return None
+        if n.is_aggregate:
+            # group-by output ≈ NDV, unknown at plan time; a conservative
+            # tenth keeps aggregated subqueries off the probe slot unless
+            # their source dwarfs everything else
+            base = max(1, base // 10)
+        elif n.filter_cond is not None:
+            base = max(1, base // 3)
+        return base
+    return None
+
+
+def _reorder_joins(node: R.RelNode) -> R.RelNode:
+    node.inputs = [_reorder_joins(i) for i in node.inputs]
+    if not isinstance(node, R.Compound) or len(node.inputs) < 2:
+        return node
+    if any(k != "INNER" or c is None for k, c in node.join_levels):
+        return node
+    ests = [_estimate_rows(i) for i in node.inputs]
+    if any(e is None for e in ests):
+        return node
+
+    n_in = len(node.inputs)
+    old_off = []
+    acc = 0
+    for i in node.inputs:
+        old_off.append(acc)
+        acc += i.arity
+
+    # which inputs does each join conjunct touch?
+    conjs = []
+    for _, cond in node.join_levels:
+        for c in _split_conjuncts(cond):
+            refs = E.collect_input_refs(c)
+            touched = set()
+            for r in refs:
+                j = n_in - 1
+                while old_off[j] > r.field_idx:
+                    j -= 1
+                touched.add(j)
+            conjs.append((c, touched))
+
+    # probe = largest input; builds greedily: smallest CONNECTED next
+    probe = max(range(n_in), key=lambda i: ests[i])
+    order = [probe]
+    remaining = set(range(n_in)) - {probe}
+    while remaining:
+        connected = [
+            i for i in remaining
+            if any(i in t and (t & set(order)) for _, t in conjs)
+        ]
+        pool = connected or list(remaining)
+        nxt = min(pool, key=lambda i: ests[i])
+        order.append(nxt)
+        remaining.discard(nxt)
+    if order == list(range(n_in)):
+        return node
+
+    # index remap old combined idx → new combined idx
+    new_off = {}
+    acc = 0
+    for i in order:
+        new_off[i] = acc
+        acc += node.inputs[i].arity
+    remap = {}
+    for i in range(n_in):
+        for f in range(node.inputs[i].arity):
+            remap[old_off[i] + f] = new_off[i] + f
+
+    import dataclasses
+
+    def rn(e):
+        if isinstance(e, E.InputRef):
+            return dataclasses.replace(e, field_idx=remap[e.field_idx])
+        return e
+
+    # assign each conjunct to the first level at which all its inputs are
+    # placed; conjuncts over a single input sink into the filter
+    placed = {probe}
+    levels = []
+    extra_filter = []
+    pending = [(c, t) for c, t in conjs]
+    for li in range(1, n_in):
+        placed.add(order[li])
+        mine, rest = [], []
+        for c, t in pending:
+            if t <= placed:
+                (extra_filter if order[li] not in t else mine).append((c, t))
+            else:
+                rest.append((c, t))
+        pending = rest
+        cond = _and_all([E.rewrite(c, rn) for c, _ in mine])
+        if cond is None:
+            # no condition connects this input yet → cross level; bail out
+            # (the original order had conditions on every level)
+            return node
+        levels.append(("INNER", cond))
+
+    node.inputs = [node.inputs[i] for i in order]
+    node.join_levels = levels
+    fc = [E.rewrite(c, rn) for c, _ in extra_filter]
+    if node.filter_cond is not None:
+        fc.append(E.rewrite(node.filter_cond, rn))
+    node.filter_cond = _and_all(fc)
+    node.group_exprs = [E.rewrite(g, rn) for g in node.group_exprs]
+    node.aggs = [_rewrite_agg(a, rn) for a in node.aggs]
+    if not node.is_aggregate:
+        # target_exprs reference the joined row domain only in the
+        # non-aggregate case; post-agg targets/having index the
+        # [group keys ++ agg results] domain and need no remap
+        node.target_exprs = [E.rewrite(t, rn) for t in node.target_exprs]
+    return node
+
+
+def _rewrite_agg(a, fn):
+    import dataclasses
+
+    return dataclasses.replace(
+        a,
+        arg=E.rewrite(a.arg, fn) if a.arg is not None else None,
+        arg2=E.rewrite(a.arg2, fn) if a.arg2 is not None else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -115,8 +273,10 @@ def _extract_source(node: R.RelNode):
             cond = E.rewrite(cond, shift)
         levels = l_levels + [(node.kind, cond)]
         # filters between joins stay as part of the final filter only for
-        # INNER joins (safe to reorder); otherwise break the chain
-        if l_cond is not None and node.kind == "LEFT":
+        # INNER joins (safe to reorder); outer joins break the chain — a
+        # pre-join filter hoisted above a LEFT/FULL join would drop the
+        # null-extended rows it should never see
+        if l_cond is not None and node.kind in ("LEFT", "FULL"):
             left = _fuse(node.inputs[0])
             return [left, right], [(node.kind, node.condition)], None
         return l_inputs + [right], levels, l_cond

@@ -139,9 +139,12 @@ class Join(RelNode):
             self.types = list(left.types)
         else:
             self.fields = list(left.fields) + list(right.fields)
-            ltypes = list(left.types)
+            ltypes = [
+                t.with_nullable(True) if kind == "FULL" else t
+                for t in left.types
+            ]
             rtypes = [
-                t.with_nullable(True) if kind == "LEFT" else t
+                t.with_nullable(True) if kind in ("LEFT", "FULL") else t
                 for t in right.types
             ]
             self.types = ltypes + rtypes

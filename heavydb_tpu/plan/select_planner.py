@@ -543,8 +543,6 @@ class SelectPlanner:
                 cond = binder.bind_condition(ref.condition)
             elif ref.kind != "CROSS":
                 raise BinderError("JOIN requires a condition")
-            if ref.kind == "FULL":
-                raise NotSupported("FULL OUTER JOIN")
             return R.Join(left, right, ref.kind, cond)
         raise NotSupported(f"table ref {type(ref).__name__}")
 

@@ -1,0 +1,145 @@
+"""Join reordering (reference FromTableReordering.cpp) and FULL OUTER JOIN
+(round-2 additions) — differential-checked against numpy/sqlite oracles."""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+import heavydb_tpu as hdt
+
+
+@pytest.fixture()
+def db():
+    return hdt.connect()
+
+
+def test_reorder_small_probe_parity(db, rng):
+    n = 50_000
+    k = rng.integers(0, 500, n).astype(np.int32)
+    v = rng.random(n).astype(np.float32)
+    db.load_table("fact", {"k": k, "v": v}, create=True)
+    db.load_table(
+        "dim",
+        {"k": np.arange(500, dtype=np.int32),
+         "nm": rng.integers(0, 20, 500).astype(np.int32)},
+        create=True,
+    )
+    a = db.sql(
+        "SELECT d.nm, count(*), sum(f.v) FROM fact f JOIN dim d "
+        "ON f.k = d.k GROUP BY d.nm ORDER BY d.nm"
+    ).rows()
+    b = db.sql(
+        "SELECT d.nm, count(*), sum(f.v) FROM dim d JOIN fact f "
+        "ON d.k = f.k GROUP BY d.nm ORDER BY d.nm"
+    ).rows()
+    assert len(a) == len(b) == 20
+    for x, y in zip(a, b):
+        assert x[0] == y[0] and x[1] == y[1]
+        assert x[2] == pytest.approx(y[2], rel=1e-5)
+
+
+def test_reorder_flips_probe_side(db, rng):
+    # the plan itself must flip: big table becomes the probe (input 0)
+    db.load_table(
+        "big", {"k": rng.integers(0, 100, 10_000).astype(np.int32)},
+        create=True,
+    )
+    db.load_table("small", {"k": np.arange(100, dtype=np.int32)}, create=True)
+    from heavydb_tpu.plan.optimizer import optimize
+    from heavydb_tpu.plan import rel_alg as R
+    from heavydb_tpu.sql.parser import parse
+
+    stmt = parse("SELECT count(*) FROM small s JOIN big b ON s.k = b.k")
+    plan = optimize(db._plan_select(stmt))
+    assert isinstance(plan, R.Compound)
+    assert plan.inputs[0].table.name == "big"  # probe = larger table
+    assert plan.inputs[1].table.name == "small"
+
+
+def test_reorder_three_way_parity(db, rng):
+    n = 20_000
+    db.load_table(
+        "f3", {"k": rng.integers(0, 300, n).astype(np.int32),
+               "v": rng.integers(0, 100, n).astype(np.int32)}, create=True)
+    db.load_table(
+        "m3", {"k": rng.integers(0, 300, 2000).astype(np.int32),
+               "g": rng.integers(0, 9, 2000).astype(np.int32)}, create=True)
+    db.load_table("d3", {"k": np.arange(300, dtype=np.int32)}, create=True)
+    orders = [
+        "f3 f JOIN m3 m ON f.k=m.k JOIN d3 d ON m.k=d.k",
+        "d3 d JOIN m3 m ON d.k=m.k JOIN f3 f ON m.k=f.k",
+        "m3 m JOIN d3 d ON m.k=d.k JOIN f3 f ON d.k=f.k",
+    ]
+    results = [
+        db.sql(f"SELECT m.g, count(*), sum(f.v) FROM {o} "
+               "GROUP BY m.g ORDER BY m.g").rows()
+        for o in orders
+    ]
+    assert results[0] == results[1] == results[2]
+
+
+def _sqlite_with(tables):
+    con = sqlite3.connect(":memory:")
+    cur = con.cursor()
+    for name, cols, rows in tables:
+        cur.execute(f"CREATE TABLE {name} ({cols})")
+        ph = ",".join("?" * len(rows[0]))
+        cur.executemany(f"INSERT INTO {name} VALUES ({ph})", rows)
+    return cur
+
+
+def test_full_outer_join_oracle(db, rng):
+    n_l, n_r = 4000, 3000
+    lk = rng.integers(0, 2000, n_l)
+    lk = np.where(rng.random(n_l) < 0.05, -(2**31), lk).astype(np.int32)
+    lv = rng.integers(0, 100, n_l).astype(np.int32)
+    rk = rng.integers(1000, 3000, n_r).astype(np.int32)
+    rv = rng.integers(0, 100, n_r).astype(np.int32)
+    db.sql("CREATE TABLE fl (k INT, v INT)")
+    db.catalog.get_table("fl").insert_columns({1: lk, 2: lv})
+    db.load_table("fr", {"k": rk, "v": rv}, create=True)
+    lrows = [(None if k == -(2**31) else int(k), int(v))
+             for k, v in zip(lk, lv)]
+    rrows = [(int(k), int(v)) for k, v in zip(rk, rv)]
+    cur = _sqlite_with([("fl", "k INT, v INT", lrows),
+                        ("fr", "k INT, v INT", rrows)])
+    q = ("SELECT count(*), count(fl.v), count(fr.v), sum(fl.v), sum(fr.v) "
+         "FROM fl FULL OUTER JOIN fr ON fl.k = fr.k")
+    mine = db.sql(q).rows()[0]
+    want = cur.execute(q).fetchone()
+    assert tuple(mine) == tuple(want)
+
+
+def test_full_outer_groupby_oracle(db):
+    lrows = [(1, "a"), (2, "b"), (3, "c"), (None, "d"), (2, "e")]
+    rrows = [(2, 10), (4, 20), (None, 30), (2, 40)]
+    db.sql("CREATE TABLE lg (k INT, s TEXT)")
+    db.sql("CREATE TABLE rg (k INT, v INT)")
+    for k, s in lrows:
+        db.sql(f"INSERT INTO lg VALUES ({k if k is not None else 'NULL'},'{s}')")
+    for k, v in rrows:
+        db.sql(f"INSERT INTO rg VALUES ({k if k is not None else 'NULL'},{v})")
+    cur = _sqlite_with([("lg", "k INT, s TEXT", lrows),
+                        ("rg", "k INT, v INT", rrows)])
+    mine = [tuple(r) for r in db.sql(
+        "SELECT rg.v, count(*), count(lg.s) FROM lg FULL JOIN rg "
+        "ON lg.k = rg.k GROUP BY rg.v ORDER BY rg.v NULLS FIRST"
+    ).rows()]
+    want = cur.execute(
+        "SELECT rg.v, count(*), count(lg.s) FROM lg FULL JOIN rg "
+        "ON lg.k = rg.k GROUP BY rg.v ORDER BY rg.v IS NOT NULL, rg.v"
+    ).fetchall()
+    assert mine == want
+
+
+def test_full_outer_projection_nullability(db):
+    db.sql("CREATE TABLE pa (k INT)")
+    db.sql("CREATE TABLE pb (k INT)")
+    db.sql("INSERT INTO pa VALUES (1), (2)")
+    db.sql("INSERT INTO pb VALUES (2), (3)")
+    rows = sorted(
+        db.sql("SELECT pa.k, pb.k FROM pa FULL JOIN pb ON pa.k = pb.k").rows(),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert rows == [(1, None), (2, 2), (None, 3)]
