@@ -22,6 +22,15 @@ class Config:
     # We keep fragments smaller by default so fragment-level metadata pruning has
     # granularity on typical test data; benchmarks override.
     default_fragment_rows: int = 1 << 22  # 4M
+    # Device scan-cache byte budget for LRU eviction (reference BufferMgr
+    # slab LRU).  0 = auto (~70% of device memory).  -1 = unbounded.
+    device_cache_bytes: int = 0
+    # Fragment-streaming threshold: single-table aggregates whose needed
+    # scan bytes exceed this execute in fragment waves with partial-agg
+    # merge, so tables larger than HBM stay queryable (reference
+    # gpu_input_mem_limit punt-to-CPU / out-of-core).  0 = auto (cache
+    # budget / 2); -1 disables streaming.
+    stream_threshold_bytes: int = 0
     # Device row-block size: fragments are padded to a multiple of this so one
     # compiled XLA program serves all fragments (the multifrag-kernel trick).
     row_block: int = 1 << 13  # 8192

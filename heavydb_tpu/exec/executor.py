@@ -68,9 +68,24 @@ class Executor:
     def __init__(self, db):
         self.db = db
         self.config = db.config
+        from heavydb_tpu.storage.buffer_mgr import (
+            DeviceLRUCache,
+            default_device_budget,
+        )
+
         self.kernel_cache: Dict[tuple, object] = {}
-        self.scan_cache: Dict[tuple, jax.Array] = {}
-        self.aux_cache: Dict[tuple, jax.Array] = {}
+        # LRU-evicting device caches under one HBM budget (reference slab
+        # BufferMgr LRU, DataMgr/BufferMgr/BufferMgr.h:115); scan buffers
+        # dominate, aux arrays ride the same budget
+        budget = self.config.device_cache_bytes
+        if budget == 0:
+            budget = default_device_budget()
+        elif budget < 0:
+            budget = 0  # unbounded
+        self.scan_cache = DeviceLRUCache(budget)
+        self.aux_cache = DeviceLRUCache(
+            max(budget // 4, 1 << 28) if budget else 0
+        )
         # multi-device: tables row-sharded over a 1-D mesh; the jit'd
         # compound kernels are partitioned by XLA GSPMD, which inserts the
         # collectives (psum for aggregate merges, all-to-all under global
@@ -537,8 +552,13 @@ class Executor:
     # Compound
     # ------------------------------------------------------------------
     def _exec_compound(self, node: R.Compound, memo) -> B.Batch:
+        sp = self._stream_plan(node)
+        if sp is not None:
+            return self._exec_compound_streamed(node, sp)
         batches, plan = self._prepare_compound(node, memo)
+        return self._run_compound(node, batches, plan)
 
+    def _run_compound(self, node: R.Compound, batches, plan) -> B.Batch:
         # retry ladder
         for attempt in range(MAX_RETRIES + 1):
             kernel, layout = self._get_kernel(node, batches, plan)
@@ -549,6 +569,206 @@ class Executor:
                 return result
             # capacity miss — plan.caps updated by _postprocess via plan
         raise ExecutionError("capacity retry ladder did not converge")
+
+    # ---- fragment-streaming execution (out-of-core; reference
+    # gpu_input_mem_limit punt + leaf partial-agg/aggregator-merge) ----
+
+    _STREAMABLE_AGGS = frozenset({
+        E.AggKind.COUNT, E.AggKind.COUNT_IF, E.AggKind.SUM, E.AggKind.SUM_IF,
+        E.AggKind.AVG, E.AggKind.MIN, E.AggKind.MAX,
+    })
+
+    def _stream_plan(self, node: R.Compound):
+        """Return the byte threshold when this Compound should execute in
+        fragment waves with partial-aggregate merge (tables larger than the
+        device cache stay queryable); None = execute normally."""
+        cfg = self.config
+        thr = cfg.stream_threshold_bytes
+        if thr < 0:
+            return None
+        if thr == 0:
+            thr = (self.scan_cache.budget_bytes or (11 << 30)) // 2
+        if node.join_levels or len(node.inputs) != 1:
+            return None
+        inp = node.inputs[0]
+        if not isinstance(inp, R.Scan) or len(inp.table.fragments) < 2:
+            return None
+        if not node.is_aggregate or not node.aggs:
+            return None
+        for a in node.aggs:
+            if a.kind not in self._STREAMABLE_AGGS or a.distinct:
+                return None
+        needed = set()
+        for e in list(node.group_exprs) + list(node.aggs) + (
+            [node.filter_cond] if node.filter_cond is not None else []
+        ):
+            for r in E.collect_input_refs(e):
+                needed.add(r.field_idx)
+        t = inp.table
+        total = 0
+        for f in needed:
+            ti = t.columns[f].type
+            if ti.is_array:
+                return None  # array aux payloads aren't fragment-local
+            total += t.num_rows * ti.np_dtype().itemsize
+        if total <= thr:
+            return None
+        return thr
+
+    def _exec_compound_streamed(self, node: R.Compound, thr: int) -> B.Batch:
+        """Execute in fragment waves: per-wave Compound with decomposed
+        aggregates (AVG → SUM+COUNT), host-merge of the small per-wave
+        group results, then one merge Compound re-aggregating partials
+        (SUM of counts/sums, MIN of mins, ...) and applying the original
+        targets/having over finalize expressions."""
+        from heavydb_tpu.plan.builder import _agg_result_type
+
+        scan = node.inputs[0]
+        t = scan.table
+        k = len(node.group_exprs)
+
+        wave_aggs: List[E.Agg] = []
+        fin = []  # per original agg: ("ref", pos) | ("avg", sum_pos, cnt_pos)
+        for a in node.aggs:
+            if a.kind == E.AggKind.AVG:
+                s_t = _agg_result_type(E.AggKind.SUM, a.arg, False)
+                spos = len(wave_aggs)
+                wave_aggs.append(E.Agg(E.AggKind.SUM, a.arg, False, s_t))
+                cpos = len(wave_aggs)
+                wave_aggs.append(
+                    E.Agg(E.AggKind.COUNT, a.arg, False,
+                          T.bigint(nullable=False))
+                )
+                fin.append(("avg", spos, cpos))
+            else:
+                fin.append(("ref", len(wave_aggs)))
+                wave_aggs.append(a)
+
+        wave_targets = []
+        wave_names = []
+        for i, g in enumerate(node.group_exprs):
+            wave_targets.append(
+                E.InputRef(0, i, g.type, getattr(g, "dict_ref", None))
+            )
+            wave_names.append(f"k{i}")
+        for j, wa in enumerate(wave_aggs):
+            wave_targets.append(E.InputRef(0, k + j, wa.type))
+            wave_names.append(f"p{j}")
+        wave_node = R.Compound(
+            [scan], [], node.filter_cond, list(node.group_exprs),
+            wave_aggs, wave_targets, wave_names, None,
+        )
+
+        # fragment waves sized to ~half the threshold
+        frag_ids = None
+        if node.filter_cond is not None and getattr(
+            self.config, "enable_fragment_skipping", True
+        ):
+            frag_ids = self._surviving_fragments(scan, 0, node.filter_cond)
+        if frag_ids is None:
+            frag_ids = [f.fragment_id for f in t.fragments]
+        needed_fields = set()
+        for e in list(node.group_exprs) + list(node.aggs) + (
+            [node.filter_cond] if node.filter_cond is not None else []
+        ):
+            for r in E.collect_input_refs(e):
+                needed_fields.add(r.field_idx)
+        row_bytes = max(
+            sum(t.columns[f].type.np_dtype().itemsize for f in needed_fields),
+            1,
+        )
+        wave_budget = max(thr // 2, 1)
+        waves, cur, cur_bytes = [], [], 0
+        for fid in frag_ids:
+            fb = t.fragments[fid].num_rows * row_bytes
+            if cur and cur_bytes + fb > wave_budget:
+                waves.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(fid)
+            cur_bytes += fb
+        if cur:
+            waves.append(cur)
+
+        parts: List[List[np.ndarray]] = []
+        for wave in waves:
+            if self.interrupt_check is not None and self.interrupt_check():
+                from heavydb_tpu.errors import QueryInterrupted
+
+                raise QueryInterrupted("query interrupted by session")
+            batch = self._exec_scan(scan, needed_fields, frag_ids=wave)
+            plan = self._plan_compound(wave_node, [batch], [0])
+            out = self._run_compound(wave_node, [batch], plan)
+            parts.append(out.to_numpy())
+
+        arrays = [
+            np.concatenate([p[i] for p in parts])
+            for i in range(len(wave_targets))
+        ]
+        dict_refs = [
+            getattr(wt, "dict_ref", None) for wt in wave_targets
+        ]
+        td = R.TableData(
+            wave_names, [wt.type for wt in wave_targets], arrays, dict_refs
+        )
+
+        merge_groups = [
+            E.InputRef(0, i, g.type, getattr(g, "dict_ref", None))
+            for i, g in enumerate(node.group_exprs)
+        ]
+        merge_aggs: List[E.Agg] = []
+        for j, wa in enumerate(wave_aggs):
+            ref = E.InputRef(0, k + j, wa.type)
+            if wa.kind in (E.AggKind.MIN,):
+                mk = E.AggKind.MIN
+            elif wa.kind in (E.AggKind.MAX,):
+                mk = E.AggKind.MAX
+            else:  # COUNT/COUNT_IF/SUM/SUM_IF partials all merge by SUM
+                mk = E.AggKind.SUM
+            merge_aggs.append(E.Agg(mk, ref, False, wa.type))
+
+        dbl = T.double(nullable=True)
+
+        def finalize_expr(j: int) -> E.Expr:
+            how = fin[j]
+            if how[0] == "ref":
+                pos = how[1]
+                return E.InputRef(0, k + pos, node.aggs[j].type)
+            _, spos, cpos = how
+            s = E.Cast(E.InputRef(0, k + spos, wave_aggs[spos].type), dbl)
+            c = E.InputRef(0, k + cpos, wave_aggs[cpos].type)
+            cond = E.BinOp(
+                E.BinOpKind.GT, c, E.Constant(0, T.bigint(False)),
+                T.boolean(False),
+            )
+            div = E.BinOp(E.BinOpKind.DIV, s, E.Cast(c, dbl), dbl)
+            return E.Case(
+                whens=((cond, div),), else_=E.Constant(None, dbl), type=dbl
+            )
+
+        def remap_postagg(e: E.Expr) -> E.Expr:
+            def sub(x):
+                if isinstance(x, E.InputRef):
+                    if x.field_idx < k:
+                        return E.InputRef(
+                            0, x.field_idx, x.type,
+                            getattr(x, "dict_ref", None),
+                        )
+                    return finalize_expr(x.field_idx - k)
+                return x
+
+            return E.rewrite(e, sub)
+
+        merge_targets = [remap_postagg(te) for te in node.target_exprs]
+        merge_having = (
+            remap_postagg(node.having) if node.having is not None else None
+        )
+        merge_node = R.Compound(
+            [td], [], None, merge_groups, merge_aggs, merge_targets,
+            list(node.fields), merge_having,
+        )
+        return self._exec(
+            merge_node, {}, set(range(merge_node.arity))
+        )
 
     def _prepare_compound(self, node: R.Compound, memo):
         # 1. input batches with column pruning
