@@ -573,11 +573,6 @@ class Executor:
     # ---- fragment-streaming execution (out-of-core; reference
     # gpu_input_mem_limit punt + leaf partial-agg/aggregator-merge) ----
 
-    _STREAMABLE_AGGS = frozenset({
-        E.AggKind.COUNT, E.AggKind.COUNT_IF, E.AggKind.SUM, E.AggKind.SUM_IF,
-        E.AggKind.AVG, E.AggKind.MIN, E.AggKind.MAX,
-    })
-
     def _stream_plan(self, node: R.Compound):
         """Return the byte threshold when this Compound should execute in
         fragment waves with partial-aggregate merge (tables larger than the
@@ -593,11 +588,10 @@ class Executor:
         inp = node.inputs[0]
         if not isinstance(inp, R.Scan) or len(inp.table.fragments) < 2:
             return None
-        if not node.is_aggregate or not node.aggs:
+        from heavydb_tpu.exec.partial_agg import decomposable
+
+        if not decomposable(node):
             return None
-        for a in node.aggs:
-            if a.kind not in self._STREAMABLE_AGGS or a.distinct:
-                return None
         needed = set()
         for e in list(node.group_exprs) + list(node.aggs) + (
             [node.filter_cond] if node.filter_cond is not None else []
@@ -621,43 +615,13 @@ class Executor:
         group results, then one merge Compound re-aggregating partials
         (SUM of counts/sums, MIN of mins, ...) and applying the original
         targets/having over finalize expressions."""
-        from heavydb_tpu.plan.builder import _agg_result_type
+        from heavydb_tpu.exec.partial_agg import make_leaf_node, make_merge_node
 
         scan = node.inputs[0]
         t = scan.table
-        k = len(node.group_exprs)
-
-        wave_aggs: List[E.Agg] = []
-        fin = []  # per original agg: ("ref", pos) | ("avg", sum_pos, cnt_pos)
-        for a in node.aggs:
-            if a.kind == E.AggKind.AVG:
-                s_t = _agg_result_type(E.AggKind.SUM, a.arg, False)
-                spos = len(wave_aggs)
-                wave_aggs.append(E.Agg(E.AggKind.SUM, a.arg, False, s_t))
-                cpos = len(wave_aggs)
-                wave_aggs.append(
-                    E.Agg(E.AggKind.COUNT, a.arg, False,
-                          T.bigint(nullable=False))
-                )
-                fin.append(("avg", spos, cpos))
-            else:
-                fin.append(("ref", len(wave_aggs)))
-                wave_aggs.append(a)
-
-        wave_targets = []
-        wave_names = []
-        for i, g in enumerate(node.group_exprs):
-            wave_targets.append(
-                E.InputRef(0, i, g.type, getattr(g, "dict_ref", None))
-            )
-            wave_names.append(f"k{i}")
-        for j, wa in enumerate(wave_aggs):
-            wave_targets.append(E.InputRef(0, k + j, wa.type))
-            wave_names.append(f"p{j}")
-        wave_node = R.Compound(
-            [scan], [], node.filter_cond, list(node.group_exprs),
-            wave_aggs, wave_targets, wave_names, None,
-        )
+        wave_node, wave_aggs, fin = make_leaf_node(node)
+        wave_targets = wave_node.target_exprs
+        wave_names = wave_node.fields
 
         # fragment waves sized to ~half the threshold
         frag_ids = None
@@ -710,62 +674,7 @@ class Executor:
         td = R.TableData(
             wave_names, [wt.type for wt in wave_targets], arrays, dict_refs
         )
-
-        merge_groups = [
-            E.InputRef(0, i, g.type, getattr(g, "dict_ref", None))
-            for i, g in enumerate(node.group_exprs)
-        ]
-        merge_aggs: List[E.Agg] = []
-        for j, wa in enumerate(wave_aggs):
-            ref = E.InputRef(0, k + j, wa.type)
-            if wa.kind in (E.AggKind.MIN,):
-                mk = E.AggKind.MIN
-            elif wa.kind in (E.AggKind.MAX,):
-                mk = E.AggKind.MAX
-            else:  # COUNT/COUNT_IF/SUM/SUM_IF partials all merge by SUM
-                mk = E.AggKind.SUM
-            merge_aggs.append(E.Agg(mk, ref, False, wa.type))
-
-        dbl = T.double(nullable=True)
-
-        def finalize_expr(j: int) -> E.Expr:
-            how = fin[j]
-            if how[0] == "ref":
-                pos = how[1]
-                return E.InputRef(0, k + pos, node.aggs[j].type)
-            _, spos, cpos = how
-            s = E.Cast(E.InputRef(0, k + spos, wave_aggs[spos].type), dbl)
-            c = E.InputRef(0, k + cpos, wave_aggs[cpos].type)
-            cond = E.BinOp(
-                E.BinOpKind.GT, c, E.Constant(0, T.bigint(False)),
-                T.boolean(False),
-            )
-            div = E.BinOp(E.BinOpKind.DIV, s, E.Cast(c, dbl), dbl)
-            return E.Case(
-                whens=((cond, div),), else_=E.Constant(None, dbl), type=dbl
-            )
-
-        def remap_postagg(e: E.Expr) -> E.Expr:
-            def sub(x):
-                if isinstance(x, E.InputRef):
-                    if x.field_idx < k:
-                        return E.InputRef(
-                            0, x.field_idx, x.type,
-                            getattr(x, "dict_ref", None),
-                        )
-                    return finalize_expr(x.field_idx - k)
-                return x
-
-            return E.rewrite(e, sub)
-
-        merge_targets = [remap_postagg(te) for te in node.target_exprs]
-        merge_having = (
-            remap_postagg(node.having) if node.having is not None else None
-        )
-        merge_node = R.Compound(
-            [td], [], None, merge_groups, merge_aggs, merge_targets,
-            list(node.fields), merge_having,
-        )
+        merge_node = make_merge_node(node, wave_aggs, fin, td)
         return self._exec(
             merge_node, {}, set(range(merge_node.arity))
         )

@@ -1,0 +1,206 @@
+"""DistEngine: aggregator/leaf SQL execution across hosts.
+
+Each host owns a row partition of the distributed tables (dimension
+tables may be replicated).  A query executes as (reference
+RelAlgExecutor::executeRelAlgQuerySingleStep + aggregator merge,
+QueryEngine/RelAlgExecutor.cpp:1211, heavy.thrift:769-771):
+
+  1. plan locally (all hosts parse the same SQL against dictionaries
+     built globally at load time → identical ids);
+  2. leaf step: run the Compound with DECOMPOSED aggregates over the
+     local partition (exec/partial_agg.py — the leaf partial aggregate);
+  3. exchange: process_allgather of the small partial-result columns
+     (replaces broadcast_serialized_rows);
+  4. aggregator merge: re-aggregate partials + finalize targets/having,
+     executed replicated so every host holds the full result.
+
+ORDER BY / LIMIT over aggregates run on the merged result (the reference
+also sorts on the aggregator, RelAlgExecutor.cpp:1264-1292).  Projection
+top-k distributes as local-top-k → gather S·k candidates → final top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from heavydb_tpu import types as T
+from heavydb_tpu.errors import NotSupported
+from heavydb_tpu.exec.partial_agg import (
+    decomposable,
+    make_leaf_node,
+    make_merge_node,
+)
+from heavydb_tpu.plan import exprs as E
+from heavydb_tpu.plan import rel_alg as R
+from heavydb_tpu.parallel.multihost import MultiHostRuntime, generations_snapshot
+
+
+class DistEngine:
+    def __init__(self, db, runtime: MultiHostRuntime):
+        self.db = db
+        self.rt = runtime
+        # global row counts per distributed table (generations snapshot)
+        self.global_rows: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------
+    # loading
+    # ------------------------------------------------------------------
+    def load_table(self, name: str, local_data, create: bool = True,
+                   replicated: bool = False):
+        """Load `local_data` (this host's rows; dict of numpy columns).
+        Distributed tables build their string dictionaries globally so ids
+        agree on every host; replicated tables must be passed identical
+        data on every host."""
+        from heavydb_tpu.api import _normalize_tabular, _infer_type
+
+        cols = _normalize_tabular(local_data)
+        if create and self.db.catalog.get_table_opt(name) is None:
+            defs = [(cname, _infer_type(arr)) for cname, arr in cols.items()]
+            self.db.catalog.create_table(name, defs)
+        t = self.db.catalog.get_table(name)
+        if not replicated:
+            # global dictionary build: deterministic merged intern order
+            for cd in t.columns:
+                if cd.col_id not in t.dicts or cd.name not in cols:
+                    continue
+                arr = cols[cd.name]
+                uniq: List[str] = []
+                seen = set()
+                for s in arr:
+                    if s is not None and not (
+                        isinstance(s, float) and np.isnan(s)
+                    ) and s not in seen:
+                        seen.add(s)
+                        uniq.append(str(s))
+                merged = self.rt.allgather_strings(uniq)
+                t.dicts[cd.col_id].get_or_add_bulk(merged)
+        self.db._insert_columns(t, cols)
+        n_local = int(
+            len(next(iter(cols.values()))) if cols else 0
+        )
+        if replicated:
+            self.global_rows[name.lower()] = t.num_rows
+        else:
+            self.global_rows[name.lower()] = sum(
+                self.rt.allgather_scalar(n_local)
+            )
+        return t
+
+    # ------------------------------------------------------------------
+    # querying
+    # ------------------------------------------------------------------
+    def sql(self, text: str):
+        """Distributed SELECT.  Returns a ResultSet (identical on every
+        host)."""
+        from heavydb_tpu.api import _node_dict_ref
+        from heavydb_tpu.exec.result_set import from_batch
+        from heavydb_tpu.plan.optimizer import optimize
+        from heavydb_tpu.sql import ast as A
+        from heavydb_tpu.sql.parser import parse_many
+
+        stmts = parse_many(text)
+        if len(stmts) != 1 or not isinstance(stmts[0], A.Select):
+            raise NotSupported("DistEngine.sql executes a single SELECT")
+        plan = optimize(self.db._plan_select(stmts[0]))
+        batch, out_node = self._exec_distributed(plan)
+        dicts = []
+        for i in range(out_node.arity):
+            ref = _node_dict_ref(out_node, i)
+            dicts.append(
+                self.db.dict_by_ref(ref)
+                if ref and not out_node.types[i].is_array else None
+            )
+        return from_batch(batch, out_node.fields, out_node.types, dicts)
+
+    def snapshot(self) -> dict:
+        """Generations snapshot merged across hosts — verifies metadata
+        consistency before distributed planning (reference
+        prepareLeafExecution)."""
+        import json
+
+        local = generations_snapshot(self.db)
+        for name, n in self.global_rows.items():
+            if name in local:
+                local[name]["num_rows_global"] = n
+        blobs = self.rt.allgather_bytes(
+            json.dumps(sorted(local.keys())).encode()
+        )
+        tables = [json.loads(b) for b in blobs]
+        if any(ts != tables[0] for ts in tables[1:]):
+            raise NotSupported(
+                "catalog divergence across hosts: " + repr(tables)
+            )
+        return local
+
+    # ------------------------------------------------------------------
+    def _exec_distributed(self, plan: R.RelNode):
+        ex = self.db.executor
+        if isinstance(plan, R.Sort):
+            child = plan.inputs[0]
+            if isinstance(child, R.Compound) and child.is_aggregate:
+                batch, _ = self._exec_distributed(child)
+                # aggregator-side sort over the (replicated) merged result
+                memo = {child.id: batch}
+                out = ex._exec_sort(plan, memo)
+                return out, plan
+            if plan.limit is not None:
+                return self._dist_topk(plan), plan
+            raise NotSupported("distributed full sort without LIMIT")
+        if isinstance(plan, R.Compound) and decomposable(plan):
+            return self._dist_aggregate(plan), plan
+        if isinstance(plan, R.Compound) and not plan.is_aggregate:
+            # distributed projection: local rows, gathered (small results
+            # only — the watchdog guards unbounded projections locally)
+            out = ex.execute(plan)
+            cols = self.rt.allgather_concat(
+                [c for c in out.to_numpy() if c is not None]
+            )
+            import heavydb_tpu.exec.batch as B
+
+            return (
+                B.from_host_columns(cols, len(cols[0]) if cols else 0,
+                                    plan.types),
+                plan,
+            )
+        raise NotSupported(
+            f"distributed execution of {type(plan).__name__} "
+            "(non-decomposable aggregates)"
+        )
+
+    def _dist_aggregate(self, node: R.Compound):
+        """Leaf partial aggregate → allgather → aggregator merge."""
+        import heavydb_tpu.exec.batch as B
+
+        ex = self.db.executor
+        leaf, wave_aggs, fin = make_leaf_node(node)
+        local = ex.execute(leaf)
+        host_cols = local.to_numpy()
+        cols = self.rt.allgather_concat(
+            [c for c in host_cols]
+        )
+        n = len(cols[0]) if cols else 0
+        td = R.TableData(
+            list(leaf.fields), [wt.type for wt in leaf.target_exprs], cols,
+            [getattr(wt, "dict_ref", None) for wt in leaf.target_exprs],
+        )
+        merge_node = make_merge_node(node, wave_aggs, fin, td)
+        return ex.execute(merge_node)
+
+    def _dist_topk(self, plan: R.Sort):
+        """Local top-k per host → gather S·k candidates → final top-k."""
+        import heavydb_tpu.exec.batch as B
+
+        ex = self.db.executor
+        k = int(plan.limit) + int(plan.offset or 0)
+        local_sort = R.Sort(plan.inputs[0], plan.keys, k, None)
+        out = ex._exec(local_sort, {}, set(range(local_sort.arity)))
+        cols = self.rt.allgather_concat([c for c in out.to_numpy()])
+        n = len(cols[0]) if cols else 0
+        td = R.TableData(
+            list(plan.fields), list(plan.types), cols,
+            [None] * len(plan.fields),
+        )
+        final = R.Sort(td, plan.keys, plan.limit, plan.offset)
+        return ex._exec(final, {}, set(range(final.arity)))

@@ -1,0 +1,138 @@
+"""Worker process for the multi-host CPU rig (tests/test_multihost.py).
+
+Each worker joins a jax.distributed cluster on the CPU backend, loads its
+row partition of a shared synthetic dataset, runs distributed queries via
+DistEngine, and checks parity against a numpy oracle over the FULL data.
+Prints PARITY_OK on success.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(pid: int, nprocs: int, port: int):
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override
+    jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    import heavydb_tpu as hdt
+    from heavydb_tpu.parallel.dist_engine import DistEngine
+    from heavydb_tpu.parallel.multihost import MultiHostRuntime
+
+    rt = MultiHostRuntime()
+    rt.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+
+    # full dataset from a shared seed; this host takes rows pid::nprocs
+    rng = np.random.default_rng(42)
+    n = 200_000
+    k = rng.integers(0, 400, n).astype(np.int32)
+    g = rng.integers(0, 37, n).astype(np.int32)
+    v = np.where(rng.random(n) < 0.1, np.nan, rng.random(n)).astype(np.float32)
+    names = np.array([f"name_{i % 23}" for i in range(n)], object)
+    sel = slice(pid, None, nprocs)
+
+    db = hdt.connect()
+    dist = DistEngine(db, rt)
+    dist.load_table(
+        "fact",
+        {"k": k[sel], "g": g[sel], "v": v[sel], "s": names[sel]},
+    )
+    dim_k = np.arange(400, dtype=np.int32)
+    dim_nm = (dim_k % 11).astype(np.int32)
+    dist.load_table("dim", {"k": dim_k, "nm": dim_nm}, replicated=True)
+
+    snap = dist.snapshot()
+    assert snap["fact"]["num_rows_global"] == n, snap["fact"]
+
+    ok = True
+
+    def check(label, got, want, approx=False):
+        nonlocal ok
+        good = True
+        if len(got) != len(want):
+            good = False
+        else:
+            for a, b in zip(got, want):
+                for x, y in zip(a, b):
+                    if approx and isinstance(y, float):
+                        if not (abs((x or 0) - y) <= max(abs(y), 1) * 1e-4):
+                            good = False
+                    elif x != y:
+                        good = False
+        if not good:
+            ok = False
+            print(f"[{pid}] MISMATCH {label}: got={got[:3]} want={want[:3]}",
+                  flush=True)
+
+    m = ~np.isnan(v)
+
+    # 1. keyless aggregate with filter
+    r = dist.sql(
+        "SELECT count(*), sum(v), avg(v), min(v), max(v) FROM fact "
+        "WHERE k < 200"
+    ).rows()
+    f = k < 200
+    fv = v[f & m]
+    check("keyless", r, [(
+        int(f.sum()), float(fv.sum()), float(fv.mean()),
+        float(fv.min()), float(fv.max()),
+    )], approx=True)
+
+    # 2. group-by
+    r = dist.sql(
+        "SELECT g, count(*), sum(v), avg(v) FROM fact GROUP BY g ORDER BY g"
+    ).rows()
+    want = []
+    for gg in sorted(set(g.tolist())):
+        selg = g == gg
+        vv = v[selg & m]
+        want.append((gg, int(selg.sum()), float(vv.sum()), float(vv.mean())))
+    check("groupby", r, want, approx=True)
+
+    # 3. join (replicated dim) + group-by
+    r = dist.sql(
+        "SELECT d.nm, count(*), sum(f.v) FROM fact f JOIN dim d "
+        "ON f.k = d.k GROUP BY d.nm ORDER BY d.nm"
+    ).rows()
+    nm_of = dim_nm[k]
+    want = []
+    for u in sorted(set(nm_of.tolist())):
+        s2 = nm_of == u
+        want.append((int(u), int(s2.sum()), float(v[s2 & m].sum())))
+    check("join_groupby", r, want, approx=True)
+
+    # 4. dict-string group-by (global dictionary ids)
+    r = dist.sql(
+        "SELECT s, count(*) FROM fact GROUP BY s ORDER BY s"
+    ).rows()
+    import collections
+
+    cnt = collections.Counter(names.tolist())
+    want = [(s2, cnt[s2]) for s2 in sorted(cnt)]
+    check("string_groupby", r, want)
+
+    # 5. distributed top-k
+    r = dist.sql(
+        "SELECT k, v FROM fact ORDER BY v DESC NULLS LAST LIMIT 25"
+    ).rows()
+    order = np.argsort(-np.where(m, v, -np.inf), kind="stable")[:25]
+    want = [(int(k[i]), float(v[i])) for i in order]
+    check("topk", r, want, approx=True)
+
+    print(f"[{pid}] " + ("PARITY_OK" if ok else "PARITY_FAILED"), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
