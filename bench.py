@@ -1,10 +1,22 @@
-"""Benchmark driver — BASELINE.json config 1: single-table scan+filter+
-COUNT/SUM aggregate on a 100M-row synthetic columnar table.
+"""Benchmark driver — BASELINE.json configs 1-4 on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = fraction of HBM-bandwidth speed-of-light for this query's
-byte traffic (target per BASELINE.md: ≥ 0.8 on TPU); additional sub-bench
-results go to stderr.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sub"}.
+
+Measurement protocol (round 2): host-side timing on the axon relay is
+untrustworthy — block_until_ready returns before remote completion,
+identical executions memoize, and scalar D2H round-trips cost ~26s with
+seconds of jitter.  Device time is therefore measured by running the
+ENGINE'S OWN compiled kernel K times inside one jit'd lax.fori_loop with
+a carry-chained data dependency (iteration i+1's input depends on
+iteration i's output, so XLA can neither elide nor overlap iterations),
+timed to a completed D2H at two K values; the (T_hi-T_lo)/(K_hi-K_lo)
+slope cancels the D2H constant.  The perturbation `(carry >> 62)` is
+always zero at runtime but not provably zero at compile time — results
+stay bit-identical while the dependency chain stays real.
+
+vs_baseline = fraction of HBM speed-of-light for config 1's byte traffic
+(BASELINE.md target ≥ 0.8).  No dispatch-floor subtraction.  Values > 1
+are physically impossible and reported as measurement failures.
 """
 
 import json
@@ -12,25 +24,90 @@ import os
 import sys
 import time
 
-import numpy as np
-
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+K_LO, K_HI = 4, 24
+
+
+def chain_engine_kernel(db, query: str, n_rows: int, label: str):
+    """Device s/iteration of the engine's compiled kernel for `query`,
+    via the carry-chained fori_loop protocol.  Returns (sec_per_iter,
+    first_wall_s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from heavydb_tpu.plan import rel_alg as R
+    from heavydb_tpu.plan.optimizer import optimize
+    from heavydb_tpu.sql.parser import parse
+
+    ex = db.executor
+    sel = parse(query)
+    t0 = time.perf_counter()
+    db.sql(query)  # correctness + warm caches + compile, full SQL path
+    first_wall = time.perf_counter() - t0
+
+    node = optimize(db._plan_select(sel))
+    sort_node = None
+    if isinstance(node, R.Sort):
+        sort_node = node
+        node = node.inputs[0]
+    ex._substitute_subqueries(node, set())
+    batches, plan = ex._prepare_compound(node, {})
+    kernel, layout = ex._get_kernel(node, batches, plan)
+    args = list(ex._kernel_args(batches, plan, layout))
+
+    # choose a full-length device column to carry-perturb
+    pert_idx = None
+    padded = batches[0].padded
+    for i, a in enumerate(args):
+        if hasattr(a, "shape") and a.ndim == 1 and a.shape[0] == padded \
+                and a.dtype != jnp.bool_:
+            pert_idx = i
+            break
+    if pert_idx is None:
+        raise RuntimeError("no perturbable column arg")
+
+    def run_chain(K):
+        @jax.jit
+        def looped(carry0, pert_col):
+            def step(_, carry):
+                eps = (carry >> jnp.int64(62)).astype(pert_col.dtype)
+                a2 = list(args)
+                a2[pert_idx] = pert_col + eps
+                out = kernel(*a2)
+                nxt = jnp.asarray(out["n_out"], jnp.int64) \
+                    if "n_out" in out else jnp.int64(1)
+                return (carry + nxt) % jnp.int64(1 << 40)
+
+            return jax.lax.fori_loop(0, K, step, carry0)
+
+        t1 = time.perf_counter()
+        out = looped(jnp.int64(1), args[pert_idx])
+        float(jax.device_get(out))
+        return time.perf_counter() - t1
+
+    run_chain(K_LO)
+    run_chain(K_HI)
+    tlo = run_chain(K_LO)
+    thi = run_chain(K_HI)
+    per = max(thi - tlo, 0.0) / (K_HI - K_LO)
+    log(f"{label}: {per*1e3:.1f}ms/iter "
+        f"({n_rows/max(per,1e-9)/1e9:.2f}G rows/s; first(full SQL incl. "
+        f"compile)={first_wall:.1f}s; T{K_LO}={tlo:.1f}s T{K_HI}={thi:.1f}s)")
+    return per, first_wall
+
+
 def main():
     import jax
 
-    # persistent compile cache: repeat runs skip XLA compilation entirely
-    # note: the jax persistent compile cache is deliberately NOT enabled —
-    # it does not work with the axon backend, and cross-host CPU AOT reuse
-    # risks SIGILL (machine-feature mismatch)
+    import numpy as np
 
     import heavydb_tpu as hdt
 
     n_rows = int(os.environ.get("HEAVYDB_TPU_BENCH_ROWS", 100_000_000))
-    iters = int(os.environ.get("HEAVYDB_TPU_BENCH_ITERS", 5))
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()} rows={n_rows:,}")
 
@@ -40,124 +117,32 @@ def main():
     x = rng.integers(0, 1_000_000, n_rows, dtype=np.int32)
     y = rng.random(n_rows, dtype=np.float32)
     log(f"datagen {time.time()-t0:.1f}s")
-
     t0 = time.time()
     db.sql("CREATE TABLE t (x INT, y FLOAT) WITH (fragment_size=33554432)")
-    t = db.catalog.get_table("t")
-    t.insert_columns({1: x, 2: y})
+    db.catalog.get_table("t").insert_columns({1: x, 2: y})
     log(f"load {time.time()-t0:.1f}s")
 
-    import jax as _jax
+    sub = {}
 
-    q = "SELECT count(*), sum(y) FROM t WHERE x > 500000"
-    t0 = time.time()
-    r = db.sql(q).rows()
-    log(f"first run (compile+H2D) {time.time()-t0:.1f}s result={r}")
+    # ---- config 1: scan+filter+COUNT/SUM (headline) ----
+    per1, first1 = chain_engine_kernel(
+        db, "SELECT count(*), sum(y) FROM t WHERE x > 500000", n_rows,
+        "config1 scan_filter_agg",
+    )
+    rows_per_s = n_rows / max(per1, 1e-9)
+    hbm_bw = {"tpu": 819e9, "cpu": 100e9}.get(backend, 819e9)
+    sol_rows_per_s = hbm_bw / 8.0  # 4B x + 4B y per row
+    vs = rows_per_s / sol_rows_per_s
+    sane = vs <= 1.0
+    sub["first_query_wall_s"] = round(first1, 2)
 
-    # device-compute timing: block on the result batch without the client
-    # D2H decode (the reference benchmarks server execution_time the same
-    # way; on remote-attached dev TPUs the tunnel D2H would otherwise
-    # dominate).  End-to-end timing logged alongside.
-    times, e2e_times = [], []
-    for i in range(iters):
-        t0 = time.time()
-        batch, decode = db.sql_device(q)
-        _jax.block_until_ready(batch.cols)
-        times.append(time.time() - t0)
-        t1 = time.time()
-        decode().rows()
-        e2e_times.append(time.time() - t0)
-    best = min(times)
-    rows_per_s = n_rows / best
-    log(f"device times={['%.4f' % s for s in times]} best={best*1e3:.1f}ms "
-        f"rows/s={rows_per_s:,.0f}")
-    log(f"e2e times={['%.4f' % s for s in e2e_times]}")
-
-    # ceiling: the same computation as a minimal hand-written XLA kernel —
-    # engine overhead = our time / raw time
-    try:
-        import jax.numpy as jnp
-
-        sc = db.executor.scan_cache
-        xd = next(v for k, v in sc.items() if k[2] == 1)
-        yd = next(v for k, v in sc.items() if k[2] == 2)
-
-        @_jax.jit
-        def raw(xa, ya, nr):
-            m = (_jax.lax.broadcasted_iota(jnp.int32, xa.shape, 0) < nr) & (
-                xa > 500000
-            )
-            return m.sum(dtype=jnp.int32), jnp.where(m, ya, 0).sum()
-
-        nr = jnp.asarray(n_rows, jnp.int32)
-        _jax.block_until_ready(raw(xd, yd, nr))
-        raws = []
-        for _ in range(iters):
-            t0 = time.time()
-            _jax.block_until_ready(raw(xd, yd, nr))
-            raws.append(time.time() - t0)
-        log(f"raw XLA ceiling: {min(raws)*1e3:.1f}ms — engine/raw = "
-            f"{best/min(raws):.2f}x")
-    except Exception as e:
-        log(f"raw ceiling measurement failed: {e!r}")
-
-    # dispatch floor: the relay/runtime fixed cost per kernel launch —
-    # measured with a near-noop kernel and subtracted so vs_baseline
-    # reflects DEVICE efficiency, not tunnel overhead (raw ceiling above
-    # shows engine == hand-written XLA either way)
-    try:
-        import jax.numpy as jnp
-
-        @_jax.jit
-        def noop(a):
-            return a + 1
-
-        small = jnp.zeros(8, jnp.int32)
-        _jax.block_until_ready(noop(small))
-        floors = []
-        for i in range(iters):
-            t0 = time.time()
-            _jax.block_until_ready(noop(small + i))
-            floors.append(time.time() - t0)
-        floor = min(floors)
-        log(f"dispatch floor ≈ {floor*1e3:.1f}ms")
-    except Exception:
-        floor = 0.0
-    adj = max(best - floor, 1e-6)
-    adj_rows_per_s = n_rows / adj
-    log(f"overhead-adjusted: {adj*1e3:.1f}ms → {adj_rows_per_s:,.0f} rows/s")
-
-    # speed-of-light: bytes touched = 4B (x) + 4B (y) per row from HBM
-    hbm_bw = {
-        "tpu": 819e9,  # v5e ~819 GB/s
-        "cpu": 100e9,  # rough host memory BW, for CI runs
-    }.get(backend, 819e9)
-    sol_rows_per_s = hbm_bw / 8.0
-    vs = adj_rows_per_s / sol_rows_per_s
-
-    # secondary benches to stderr (configs 2-4; opt-in — each adds compiles)
-    if os.environ.get("HEAVYDB_TPU_BENCH_FULL"):
-        try:
-            _secondary(db, rng, log)
-        except Exception as e:  # pragma: no cover
-            log(f"secondary benches failed: {e!r}")
-
-    print(json.dumps({
-        "metric": "scan_filter_agg_rows_per_s",
-        "value": rows_per_s,
-        "unit": "rows/s",
-        "vs_baseline": vs,
-    }), flush=True)
-
-
-def _secondary(db, rng, log):
-    import time
-
-    n = 20_000_000
-    k1 = rng.integers(0, 1000, n, dtype=np.int32)
-    k2 = rng.integers(0, 10_000_000, n, dtype=np.int32)
-    v = rng.random(n, dtype=np.float32)
-    db.sql("CREATE TABLE g (k1 INT, k2 INT, v FLOAT) WITH (fragment_size=33554432)")
+    # ---- configs 2-4 at 20M rows (unconditional) ----
+    m = min(20_000_000, n_rows)
+    k1 = rng.integers(0, 1000, m, dtype=np.int32)
+    k2 = rng.integers(0, 10_000_000, m, dtype=np.int32)
+    v = rng.random(m, dtype=np.float32)
+    db.sql("CREATE TABLE g (k1 INT, k2 INT, v FLOAT) "
+           "WITH (fragment_size=33554432)")
     db.catalog.get_table("g").insert_columns({1: k1, 2: k2, 3: v})
     db.sql("CREATE TABLE dim (k1 INT, nm INT)")
     db.catalog.get_table("dim").insert_columns({
@@ -165,17 +150,45 @@ def _secondary(db, rng, log):
         2: rng.integers(0, 50, 1000).astype(np.int32),
     })
     for label, q in [
-        ("groupby_1k_perfect", "SELECT k1, count(*), sum(v) FROM g GROUP BY k1"),
-        ("groupby_10m_hash", "SELECT k2, count(*) FROM g GROUP BY k2"),
-        ("topk_radix", "SELECT k2, v FROM g ORDER BY v DESC LIMIT 100"),
-        ("join_groupby", "SELECT d.nm, count(*), sum(g.v) FROM g "
-                         "JOIN dim d ON g.k1 = d.k1 GROUP BY d.nm"),
+        ("groupby_1k_perfect",
+         "SELECT k1, count(*), sum(v) FROM g GROUP BY k1"),
+        ("groupby_10m_sparse", "SELECT k2, count(*) FROM g GROUP BY k2"),
+        ("join_groupby",
+         "SELECT d.nm, count(*), sum(g.v) FROM g JOIN dim d "
+         "ON g.k1 = d.k1 GROUP BY d.nm"),
     ]:
-        db.sql(q)  # warm
-        t0 = time.time()
-        db.sql(q)
-        dt = time.time() - t0
-        log(f"{label}: {dt*1e3:.1f}ms ({n/dt/1e9:.2f}G rows/s)")
+        try:
+            per, first = chain_engine_kernel(db, q, m, label)
+            sub[label + "_rows_per_s"] = round(m / max(per, 1e-9))
+            sub[label + "_first_s"] = round(first, 2)
+        except Exception as e:
+            log(f"{label} failed: {e!r}")
+            sub[label + "_rows_per_s"] = None
+
+    # config 4: ORDER BY ... LIMIT (top-k) — full SQL wall (two runs;
+    # second reflects warm caches + device work despite relay slop)
+    try:
+        qk = "SELECT k2, v FROM g ORDER BY v DESC LIMIT 100"
+        t0 = time.perf_counter()
+        db.sql(qk)
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        db.sql(qk).rows()
+        warm = time.perf_counter() - t0
+        sub["topk_first_s"] = round(first, 2)
+        sub["topk_warm_e2e_s"] = round(warm, 2)
+        log(f"topk: first={first:.1f}s warm_e2e={warm:.1f}s")
+    except Exception as e:
+        log(f"topk failed: {e!r}")
+
+    print(json.dumps({
+        "metric": "scan_filter_agg_rows_per_s",
+        "value": rows_per_s,
+        "unit": "rows/s",
+        "vs_baseline": vs if sane else 0.0,
+        "sub": sub,
+        "measurement_sane": sane,
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,159 @@
+"""Weak-scaling benchmark — BASELINE config 5: multi-host TPC-H-style
+suite (Q1/Q3/Q5-like), hash-partitioned tables, skewed join keys.
+
+Per-host data size is FIXED; a perfectly scaling engine holds query time
+constant as hosts are added.  Efficiency(N) = T(1) / T(N).
+
+Runs on the multi-process CPU rig (Gloo) — the same DistEngine code path
+rides ICI/DCN on a real TPU pod.
+
+Usage:  /opt/venv/bin/python benchmarks/bench_multihost.py [rows_per_host]
+Prints one JSON line with per-N timings + efficiency.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+
+
+MAX_N = 4
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def worker(pid: int, nprocs: int, port: int, rows: int):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import heavydb_tpu as hdt
+    from heavydb_tpu.parallel.dist_engine import DistEngine
+    from heavydb_tpu.parallel.multihost import MultiHostRuntime
+
+    rt = MultiHostRuntime()
+    rt.initialize(f"127.0.0.1:{port}", nprocs, pid)
+
+    rng = np.random.default_rng(1234 + pid)
+    n = rows
+    # lineitem-ish fact: skewed FK (zipf-ish via squared uniform)
+    cust = (np.minimum(
+        (rng.random(n) ** 2 * 10_000).astype(np.int64), 9_999
+    )).astype(np.int32)
+    qty = rng.integers(1, 50, n).astype(np.int32)
+    price = (rng.random(n) * 1000).astype(np.float32)
+    disc = rng.integers(0, 10, n).astype(np.int32)
+    flag = rng.integers(0, 3, n).astype(np.int32)
+    mon = rng.integers(1, 13, n).astype(np.int32)
+
+    db = hdt.connect()
+    dist = DistEngine(db, rt)
+    dist.load_table("lineitem", {
+        "cust": cust, "qty": qty, "price": price, "disc": disc,
+        "flag": flag, "mon": mon,
+    })
+    dim_k = np.arange(10_000, dtype=np.int32)
+    dist.load_table("customer", {
+        "k": dim_k, "nation": (dim_k % 25).astype(np.int32),
+    }, replicated=True)
+
+    queries = [
+        # Q1-like: pricing summary
+        ("q1", "SELECT flag, count(*), sum(qty), avg(price), avg(disc) "
+               "FROM lineitem GROUP BY flag ORDER BY flag"),
+        # Q3-like: join + group + topk
+        ("q3", "SELECT c.nation, count(*), sum(l.price) FROM lineitem l "
+               "JOIN customer c ON l.cust = c.k GROUP BY c.nation "
+               "ORDER BY c.nation"),
+        # Q5-like: filtered join aggregate over skewed keys
+        ("q5", "SELECT c.nation, sum(l.price), avg(l.qty) FROM lineitem l "
+               "JOIN customer c ON l.cust = c.k WHERE l.mon <= 6 "
+               "GROUP BY c.nation ORDER BY c.nation"),
+    ]
+    # warm (compile)
+    for _, q in queries:
+        dist.sql(q)
+    rt.barrier("warm")
+    timings = {}
+    for name, q in queries:
+        rt.barrier(name)
+        t0 = time.perf_counter()
+        dist.sql(q)
+        rt.barrier(name + "_done")
+        timings[name] = time.perf_counter() - t0
+    if pid == 0:
+        print("TIMINGS " + json.dumps(timings), flush=True)
+
+
+def run_cluster(nprocs: int, rows: int):
+    port = _free_port()
+    # pin each worker to a disjoint core set: the rig shares one machine,
+    # and without affinity N workers oversubscribe the cores and the
+    # "weak scaling" curve measures contention, not the engine
+    ncores = os.cpu_count() or 1
+    # identical resources per "host" at every N (weak scaling compares
+    # equal per-host machines): one core slice sized for the largest N
+    per = max(ncores // MAX_N, 1)
+    procs = []
+    for p in range(nprocs):
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               str(p), str(nprocs), str(port), str(rows)]
+        if ncores >= MAX_N:
+            lo = (p % MAX_N) * per
+            hi = min(lo + per, ncores) - 1
+            cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    timings = None
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        for line in out.splitlines():
+            if line.startswith("TIMINGS "):
+                timings = json.loads(line[len("TIMINGS "):])
+        if p.returncode != 0:
+            print(out[-2000:], file=sys.stderr)
+            raise SystemExit(f"worker rc={p.returncode}")
+    return timings
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+               int(sys.argv[5]))
+        return
+    rows_per_host = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    global ROWS_PER_HOST
+    ROWS_PER_HOST = rows_per_host
+    results = {}
+    for nprocs in (1, 2, 4):
+        results[nprocs] = run_cluster(nprocs, ROWS_PER_HOST)
+        print(f"N={nprocs}: {results[nprocs]}", file=sys.stderr, flush=True)
+    total1 = sum(results[1].values())
+    out = {
+        "metric": "multihost_weak_scaling_efficiency",
+        "rows_per_host": ROWS_PER_HOST,
+        "timings": results,
+        "efficiency": {
+            n: total1 / max(sum(tv.values()), 1e-9)
+            for n, tv in results.items()
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,16 +20,26 @@ jax.config.update("jax_enable_x64", True)
 # near-free in every later process.  Verified working on the axon TPU
 # runtime (round-2 probe).  Opt out with HEAVYDB_TPU_NO_COMPILE_CACHE=1.
 if not os.environ.get("HEAVYDB_TPU_NO_COMPILE_CACHE"):
-    _cache_dir = os.environ.get(
-        "HEAVYDB_TPU_COMPILE_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "heavydb_tpu_xla"),
-    )
-    try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
+    # read the configured platform WITHOUT initializing the backend (a
+    # default_backend() probe here would break later
+    # jax.distributed.initialize calls in multi-host processes)
+    _platforms = (jax.config.jax_platforms or "").lower()
+    if _platforms.split(",")[0] not in ("cpu", ""):
+        # TPU only: CPU AOT artifacts embed machine features and reloading
+        # them on a different host risks SIGILL
+        _cache_dir = os.environ.get(
+            "HEAVYDB_TPU_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "heavydb_tpu_xla"),
+        )
+        try:
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
 
 from heavydb_tpu import types as T
 from heavydb_tpu.config import Config

@@ -125,11 +125,45 @@ class Executor:
     # entry
     # ------------------------------------------------------------------
     def execute(self, root: R.RelNode) -> B.Batch:
+        # dynamic (time-budget) watchdog — reference DynamicWatchdog.cpp:
+        # a cycle-budget deadline; ours is a wall deadline polled at every
+        # execution checkpoint (DAG steps, fragment waves, retry rounds)
+        import time as _time
+
+        limit_ms = 0
+        hints = getattr(self, "exec_hints", {}) or {}
+        if self.config.enable_dynamic_watchdog or hints.get(
+            "dynamic_watchdog"
+        ) or hints.get("query_time_limit"):
+            try:
+                limit_ms = int(hints.get("query_time_limit") or 0)
+            except (TypeError, ValueError):
+                limit_ms = 0
+            limit_ms = limit_ms or self.config.dynamic_watchdog_time_limit_ms
+        self._deadline = (
+            _time.monotonic() + limit_ms / 1000.0 if limit_ms else None
+        )
         if self.resource_mgr is not None:
             est = self.resource_mgr.estimate_scan_bytes(root)
             with self.resource_mgr.acquire(est):
                 return self._execute_admitted(root)
         return self._execute_admitted(root)
+
+    def _checkpoint(self):
+        """Interrupt + dynamic-watchdog poll (reference check_interrupt,
+        RuntimeFunctions.cpp:2548 + dynamic_watchdog deadline)."""
+        if self.interrupt_check is not None and self.interrupt_check():
+            from heavydb_tpu.errors import QueryInterrupted
+
+            raise QueryInterrupted("query interrupted by session")
+        dl = getattr(self, "_deadline", None)
+        if dl is not None:
+            import time as _time
+
+            if _time.monotonic() > dl:
+                raise WatchdogException(
+                    "query exceeded the dynamic watchdog time limit"
+                )
 
     def _execute_admitted(self, root: R.RelNode) -> B.Batch:
         self._substitute_subqueries(root, set())
@@ -248,10 +282,7 @@ class Executor:
     def _exec(self, node: R.RelNode, memo, needed) -> B.Batch:
         if node.id in memo:
             return memo[node.id]
-        if self.interrupt_check is not None and self.interrupt_check():
-            from heavydb_tpu.errors import QueryInterrupted
-
-            raise QueryInterrupted("query interrupted by session")
+        self._checkpoint()
         with self.timer.scope(f"{type(node).__name__}#{node.id}"):
             if isinstance(node, R.Scan):
                 out = self._exec_scan(node, needed)
@@ -561,6 +592,7 @@ class Executor:
     def _run_compound(self, node: R.Compound, batches, plan) -> B.Batch:
         # retry ladder
         for attempt in range(MAX_RETRIES + 1):
+            self._checkpoint()
             kernel, layout = self._get_kernel(node, batches, plan)
             args = self._kernel_args(batches, plan, layout)
             outs = kernel(*args)
@@ -655,10 +687,7 @@ class Executor:
 
         parts: List[List[np.ndarray]] = []
         for wave in waves:
-            if self.interrupt_check is not None and self.interrupt_check():
-                from heavydb_tpu.errors import QueryInterrupted
-
-                raise QueryInterrupted("query interrupted by session")
+            self._checkpoint()
             batch = self._exec_scan(scan, needed_fields, frag_ids=wave)
             plan = self._plan_compound(wave_node, [batch], [0])
             out = self._run_compound(wave_node, [batch], plan)

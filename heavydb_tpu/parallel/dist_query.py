@@ -112,6 +112,143 @@ def distributed_groupby_reduce_scatter(mesh: Mesh, num_slots: int):
     return jax.jit(mapped)
 
 
+def distributed_topk(mesh: Mesh, k: int, descending: bool = True):
+    """Distributed ORDER BY … LIMIT k: shard-local top-k, all_gather the
+    S·k candidates over ICI, final top-k replicated on every shard
+    (reference: leaf sort skipped, aggregator sorts —
+    RelAlgExecutor.cpp:1264-1292; here the 'aggregator' is every chip).
+
+    fn(values[N], payload[N], nrows[S]) → (top_vals[k], top_payload[k])."""
+    n_shards = mesh.shape[SHARD_AXIS]
+
+    def shard_body(values, payload, nrows):
+        n_local = values.shape[0]
+        in_domain = lax.broadcasted_iota(jnp.int32, (n_local,), 0) < nrows[0]
+        neutral = jnp.asarray(
+            -jnp.inf if descending else jnp.inf, values.dtype
+        )
+        masked = jnp.where(in_domain, values, neutral)
+        sv = masked if descending else -masked
+        loc_v, loc_i = lax.top_k(sv, min(k, n_local))
+        loc_p = payload[loc_i]
+        # gather all shards' candidates (replicated on every shard)
+        cand_v = lax.all_gather(loc_v, SHARD_AXIS, tiled=True)
+        cand_p = lax.all_gather(loc_p, SHARD_AXIS, tiled=True)
+        fin_v, fin_i = lax.top_k(cand_v, k)
+        out_v = fin_v if descending else -fin_v
+        return out_v, cand_p[fin_i]
+
+    mapped = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False,  # all_gather+top_k is replicated; not inferred
+    )
+    return jax.jit(mapped)
+
+
+def distributed_join_groupby(mesh: Mesh, row_block: int, num_groups: int):
+    """Repartitioned distributed hash join + group-by in ONE shard_map
+    program: both sides are routed to the shard owning hash(key) via
+    all_to_all, the co-located partitions join locally (sort + probe),
+    and per-group COUNT/SUM partials merge with psum.  The multi-chip
+    analogue of the reference's sharded co-located joins +
+    reduceMultiDeviceResults.
+
+    fn(pk, pg, pv, pn, bk, bn) → (counts[G], sums[G]) replicated, where
+    probe rows carry (key, group, value) and the build side is a key set
+    (semi-join style PK side).  Skew beyond row_block reports overflow."""
+    n_shards = mesh.shape[SHARD_AXIS]
+
+    def route(keys, in_domain):
+        k64 = keys.astype(jnp.uint64)
+        h = (k64 * jnp.uint64(0x9E3779B97F4A7C15)) >> jnp.uint64(33)
+        dest = (h % jnp.uint64(n_shards)).astype(jnp.int32)
+        return jnp.where(in_domain, dest, n_shards)
+
+    def exchange(dest, cols, n_local):
+        """Route rows to dest shards with fixed row_block bins; returns
+        (received cols, received counts[S], overflow)."""
+        order = jnp.argsort(dest)
+        sdest = dest[order]
+        counts = jnp.zeros(n_shards + 1, jnp.int32).at[sdest].add(
+            1
+        )[:n_shards]
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+        )
+        pos = lax.broadcasted_iota(jnp.int32, (n_local,), 0) - offsets[
+            jnp.clip(sdest, 0, n_shards - 1)
+        ]
+        ok = (sdest < n_shards) & (pos < row_block)
+        flat = jnp.where(
+            ok, sdest * row_block + pos, n_shards * row_block
+        )
+        outs = []
+        for c in cols:
+            sc = c[order]
+            send = jnp.zeros(
+                n_shards * row_block + 1, c.dtype
+            ).at[flat].set(sc, mode="drop")[:-1].reshape(n_shards, row_block)
+            outs.append(
+                lax.all_to_all(send, SHARD_AXIS, 0, 0, tiled=False)
+                .reshape(n_shards * row_block)
+            )
+        cnt = lax.all_to_all(
+            jnp.minimum(counts, row_block).reshape(n_shards, 1),
+            SHARD_AXIS, 0, 0, tiled=False,
+        ).reshape(n_shards)
+        overflow = lax.psum(
+            jnp.maximum(jnp.max(counts) - row_block, 0), SHARD_AXIS
+        )
+        return outs, cnt, overflow
+
+    def shard_body(pk, pg, pv, pn, bk, bn):
+        np_local = pk.shape[0]
+        nb_local = bk.shape[0]
+        p_dom = lax.broadcasted_iota(jnp.int32, (np_local,), 0) < pn[0]
+        b_dom = lax.broadcasted_iota(jnp.int32, (nb_local,), 0) < bn[0]
+        # repartition both sides by key hash → co-located partitions
+        (rpk, rpg, rpv), pcnt, pov = exchange(
+            route(pk, p_dom), [pk, pg, pv], np_local
+        )
+        (rbk,), bcnt, bov = exchange(route(bk, b_dom), [bk], nb_local)
+        # received-row validity masks
+        r_iota = lax.broadcasted_iota(
+            jnp.int32, (n_shards * row_block,), 0
+        )
+        p_valid = (r_iota % row_block) < pcnt[r_iota // row_block]
+        b_valid = (r_iota % row_block) < bcnt[r_iota // row_block]
+        # local join: does the probe key exist in the build partition?
+        sb = jnp.sort(jnp.where(b_valid, rbk, jnp.int64(2**62)))
+        pos = jnp.searchsorted(sb, rpk)
+        safe = jnp.clip(pos, 0, sb.shape[0] - 1)
+        hit = p_valid & (sb[safe] == rpk)
+        # local partial group aggregate → psum merge
+        gid = jnp.clip(rpg.astype(jnp.int32), 0, num_groups - 1)
+        seg = jnp.where(hit, gid, num_groups)
+        counts = jnp.zeros(num_groups + 1, jnp.int32).at[seg].add(
+            1
+        )[:num_groups]
+        sums = jnp.zeros(num_groups + 1, jnp.float32).at[seg].add(
+            jnp.where(hit, rpv, 0.0).astype(jnp.float32)
+        )[:num_groups]
+        counts = lax.psum(counts, SHARD_AXIS)
+        sums = lax.psum(sums, SHARD_AXIS)
+        overflow = (pov + bov).reshape(1)
+        return counts, sums, overflow
+
+    mapped = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),) * 6,
+        out_specs=(P(), P(), P(SHARD_AXIS)),
+    )
+    return jax.jit(mapped)
+
+
 def hash_repartition(mesh: Mesh, row_block: int):
     """Builds a jitted shuffle step: route rows to shard hash(key) % S.
 

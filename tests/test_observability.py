@@ -85,3 +85,31 @@ def test_alter_session_set(db):
     assert db.config.watchdog_max_projected_rows == 1000
     with _pt.raises(SqlError):
         db.sql("ALTER SESSION SET bogus_flag = 1")
+
+
+def test_dynamic_watchdog_time_limit():
+    """Reference DynamicWatchdog.cpp: a time-budget deadline aborts the
+    query at the next execution checkpoint (here: streaming waves)."""
+    import numpy as np
+    import time
+    import pytest
+
+    import heavydb_tpu as hdt
+    from heavydb_tpu.config import Config
+    from heavydb_tpu.errors import WatchdogException
+
+    rng = np.random.default_rng(0)
+    db = hdt.connect(config=Config(
+        stream_threshold_bytes=50_000, default_fragment_rows=30_000))
+    db.load_table("wd", {
+        "k": rng.integers(0, 50, 200_000).astype(np.int32),
+        "v": rng.random(200_000).astype(np.float32),
+    }, create=True)
+    assert db.sql("SELECT count(*) FROM wd").rows()[0][0] == 200_000
+    t0 = time.time()
+    with pytest.raises(WatchdogException):
+        db.sql("SELECT /*+ query_time_limit(1) */ k, sum(v), avg(v) "
+               "FROM wd GROUP BY k").rows()
+    assert time.time() - t0 < 5.0
+    # deadline does not leak into later queries
+    assert db.sql("SELECT count(*) FROM wd WHERE k < 10").rows()[0][0] > 0
