@@ -828,9 +828,19 @@ class Database:
         for cd in st.columns:
             ti = resolve_type_name(cd.type_name)
             defs.append((cd.name, ti))
-        self.catalog.create_table(
+        t = self.catalog.create_table(
             st.name, defs, frag_rows, st.if_not_exists, st.temporary
         )
+        if st.shard_key is not None:
+            # reference TableDescriptor SHARD_KEY + nShards
+            # (Catalog/TableDescriptor.h:59-66): drives co-located
+            # distributed loads (parallel/dist_engine.py)
+            if t.column_by_name(st.shard_key) is None:
+                raise BinderError(
+                    f"SHARD KEY column {st.shard_key!r} not in table"
+                )
+            t.shard_key = st.shard_key.lower()
+            t.shard_count = int(st.options.get("shard_count", 0))
         return None
 
     # ------------------------------------------------------------------

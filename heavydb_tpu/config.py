@@ -70,6 +70,10 @@ class Config:
     watchdog_max_projected_rows: int = 128_000_000
     enable_dynamic_watchdog: bool = False
     dynamic_watchdog_time_limit_ms: int = 0
+    # session lifecycle eviction (reference Catalog/SessionsStore.cpp);
+    # 0 disables
+    idle_session_duration_s: int = 0
+    max_session_duration_s: int = 0
     # Two-pass filtered projection: static output cap = input rows unless a
     # LIMIT lets us cap lower (reference scan_limit).
     enable_columnar_output: bool = True

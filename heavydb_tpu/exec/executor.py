@@ -1159,9 +1159,12 @@ class Executor:
                 from heavydb_tpu.storage.string_ops import int_string_fn
 
                 args = tuple(_json.loads(pred.pattern))
-                host = np.zeros(padded, np.int32)
+                dt = pred.type.np_dtype()
+                sentinel = pred.type.null_sentinel()
+                host = np.zeros(padded, dt)
                 for i, s in enumerate(d.entries()):
-                    host[i] = int_string_fn(s, pred.cmp_op, args)
+                    v = int_string_fn(s, pred.cmp_op, args)
+                    host[i] = sentinel if v is None else v
             else:
                 host = np.zeros(padded, bool)
                 if pred.kind in ("LIKE", "ILIKE"):
@@ -1268,7 +1271,8 @@ class Executor:
         else:
             validf = flat != eti.null_sentinel()
 
-        if afn.op in ("AREA", "PERIMETER", "CONTAINS", "CONTAINS_LITPOLY"):
+        if afn.op in ("AREA", "PERIMETER", "CONTAINS", "CONTAINS_LITPOLY",
+                      "NPOINTS", "INTERSECTS_LIT"):
             res = self._geo_aux(afn, t, cid, rows, lengths, flat)
             self.aux_cache[cache_key] = res
             return res
@@ -1406,60 +1410,167 @@ class Executor:
         (reference QueryEngine/GeoOps; ST_Contains uses even-odd ray
         casting like the reference's point-in-polygon runtime function).
         AREA/PERIMETER → f64[n]; CONTAINS* → int8[n] (1/0/-1)."""
+        from heavydb_tpu.storage.table import geo_rings, wkt_to_coords
+
         n = len(rows)
+        K = T.SQLTypeKind
+        kind = afn.elem.kind
+
+        def shoelace(c):
+            x, y = c[0::2], c[1::2]
+            return 0.5 * abs(
+                np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+            )
+
         if afn.op == "AREA":
             out = np.full(n, np.nan)
             for i, r in enumerate(rows):
-                if r is None or len(r) < 6:
+                if r is None:
                     continue
-                x, y = r[0::2], r[1::2]
-                out[i] = 0.5 * abs(
-                    np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
-                )
-            res = (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
-                                           T.double(True))),)
-            return res
+                a = 0.0
+                for c, outer in geo_rings(r, kind):
+                    if len(c) >= 6:
+                        a += shoelace(c) if outer else -shoelace(c)
+                out[i] = max(a, 0.0)
+            return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                            T.double(True))),)
         if afn.op == "PERIMETER":
             out = np.full(n, np.nan)
-            closed = afn.elem.kind != T.SQLTypeKind.GEO_LINESTRING
+            closed = kind != K.GEO_LINESTRING
             for i, r in enumerate(rows):
-                if r is None or len(r) < 4:
+                if r is None:
                     continue
-                x, y = r[0::2], r[1::2]
-                if closed:
-                    x = np.append(x, x[0])
-                    y = np.append(y, y[0])
-                out[i] = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2).sum()
-            res = (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
-                                           T.double(True))),)
-            return res
+                p = 0.0
+                any_ring = False
+                for c, _ in geo_rings(r, kind):
+                    if len(c) < 4:
+                        continue
+                    any_ring = True
+                    x, y = c[0::2], c[1::2]
+                    if closed:
+                        x = np.append(x, x[0])
+                        y = np.append(y, y[0])
+                    p += np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2).sum()
+                if any_ring:
+                    out[i] = p
+            return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                            T.double(True))),)
+        if afn.op == "NPOINTS":
+            out = np.full(n, -1, np.int32)
+            for i, r in enumerate(rows):
+                if r is None:
+                    continue
+                out[i] = sum(
+                    len(c) // 2 for c, _ in geo_rings(r, kind)
+                )
+            return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                            T.integer(False))),)
 
-        from heavydb_tpu.storage.table import wkt_to_coords
+        def point_in(px, py, rings):
+            """Even-odd point-in-polygon across ALL rings (outer rings and
+            holes alike — parity handles holes; reference point-in-poly
+            runtime function semantics)."""
+            crossings = 0
+            for c, _ in rings:
+                if len(c) < 6:
+                    continue
+                x, y = c[0::2], c[1::2]
+                x2, y2 = np.roll(x, -1), np.roll(y, -1)
+                cr = ((y > py) != (y2 > py)) & (
+                    px < (x2 - x) * (py - y)
+                    / np.where(y2 == y, 1e-300, y2 - y) + x
+                )
+                crossings += int(cr.sum())
+            return crossings % 2 == 1
 
-        def ray_cast(px, py, ring):
-            """Even-odd point-in-polygon; boundary counts as inside."""
-            x, y = ring[0::2], ring[1::2]
-            x2, y2 = np.roll(x, -1), np.roll(y, -1)
-            crosses = ((y > py) != (y2 > py)) & (
-                px < (x2 - x) * (py - y) / np.where(y2 == y, 1e-300, y2 - y)
-                + x
-            )
-            return int(crosses.sum()) % 2 == 1
+        def segs(rings, close=True):
+            for c, _ in rings:
+                if len(c) < 4:
+                    continue
+                x, y = c[0::2], c[1::2]
+                x2 = np.roll(x, -1) if close else x[1:]
+                y2 = np.roll(y, -1) if close else y[1:]
+                if not close:
+                    x, y = x[:-1], y[:-1]
+                yield x, y, x2, y2
+
+        def seg_intersect(a, b):
+            """Any segment of ring-set a intersects any segment of b."""
+            B_ = list(segs(b))
+            for ax, ay, ax2, ay2 in segs(a):
+                for bx, by, bx2, by2 in B_:
+                    d1x, d1y = ax2 - ax, ay2 - ay
+                    # orientation cross products, vectorized over a-segs
+                    for j in range(len(bx)):
+                        o1 = d1x * (by[j] - ay) - d1y * (bx[j] - ax)
+                        o2 = d1x * (by2[j] - ay) - d1y * (bx2[j] - ax)
+                        d2x, d2y = bx2[j] - bx[j], by2[j] - by[j]
+                        o3 = d2x * (ay - by[j]) - d2y * (ax - bx[j])
+                        o4 = d2x * (ay2 - by[j]) - d2y * (ax2 - bx[j])
+                        hit = ((np.sign(o1) != np.sign(o2))
+                               & (np.sign(o3) != np.sign(o4)))
+                        if bool(hit.any()):
+                            return True
+            return False
+
+        def geoms_intersect(ra, ka, rb, kb):
+            """Exact-ish intersection: bbox prefilter, then segment
+            crossing or containment either way."""
+            poly_kinds = (K.GEO_POLYGON, K.GEO_MULTIPOLYGON)
+            flat_a = np.concatenate([c for c, _ in ra]) if ra else np.empty(0)
+            flat_b = np.concatenate([c for c, _ in rb]) if rb else np.empty(0)
+            if flat_a.size < 2 or flat_b.size < 2:
+                return False
+            if (flat_a[0::2].min() > flat_b[0::2].max()
+                    or flat_a[0::2].max() < flat_b[0::2].min()
+                    or flat_a[1::2].min() > flat_b[1::2].max()
+                    or flat_a[1::2].max() < flat_b[1::2].min()):
+                return False
+            if ka == K.GEO_POINT:
+                if kb in poly_kinds:
+                    return point_in(flat_a[0], flat_a[1], rb)
+                if kb == K.GEO_POINT:
+                    return bool(flat_a[0] == flat_b[0]
+                                and flat_a[1] == flat_b[1])
+            if kb == K.GEO_POINT:
+                return geoms_intersect(rb, kb, ra, ka)
+            if seg_intersect(ra, rb):
+                return True
+            if ka in poly_kinds and point_in(flat_b[0], flat_b[1], ra):
+                return True
+            if kb in poly_kinds and point_in(flat_a[0], flat_a[1], rb):
+                return True
+            return False
 
         out = np.full(n, -1, np.int8)
         if afn.op == "CONTAINS_LITPOLY":
-            ring = wkt_to_coords(afn.args[0].value,
-                                 T.SQLTypeKind.GEO_POLYGON)
-            x, y = ring[0::2], ring[1::2]
-            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            lit_rings = geo_rings(
+                wkt_to_coords(afn.args[0].value, K.GEO_POLYGON),
+                K.GEO_POLYGON,
+            )
             for i, r in enumerate(rows):
                 if r is None or len(r) < 2:
                     continue
-                out[i] = 1 if ray_cast(r[0], r[1], ring) else 0
+                out[i] = 1 if point_in(r[0], r[1], lit_rings) else 0
+        elif afn.op == "INTERSECTS_LIT":
+            wkt = str(afn.args[0].value)
+            tag = wkt.strip().split("(")[0].strip().upper()
+            lk = {
+                "POINT": K.GEO_POINT, "LINESTRING": K.GEO_LINESTRING,
+                "POLYGON": K.GEO_POLYGON,
+                "MULTIPOLYGON": K.GEO_MULTIPOLYGON,
+            }[tag]
+            lit_rings = geo_rings(wkt_to_coords(wkt, lk), lk)
+            for i, r in enumerate(rows):
+                if r is None:
+                    continue
+                out[i] = 1 if geoms_intersect(
+                    geo_rings(r, kind), kind, lit_rings, lk
+                ) else 0
         else:  # CONTAINS: per-row polygon, point column or literal point
             pt = afn.args[0]
             if isinstance(pt, E.Constant):
-                c = wkt_to_coords(pt.value, T.SQLTypeKind.GEO_POINT)
+                c = wkt_to_coords(pt.value, K.GEO_POINT)
                 pxs = np.full(n, c[0])
                 pys = np.full(n, c[1])
                 pok = np.ones(n, bool)
@@ -1472,9 +1583,11 @@ class Executor:
                         pxs[i], pys[i] = pr[0], pr[1]
                 pok = ~np.isnan(pxs)
             for i, r in enumerate(rows):
-                if r is None or len(r) < 6 or not pok[i]:
+                if r is None or not pok[i]:
                     continue
-                out[i] = 1 if ray_cast(pxs[i], pys[i], r) else 0
+                out[i] = 1 if point_in(
+                    pxs[i], pys[i], geo_rings(r, kind)
+                ) else 0
         return (
             jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
                                     T.tinyint(False))),

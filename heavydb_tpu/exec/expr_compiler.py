@@ -99,12 +99,16 @@ class ExprCompiler:
         if e.op == "CARDINALITY":
             ln = aux[0][ridc]
             return ln, okrid & (ln >= 0)
-        if e.op in ("ANY", "ALL", "CONTAINS", "CONTAINS_LITPOLY"):
+        if e.op in ("ANY", "ALL", "CONTAINS", "CONTAINS_LITPOLY",
+                    "INTERSECTS_LIT"):
             r = aux[0][ridc]
             return r == 1, okrid & (r != -1)
         if e.op in ("AREA", "PERIMETER"):
             v = aux[0][ridc]
             return v, okrid & ~jnp.isnan(v)
+        if e.op == "NPOINTS":
+            v = aux[0][ridc]
+            return v, okrid & (v >= 0)
         # SUBSCRIPT
         lengths, offsets, flat = aux
         k, kvalid = self.compile(e.args[0])
@@ -306,10 +310,15 @@ class ExprCompiler:
         ids, valid = self.compile(e.arg)
         aux = self.aux[e.key()]
         if e.kind in ("LENGTH", "INTFN"):
-            # aux: int32 value per dict id (LENGTH / POSITION / ...)
+            # aux: int value per dict id (LENGTH / POSITION / HASH / ...);
+            # per-entry NULL results (e.g. HASH('') ) are stored as the
+            # type's null sentinel
             n = aux.shape[0]
             safe = jnp.clip(ids, 0, max(n - 1, 0))
             out = aux[safe] if n else jnp.zeros_like(ids)
+            if e.kind == "INTFN" and n:
+                ok = out != jnp.asarray(e.type.null_sentinel(), aux.dtype)
+                valid = and_valid(valid, ok)
             return out, valid
         if e.kind == "TRYCAST":
             n = aux.shape[0]
@@ -402,6 +411,14 @@ class ExprCompiler:
         }
         if name in f1:
             return jnp.asarray(f1[name](vals[0]), out_dt), valid
+        if name in ("GREATEST", "LEAST"):
+            # SQL n-ary max/min; NULL if any argument is NULL (valid is
+            # already the AND of argument validities)
+            fn = jnp.maximum if name == "GREATEST" else jnp.minimum
+            acc = vals[0]
+            for v in vals[1:]:
+                acc = fn(acc, v)
+            return jnp.asarray(acc, out_dt), valid
         if name in ("CEIL", "CEILING"):
             ti = e.args[0].type
             if ti.is_fp:

@@ -26,22 +26,16 @@ from heavydb_tpu.plan import exprs as E
 
 
 def run_window(node, inp, aux, cache=None) -> List[jax.Array]:
+    """ONE jit'd program PER (partition, order) spec — each program carries
+    a single multi-operand lax.sort, so XLA never sees all specs' sorts
+    fused into one giant kernel (round-1: a multi-spec 20M-row window
+    program OOM'd the remote compile helper).  Specs execute sequentially;
+    outputs land in original wfunc order."""
     from heavydb_tpu.exec.executor import _derive_valid
 
     padded = inp.padded
     present = [i for i, c in enumerate(inp.cols) if c is not None]
     wfuncs = node.wfuncs
-    ck = ("window", node.plan_key(), padded, tuple(present),
-          tuple(str(inp.cols[i].dtype) for i in present),
-          tuple(sorted(aux.keys(), key=repr)))
-    if cache is not None and ck in cache:
-        jitted = cache[ck]
-        aux_keys = sorted(aux.keys(), key=repr)
-        return jitted(
-            jnp.asarray(inp.nrows, jnp.int32),
-            tuple(aux[k] for k in aux_keys),
-            *[inp.cols[i] for i in present],
-        )
 
     # group funcs by (partition, order) spec so each spec sorts once
     spec_groups: Dict[tuple, List[int]] = {}
@@ -52,8 +46,35 @@ def run_window(node, inp, aux, cache=None) -> List[jax.Array]:
         )
         spec_groups.setdefault(spec, []).append(i)
 
+    aux_keys = sorted(aux.keys(), key=repr)
+    outs: List[jax.Array] = [None] * len(wfuncs)
+    for spec, widxs in spec_groups.items():
+        ck = ("window", node.plan_key(), spec, tuple(widxs), padded,
+              tuple(present),
+              tuple(str(inp.cols[i].dtype) for i in present),
+              tuple(aux_keys))
+        jitted = cache.get(ck) if cache is not None else None
+        if jitted is None:
+            jitted = jax.jit(_make_spec_kernel(
+                node, inp, padded, present, wfuncs, widxs, aux_keys
+            ))
+            if cache is not None:
+                cache[ck] = jitted
+        res = jitted(
+            jnp.asarray(inp.nrows, jnp.int32),
+            tuple(aux[k] for k in aux_keys),
+            *[inp.cols[i] for i in present],
+        )
+        for wi, o in zip(widxs, res):
+            outs[wi] = o
+    return outs
+
+
+def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys):
+    from heavydb_tpu.exec.executor import _derive_valid
+
     def kernel(nrows, aux_vals, *cols):
-        aux_dict = dict(zip(sorted(aux.keys(), key=repr), aux_vals))
+        aux_dict = dict(zip(aux_keys, aux_vals))
         in_domain = lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
         col_tvs = {}
         for j, ci in enumerate(present):
@@ -63,69 +84,56 @@ def run_window(node, inp, aux, cache=None) -> List[jax.Array]:
             col_tvs[ci] = (val, valid)
         comp = ExprCompiler(col_tvs, aux_dict, {})
 
-        outs: List[jax.Array] = [None] * len(wfuncs)
-        for (pk, ok), widxs in spec_groups.items():
-            w0 = wfuncs[widxs[0]]
-            operands = [(~in_domain).astype(jnp.int8)]
-            for p in w0.partition_by:
-                val, valid = comp.compile(p)
-                nullf, v = _canonical_key(jnp.asarray(val), valid)
-                operands += [nullf, v]
-            n_part_ops = len(operands)
-            for e, asc, nf in w0.order_by:
-                val, valid = comp.compile(e)
-                nullr, v = _sortable_operands(val, valid, asc, nf)
-                operands += [nullr, v]
-            rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
-            res = lax.sort(operands + [rows], num_keys=len(operands),
-                           is_stable=True)
-            s_rows = res[-1]
-            # partition starts: first row, any partition operand changed, or
-            # the in-domain flag changed (out-of-domain pad rows must form
-            # their own partition so they can't pollute running aggregates)
-            pstart = jnp.zeros(padded, jnp.bool_).at[0].set(True)
-            for opnd in res[0:n_part_ops]:
-                pstart = pstart | jnp.concatenate(
-                    [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
-                )
-            # peer-group starts: any order operand changed
-            ostart = jnp.zeros(padded, jnp.bool_)
-            for opnd in res[n_part_ops:-1]:
-                ostart = ostart | jnp.concatenate(
-                    [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
-                )
+        w0 = wfuncs[widxs[0]]
+        operands = [(~in_domain).astype(jnp.int8)]
+        for p in w0.partition_by:
+            val, valid = comp.compile(p)
+            nullf, v = _canonical_key(jnp.asarray(val), valid)
+            operands += [nullf, v]
+        n_part_ops = len(operands)
+        for e, asc, nf in w0.order_by:
+            val, valid = comp.compile(e)
+            nullr, v = _sortable_operands(val, valid, asc, nf)
+            operands += [nullr, v]
+        rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
+        res = lax.sort(operands + [rows], num_keys=len(operands),
+                       is_stable=True)
+        s_rows = res[-1]
+        # partition starts: first row, any partition operand changed, or
+        # the in-domain flag changed (out-of-domain pad rows must form
+        # their own partition so they can't pollute running aggregates)
+        pstart = jnp.zeros(padded, jnp.bool_).at[0].set(True)
+        for opnd in res[0:n_part_ops]:
+            pstart = pstart | jnp.concatenate(
+                [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
+            )
+        # peer-group starts: any order operand changed
+        ostart = jnp.zeros(padded, jnp.bool_)
+        for opnd in res[n_part_ops:-1]:
+            ostart = ostart | jnp.concatenate(
+                [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
+            )
 
-            for wi in widxs:
-                w = wfuncs[wi]
-                val_s, valid_s = _compute_one(
-                    w, comp, s_rows, pstart, ostart
-                )
-                out_dt = w.type.np_dtype()
-                val_s = jnp.broadcast_to(
-                    jnp.asarray(val_s, out_dt), (padded,)
-                )
-                if valid_s is not None:
-                    if out_dt.kind == "f":
-                        val_s = jnp.where(valid_s, val_s,
-                                          jnp.asarray(np.nan, out_dt))
-                    else:
-                        val_s = jnp.where(
-                            valid_s, val_s,
-                            jnp.asarray(w.type.null_sentinel(), out_dt),
-                        )
-                # scatter back to original row order
-                outs[wi] = jnp.zeros(padded, out_dt).at[s_rows].set(val_s)
+        outs = []
+        for wi in widxs:
+            w = wfuncs[wi]
+            val_s, valid_s = _compute_one(w, comp, s_rows, pstart, ostart)
+            out_dt = w.type.np_dtype()
+            val_s = jnp.broadcast_to(jnp.asarray(val_s, out_dt), (padded,))
+            if valid_s is not None:
+                if out_dt.kind == "f":
+                    val_s = jnp.where(valid_s, val_s,
+                                      jnp.asarray(np.nan, out_dt))
+                else:
+                    val_s = jnp.where(
+                        valid_s, val_s,
+                        jnp.asarray(w.type.null_sentinel(), out_dt),
+                    )
+            # scatter back to original row order
+            outs.append(jnp.zeros(padded, out_dt).at[s_rows].set(val_s))
         return tuple(outs)
 
-    aux_keys = sorted(aux.keys(), key=repr)
-    jitted = jax.jit(kernel)
-    if cache is not None:
-        cache[ck] = jitted
-    return jitted(
-        jnp.asarray(inp.nrows, jnp.int32),
-        tuple(aux[k] for k in aux_keys),
-        *[inp.cols[i] for i in present],
-    )
+    return kernel
 
 
 def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart):

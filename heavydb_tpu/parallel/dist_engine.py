@@ -48,14 +48,41 @@ class DistEngine:
     # loading
     # ------------------------------------------------------------------
     def load_table(self, name: str, local_data, create: bool = True,
-                   replicated: bool = False):
+                   replicated: bool = False,
+                   route_by_shard_key: bool = False):
         """Load `local_data` (this host's rows; dict of numpy columns).
         Distributed tables build their string dictionaries globally so ids
         agree on every host; replicated tables must be passed identical
-        data on every host."""
+        data on every host.  With route_by_shard_key=True every host passes
+        the SAME full dataset and keeps only the rows whose
+        hash(shard_key) lands on it — the reference's SHARD_KEY co-located
+        loading (Fragmenter/InsertDataLoader shard routing)."""
         from heavydb_tpu.api import _normalize_tabular, _infer_type
 
         cols = _normalize_tabular(local_data)
+        if route_by_shard_key and self.rt.num_processes > 1:
+            existing = self.db.catalog.get_table_opt(name)
+            key_col = getattr(existing, "shard_key", None) if existing \
+                else None
+            if key_col is None or key_col not in cols:
+                raise NotSupported(
+                    "route_by_shard_key requires a table created with "
+                    "SHARD KEY (col)"
+                )
+            k = np.asarray(cols[key_col])
+            if k.dtype.kind in "iu":
+                h = (k.astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+                dest = (h % np.uint64(self.rt.num_processes)).astype(int)
+            else:
+                import zlib
+
+                dest = np.array([
+                    zlib.crc32(str(v).encode()) % self.rt.num_processes
+                    for v in k
+                ])
+            keep = dest == self.rt.process_id
+            cols = {c: np.asarray(a)[keep] for c, a in cols.items()}
         if create and self.db.catalog.get_table_opt(name) is None:
             defs = [(cname, _infer_type(arr)) for cname, arr in cols.items()]
             self.db.catalog.create_table(name, defs)

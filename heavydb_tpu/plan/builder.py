@@ -205,7 +205,7 @@ _STRING_FNS = {
     "LTRIM", "RTRIM", "SUBSTRING", "SUBSTR", "REPLACE", "LPAD", "RPAD",
     "REPEAT", "SPLIT_PART", "REGEXP_REPLACE", "BASE64_ENCODE",
     "BASE64_DECODE", "URL_ENCODE", "URL_DECODE", "OVERLAY", "JSON_VALUE",
-    "REGEXP_SUBSTR",
+    "REGEXP_SUBSTR", "LEFT", "RIGHT",
 }
 
 # integer-valued string kernels → per-entry int lookup tables
@@ -216,6 +216,8 @@ _INT_STRING_FNS = {
     "REGEXP_COUNT": "REGEXP_COUNT",
     "LEVENSHTEIN_DISTANCE": "LEVENSHTEIN",
     "LEVENSHTEIN": "LEVENSHTEIN",
+    "JAROWINKLER_SIMILARITY": "JAROWINKLER",
+    "HASH": "HASH",
 }
 
 _EXTRACT_MAP = {f.value: f for f in E.ExtractField}
@@ -766,12 +768,49 @@ class ExprBinder:
             return x if name == "ST_X" else y
         if name == "ST_NPOINTS" and len(node.args) == 1:
             base = self._array_base(node.args[0])
+            if base.type.kind in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
+                # ring-header payloads count points host-side
+                return E.ArrayFn(
+                    op="NPOINTS", arr_ref=base.dict_ref, rowid=base,
+                    elem=base.type.elem_type(), type=T.integer(True),
+                )
             card = E.ArrayFn(
                 op="CARDINALITY", arr_ref=base.dict_ref, rowid=base,
                 elem=base.type.elem_type(), type=T.integer(True),
             )
             return E.BinOp(E.BinOpKind.DIV, card,
                            E.Constant(2, T.integer(False)), T.integer(True))
+        if name == "ST_INTERSECTS" and len(node.args) == 2:
+            # column vs literal geometry (either argument order); exact
+            # host-side test with bbox prefilter (reference
+            # BoundingBoxIntersectJoinHashTable residual semantics)
+            a_ast, b_ast = node.args
+
+            def lit_wkt(ast):
+                if isinstance(ast, A.Literal):
+                    return str(ast.value)
+                if isinstance(ast, A.FuncCall) and ast.name in (
+                    "ST_GEOMFROMTEXT", "ST_GEOGFROMTEXT"
+                ):
+                    return str(ast.args[0].value)
+                return None
+
+            wa, wb = lit_wkt(a_ast), lit_wkt(b_ast)
+            if wa is not None and wb is None:
+                a_ast, b_ast, wa, wb = b_ast, a_ast, wb, wa
+            if wb is None:
+                raise NotSupported(
+                    "ST_INTERSECTS requires one literal geometry "
+                    "(geo joins: round-3)"
+                )
+            base = self._array_base(a_ast)
+            if not base.type.is_geo:
+                raise BinderError("ST_INTERSECTS expects a geo column")
+            return E.ArrayFn(
+                op="INTERSECTS_LIT", arr_ref=base.dict_ref, rowid=base,
+                args=(E.Constant(wb, T.text_dict(False)),),
+                elem=base.type.elem_type(), type=T.boolean(True),
+            )
         if name == "ST_DISTANCE" and len(node.args) == 2:
             ax, ay = self._geo_xy(node.args[0])
             bx, by = self._geo_xy(node.args[1])
@@ -951,6 +990,44 @@ class ExprBinder:
             args = tuple(self._bind(a) for a in node.args)
             out = self._math_result_type(name, args)
             return E.FunctionOp(name, args, out)
+        if name in ("GREATEST", "LEAST") and node.args:
+            args = [self._bind(a) for a in node.args]
+            c = args[0]
+            for a in args[1:]:
+                c, _ = self._coerce_pair(c, a)
+            ft = c.type.with_nullable(any(a.type.nullable for a in args))
+            cast_args = tuple(self._cast_to(a, ft) for a in args)
+            return E.FunctionOp(name, cast_args, ft)
+        if name == "SPACE" and len(node.args) == 1:
+            c = self._bind(node.args[0])
+            if not isinstance(c, E.Constant):
+                raise NotSupported("SPACE requires a constant argument")
+            return E.Constant(
+                " " * int(c.value), T.TypeInfo(T.SQLTypeKind.TEXT, False)
+            )
+        if name in ("STARTSWITH", "STARTS_WITH", "ENDSWITH", "ENDS_WITH",
+                    "CONTAINS") and len(node.args) == 2:
+            # desugar to anchored LIKE over the dictionary (reference
+            # SqlStringOpKind STARTSWITH/ENDSWITH/CONTAINS)
+            arg = self._bind(node.args[0])
+            lit = self._bind(node.args[1])
+            if not isinstance(lit, E.Constant):
+                raise NotSupported(f"{name} requires a constant pattern")
+            if not arg.type.is_dict_string:
+                raise NotSupported(f"{name} on non-dictionary strings")
+            pat = (str(lit.value).replace("\\", "\\\\")
+                   .replace("%", "\\%").replace("_", "\\_"))
+            if name.startswith("STARTS"):
+                pat = pat + "%"
+            elif name.startswith("ENDS"):
+                pat = "%" + pat
+            else:
+                pat = "%" + pat + "%"
+            return E.DictStrPredicate(
+                arg=arg, kind="LIKE", pattern=pat, escape="\\",
+                dict_ref=getattr(arg, "dict_ref", None),
+                type=T.boolean(arg.type.nullable),
+            )
         if name in _STRING_FNS:
             return self._bind_string_fn(name, node.args)
         if name in _INT_STRING_FNS:
@@ -965,11 +1042,18 @@ class ExprBinder:
                 if not isinstance(c, E.Constant):
                     raise NotSupported(f"{name} requires constant arguments")
                 extra.append(c.value)
+            fn = _INT_STRING_FNS[name]
+            # HASH/JAROWINKLER return BIGINT (reference kBIGINT) and can
+            # yield NULL (empty-string inputs)
+            out_t = (
+                T.bigint(True) if fn in ("HASH", "JAROWINKLER")
+                else T.integer(arg.type.nullable)
+            )
             return E.DictStrPredicate(
-                arg=arg, kind="INTFN", cmp_op=_INT_STRING_FNS[name],
+                arg=arg, kind="INTFN", cmp_op=fn,
                 pattern=_json.dumps(extra),
                 dict_ref=getattr(arg, "dict_ref", None),
-                type=T.integer(arg.type.nullable),
+                type=out_t,
             )
         udf = getattr(self.db, "_udfs", {}).get(name)
         if udf is not None:

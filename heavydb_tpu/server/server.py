@@ -37,13 +37,51 @@ class HeavyTpuServer:
     def __init__(self, data_path: Optional[str] = None, config=None):
         self.db = connect(data_path, config)
         self.sessions: Dict[str, Session] = {}
-        # write statements serialize; reads run concurrently (the reference
-        # uses table-level locks, LockMgr/ — table granularity comes with
-        # the native storage manager)
+        # table-level write locks (reference LockMgr/) acquired in sorted
+        # name order to avoid deadlock (DBHandler.cpp:7173-7186); a global
+        # lock backs statements whose tables can't be determined
         self.write_lock = threading.Lock()
+        self.table_locks: Dict[str, threading.Lock] = {}
+        self._table_locks_guard = threading.Lock()
         self.start_time = time.time()
         # in-flight queries per session (reference get_queries_info)
         self.running: Dict[str, dict] = {}
+
+    def _sweep_sessions(self):
+        """Idle/max-duration session eviction (reference
+        Catalog/SessionsStore.cpp)."""
+        cfg = self.db.config
+        idle = getattr(cfg, "idle_session_duration_s", 0)
+        dur = getattr(cfg, "max_session_duration_s", 0)
+        if not idle and not dur:
+            return
+        now = time.time()
+        dead = [
+            sid for sid, s in self.sessions.items()
+            if (idle and now - s.last_used > idle)
+            or (dur and now - s.created > dur)
+        ]
+        for sid in dead:
+            self.sessions.pop(sid, None)
+
+    def _locks_for(self, query: str):
+        """Per-table write locks for a write statement, sorted by name
+        (deterministic order prevents deadlock); None → global lock."""
+        import re as _re
+
+        m = _re.findall(
+            r"(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|TABLE|INTO)\s+"
+            r"([A-Za-z_][\w]*)",
+            query, _re.I,
+        )
+        names = sorted({x.lower() for x in m})
+        if not names:
+            return None
+        with self._table_locks_guard:
+            return [
+                self.table_locks.setdefault(nm, threading.Lock())
+                for nm in names
+            ]
 
     # ---- dispatch ----
     def handle(self, msg: dict) -> dict:
@@ -63,6 +101,7 @@ class HeavyTpuServer:
             }
 
     def _session(self, session: str) -> Session:
+        self._sweep_sessions()
         s = self.sessions.get(session)
         if s is None:
             raise HeavyTpuError("invalid session")
@@ -95,7 +134,14 @@ class HeavyTpuServer:
         try:
             is_write = _is_write(query)
             if is_write:
-                with self.write_lock:
+                locks = self._locks_for(query)
+                if locks is None:
+                    locks = [self.write_lock]
+                import contextlib
+
+                with contextlib.ExitStack() as stack:
+                    for lk in locks:
+                        stack.enter_context(lk)
                     rs = self.db.sql(query, user=s.user)
             else:
                 rs = self.db.sql(query, user=s.user)

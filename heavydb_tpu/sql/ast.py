@@ -337,6 +337,9 @@ class CreateTable(Statement):
     temporary: bool = False
     options: dict = field(default_factory=dict)  # WITH (fragment_size=..., ...)
     as_select: Optional[Select] = None
+    # SHARD KEY (col) — reference TableDescriptor shardedColumnId +
+    # nShards (WITH (shard_count=N)); drives co-located distributed loads
+    shard_key: Optional[str] = None
 
 
 @dataclass

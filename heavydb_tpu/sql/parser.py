@@ -273,6 +273,15 @@ class Parser:
         if self.at_op("("):
             self.expect_op("(")
             while True:
+                if self.at_kw("SHARD") :
+                    self.next()
+                    self.expect_kw("KEY")
+                    self.expect_op("(")
+                    stmt.shard_key = self.ident()
+                    self.expect_op(")")
+                    if not self.eat_op(","):
+                        break
+                    continue
                 cname = self.ident()
                 tn = self._type_name()
                 default = None
@@ -956,9 +965,14 @@ class Parser:
                 self.expect_op(")")
                 return A.Exists(sub)
             if kw in _RESERVED_STOP:
-                raise ParserError(
-                    f"unexpected keyword {t.value!r} at {t.pos}"
-                )
+                # LEFT/RIGHT are also SQL string functions when called:
+                # LEFT(s, n) / RIGHT(s, n)
+                if kw in ("LEFT", "RIGHT") and self.at_op("(", ahead=1):
+                    pass  # fall through to the function-call path below
+                else:
+                    raise ParserError(
+                        f"unexpected keyword {t.value!r} at {t.pos}"
+                    )
             if kw == "ARRAY" and self.at_op("[", ahead=1):
                 self.next()
                 self.next()

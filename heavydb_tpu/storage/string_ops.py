@@ -120,6 +120,12 @@ def apply_op(s: str, name: str, args: Tuple) -> Optional[str]:
         return urllib.parse.quote(s, safe="")
     if name == "URL_DECODE":
         return urllib.parse.unquote(s)
+    if name == "LEFT":
+        n = int(args[0])
+        return s[:n] if n > 0 else ""
+    if name == "RIGHT":
+        n = int(args[0])
+        return s[-n:] if n > 0 else ""
     raise ValueError(f"unknown string op {name}")
 
 
@@ -155,4 +161,68 @@ def int_string_fn(s: str, fn: str, args: Tuple):
                                prev[j - 1] + (cs != ct)))
             prev = cur
         return prev[-1]
+    if fn == "JAROWINKLER":
+        # reference StringOps.cpp compute_jaro_winkler_score × 100,
+        # rounded to BIGINT; empty string → NULL
+        t = str(args[0])
+        if not s or not t:
+            return None
+        return round(_jaro_winkler(s, t) * 100)
+    if fn == "HASH":
+        # 53-bit JS-compatible hash (reference Hash::numericEval,
+        # StringOps.cpp:335); empty string → NULL
+        if not s:
+            return None
+        seed = int(args[0]) if args else 0
+        M = 0xFFFFFFFF
+        h1 = (0xDEADBEEF ^ (seed & M)) & M
+        h2 = (0x41C6CE57 ^ (seed & M)) & M
+        for ch in s.encode("utf-8", "surrogatepass"):
+            h1 = ((h1 ^ ch) * 2654435761) & M
+            h2 = ((h2 ^ ch) * 1597334677) & M
+        h1 = ((h1 ^ (h1 >> 16)) * 2246822507) & M
+        h1 = (h1 ^ (((h2 ^ (h2 >> 13)) * 3266489909) & M)) & M
+        h2 = ((h2 ^ (h2 >> 16)) * 2246822507) & M
+        h2 = (h2 ^ (((h1 ^ (h1 >> 13)) * 3266489909) & M)) & M
+        return ((h2 & 0x1FFFFF) << 32) | h1
     raise ValueError(fn)
+
+
+# Jaro-Winkler (reference StringOps.cpp:139-215: prefix length 4,
+# scaling 0.1)
+def _jaro_winkler(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(i + window + 1, l2)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    trans = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                trans += 1
+            j += 1
+    jaro = (matches / l1 + matches / l2
+            + (matches - trans / 2.0) / matches) / 3.0
+    l = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        l += 1
+    return jaro + l * 0.1 * (1 - jaro)

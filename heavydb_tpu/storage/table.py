@@ -129,6 +129,9 @@ class Table:
                 cd.type.is_array and cd.type.elem_type().is_dict_string
             ):
                 self.dicts[cd.col_id] = StringDictionary(dict_id=cd.col_id)
+        # SHARD KEY metadata (reference TableDescriptor.h:59-66)
+        self.shard_key: Optional[str] = None
+        self.shard_count = 0
         # generation bumps on every data mutation; device caches key on it
         # (reference TableGenerations for multi-host snapshot consistency)
         self.generation = 0
@@ -534,37 +537,90 @@ def wkt_to_coords(wkt: str, kind: T.SQLTypeKind) -> np.ndarray:
         return np.array(
             [float(v) for p in pts for v in p[:2]], np.float64
         )
+    # POLYGON / MULTIPOLYGON: self-describing ring header —
+    # [nrings, signed_size_1 .. signed_size_R, coords...] where size is the
+    # ring's coord count, positive for outer rings and NEGATIVE for holes
+    # (reference: ring_sizes + poly_rings companion arrays,
+    # Geospatial/Types.cpp; one flat array keeps our payload single-column)
+    def ring_coords(txt: str) -> list:
+        pts = [p.split() for p in txt.split(",")]
+        coords = [float(v) for p in pts for v in p[:2]]
+        if len(coords) >= 4 and coords[:2] == coords[-2:]:
+            coords = coords[:-2]  # drop the closing vertex
+        return coords
+
     if kind == K.GEO_POLYGON:
         rings = _re.findall(r"\(([^()]*)\)", body)
-        if len(rings) != 1:
-            raise StorageError("polygons with holes are not supported yet")
-        pts = [p.split() for p in rings[0].split(",")]
-        coords = [float(v) for p in pts for v in p[:2]]
-        # drop the closing vertex if it repeats the first
-        if len(coords) >= 4 and coords[:2] == coords[-2:]:
-            coords = coords[:-2]
-        return np.array(coords, np.float64)
-    # MULTIPOLYGON: single-ring polygons, flattened with ring sizes lost →
-    # store each polygon's ring; only single-polygon multis supported yet
-    polys = _re.findall(r"\(\(([^()]*)\)\)", body)
-    if len(polys) != 1:
-        raise StorageError("multi-part MULTIPOLYGON not supported yet")
-    return wkt_to_coords(f"POLYGON(({polys[0]}))", K.GEO_POLYGON)
+        if not rings:
+            raise StorageError(f"bad POLYGON WKT: {wkt!r}")
+        parts = [(ring_coords(r), i == 0) for i, r in enumerate(rings)]
+    else:  # MULTIPOLYGON (((outer),(hole)),((outer)))
+        polys = _re.findall(r"\(\s*(\([^()]*\)(?:\s*,\s*\([^()]*\))*)\s*\)",
+                            body)
+        if not polys:
+            raise StorageError(f"bad MULTIPOLYGON WKT: {wkt!r}")
+        parts = []
+        for poly in polys:
+            rings = _re.findall(r"\(([^()]*)\)", poly)
+            for i, r in enumerate(rings):
+                parts.append((ring_coords(r), i == 0))
+    header = [float(len(parts))]
+    flat = []
+    for coords, outer in parts:
+        header.append(float(len(coords)) if outer else -float(len(coords)))
+        flat.extend(coords)
+    return np.array(header + flat, np.float64)
+
+
+def geo_rings(payload: np.ndarray, kind: T.SQLTypeKind):
+    """Decode a geo payload → [(ring_coords ndarray, is_outer), ...].
+    POINT/LINESTRING payloads are one headerless pseudo-ring."""
+    K = T.SQLTypeKind
+    if kind not in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
+        return [(np.asarray(payload, np.float64), True)]
+    arr = np.asarray(payload, np.float64)
+    if arr.size == 0:
+        return []
+    r = int(arr[0])
+    out = []
+    off = 1 + r
+    for i in range(r):
+        sz = int(arr[1 + i])
+        n = abs(sz)
+        out.append((arr[off: off + n], sz > 0))
+        off += n
+    return out
 
 
 def coords_to_wkt(coords: np.ndarray, kind: T.SQLTypeKind) -> str:
     K = T.SQLTypeKind
-    pts = ", ".join(
-        f"{coords[i]:g} {coords[i + 1]:g}"
-        for i in range(0, len(coords) - 1, 2)
-    )
+
+    def fmt(c):
+        return ", ".join(
+            f"{c[i]:g} {c[i + 1]:g}" for i in range(0, len(c) - 1, 2)
+        )
+
     if kind == K.GEO_POINT:
-        return f"POINT ({pts})"
+        return f"POINT ({fmt(coords)})"
     if kind == K.GEO_LINESTRING:
-        return f"LINESTRING ({pts})"
-    closing = ""
-    if len(coords) >= 2:
-        closing = f", {coords[0]:g} {coords[1]:g}"
+        return f"LINESTRING ({fmt(coords)})"
+
+    def closed(c):
+        body = fmt(c)
+        if len(c) >= 2:
+            body += f", {c[0]:g} {c[1]:g}"
+        return f"({body})"
+
+    rings = geo_rings(coords, kind)
     if kind == K.GEO_POLYGON:
-        return f"POLYGON (({pts}{closing}))"
-    return f"MULTIPOLYGON ((({pts}{closing})))"
+        return "POLYGON (" + ", ".join(closed(c) for c, _ in rings) + ")"
+    # group rings back into polygons: each outer starts a new part
+    parts = []
+    for c, outer in rings:
+        if outer or not parts:
+            parts.append([closed(c)])
+        else:
+            parts[-1].append(closed(c))
+    return "MULTIPOLYGON (" + ", ".join(
+        "(" + ", ".join(p) + ")" for p in parts
+    ) + ")"

@@ -130,6 +130,21 @@ def main(pid: int, nprocs: int, port: int):
     want = [(int(k[i]), float(v[i])) for i in order]
     check("topk", r, want, approx=True)
 
+    # 6. SHARD KEY routed loading: identical full data passed on every
+    # host; hash routing keeps disjoint row partitions covering all rows
+    db.sql("CREATE TABLE sharded (k INT, v FLOAT, SHARD KEY (k)) "
+           "WITH (shard_count=8)")
+    dist.load_table(
+        "sharded", {"k": k, "v": v}, create=False, route_by_shard_key=True
+    )
+    local_n = db.catalog.get_table("sharded").num_rows
+    total = sum(rt.allgather_scalar(local_n))
+    r = dist.sql("SELECT count(*) FROM sharded").rows()
+    if total != n or r[0][0] != n:
+        ok = False
+        print(f"[{pid}] MISMATCH shard_load: local={local_n} total={total} "
+              f"sql={r}", flush=True)
+
     print(f"[{pid}] " + ("PARITY_OK" if ok else "PARITY_FAILED"), flush=True)
     sys.exit(0 if ok else 1)
 

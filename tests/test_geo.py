@@ -109,3 +109,44 @@ def test_linestring_length(db):
     assert db.sql("SELECT ST_Length(path) FROM ln").scalar() == 9.0
     assert db.sql("SELECT ST_NPoints(path) FROM ln").scalar() == 3
     assert db.sql("SELECT path FROM ln").scalar() == "LINESTRING (0 0, 3 4, 3 8)"
+
+
+def test_multiring_polygon_and_multipolygon(db):
+    db.sql("CREATE TABLE mr (poly POLYGON, mp MULTIPOLYGON)")
+    db.sql(
+        "INSERT INTO mr VALUES ("
+        "'POLYGON((0 0, 10 0, 10 10, 0 10), (4 4, 6 4, 6 6, 4 6))', "
+        "'MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2)), ((5 5, 7 5, 7 7, 5 7)))')"
+    )
+    r = db.sql(
+        "SELECT ST_AREA(poly), ST_AREA(mp), ST_NPOINTS(poly), "
+        "ST_NPOINTS(mp), ST_PERIMETER(poly) FROM mr"
+    ).rows()[0]
+    assert r[0] == 96.0      # 100 outer - 4 hole
+    assert r[1] == 8.0       # 4 + 4
+    assert r[2] == 8 and r[3] == 8
+    assert r[4] == 48.0      # 40 outer + 8 hole ring
+    # point inside the hole is NOT contained; outside it is
+    assert db.sql("SELECT count(*) FROM mr WHERE "
+                  "ST_CONTAINS(poly, 'POINT(5 5)')").rows()[0][0] == 0
+    assert db.sql("SELECT count(*) FROM mr WHERE "
+                  "ST_CONTAINS(poly, 'POINT(1 1)')").rows()[0][0] == 1
+    # WKT roundtrip preserves rings and parts
+    wkt = db.sql("SELECT mp FROM mr").rows()[0][0]
+    assert wkt.count("((") == 2
+
+
+def test_st_intersects(db):
+    db.sql("CREATE TABLE si (poly POLYGON, ln LINESTRING, p POINT)")
+    db.sql("INSERT INTO si VALUES ('POLYGON((0 0, 4 0, 4 4, 0 4))', "
+           "'LINESTRING(-1 -1, 5 5)', 'POINT(2 2)')")
+    db.sql("INSERT INTO si VALUES ('POLYGON((10 10, 12 10, 12 12, 10 12))', "
+           "'LINESTRING(20 20, 21 21)', 'POINT(30 30)')")
+    q = lambda c, g: db.sql(
+        f"SELECT ST_INTERSECTS({c}, '{g}') FROM si").rows()
+    assert q("poly", "POLYGON((3 3, 6 3, 6 6, 3 6))") == [(True,), (False,)]
+    assert q("poly", "POINT(2 2)") == [(True,), (False,)]
+    assert q("ln", "POLYGON((0 0, 4 0, 4 4, 0 4))") == [(True,), (False,)]
+    # containment without boundary crossing still intersects
+    assert q("poly", "POLYGON((1 1, 2 1, 2 2, 1 2))") == [(True,), (False,)]
+    assert q("p", "POLYGON((0 0, 4 0, 4 4, 0 4))") == [(True,), (False,)]

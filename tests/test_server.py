@@ -147,3 +147,55 @@ def test_http_server():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_session_idle_eviction():
+    import time as _t
+
+    from heavydb_tpu.config import Config
+    from heavydb_tpu.server.server import HeavyTpuServer
+
+    srv = HeavyTpuServer(config=Config(idle_session_duration_s=1))
+    sid = srv.rpc_connect()
+    assert srv.rpc_sql_execute(sid, "SHOW TABLES")["row_count"] >= 0
+    srv.sessions[sid].last_used -= 5  # simulate idleness
+    sid2 = srv.rpc_connect()  # triggers the sweep
+    import pytest
+
+    from heavydb_tpu.errors import HeavyTpuError
+
+    with pytest.raises(HeavyTpuError):
+        srv.rpc_sql_execute(sid, "SHOW TABLES")
+    assert srv.rpc_sql_execute(sid2, "SHOW TABLES") is not None
+
+
+def test_table_level_write_locks_allow_disjoint_tables():
+    import threading
+
+    from heavydb_tpu.server.server import HeavyTpuServer
+
+    srv = HeavyTpuServer()
+    sid = srv.rpc_connect()
+    srv.rpc_sql_execute(sid, "CREATE TABLE wa (x INT)")
+    srv.rpc_sql_execute(sid, "CREATE TABLE wb (x INT)")
+    locks_a = srv._locks_for("INSERT INTO wa VALUES (1)")
+    locks_b = srv._locks_for("INSERT INTO wb VALUES (1)")
+    assert locks_a and locks_b and locks_a[0] is not locks_b[0]
+    # same table -> same lock object (serialized)
+    assert srv._locks_for("INSERT INTO wa VALUES (2)")[0] is locks_a[0]
+    # concurrent writers to different tables both complete
+    errs = []
+
+    def w(tname):
+        try:
+            for i in range(5):
+                srv.rpc_sql_execute(sid, f"INSERT INTO {tname} VALUES ({i})")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(t,)) for t in ("wa", "wb")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert srv.rpc_sql_execute(sid, "SELECT count(*) FROM wa")[
+        "columns"][0][0] == 5

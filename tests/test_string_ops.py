@@ -168,3 +168,73 @@ def test_try_cast(db):
     assert db.sql(
         "SELECT COUNT(*) FROM tc WHERE TRY_CAST(s AS INT) IS NOT NULL"
     ).scalar() == 2
+
+
+def test_left_right_space(db):
+    db.sql("CREATE TABLE slr (s TEXT)")
+    db.sql("INSERT INTO slr VALUES ('hello world'), (''), (NULL)")
+    rows = db.sql("SELECT LEFT(s, 3), RIGHT(s, 3), s || SPACE(2) || 'x' "
+                  "FROM slr").rows()
+    assert rows[0] == ("hel", "rld", "hello world  x")
+    assert rows[1] == ("", "", "  x")
+    assert rows[2] == (None, None, None)
+
+
+def test_hash_matches_reference_algorithm(db):
+    # reference Hash::numericEval (StringOps.cpp:335): JS-compatible
+    # 53-bit MurmurX hash; empty string -> NULL
+    def ref_hash(s, seed=0):
+        M = 0xFFFFFFFF
+        h1 = (0xDEADBEEF ^ seed) & M
+        h2 = (0x41C6CE57 ^ seed) & M
+        for ch in s.encode():
+            h1 = ((h1 ^ ch) * 2654435761) & M
+            h2 = ((h2 ^ ch) * 1597334677) & M
+        h1 = ((h1 ^ (h1 >> 16)) * 2246822507) & M
+        h1 = (h1 ^ (((h2 ^ (h2 >> 13)) * 3266489909) & M)) & M
+        h2 = ((h2 ^ (h2 >> 16)) * 2246822507) & M
+        h2 = (h2 ^ (((h1 ^ (h1 >> 13)) * 3266489909) & M)) & M
+        return ((h2 & 0x1FFFFF) << 32) | h1
+
+    db.sql("CREATE TABLE sh (s TEXT)")
+    db.sql("INSERT INTO sh VALUES ('Spark'), ('hello'), (''), (NULL)")
+    rows = db.sql("SELECT HASH(s) FROM sh").rows()
+    assert rows[0][0] == ref_hash("Spark")
+    assert rows[1][0] == ref_hash("hello")
+    assert rows[2][0] is None and rows[3][0] is None
+
+
+def test_jarowinkler_similarity(db):
+    db.sql("CREATE TABLE sj (s TEXT)")
+    db.sql("INSERT INTO sj VALUES ('martha'), ('marhta'), ('')")
+    rows = db.sql(
+        "SELECT JAROWINKLER_SIMILARITY(s, 'martha') FROM sj"
+    ).rows()
+    assert rows[0][0] == 100       # identical
+    assert 90 <= rows[1][0] < 100  # classic JW example ~96
+    assert rows[2][0] is None      # empty -> NULL
+
+
+def test_startswith_endswith_contains(db):
+    db.sql("CREATE TABLE sw (s TEXT)")
+    db.sql("INSERT INTO sw VALUES ('100% sure'), ('a_b'), ('plain'), (NULL)")
+    # literals containing LIKE wildcards must be escaped by the desugaring
+    assert db.sql("SELECT count(*) FROM sw WHERE CONTAINS(s, '0%')"
+                  ).rows()[0][0] == 1
+    assert db.sql("SELECT count(*) FROM sw WHERE CONTAINS(s, '_')"
+                  ).rows()[0][0] == 1
+    assert db.sql("SELECT count(*) FROM sw WHERE STARTSWITH(s, 'pl')"
+                  ).rows()[0][0] == 1
+    assert db.sql("SELECT count(*) FROM sw WHERE ENDSWITH(s, 'ure')"
+                  ).rows()[0][0] == 1
+
+
+def test_greatest_least(db):
+    db.sql("CREATE TABLE gl (a INT, b INT, c DOUBLE)")
+    db.sql("INSERT INTO gl VALUES (1, 5, 2.5), (7, 3, NULL), (NULL, 4, 1.0)")
+    rows = db.sql(
+        "SELECT GREATEST(a, b), LEAST(a, b), GREATEST(a, b, c) FROM gl"
+    ).rows()
+    assert rows[0] == (5, 1, 5.0)
+    assert rows[1][:2] == (7, 3) and rows[1][2] is None
+    assert rows[2] == (None, None, None)
