@@ -118,6 +118,13 @@ class Database:
                 from heavydb_tpu.storage.syscatalog import SysCatalog
 
                 self.syscatalog = SysCatalog.from_json(sc_data)
+            saved_servers = self._catalog_store.load_servers()
+            if saved_servers:
+                for n, s in saved_servers.items():
+                    self._servers.setdefault(n, {
+                        "wrapper": s["wrapper"],
+                        "options": dict(s.get("options", {})),
+                    })
             for t in self._catalog_store.load(self.catalog):
                 store = TableStore(path, getattr(t, "disk_table_id", t.table_id))
                 self._table_stores[t.table_id] = store
@@ -132,7 +139,9 @@ class Database:
             return
         from heavydb_tpu.storage.persist import TableStore
 
-        self._catalog_store.save(self.catalog, self.syscatalog)
+        self._catalog_store.save(
+            self.catalog, self.syscatalog, servers=self._servers
+        )
         live_ids = set()
         for name in self.catalog.list_tables():
             t = self.catalog.get_table(name)
@@ -340,6 +349,22 @@ class Database:
         if getattr(t, "foreign", None) is not None and not t.foreign["loaded"]:
             self._load_foreign(t)
 
+    def _foreign_cache_file(self, t: Table, path: str):
+        """Disk-cache location + source fingerprint for a foreign table
+        (reference CachingFileMgr: FSI chunks cached on local disk so the
+        source isn't re-parsed on every cold load).  None when the db is
+        in-memory."""
+        if not self.path:
+            return None, None
+        try:
+            st = os.stat(path)
+            fp = f"{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            fp = None  # source gone → cache (if any) still serves reads
+        d = os.path.join(self.path, "fsi_cache")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"t{t.table_id}.npz"), fp
+
     def _load_foreign(self, t: Table):
         """(Re)populate a foreign table from its source file."""
         fo = t.foreign
@@ -347,6 +372,28 @@ class Database:
         if server is None:
             raise SqlError(f"no server {fo['server']!r}")
         path = self._foreign_path(server, fo["options"])
+        cache_file, fp = self._foreign_cache_file(t, path)
+        if cache_file and os.path.exists(cache_file):
+            try:
+                z = np.load(cache_file, allow_pickle=True)
+                if fp is None or str(z["__fingerprint__"]) == fp:
+                    t.delete_all()
+                    arrays = {
+                        int(k[1:]): z[k] for k in z.files if k.startswith("c")
+                    }
+                    # dictionary payloads restore alongside
+                    for cid in list(arrays):
+                        dk = f"d{cid}"
+                        if dk in z.files and cid in t.dicts:
+                            t.dicts[cid].get_or_add_bulk(
+                                [str(s) for s in z[dk]]
+                            )
+                    if arrays and len(next(iter(arrays.values()))):
+                        t.insert_columns(arrays)
+                    fo["loaded"] = True
+                    return
+            except Exception:
+                pass  # stale/corrupt cache → re-parse the source
         wrapper = server["wrapper"]
         import pandas as pd
 
@@ -395,6 +442,18 @@ class Database:
         if arrays and len(next(iter(arrays.values()))):
             t.insert_columns(arrays)
         fo["loaded"] = True
+        if cache_file and fp is not None:
+            try:
+                payload = {"__fingerprint__": np.array(fp)}
+                for cid, arr in arrays.items():
+                    payload[f"c{cid}"] = arr
+                    if cid in t.dicts:
+                        payload[f"d{cid}"] = np.array(
+                            t.dicts[cid].entries(), object
+                        )
+                np.savez_compressed(cache_file, **payload)
+            except Exception:
+                pass  # cache write is best-effort
 
     def _array_col_for_insert(self, plan, i, rowids, t, cd):
         """Array column flowing into a (possibly different) table: decode

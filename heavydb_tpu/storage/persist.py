@@ -289,7 +289,7 @@ class PersistentCatalogStore:
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         self.path = os.path.join(root, "catalog.json")
 
-    def save(self, catalog, syscatalog=None):
+    def save(self, catalog, syscatalog=None, servers=None):
         tables = []
         for name in catalog.list_tables():
             t = catalog.get_table(name)
@@ -303,11 +303,28 @@ class PersistentCatalogStore:
                     for cd in t.columns
                 ],
                 "foreign": getattr(t, "foreign", None),
+                "shard_key": getattr(t, "shard_key", None),
+                "shard_count": getattr(t, "shard_count", 0),
             })
-        payload = {"version": 1, "tables": tables}
+        from heavydb_tpu.storage.migration import CATALOG_VERSION
+
+        payload = {"version": CATALOG_VERSION, "tables": tables}
         if syscatalog is not None:
             payload["syscatalog"] = syscatalog.to_json()
+        if servers is not None:
+            # foreign servers persist with the catalog (reference
+            # Catalog/ForeignServer rows in the sqlite catalog)
+            payload["servers"] = {
+                n: {"wrapper": s["wrapper"], "options": s.get("options", {})}
+                for n, s in servers.items()
+            }
         _atomic_write(self.path, json.dumps(payload).encode())
+
+    def load_servers(self) -> Optional[dict]:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f).get("servers")
 
     def load_syscatalog(self) -> Optional[dict]:
         if not os.path.exists(self.path):
@@ -321,6 +338,9 @@ class PersistentCatalogStore:
             return []
         with open(self.path) as f:
             data = json.load(f)
+        from heavydb_tpu.storage.migration import migrate_catalog
+
+        data = migrate_catalog(data)
         out = []
         for tm in data["tables"]:
             cols = [
@@ -335,5 +355,8 @@ class PersistentCatalogStore:
             if tm.get("foreign"):
                 t.foreign = dict(tm["foreign"])
                 t.foreign["loaded"] = False  # lazy re-import on first scan
+            if tm.get("shard_key"):
+                t.shard_key = tm["shard_key"]
+                t.shard_count = int(tm.get("shard_count", 0))
             out.append(t)
         return out

@@ -120,3 +120,51 @@ def test_foreign_table_persists_definition(tmp_path, csv_file):
         f.write("4,z,9.0\n")
     db2 = hdt.connect(d)
     assert db2.sql("SELECT COUNT(*) FROM ft").scalar() == 4
+
+
+def test_fsi_disk_cache_and_server_persistence(tmp_path):
+    """Reference CachingFileMgr: foreign chunks cached on disk; a cold
+    restart serves reads from the cache even when the source is gone.
+    Foreign servers persist with the catalog."""
+    import os
+
+    import heavydb_tpu as hdt
+
+    src = tmp_path / "src.csv"
+    src.write_text("a,s\n1,x\n2,y\n3,x\n")
+    root = str(tmp_path / "db")
+    db = hdt.connect(root)
+    db.sql(
+        "CREATE SERVER cs FOREIGN DATA WRAPPER delimited_file "
+        f"WITH (storage_type='LOCAL_FILE', base_path='{tmp_path}')"
+    )
+    db.sql("CREATE FOREIGN TABLE cft (a INT, s TEXT) SERVER cs "
+           "WITH (file_path='src.csv')")
+    assert db.sql("SELECT sum(a) FROM cft").rows()[0][0] == 6
+    os.remove(src)
+    db2 = hdt.connect(root)
+    rows = db2.sql("SELECT s, count(*) FROM cft GROUP BY s ORDER BY s").rows()
+    assert rows == [("x", 2), ("y", 1)]
+
+
+def test_fsi_cache_invalidated_on_source_change(tmp_path):
+    import heavydb_tpu as hdt
+
+    src = tmp_path / "src2.csv"
+    src.write_text("a\n1\n2\n")
+    root = str(tmp_path / "db2")
+    db = hdt.connect(root)
+    db.sql(
+        "CREATE SERVER cs2 FOREIGN DATA WRAPPER delimited_file "
+        f"WITH (storage_type='LOCAL_FILE', base_path='{tmp_path}')"
+    )
+    db.sql("CREATE FOREIGN TABLE cft2 (a INT) SERVER cs2 "
+           "WITH (file_path='src2.csv')")
+    assert db.sql("SELECT count(*) FROM cft2").rows()[0][0] == 2
+    import os
+    import time as _t
+
+    _t.sleep(0.01)
+    src.write_text("a\n1\n2\n3\n4\n")
+    db2 = hdt.connect(root)
+    assert db2.sql("SELECT count(*) FROM cft2").rows()[0][0] == 4

@@ -153,3 +153,65 @@ def test_inplace_update_persists(tmp_path):
     assert db2.sql("SELECT k, s FROM u ORDER BY k").rows() == [
         (1, "a"), (2, "zz"),
     ]
+
+
+def test_catalog_migration_v1_to_v2(tmp_path):
+    """A v1 catalog (no shard metadata) opens cleanly and is migrated
+    (reference MigrationMgr stepwise version upgrades)."""
+    import json
+    import os
+
+    import heavydb_tpu as hdt
+
+    root = str(tmp_path / "dbv1")
+    db = hdt.connect(root)
+    db.sql("CREATE TABLE mt (x INT, s TEXT)")
+    db.sql("INSERT INTO mt VALUES (1, 'a'), (2, 'b')")
+    db.close() if hasattr(db, "close") else None
+    # rewrite catalog.json as version 1 without the v2 fields
+    path = os.path.join(root, "catalog.json")
+    with open(path) as f:
+        data = json.load(f)
+    data["version"] = 1
+    for tm in data["tables"]:
+        tm.pop("shard_key", None)
+        tm.pop("shard_count", None)
+    with open(path, "w") as f:
+        json.dump(data, f)
+    db2 = hdt.connect(root)
+    t = db2.catalog.get_table("mt")
+    assert t.shard_key is None and t.shard_count == 0
+    assert db2.sql("SELECT count(*) FROM mt").rows()[0][0] == 2
+
+
+def test_shard_key_persists(tmp_path):
+    import heavydb_tpu as hdt
+
+    root = str(tmp_path / "dbshard")
+    db = hdt.connect(root)
+    db.sql("CREATE TABLE sp (k INT, v INT, SHARD KEY (k)) "
+           "WITH (shard_count=8)")
+    db2 = hdt.connect(root)
+    t = db2.catalog.get_table("sp")
+    assert t.shard_key == "k" and t.shard_count == 8
+
+
+def test_newer_catalog_version_refused(tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    import heavydb_tpu as hdt
+
+    root = str(tmp_path / "dbnew")
+    db = hdt.connect(root)
+    db.sql("CREATE TABLE nv (x INT)")
+    path = os.path.join(root, "catalog.json")
+    with open(path) as f:
+        data = json.load(f)
+    data["version"] = 99
+    with open(path, "w") as f:
+        json.dump(data, f)
+    with pytest.raises(Exception):
+        hdt.connect(root)
