@@ -41,9 +41,9 @@ def main():
     rng = np.random.default_rng(7)
     v = jnp.asarray(rng.random(n).astype(np.float32))
 
-    # D2H distribution (10 singles, distinct values to defeat memoization)
+    # D2H distribution (distinct values to defeat memoization)
     d2h = []
-    for i in range(10):
+    for i in range(3):
         x = jnp.float32(i)
         t0 = t()
         float(jax.device_get(x + 1))
