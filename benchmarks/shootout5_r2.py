@@ -1,0 +1,161 @@
+"""Strategy shootout v5 — AOT-compiled chained loops.
+
+v4's flaw: re-jitting per call made wall time retrace/cache-lookup noise
+(~10s) that didn't cancel in the K-difference.  v5 compiles each K variant
+ONCE via .lower().compile(), then times calls on the compiled object with
+FRESH carry values (defeats the relay's (executable, args) memoization).
+wall = enqueue + K*op + scalar D2H; with an idle device the D2H is ~0 and
+the (T_hi - T_lo)/dK slope is the op time.
+
+Run:  /opt/venv/bin/python -m benchmarks.shootout5_r2
+"""
+
+import sys
+import time
+
+import numpy as np
+
+K_LO, K_HI = 8, 72
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def t():
+    return time.perf_counter()
+
+
+_counter = [100]
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+
+    log(f"backend={jax.default_backend()} K={K_LO}->{K_HI}")
+    n = 20_000_000
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.random(n).astype(np.float32))
+
+    def compile_chain(body, K, *consts):
+        def looped(carry0):
+            def step(i, carry):
+                return body(carry, *consts)
+
+            return jax.lax.fori_loop(0, K, step, carry0)
+
+        return jax.jit(looped).lower(jnp.float32(1.0)).compile()
+
+    def timed_call(fn):
+        _counter[0] += 1
+        c0 = jnp.float32(_counter[0] * 0.001 + 1.0)
+        t0 = t()
+        out = fn(c0)
+        val = float(jax.device_get(out))
+        return t() - t0
+
+    def bench(name, body, *consts, klo=K_LO, khi=K_HI):
+        t0 = t()
+        flo = compile_chain(body, klo, *consts)
+        fhi = compile_chain(body, khi, *consts)
+        comp = t() - t0
+        timed_call(flo)  # warm the pipe
+        tlo = min(timed_call(flo) for _ in range(3))
+        thi = min(timed_call(fhi) for _ in range(3))
+        per = max(thi - tlo, 0.0) / (khi - klo)
+        log(f"{name}: {per*1e3:.2f}ms/op  "
+            f"(Tlo={tlo:.2f}s Thi={thi:.2f}s compile={comp:.0f}s)")
+        return per
+
+    # memory-bound ceiling
+    def scan_body(carry, vv):
+        m = vv > (carry % 1.0)
+        return carry * 0.999 + jnp.where(m, vv, 0).sum() * 1e-9
+
+    per = bench("scan+filter+sum 20M f32", scan_body, v, klo=16, khi=272)
+    log(f"  -> {n*4/max(per,1e-9)/1e9:.0f} GB/s effective")
+
+    for slots in (1000, 65536, 1 << 20, 10_000_000):
+        g = jnp.asarray(rng.integers(0, slots, n), jnp.int32)
+
+        def scatter_body(carry, gg, vv):
+            g2 = (gg + carry.astype(jnp.int32)) % slots
+            cnt = jnp.zeros(slots, jnp.int32).at[g2].add(1, mode="drop")
+            sm = jnp.zeros(slots, jnp.float32).at[g2].add(vv, mode="drop")
+            return carry * 0.5 + (cnt[0] % 3).astype(jnp.float32) \
+                + sm[0] * 1e-9
+
+        bench(f"scatter cnt+sum slots={slots}", scatter_body, g, v)
+
+        if slots == 1000:
+            from heavydb_tpu.ops.groupby import _onehot_scan
+
+            def onehot_body(carry, gg, vv):
+                g2 = (gg + carry.astype(jnp.int32)) % slots
+                m = jnp.ones(n, jnp.bool_)
+                res = _onehot_scan(g2, m, [vv], slots)
+                return carry * 0.5 + (res[0][0] % 3).astype(jnp.float32) \
+                    + res[1][0] * 1e-9
+
+            bench(f"onehot cnt+sum slots={slots}", onehot_body, g, v,
+                  klo=4, khi=20)
+
+        if slots == 10_000_000:
+            def sortgb_body(carry, gg, vv):
+                g2 = (gg + carry.astype(jnp.int32)) % slots
+                order = jnp.argsort(g2)
+                sg = g2[order]
+                sv = vv[order]
+                seg = jnp.concatenate(
+                    [jnp.ones(1, jnp.bool_), sg[1:] != sg[:-1]]
+                )
+                sid = jnp.cumsum(seg.astype(jnp.int32)) - 1
+                sm = jnp.zeros(slots, jnp.float32).at[sid].add(
+                    sv, mode="drop")
+                return carry * 0.5 + sm[0] * 1e-9 \
+                    + (sid[-1] % 3).astype(jnp.float32)
+
+            bench(f"sort-groupby slots={slots}", sortgb_body, g, v,
+                  klo=2, khi=10)
+
+    def topk_body(carry, vv):
+        vals, _ = jax.lax.top_k(vv + carry * 1e-9, 100)
+        return carry * 0.5 + vals[0]
+
+    bench("lax.top_k(100) 20M f32", topk_body, v)
+
+    k32 = jnp.asarray(rng.integers(0, 1 << 30, n), jnp.int32)
+
+    def argsort_body(carry, kk):
+        o = jnp.argsort(kk ^ carry.astype(jnp.int32))
+        return carry * 0.5 + (o[0] % 3).astype(jnp.float32)
+
+    bench("argsort 20M i32", argsort_body, k32, klo=2, khi=10)
+
+    build_n = 1_000_000
+    tbl = jnp.asarray(rng.integers(0, 100, build_n), jnp.int32)
+    pk = jnp.asarray(rng.integers(0, build_n, n), jnp.int64)
+
+    def gather_body(carry, keys, table):
+        r = table[(keys + carry.astype(jnp.int64)) % build_n]
+        return carry * 0.5 + (r[0] % 3).astype(jnp.float32)
+
+    bench("gather 20M from 1M", gather_body, pk, tbl)
+
+    sk = jnp.asarray(np.arange(build_n, dtype=np.int64))
+
+    def ss_body(carry, keys, skk):
+        r = jnp.searchsorted(skk, (keys + carry.astype(jnp.int64)) % build_n)
+        return carry * 0.5 + (r[0] % 3).astype(jnp.float32)
+
+    bench("searchsorted 20M in 1M", ss_body, pk, sk, klo=4, khi=36)
+
+    log("shootout5 done")
+
+
+if __name__ == "__main__":
+    main()

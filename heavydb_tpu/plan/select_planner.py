@@ -41,6 +41,8 @@ class SelectPlanner:
         env = dict(self.cte_env)
         for name, cte_sel in sel.ctes:
             env[name.lower()] = SelectPlanner(self.db, env).plan(cte_sel)
+        if getattr(sel, "grouping_sets", None):
+            return self._plan_grouping_sets(sel, env)
         apply_order_inline = not sel.set_ops
         core = self._plan_core(sel, env, apply_order=apply_order_inline)
 
@@ -58,6 +60,97 @@ class SelectPlanner:
         if not apply_order_inline:
             core = self._apply_order_limit(core, sel)
         return core
+
+    def _plan_grouping_sets(self, sel: A.Select, env) -> R.RelNode:
+        """Desugar GROUPING SETS / ROLLUP / CUBE into a UNION ALL of
+        per-set aggregations (reference: Calcite expands these the same
+        way before the RA reaches the engine).  In each branch, select
+        items referencing a group expr NOT in the branch's set evaluate
+        to NULL."""
+        import copy
+        import dataclasses as _dc
+
+        all_exprs = []
+        for s in sel.grouping_sets:
+            for e in s:
+                if not any(e == x for x in all_exprs):
+                    all_exprs.append(e)
+
+        def drop_to_null(node, dropped):
+            if any(node == d for d in dropped):
+                return A.Literal(None, "null")
+            if _dc.is_dataclass(node) and isinstance(node, A.Node):
+                kw = {}
+                for f in _dc.fields(node):
+                    v = getattr(node, f.name)
+                    if isinstance(v, A.Node):
+                        kw[f.name] = drop_to_null(v, dropped)
+                    elif isinstance(v, (list, tuple)):
+                        nv = [
+                            drop_to_null(x, dropped)
+                            if isinstance(x, A.Node) else x
+                            for x in v
+                        ]
+                        kw[f.name] = type(v)(nv) if isinstance(v, tuple) \
+                            else nv
+                    else:
+                        kw[f.name] = v
+                return _dc.replace(node, **kw)
+            return node
+
+        # typing probe: plan (never execute) the query grouped by ALL
+        # referenced group exprs — its output types type the NULL-filled
+        # columns of every real branch
+        probe = copy.deepcopy(sel)
+        probe.grouping_sets = None
+        probe.set_ops = []
+        probe.order_by = []
+        probe.limit = None
+        probe.offset = None
+        probe.ctes = []
+        probe.group_by = list(all_exprs)
+        base_types = list(SelectPlanner(self.db, env)._plan_core(
+            probe, env, apply_order=False
+        ).types)
+
+        core = None
+        for gset in sel.grouping_sets:
+            dropped = [
+                e for e in all_exprs if not any(e == g for g in gset)
+            ]
+            branch = copy.deepcopy(sel)
+            branch.grouping_sets = None
+            branch.set_ops = []
+            branch.order_by = []
+            branch.limit = None
+            branch.offset = None
+            branch.ctes = []
+            branch.group_by = list(gset)
+            branch.projections = [
+                (drop_to_null(e, dropped) if e is not None else e, nm)
+                for e, nm in branch.projections
+            ]
+            # bare NULL projections take the probe's column type so every
+            # branch's Compound materializes a typed column (NULLT has no
+            # device representation)
+            branch.projections = [
+                (
+                    A.Cast(e, A.TypeName(base_types[i].sql_name()))
+                    if isinstance(e, A.Literal) and e.kind == "null"
+                    and not base_types[i].is_null_type else e,
+                    nm,
+                )
+                for i, (e, nm) in enumerate(branch.projections)
+            ]
+            if branch.having is not None:
+                branch.having = drop_to_null(branch.having, dropped)
+            rhs = SelectPlanner(self.db, env)._plan_core(
+                branch, env, apply_order=False
+            )
+            core = rhs if core is None else self._make_union(
+                core, rhs, all_=True
+            )
+        return self._apply_order_limit(core, sel)
 
     def _make_union(self, left, right, all_: bool) -> R.RelNode:
         # coerce right columns to left's types where needed

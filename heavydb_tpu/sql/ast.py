@@ -255,6 +255,10 @@ class Select(Statement):
     from_: Optional[TableRef] = None
     where: Optional[Expr] = None
     group_by: List[Expr] = field(default_factory=list)
+    # GROUPING SETS / ROLLUP / CUBE → list of grouping sets, each a list
+    # of group exprs; desugared by the planner into a UNION ALL of
+    # per-set aggregations with dropped keys as NULL
+    grouping_sets: Optional[List[List[Expr]]] = None
     having: Optional[Expr] = None
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None

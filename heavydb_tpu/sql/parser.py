@@ -616,9 +616,49 @@ class Parser:
             sel.where = self.parse_expr()
         if self.eat_kw("GROUP"):
             self.expect_kw("BY")
-            sel.group_by.append(self.parse_expr())
-            while self.eat_op(","):
+            if self.at_kw("ROLLUP") or self.at_kw("CUBE"):
+                kind = self.next().upper
+                self.expect_op("(")
+                exprs = [self.parse_expr()]
+                while self.eat_op(","):
+                    exprs.append(self.parse_expr())
+                self.expect_op(")")
+                if kind == "ROLLUP":
+                    sel.grouping_sets = [
+                        exprs[:i] for i in range(len(exprs), -1, -1)
+                    ]
+                else:  # CUBE: all subsets
+                    if len(exprs) > 4:
+                        raise ParserError("CUBE supports up to 4 columns")
+                    sets = []
+                    for m in range(1 << len(exprs)):
+                        sets.append(
+                            [e for i, e in enumerate(exprs) if m >> i & 1]
+                        )
+                    sets.sort(key=len, reverse=True)
+                    sel.grouping_sets = sets
+            elif self.at_kw("GROUPING"):
+                self.next()
+                self.expect_kw("SETS")
+                self.expect_op("(")
+                sets = []
+                while True:
+                    self.expect_op("(")
+                    cur = []
+                    if not self.at_op(")"):
+                        cur.append(self.parse_expr())
+                        while self.eat_op(","):
+                            cur.append(self.parse_expr())
+                    self.expect_op(")")
+                    sets.append(cur)
+                    if not self.eat_op(","):
+                        break
+                self.expect_op(")")
+                sel.grouping_sets = sets
+            else:
                 sel.group_by.append(self.parse_expr())
+                while self.eat_op(","):
+                    sel.group_by.append(self.parse_expr())
         if self.eat_kw("HAVING"):
             sel.having = self.parse_expr()
         # ORDER BY / LIMIT are parsed by parse_select so they attach to the
