@@ -292,8 +292,25 @@ class _ThreadedServer(socketserver.ThreadingTCPServer):
 
 
 def serve(host: str = "127.0.0.1", port: int = 6274,
-          data_path: Optional[str] = None, config=None):
+          data_path: Optional[str] = None, config=None,
+          warmup_file: Optional[str] = None):
     engine = HeavyTpuServer(data_path, config)
+    if warmup_file:
+        # reference run_warmup_queries (HeavyDB.cpp:627): pre-compile the
+        # common kernel shapes at startup so first client queries are warm
+        # (with the persistent compile cache this is a one-time cost ever)
+        try:
+            with open(warmup_file) as f:
+                for line in f:
+                    q = line.strip().rstrip(";")
+                    if not q or q.startswith("--"):
+                        continue
+                    try:
+                        engine.db.sql(q)
+                    except Exception as e:  # warmup is best-effort
+                        print(f"warmup {q[:60]!r}: {e!r}", flush=True)
+        except OSError as e:
+            print(f"warmup file unreadable: {e!r}", flush=True)
     srv = _ThreadedServer((host, port), _Handler)
     srv.engine = engine
     return srv
@@ -304,8 +321,12 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=6274)
     ap.add_argument("--data", default=None, help="persistent data directory")
+    ap.add_argument("--warmup-file", default=None,
+                    help="SQL file executed at startup to pre-compile "
+                         "kernels (reference run_warmup_queries)")
     args = ap.parse_args()
-    srv = serve(args.host, args.port, args.data)
+    srv = serve(args.host, args.port, args.data,
+                warmup_file=args.warmup_file)
     print(f"heavydb_tpu server {__version__} listening on "
           f"{args.host}:{args.port}", flush=True)
     srv.serve_forever()
