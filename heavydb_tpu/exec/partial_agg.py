@@ -27,7 +27,8 @@ from heavydb_tpu.plan import rel_alg as R
 
 STREAMABLE_AGGS = frozenset({
     E.AggKind.COUNT, E.AggKind.COUNT_IF, E.AggKind.SUM, E.AggKind.SUM_IF,
-    E.AggKind.AVG, E.AggKind.MIN, E.AggKind.MAX,
+    E.AggKind.AVG, E.AggKind.MIN, E.AggKind.MAX, E.AggKind.SAMPLE,
+    E.AggKind.SINGLE_VALUE,
 })
 
 
@@ -103,7 +104,10 @@ def make_merge_node(
         ref = E.InputRef(0, k + j, wa.type)
         if wa.kind == E.AggKind.MIN:
             mk = E.AggKind.MIN
-        elif wa.kind == E.AggKind.MAX:
+        elif wa.kind in (E.AggKind.MAX, E.AggKind.SAMPLE,
+                         E.AggKind.SINGLE_VALUE):
+            # SAMPLE of samples is a sample; SINGLE_VALUE partials are all
+            # equal by contract — max picks one either way
             mk = E.AggKind.MAX
         else:  # COUNT/COUNT_IF/SUM/SUM_IF partials all merge by SUM
             mk = E.AggKind.SUM

@@ -313,6 +313,34 @@ class ExprBinder:
             return E.BinOp(
                 E.BinOpKind(op), l, r, T.boolean(l.type.nullable or r.type.nullable)
             )
+        if op in ("+", "-") and isinstance(node.right, A.IntervalLit):
+            # d ± INTERVAL 'n' unit → DATEADD_<unit>(d, ±n) with civil
+            # month-end clamping (reference DateAdd.cpp semantics)
+            l = self._bind(node.left)
+            if not l.type.is_time:
+                raise BinderError("INTERVAL arithmetic needs date/timestamp")
+            iv = node.right
+            amount = self._bind(iv.value)
+            if op == "-":
+                if isinstance(amount, E.Constant):
+                    amount = E.Constant(-amount.value, amount.type)
+                else:
+                    amount = E.BinOp(
+                        E.BinOpKind.SUB,
+                        E.Constant(0, amount.type.with_nullable(False)),
+                        amount, amount.type,
+                    )
+            unit = iv.unit.upper().rstrip("S")
+            return E.FunctionOp(
+                f"DATEADD_{unit}", (l, amount),
+                l.type.with_nullable(l.type.nullable),
+            )
+        if op in ("+", "-") and isinstance(node.left, A.IntervalLit) \
+                and op == "+":
+            # INTERVAL + d (commutes)
+            return self._bind_Binary(
+                A.Binary("+", node.right, node.left)
+            )
         l = self._bind(node.left)
         r = self._bind(node.right)
         if op == "||":

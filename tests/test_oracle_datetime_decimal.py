@@ -127,3 +127,30 @@ def test_decimal_cluster(doracle, pair):
 def test_null_case_cluster(doracle, pair):
     ours, lite = pair
     doracle.check(ours, lite_sql=lite)
+
+
+def test_interval_arithmetic(ddb):
+    """d ± INTERVAL 'n' unit with civil month-end clamping (reference
+    DateAdd.cpp)."""
+    import datetime as _dt
+
+    db = ddb
+    db.sql("CREATE TABLE iv (d DATE, ts TIMESTAMP)")
+    db.sql("INSERT INTO iv VALUES ('2020-01-31', '2020-01-31 10:30:00'), "
+           "('2019-12-31', '2020-03-31 23:59:59')")
+    rows = db.sql("SELECT d + INTERVAL '1' MONTH, d - INTERVAL '2' MONTH, "
+                  "d + INTERVAL '1' DAY FROM iv").rows()
+    assert rows[0] == (_dt.date(2020, 2, 29), _dt.date(2019, 11, 30),
+                       _dt.date(2020, 2, 1))
+    assert rows[1] == (_dt.date(2020, 1, 31), _dt.date(2019, 10, 31),
+                       _dt.date(2020, 1, 1))
+    rows = db.sql("SELECT ts + INTERVAL '90' SECOND, "
+                  "ts + INTERVAL '25' HOUR FROM iv").rows()
+    assert rows[0][0] == _dt.datetime(2020, 1, 31, 10, 31, 30)
+    assert rows[0][1] == _dt.datetime(2020, 2, 1, 11, 30)
+    assert rows[1][0] == _dt.datetime(2020, 4, 1, 0, 1, 29)
+    # interval in a filter over a literal timestamp
+    assert db.sql(
+        "SELECT count(*) FROM iv WHERE ts > "
+        "TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '30' DAY"
+    ).rows()[0][0] == 2
