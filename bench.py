@@ -32,7 +32,8 @@ def log(*a):
 K_LO, K_HI = 4, 24
 
 
-def chain_engine_kernel(db, query: str, n_rows: int, label: str):
+def chain_engine_kernel(db, query: str, n_rows: int, label: str,
+                        k_lo: int = K_LO, k_hi: int = K_HI):
     """Device s/iteration of the engine's compiled kernel for `query`,
     via the carry-chained fori_loop protocol.  Returns (sec_per_iter,
     first_wall_s)."""
@@ -70,13 +71,16 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str):
     if pert_idx is None:
         raise RuntimeError("no perturbable column arg")
 
-    def run_chain(K):
+    def run_chain(K, seed):
+        # device arrays must be jit ARGUMENTS — closing over them embeds
+        # them as literal HLO constants and compiles pathologically
         @jax.jit
-        def looped(carry0, pert_col):
+        def looped(carry0, *all_args):
             def step(_, carry):
-                eps = (carry >> jnp.int64(62)).astype(pert_col.dtype)
-                a2 = list(args)
-                a2[pert_idx] = pert_col + eps
+                pc = all_args[pert_idx]
+                eps = (carry >> jnp.int64(62)).astype(pc.dtype)
+                a2 = list(all_args)
+                a2[pert_idx] = pc + eps
                 out = kernel(*a2)
                 nxt = jnp.asarray(out["n_out"], jnp.int64) \
                     if "n_out" in out else jnp.int64(1)
@@ -85,18 +89,20 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str):
             return jax.lax.fori_loop(0, K, step, carry0)
 
         t1 = time.perf_counter()
-        out = looped(jnp.int64(1), args[pert_idx])
+        out = looped(jnp.int64(seed), *args)
         float(jax.device_get(out))
         return time.perf_counter() - t1
 
-    run_chain(K_LO)
-    run_chain(K_HI)
-    tlo = run_chain(K_LO)
-    thi = run_chain(K_HI)
-    per = max(thi - tlo, 0.0) / (K_HI - K_LO)
+    seeds = iter(range(1, 100))
+    run_chain(k_lo, next(seeds))
+    run_chain(k_hi, next(seeds))
+    tlo = min(run_chain(k_lo, next(seeds)) for _ in range(2))
+    thi = min(run_chain(k_hi, next(seeds)) for _ in range(2))
+
+    per = max(thi - tlo, 0.0) / (k_hi - k_lo)
     log(f"{label}: {per*1e3:.1f}ms/iter "
         f"({n_rows/max(per,1e-9)/1e9:.2f}G rows/s; first(full SQL incl. "
-        f"compile)={first_wall:.1f}s; T{K_LO}={tlo:.1f}s T{K_HI}={thi:.1f}s)")
+        f"compile)={first_wall:.1f}s; T{k_lo}={tlo:.2f}s T{k_hi}={thi:.2f}s)")
     return per, first_wall
 
 
@@ -125,9 +131,11 @@ def main():
     sub = {}
 
     # ---- config 1: scan+filter+COUNT/SUM (headline) ----
+    # the scan kernel is ~0.1ms/20M rows — needs a long chain to rise
+    # above per-call noise
     per1, first1 = chain_engine_kernel(
         db, "SELECT count(*), sum(y) FROM t WHERE x > 500000", n_rows,
-        "config1 scan_filter_agg",
+        "config1 scan_filter_agg", k_lo=16, k_hi=272,
     )
     rows_per_s = n_rows / max(per1, 1e-9)
     hbm_bw = {"tpu": 819e9, "cpu": 100e9}.get(backend, 819e9)

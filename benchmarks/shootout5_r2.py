@@ -42,19 +42,21 @@ def main():
     v = jnp.asarray(rng.random(n).astype(np.float32))
 
     def compile_chain(body, K, *consts):
-        def looped(carry0):
+        # consts must be ARGUMENTS: closing over 80MB device arrays embeds
+        # them as literal constants in the HLO → pathological compiles
+        def looped(carry0, *cs):
             def step(i, carry):
-                return body(carry, *consts)
+                return body(carry, *cs)
 
             return jax.lax.fori_loop(0, K, step, carry0)
 
-        return jax.jit(looped).lower(jnp.float32(1.0)).compile()
+        return jax.jit(looped).lower(jnp.float32(1.0), *consts).compile()
 
-    def timed_call(fn):
+    def timed_call(fn, consts):
         _counter[0] += 1
         c0 = jnp.float32(_counter[0] * 0.001 + 1.0)
         t0 = t()
-        out = fn(c0)
+        out = fn(c0, *consts)
         val = float(jax.device_get(out))
         return t() - t0
 
@@ -63,9 +65,9 @@ def main():
         flo = compile_chain(body, klo, *consts)
         fhi = compile_chain(body, khi, *consts)
         comp = t() - t0
-        timed_call(flo)  # warm the pipe
-        tlo = min(timed_call(flo) for _ in range(3))
-        thi = min(timed_call(fhi) for _ in range(3))
+        timed_call(flo, consts)  # warm the pipe
+        tlo = min(timed_call(flo, consts) for _ in range(3))
+        thi = min(timed_call(fhi, consts) for _ in range(3))
         per = max(thi - tlo, 0.0) / (khi - klo)
         log(f"{name}: {per*1e3:.2f}ms/op  "
             f"(Tlo={tlo:.2f}s Thi={thi:.2f}s compile={comp:.0f}s)")
