@@ -36,13 +36,13 @@ class Config:
     row_block: int = 1 << 13  # 8192
 
     # ---- group-by ----
-    # Max dense key-space size for the perfect-hash (positional) group-by path
-    # dense-range ceiling for the positional perfect-hash path.  Measured
-    # on the dev TPU runtime: colliding scatters cost ~4.6us PER OUTPUT
-    # SLOT once the buffer exceeds VMEM (20M-row COUNT into 10M slots =
-    # 46s vs 0.8s into 200k), so beyond ~1M slots the flat ~8-10s sort
-    # path wins.  Unique-index scatters are immune (join compaction).
-    baseline_groupby_threshold: int = 1 << 20
+    # Dense-range ceiling for the positional perfect-hash path.  Round-2
+    # measurements (chained-loop protocol): colliding scatters are
+    # slot-count independent — 267ms @64k..1M slots, 450ms @10M slots for
+    # 20M-row COUNT+SUM — so dense scatters stay profitable to ~16M slots
+    # (beyond that the partial buffers start costing real HBM); the sort
+    # path (629ms @10M sparse) covers wider/sparser key spaces.
+    baseline_groupby_threshold: int = 1 << 24
     # multi-round hash slot claiming for sparse keys: claims + compacted
     # accumulation are several colliding scatters over claim-table-sized
     # buffers, which loses to the sort path under the per-slot scatter

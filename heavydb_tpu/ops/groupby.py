@@ -372,13 +372,17 @@ def _pallas_eligible(num_slots: int, f64: bool = False) -> bool:
 
 # XLA fallback for mid-cardinality slots when Pallas is unavailable:
 # chunked one-hot matmul under lax.scan — N×slots MXU FLOPs, bounded
-# [chunk, slots] intermediates, ~12x faster than serialized scatter.
+# [chunk, slots] intermediates.
 ONEHOT_MAX_SLOTS = 4096
-# slot-TILED one-hot extends the MXU path: S/4096 passes over the data,
-# each a VMEM-sized one-hot matmul.  20M rows x 64k slots is ~1.2e12 bf16
-# MACs (~6ms of MXU) + a dozen data re-streams — far cheaper than the
-# colliding-scatter tier at these widths (46656-slot AVG measured 5.8s)
-ONEHOT_TILED_MAX_SLOTS = 1 << 16
+# Round-2 measured costs (carry-chained fori_loop protocol, 20M rows,
+# COUNT+SUM, benchmarks/shootout5/6_r2.py):
+#   one-hot: 47ms @1k, 101ms @2k, 234ms @4k, 497ms @8k (linear in slots)
+#   scatter: 350ms @1k, 267ms @64k..1M, 450ms @10M (slot-independent)
+#   sort-groupby @10M slots: 629ms
+# → one-hot wins ≤ ~4k slots; the colliding scatter wins above (round 1's
+# 4.6µs/slot scatter pathology no longer exists on this runtime), so the
+# slot-TILED one-hot tier (4k-64k) is retired from default routing.
+ONEHOT_TILED_MAX_SLOTS = ONEHOT_MAX_SLOTS
 
 
 def _onehot_chunk(slots_p: int) -> int:
