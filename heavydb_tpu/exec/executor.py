@@ -1276,6 +1276,40 @@ class Executor:
             res = self._geo_aux(afn, t, cid, rows, lengths, flat)
             self.aux_cache[cache_key] = res
             return res
+        if afn.op == "ARR_EQ":
+            # whole-array equality per table row (1/0/-1 = true/false/NULL);
+            # TEXT[] columns carry per-column dictionary ids — translate to
+            # strings before comparing
+            other = afn.args[0]
+            other_cid = other.dict_ref[1]
+            rows_b = t.column_values(other_cid)
+            da = t.dicts.get(cid)
+            db_ = t.dicts.get(other_cid)
+            n = len(rows)
+            out = np.full(n, -1, np.int8)
+            for i in range(n):
+                ra, rb = rows[i], rows_b[i]
+                if ra is None or rb is None:
+                    continue
+                if len(ra) != len(rb):
+                    out[i] = 0
+                    continue
+                if da is not None and db_ is not None and da is not db_:
+                    sa = [da.get_string(int(x)) if x >= 0 else None
+                          for x in ra]
+                    sb = [db_.get_string(int(x)) if x >= 0 else None
+                          for x in rb]
+                    out[i] = 1 if sa == sb else 0
+                else:
+                    out[i] = 1 if bool(
+                        (np.asarray(ra) == np.asarray(rb)).all()
+                    ) else 0
+            res = (
+                jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                        T.tinyint(False))),
+            )
+            self.aux_cache[cache_key] = res
+            return res
         if afn.op in ("CARDINALITY", "SUBSCRIPT", "UNNEST"):
             res = (
                 jax.device_put(B.pad_to(lengths, B.bucket(max(n, 1)),

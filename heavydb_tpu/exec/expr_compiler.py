@@ -100,7 +100,7 @@ class ExprCompiler:
             ln = aux[0][ridc]
             return ln, okrid & (ln >= 0)
         if e.op in ("ANY", "ALL", "CONTAINS", "CONTAINS_LITPOLY",
-                    "INTERSECTS_LIT"):
+                    "INTERSECTS_LIT", "ARR_EQ"):
             r = aux[0][ridc]
             return r == 1, okrid & (r != -1)
         if e.op in ("AREA", "PERIMETER"):

@@ -363,6 +363,28 @@ class ExprBinder:
         raise NotSupported(f"operator {op}")
 
     def _bind_comparison(self, op: str, l: E.Expr, r: E.Expr) -> E.Expr:
+        if l.type.is_array and r.type.is_array and op in ("=", "<>"):
+            # whole-array equality — evaluated host-side per table row
+            # (reference Analyzer::BinOper over array operands)
+            if l.type.elem_type().kind != r.type.elem_type().kind:
+                raise BinderError(
+                    "array comparison requires matching element types"
+                )
+            lref = getattr(l, "dict_ref", None)
+            rref = getattr(r, "dict_ref", None)
+            if lref is None or rref is None or lref[0] != rref[0]:
+                raise NotSupported(
+                    "array comparison requires two array columns of the "
+                    "same table"
+                )
+            eq = E.ArrayFn(
+                op="ARR_EQ", arr_ref=lref, rowid=l, args=(r,),
+                elem=l.type.elem_type(),
+                type=T.boolean(True),
+            )
+            if op == "<>":
+                return E.UnOp(E.UnOpKind.NOT, eq, T.boolean(True))
+            return eq
         if l.type.is_array or r.type.is_array:
             raise BinderError(
                 "arrays cannot be compared directly (use = ANY / <> ALL)"

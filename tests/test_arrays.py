@@ -181,3 +181,17 @@ def test_array_persistence(tmp_path):
     assert db3.sql(
         "SELECT id, CARDINALITY(tags) FROM t ORDER BY id"
     ).rows() == [(1, 2), (2, None), (3, 1)]
+
+
+def test_array_equality(db):
+    db.sql("CREATE TABLE aeq (a INT[], b INT[], s TEXT[], t2 TEXT[])")
+    db.sql("INSERT INTO aeq VALUES ({1,2,3}, {1,2,3}, {'x','y'}, {'x','y'}),"
+           " ({4,5}, {4,6}, {'a'}, {'b'}), (NULL, {1}, NULL, {'z'})")
+    assert db.sql("SELECT a = b FROM aeq").rows() == [
+        (True,), (False,), (None,)
+    ]
+    assert db.sql("SELECT count(*) FROM aeq WHERE a = b").rows()[0][0] == 1
+    assert db.sql("SELECT count(*) FROM aeq WHERE a <> b").rows()[0][0] == 1
+    assert db.sql("SELECT s = t2 FROM aeq").rows() == [
+        (True,), (False,), (None,)
+    ]
