@@ -71,32 +71,39 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
     if pert_idx is None:
         raise RuntimeError("no perturbable column arg")
 
+    # ONE compiled program serves every K: the trip count is a RUNTIME
+    # argument of a while_loop (a static fori_loop count invites unrolling
+    # — K copies of the kernel body make pathological programs), and
+    # device arrays are jit arguments (closures embed them as literal HLO
+    # constants)
+    @jax.jit
+    def looped(carry0, k_iters, *all_args):
+        def cond(state):
+            return state[0] < k_iters
+
+        def body(state):
+            i, carry = state
+            pc = all_args[pert_idx]
+            eps = (carry >> jnp.int64(62)).astype(pc.dtype)
+            a2 = list(all_args)
+            a2[pert_idx] = pc + eps
+            out = kernel(*a2)
+            if "n_out" in out:
+                nxt = jnp.asarray(out["n_out"], jnp.int64)
+            else:
+                # keyless fast path: no control scalars — consume the
+                # first output column so the kernel can't be
+                # dead-code-eliminated out of the chain
+                nxt = jnp.ravel(out["cols"][0])[0].astype(jnp.int64)
+            return i + 1, (carry + nxt) % jnp.int64(1 << 40)
+
+        return jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0)
+        )[1]
+
     def run_chain(K, seed):
-        # device arrays must be jit ARGUMENTS — closing over them embeds
-        # them as literal HLO constants and compiles pathologically
-        @jax.jit
-        def looped(carry0, *all_args):
-            def step(_, carry):
-                pc = all_args[pert_idx]
-                eps = (carry >> jnp.int64(62)).astype(pc.dtype)
-                a2 = list(all_args)
-                a2[pert_idx] = pc + eps
-                out = kernel(*a2)
-                if "n_out" in out:
-                    nxt = jnp.asarray(out["n_out"], jnp.int64)
-                else:
-                    # keyless fast path: no control scalars — consume the
-                    # first output column so the kernel can't be
-                    # dead-code-eliminated out of the chain
-                    c0 = jnp.ravel(out["cols"][0])[0]
-                    nxt = c0.astype(jnp.int64) if c0.dtype != jnp.bool_ \
-                        else c0.astype(jnp.int64)
-                return (carry + nxt) % jnp.int64(1 << 40)
-
-            return jax.lax.fori_loop(0, K, step, carry0)
-
         t1 = time.perf_counter()
-        out = looped(jnp.int64(seed), *args)
+        out = looped(jnp.int64(seed), jnp.int32(K), *args)
         float(jax.device_get(out))
         return time.perf_counter() - t1
 
