@@ -143,3 +143,32 @@ def test_full_outer_projection_nullability(db):
         key=lambda t: (t[0] is None, t[0] or 0),
     )
     assert rows == [(1, None), (2, 2), (None, 3)]
+
+
+def test_fragment_skipping_consistent_around_outer_joins(rng):
+    """Pruning scan fragments via simple comparison quals is
+    semantics-preserving even around FULL/LEFT joins (comparison quals
+    never pass on NULL-extended rows, so both paths drop them)."""
+    import heavydb_tpu as hdt
+    from heavydb_tpu.config import Config
+
+    n = 60_000
+    lk = rng.integers(0, 3000, n).astype(np.int32)
+    lv = rng.integers(0, 1000, n).astype(np.int32)
+    rk = rng.integers(1500, 4500, 20_000).astype(np.int32)
+    rv = rng.integers(0, 1000, 20_000).astype(np.int32)
+
+    def run(frag):
+        db = hdt.connect(config=Config(default_fragment_rows=frag))
+        db.load_table("l", {"k": lk, "v": lv}, create=True)
+        db.load_table("r", {"k": rk, "v": rv}, create=True)
+        return [
+            db.sql("SELECT count(*), count(l.v), count(r.v) FROM l "
+                   "FULL JOIN r ON l.k = r.k WHERE l.v > 500").rows(),
+            db.sql("SELECT count(*) FROM l FULL JOIN r ON l.k = r.k "
+                   "WHERE r.v < 100").rows(),
+            db.sql("SELECT count(*) FROM l LEFT JOIN r ON l.k = r.k "
+                   "WHERE l.v BETWEEN 100 AND 200").rows(),
+        ]
+
+    assert run(100_000) == run(8_000)
