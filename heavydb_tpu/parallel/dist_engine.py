@@ -181,9 +181,12 @@ class DistEngine:
             # distributed projection: local rows, gathered (small results
             # only — the watchdog guards unbounded projections locally)
             out = ex.execute(plan)
-            cols = self.rt.allgather_concat(
-                [c for c in out.to_numpy() if c is not None]
-            )
+            host = out.to_numpy()
+            if any(c is None for c in host):
+                raise NotSupported(
+                    "distributed projection with pruned columns"
+                )
+            cols = self.rt.allgather_concat(list(host))
             import heavydb_tpu.exec.batch as B
 
             return (
