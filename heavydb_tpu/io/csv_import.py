@@ -67,17 +67,126 @@ def detect_column_types(path: str, options: Dict = None) -> list:
     return out
 
 
+_NULL_TOKENS = {"", "NULL", "\\N", "null"}
+
+
+def parse_csv_native(path: str, delimiter: str = ",", header: bool = True):
+    """Parse with the native multithreaded C++ extension (the role of the
+    reference's parallel delimited import workers).  Returns
+    (names, columns, nrows) or None when the extension is unavailable.
+    Columns come back as int64/float64 numpy arrays (nulls → NaN-widened
+    float64) or python lists of str/None."""
+    from heavydb_tpu.native import load_csv_ext
+
+    ext = load_csv_ext()
+    if ext is None or len(delimiter) != 1:
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    names, cols, nrows = ext.parse_csv(
+        data, ord(delimiter), 1 if header else 0, 0
+    )
+    out = []
+    for entry in cols:
+        kind = entry[0]
+        if kind == "i":
+            _, buf, nulls = entry
+            vals = np.frombuffer(buf, np.int64)
+            mask = np.frombuffer(nulls, np.uint8).astype(bool)
+            if mask.all():
+                out.append(vals.copy())
+            else:
+                fv = vals.astype(np.float64)
+                fv[~mask] = np.nan
+                out.append(fv)
+        elif kind == "f":
+            _, buf, nulls = entry
+            vals = np.frombuffer(buf, np.float64).copy()
+            mask = np.frombuffer(nulls, np.uint8).astype(bool)
+            vals[~mask] = np.nan
+            out.append(vals)
+        else:
+            _, payload, offs_b, nulls = entry
+            offs = np.frombuffer(offs_b, np.int64)
+            mask = np.frombuffer(nulls, np.uint8).astype(bool)
+            lst = [
+                payload[offs[i]:offs[i + 1]].decode("utf-8", "replace")
+                if mask[i] else None
+                for i in range(nrows)
+            ]
+            # normalize textual null markers (pandas na_values parity)
+            lst = [None if (v is not None and v in _NULL_TOKENS) else v
+                   for v in lst]
+            out.append(lst)
+    if not header:
+        names = [f"col_{i}" for i in range(len(names))]
+    return names, out, nrows
+
+
+def _coerce_native_col(col, cd):
+    """Adapt a native-parsed column to the table column's type family."""
+    ti = cd.type
+    if isinstance(col, list):
+        if ti.is_boolean:
+            truthy = {"true", "t", "1", "yes"}
+            falsy = {"false", "f", "0", "no"}
+
+            def bconv(v):
+                if v is None:
+                    return None
+                lv = str(v).strip().lower()
+                if lv in truthy:
+                    return True
+                if lv in falsy:
+                    return False
+                return bool(int(lv))
+
+            return [bconv(v) for v in col]
+        if ti.is_number:
+            def conv(v):
+                if v is None:
+                    return None
+                try:
+                    return float(v) if ti.is_fp or ti.is_decimal else int(v)
+                except ValueError:
+                    return float(v)  # "1e3" into an int col -> error later
+
+            return [conv(v) for v in col]
+        return col
+    return col
+
+
 def import_csv(t: Table, path: str, options: Dict) -> int:
     import pandas as pd
+
+    header = options.get("header", True)
+    if isinstance(header, str):
+        header = header.lower() in ("true", "1", "yes")
+    delim = options.get("delimiter", ",")
+    quote = options.get("quote", '"')
+    if not path.endswith(".parquet") and quote == '"' and \
+            not options.get("no_native"):
+        native = parse_csv_native(path, delim, header)
+        if native is not None:
+            names, cols, n = native
+            if len(cols) != len(t.columns):
+                raise StorageError(
+                    f"CSV has {len(cols)} columns, table {t.name} has "
+                    f"{len(t.columns)}"
+                )
+            arrays = {}
+            for cd, col in zip(t.columns, cols):
+                col = _coerce_native_col(col, cd)
+                arrays[cd.col_id] = to_physical(
+                    col, cd.type, t.dicts.get(cd.col_id)
+                )
+            if n:
+                t.insert_columns(arrays)
+            return n
 
     if path.endswith(".parquet"):
         df = pd.read_parquet(path)
     else:
-        header = options.get("header", True)
-        if isinstance(header, str):
-            header = header.lower() in ("true", "1", "yes")
-        delim = options.get("delimiter", ",")
-        quote = options.get("quote", '"')
         df = pd.read_csv(
             path,
             sep=delim,

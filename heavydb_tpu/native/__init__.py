@@ -32,6 +32,46 @@ def _build(src: str, out: str) -> bool:
 
 _EXT = None
 _EXT_TRIED = False
+_CSV_EXT = None
+_CSV_TRIED = False
+
+
+def load_csv_ext():
+    """Native CSV parser extension (csv_ext.cpp) or None."""
+    global _CSV_EXT, _CSV_TRIED
+    with _LOCK:
+        if _CSV_TRIED:
+            return _CSV_EXT
+        _CSV_TRIED = True
+        import hashlib
+        import importlib.util
+        import sysconfig
+
+        src = os.path.join(_HERE, "csv_ext.cpp")
+        try:
+            with open(src, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        except OSError:
+            return None
+        out = os.path.join(_HERE, f"_csv_ext_{digest}.so")
+        if not os.path.exists(out):
+            inc = sysconfig.get_path("include")
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-pthread", f"-I{inc}", src, "-o", out],
+                    check=True, capture_output=True, timeout=180,
+                )
+            except Exception:
+                return None
+        try:
+            spec = importlib.util.spec_from_file_location("_csv_ext", out)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            _CSV_EXT = mod
+        except Exception:
+            _CSV_EXT = None
+        return _CSV_EXT
 
 
 def load_strdict_ext():
