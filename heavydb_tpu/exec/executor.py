@@ -755,6 +755,23 @@ class Executor:
             else:
                 batches.append(self._exec(inp, memo, per_input_needed[i]))
 
+        # 1b. RUNTIME join reordering: inputs are materialized, so actual
+        # cardinalities are known — correct plan-time estimate mistakes
+        # (intermediate results, post-filter sizes).  The reference's
+        # FromTableReordering uses the same cardinality rule.
+        if len(node.inputs) > 1:
+            from heavydb_tpu.plan.optimizer import _reorder_joins
+
+            _reorder_joins(node, sizes=[b.nrows for b in batches])
+            order = node.__dict__.pop("_reordered", None)
+            if order:
+                batches = [batches[i] for i in order]
+                offsets = []
+                off = 0
+                for i_ in node.inputs:
+                    offsets.append(off)
+                    off += i_.arity
+
         # 2. plan the kernel (strategy, caps, aux arrays)
         plan = self._plan_compound(node, batches, offsets)
         return batches, plan

@@ -67,13 +67,20 @@ def _estimate_rows(n: R.RelNode) -> Optional[int]:
     return None
 
 
-def _reorder_joins(node: R.RelNode) -> R.RelNode:
-    node.inputs = [_reorder_joins(i) for i in node.inputs]
+def _reorder_joins(node: R.RelNode, sizes=None) -> R.RelNode:
+    """Reorder a Compound's join inputs by cardinality.  `sizes` (actual
+    per-input row counts, known once inputs are materialized) overrides
+    the plan-time estimates — the runtime half of the reference's
+    FromTableReordering."""
+    if sizes is None:
+        node.inputs = [_reorder_joins(i) for i in node.inputs]
     if not isinstance(node, R.Compound) or len(node.inputs) < 2:
         return node
     if any(k != "INNER" or c is None for k, c in node.join_levels):
         return node
-    ests = [_estimate_rows(i) for i in node.inputs]
+    ests = sizes if sizes is not None else [
+        _estimate_rows(i) for i in node.inputs
+    ]
     if any(e is None for e in ests):
         return node
 
@@ -155,6 +162,10 @@ def _reorder_joins(node: R.RelNode) -> R.RelNode:
 
     node.inputs = [node.inputs[i] for i in order]
     node.join_levels = levels
+    if sizes is not None:
+        # runtime call: the caller holds materialized inputs and must
+        # permute them to match
+        node._reordered = order
     fc = [E.rewrite(c, rn) for c, _ in extra_filter]
     if node.filter_cond is not None:
         fc.append(E.rewrite(node.filter_cond, rn))
