@@ -117,6 +117,20 @@ def parse_csv_native(path: str, delimiter: str = ",", header: bool = True):
             # normalize textual null markers (pandas na_values parity)
             lst = [None if (v is not None and v in _NULL_TOKENS) else v
                    for v in lst]
+            # columns stringified only by textual null markers re-classify
+            # numeric (pandas parity: "NULL" cells don't make a float
+            # column a string column)
+            vals = [v for v in lst if v is not None]
+            if vals:
+                try:
+                    fv = np.array(
+                        [np.nan if v is None else float(v) for v in lst],
+                        np.float64,
+                    )
+                    out.append(fv)
+                    continue
+                except (TypeError, ValueError):
+                    pass
             out.append(lst)
     if not header:
         names = [f"col_{i}" for i in range(len(names))]

@@ -664,3 +664,47 @@ def test_now_current_date(db):
     db.sql("CREATE TABLE nw (ts TIMESTAMP)")
     db.sql("INSERT INTO nw VALUES ('2020-01-01 00:00:00')")
     assert db.sql("SELECT COUNT(*) FROM nw WHERE ts < NOW()").scalar() == 1
+
+
+def test_native_csv_parser_matches_pandas(tmp_path, rng):
+    """The C++ multithreaded CSV parser (native/csv_ext.cpp) produces the
+    same columns as the pandas path, including quoted fields, doubled
+    quotes, embedded delimiters, and null markers."""
+    import csv as _csv
+
+    import pandas as pd
+
+    from heavydb_tpu.io.csv_import import parse_csv_native
+
+    p = tmp_path / "data.csv"
+    n = 5000
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["i", "f", "s"])
+        for k in range(n):
+            w.writerow([
+                int(rng.integers(-10**6, 10**6)) if k % 7 else "",
+                round(float(rng.random() * 100), 3) if k % 5 else "NULL",
+                ['say "hi"', "a,b", "plain", ""][k % 4],
+            ])
+    res = parse_csv_native(str(p))
+    if res is None:
+        import pytest
+
+        pytest.skip("native csv extension unavailable")
+    names, cols, nrows = res
+    assert names == ["i", "f", "s"] and nrows == n
+    df = pd.read_csv(p, na_values=["NULL", ""], keep_default_na=True)
+    iv = df["i"].to_numpy()
+    assert np.allclose(np.nan_to_num(cols[0], nan=-1),
+                       np.nan_to_num(iv, nan=-1))
+    fv = df["f"].to_numpy()
+    assert np.allclose(np.nan_to_num(cols[1], nan=-1),
+                       np.nan_to_num(fv, nan=-1), atol=1e-9)
+    for k in range(0, n, 997):
+        want = df["s"].iloc[k]
+        got = cols[2][k]
+        if isinstance(want, float):
+            assert got is None
+        else:
+            assert got == want
