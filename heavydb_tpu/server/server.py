@@ -258,6 +258,62 @@ class HeavyTpuServer:
     def rpc_get_version(self) -> str:
         return __version__
 
+    # ---- epoch / validation / metadata parity (heavy.thrift:698-716) ----
+
+    def rpc_get_table_epoch(self, session: str, table: str) -> int:
+        self._session(session)
+        return self.db.get_table_epoch(table)
+
+    def rpc_set_table_epoch(self, session: str, table: str,
+                            epoch: int) -> bool:
+        s = self._session(session)
+        if s.user != "admin":
+            raise HeavyTpuError("set_table_epoch requires admin")
+        self.db.set_table_epoch(table, int(epoch))
+        return True
+
+    def rpc_sql_validate(self, session: str, query: str) -> dict:
+        """Parse+bind without executing (reference sql_validate:
+        returns the projected row descriptor)."""
+        from heavydb_tpu.plan.optimizer import optimize
+        from heavydb_tpu.sql import ast as A
+        from heavydb_tpu.sql.parser import parse_many
+
+        self._session(session)
+        stmts = parse_many(query)
+        if len(stmts) != 1 or not isinstance(stmts[0], A.Select):
+            raise HeavyTpuError("sql_validate expects a single SELECT")
+        plan = optimize(self.db._plan_select(stmts[0]))
+        return {
+            "fields": list(plan.fields),
+            "types": [t.sql_name() for t in plan.types],
+        }
+
+    def rpc_get_tables_meta(self, session: str) -> list:
+        self._session(session)
+        out = []
+        for name in self.db.catalog.list_tables():
+            t = self.db.catalog.get_table(name)
+            out.append({
+                "name": t.name,
+                "num_rows": t.num_rows,
+                "num_cols": len(t.columns),
+                "fragments": len(t.fragments),
+                "is_foreign": getattr(t, "foreign", None) is not None,
+                "shard_key": getattr(t, "shard_key", None),
+            })
+        return out
+
+    def rpc_detect_column_types(self, session: str, path: str,
+                                options: Optional[dict] = None) -> list:
+        self._session(session)
+        from heavydb_tpu.io.csv_import import detect_column_types
+
+        return [
+            {"name": n, "type": t.sql_name()}
+            for n, t in detect_column_types(path, options or {})
+        ]
+
 
 def _is_write(sql: str) -> bool:
     head = sql.lstrip().split(None, 1)

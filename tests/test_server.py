@@ -199,3 +199,29 @@ def test_table_level_write_locks_allow_disjoint_tables():
     assert not errs
     assert srv.rpc_sql_execute(sid, "SELECT count(*) FROM wa")[
         "columns"][0][0] == 5
+
+
+def test_epoch_validate_meta_rpcs(tmp_path):
+    from heavydb_tpu.server.server import HeavyTpuServer
+
+    srv = HeavyTpuServer(str(tmp_path / "d"))
+    sid = srv.rpc_connect()
+    srv.rpc_sql_execute(sid, "CREATE TABLE et (x INT, s TEXT)")
+    srv.rpc_sql_execute(sid, "INSERT INTO et VALUES (1, 'a')")
+    e1 = srv.rpc_get_table_epoch(sid, "et")
+    srv.rpc_sql_execute(sid, "INSERT INTO et VALUES (2, 'b')")
+    assert srv.rpc_get_table_epoch(sid, "et") > e1
+    srv.rpc_set_table_epoch(sid, "et", e1)
+    assert srv.rpc_sql_execute(sid, "SELECT count(*) FROM et")[
+        "columns"][0][0] == 1
+    v = srv.rpc_sql_validate(sid, "SELECT x + 1 AS y, s FROM et")
+    assert v["fields"] == ["y", "s"]
+    assert v["types"][0] in ("INT", "INTEGER", "BIGINT")
+    meta = srv.rpc_get_tables_meta(sid)
+    assert any(m["name"] == "et" and m["num_cols"] == 2 for m in meta)
+    import pytest
+
+    from heavydb_tpu.errors import HeavyTpuError
+
+    with pytest.raises(Exception):
+        srv.rpc_sql_validate(sid, "SELECT nope FROM et")
