@@ -225,3 +225,23 @@ def test_epoch_validate_meta_rpcs(tmp_path):
 
     with pytest.raises(Exception):
         srv.rpc_sql_validate(sid, "SELECT nope FROM et")
+
+
+def test_warmup_file(tmp_path):
+    from heavydb_tpu.server.server import serve
+
+    wf = tmp_path / "warm.sql"
+    wf.write_text(
+        "CREATE TABLE wtab (x INT);\n"
+        "INSERT INTO wtab VALUES (1), (2);\n"
+        "-- comment line\n"
+        "SELECT count(*) FROM wtab;\n"
+        "SELECT broken syntax here;\n"  # best-effort: must not abort startup
+    )
+    srv = serve(port=0, warmup_file=str(wf))
+    try:
+        sid = srv.engine.rpc_connect()
+        out = srv.engine.rpc_sql_execute(sid, "SELECT sum(x) FROM wtab")
+        assert out["columns"][0][0] == 3
+    finally:
+        srv.server_close()
