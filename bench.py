@@ -95,7 +95,11 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
                 # first output column so the kernel can't be
                 # dead-code-eliminated out of the chain
                 nxt = jnp.ravel(out["cols"][0])[0].astype(jnp.int64)
-            return i + 1, (carry + nxt) % jnp.int64(1 << 40)
+            # NO modulo: a bounded carry lets XLA range analysis prove
+            # (carry >> 62) == 0 and hoist the kernel out of the loop
+            # (observed: T16 == T272).  Unbounded wrap keeps the
+            # dependency opaque; the rare nonzero eps is harmless.
+            return i + 1, carry + nxt
 
         return jax.lax.while_loop(
             cond, body, (jnp.int32(0), carry0)
