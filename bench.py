@@ -88,17 +88,13 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
             a2 = list(all_args)
             a2[pert_idx] = pc + eps
             out = kernel(*a2)
-            if "n_out" in out:
-                nxt = jnp.asarray(out["n_out"], jnp.int64)
-            else:
-                # keyless fast path: no control scalars — consume the
-                # first output column so the kernel can't be
-                # dead-code-eliminated out of the chain
-                nxt = jnp.ravel(out["cols"][0])[0].astype(jnp.int64)
-            # NO modulo: a bounded carry lets XLA range analysis prove
-            # (carry >> 62) == 0 and hoist the kernel out of the loop
-            # (observed: T16 == T272).  Unbounded wrap keeps the
-            # dependency opaque; the rare nonzero eps is harmless.
+            # consume a DATA-DEPENDENT output: n_out is a trace-time
+            # CONSTANT on the keyless fast path, which lets XLA collapse
+            # carry+const to closed form and dead-code-eliminate the
+            # kernel out of the loop (observed: T16 == T272)
+            nxt = jnp.ravel(out["cols"][0])[0].astype(jnp.int64)
+            # NO modulo either: a bounded carry lets range analysis prove
+            # (carry >> 62) == 0 and hoist the kernel as loop-invariant
             return i + 1, carry + nxt
 
         return jax.lax.while_loop(
