@@ -154,7 +154,50 @@ def main():
         "config1 scan_filter_agg", k_lo=16, k_hi=272,
     )
     rows_per_s = n_rows / max(per1, 1e-9)
+    # SOL calibration: achievable read bandwidth measured with a chained
+    # pure reduction over the same-sized buffer (the spec constant
+    # under-reports on some runtimes; the measured stream BW is the honest
+    # denominator for "fraction of speed of light")
     hbm_bw = {"tpu": 819e9, "cpu": 100e9}.get(backend, 819e9)
+    try:
+        import jax.numpy as jnp
+
+        arr = jnp.asarray(y)
+
+        @jax.jit
+        def bw_loop(carry0, k_iters, a):
+            def cond(st):
+                return st[0] < k_iters
+
+            def body(st):
+                i, c = st
+                s = (a + (c >> jnp.int64(62)).astype(a.dtype)).sum()
+                return i + 1, c + s.astype(jnp.int64)
+
+            return jax.lax.while_loop(
+                cond, body, (jnp.int32(0), carry0)
+            )[1]
+
+        def bw_run(K, seed):
+            t1 = time.perf_counter()
+            o = bw_loop(jnp.int64(seed), jnp.int32(K), arr)
+            float(jax.device_get(o))
+            return time.perf_counter() - t1
+
+        import jax as _jx
+
+        bw_run(4, 11)
+        bw_run(36, 12)
+        blo = min(bw_run(4, s) for s in (13, 14))
+        bhi = min(bw_run(36, s) for s in (15, 16))
+        per_bw = max(bhi - blo, 1e-9) / 32
+        measured_bw = arr.nbytes / per_bw
+        log(f"calibrated stream read BW: {measured_bw/1e9:.0f} GB/s "
+            f"({arr.nbytes/1e6:.0f}MB in {per_bw*1e3:.2f}ms)")
+        hbm_bw = max(hbm_bw, measured_bw)
+        sub["calibrated_bw_gbps"] = round(measured_bw / 1e9)
+    except Exception as e:
+        log(f"BW calibration failed: {e!r}")
     sol_rows_per_s = hbm_bw / 8.0  # 4B x + 4B y per row
     vs_raw = rows_per_s / sol_rows_per_s
     # cap at physical sanity (a fraction of speed-of-light cannot exceed
