@@ -52,3 +52,11 @@ def test_two_process_cluster_parity():
     for rc, out in outs:
         assert "PARITY_OK" in out, out[-3000:]
         assert rc == 0, out[-3000:]
+
+
+@pytest.mark.timeout(600)
+def test_four_process_cluster_parity():
+    outs = _run_cluster(4)
+    for rc, out in outs:
+        assert "PARITY_OK" in out, out[-3000:]
+        assert rc == 0, out[-3000:]
