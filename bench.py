@@ -51,10 +51,8 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
     first_wall = time.perf_counter() - t0
 
     node = optimize(db._plan_select(sel))
-    sort_node = None
     if isinstance(node, R.Sort):
-        sort_node = node
-        node = node.inputs[0]
+        node = node.inputs[0]  # chain the pre-sort Compound
     ex._substitute_subqueries(node, set())
     batches, plan = ex._prepare_compound(node, {})
     kernel, layout = ex._get_kernel(node, batches, plan)
