@@ -35,9 +35,16 @@ STREAMABLE_AGGS = frozenset({
 def decomposable(node: R.Compound) -> bool:
     if not node.is_aggregate or not node.aggs:
         return False
-    return all(
-        a.kind in STREAMABLE_AGGS and not a.distinct for a in node.aggs
-    )
+    for a in node.aggs:
+        if a.kind not in STREAMABLE_AGGS or a.distinct:
+            return False
+        if a.kind in (E.AggKind.MIN, E.AggKind.MAX) \
+                and a.arg is not None and a.arg.type.is_dict_string:
+            # dict-string MIN/MAX order by lexicographic RANK inside the
+            # kernel but the finalized per-partition value is an ID —
+            # merging ids picks the wrong string; keep these single-pass
+            return False
+    return True
 
 
 def decompose(node: R.Compound):

@@ -110,3 +110,27 @@ def test_streaming_not_used_for_unsupported_aggs(rng):
     assert [(r[0], r[1]) for r in rows] == [
         (i, len(ref[i])) for i in sorted(ref)
     ]
+
+
+def test_streaming_excludes_dict_string_minmax(rng):
+    """MIN/MAX over dict strings must NOT stream: the finalized partial is
+    a dictionary ID while ordering is by lexicographic rank, so merging
+    ids across waves would pick the wrong string.  The query stays on the
+    single-pass path and remains correct."""
+    n = 150_000
+    # intern order deliberately NOT sorted: 'zz' gets id 0
+    words = ["zz", "mm", "aa", "qq"]
+    s = np.array([words[i] for i in rng.integers(0, 4, n)], object)
+    k = rng.integers(0, 20, n).astype(np.int32)
+
+    def run(threshold):
+        db = hdt.connect(config=Config(
+            stream_threshold_bytes=threshold, default_fragment_rows=30_000))
+        db.load_table("t", {"k": k, "s": s}, create=True)
+        return db.sql(
+            "SELECT k, MIN(s), MAX(s) FROM t GROUP BY k ORDER BY k"
+        ).rows()
+
+    assert run(-1) == run(20_000)
+    rows = run(20_000)
+    assert rows[0][1] == "aa" and rows[0][2] == "zz"
