@@ -900,6 +900,12 @@ class Database:
                 )
             t.shard_key = st.shard_key.lower()
             t.shard_count = int(st.options.get("shard_count", 0))
+        sc = st.options.get("sort_column")
+        if sc:
+            sc = str(sc).strip("'\"")
+            if t.column_by_name(sc) is None:
+                raise BinderError(f"sort_column {sc!r} not in table")
+            t.sort_column = sc.lower()
         return None
 
     # ------------------------------------------------------------------

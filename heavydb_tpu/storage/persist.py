@@ -305,6 +305,7 @@ class PersistentCatalogStore:
                 "foreign": getattr(t, "foreign", None),
                 "shard_key": getattr(t, "shard_key", None),
                 "shard_count": getattr(t, "shard_count", 0),
+                "sort_column": getattr(t, "sort_column", None),
             })
         from heavydb_tpu.storage.migration import CATALOG_VERSION
 
@@ -358,5 +359,7 @@ class PersistentCatalogStore:
             if tm.get("shard_key"):
                 t.shard_key = tm["shard_key"]
                 t.shard_count = int(tm.get("shard_count", 0))
+            if tm.get("sort_column"):
+                t.sort_column = tm["sort_column"]
             out.append(t)
         return out

@@ -132,6 +132,8 @@ class Table:
         # SHARD KEY metadata (reference TableDescriptor.h:59-66)
         self.shard_key: Optional[str] = None
         self.shard_count = 0
+        # per-batch insert ordering (reference sortedColumnId)
+        self.sort_column: Optional[str] = None
         # generation bumps on every data mutation; device caches key on it
         # (reference TableGenerations for multi-host snapshot consistency)
         self.generation = 0
@@ -171,6 +173,19 @@ class Table:
         (n,) = lens
         if set(col_arrays) != {cd.col_id for cd in self.columns}:
             raise StorageError("insert must cover all columns")
+        # sort_column (reference TableDescriptor sortedColumnId): order each
+        # incoming batch by the column so fragment min/max ranges tighten
+        # and fragment skipping prunes harder
+        sc = getattr(self, "sort_column", None)
+        if sc and n > 1:
+            cd = self.column_by_name(sc)
+            if cd is not None and cd.col_id in col_arrays \
+                    and not cd.type.is_array:
+                order = np.argsort(col_arrays[cd.col_id], kind="stable")
+                col_arrays = {
+                    cid: np.ascontiguousarray(a[order])
+                    for cid, a in col_arrays.items()
+                }
         with self._lock:
             pos = 0
             while pos < n:

@@ -708,3 +708,34 @@ def test_native_csv_parser_matches_pandas(tmp_path, rng):
             assert got is None
         else:
             assert got == want
+
+
+def test_sort_column_tightens_fragments(rng):
+    """WITH (sort_column='x'): incoming batches sort by x, tightening
+    fragment min/max and sharpening fragment skipping (reference
+    TableDescriptor sortedColumnId)."""
+    import heavydb_tpu as hdt
+    from heavydb_tpu.config import Config
+
+    n = 120_000
+    x = rng.integers(0, 1_000_000, n).astype(np.int32)
+    v = rng.random(n).astype(np.float32)
+    db = hdt.connect(config=Config(default_fragment_rows=20_000))
+    db.sql("CREATE TABLE sorted_t (x INT, v FLOAT) "
+           "WITH (sort_column='x', fragment_size=20000)")
+    db.catalog.get_table("sorted_t").insert_columns({1: x, 2: v})
+    t = db.catalog.get_table("sorted_t")
+    mins = [f.stats[1].min for f in t.fragments]
+    assert mins == sorted(mins)  # fragments cover ascending ranges
+    # skipping now prunes most fragments for a narrow filter
+    from heavydb_tpu.plan.optimizer import optimize
+    from heavydb_tpu.sql.parser import parse
+
+    node = optimize(db._plan_select(parse(
+        "SELECT count(*) FROM sorted_t WHERE x < 50000")))
+    kept = db.executor._surviving_fragments(
+        node.inputs[0], 0, node.filter_cond)
+    assert kept is not None and len(kept) <= 2
+    want = int((x < 50000).sum())
+    assert db.sql("SELECT count(*) FROM sorted_t WHERE x < 50000"
+                  ).rows()[0][0] == want
