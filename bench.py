@@ -58,16 +58,24 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
     kernel, layout = ex._get_kernel(node, batches, plan)
     args = list(ex._kernel_args(batches, plan, layout))
 
-    # choose a full-length device column to carry-perturb
+    # choose the arg to carry-perturb: prefer a SCALAR (perturbing a big
+    # column adds a full materialize+read per iteration and inflates the
+    # measured cost); eps is almost always 0 so results are unchanged
     pert_idx = None
     padded = batches[0].padded
     for i, a in enumerate(args):
-        if hasattr(a, "shape") and a.ndim == 1 and a.shape[0] == padded \
-                and a.dtype != jnp.bool_:
+        if hasattr(a, "shape") and getattr(a, "ndim", None) == 0 \
+                and a.dtype in (jnp.int32, jnp.int64):
             pert_idx = i
             break
     if pert_idx is None:
-        raise RuntimeError("no perturbable column arg")
+        for i, a in enumerate(args):
+            if hasattr(a, "shape") and a.ndim == 1 \
+                    and a.shape[0] == padded and a.dtype != jnp.bool_:
+                pert_idx = i
+                break
+    if pert_idx is None:
+        raise RuntimeError("no perturbable arg")
 
     # ONE compiled program serves every K: the trip count is a RUNTIME
     # argument of a while_loop (a static fori_loop count invites unrolling
