@@ -62,6 +62,22 @@ def _join_hash_slots(build_padded: int) -> int:
     return 1 << max(int(build_padded * 2 - 1).bit_length(), 12)
 
 
+def _cellify(x, y, cell):
+    """Coordinates → clipped integer grid cell (exec/geo_join.py: clipping
+    merges far-out cells — more candidates, never fewer)."""
+    ci = jnp.clip(
+        jnp.floor(jnp.asarray(x, jnp.float64) / cell), -(2.0 ** 30), 2.0 ** 30
+    ).astype(jnp.int64)
+    cj = jnp.clip(
+        jnp.floor(jnp.asarray(y, jnp.float64) / cell), -(2.0 ** 30), 2.0 ** 30
+    ).astype(jnp.int64)
+    return ci, cj
+
+
+def _pack_cells(ci, cj):
+    return (ci << jnp.int64(32)) | (cj & jnp.int64(0xFFFFFFFF))
+
+
 # colliding claim scatters cost ~4.6µs/slot beyond VMEM on this runtime —
 # big builds keep the sorted/searchsorted formulation
 _JOIN_HASH_MAX_SLOTS = 1 << 21
@@ -251,6 +267,77 @@ def _build_compound_kernel(node, batches, plan, config):
                 rows_sorted = jax.lax.broadcasted_iota(jnp.int32, (pb,), 0)
                 pidx, bidx, out_mask, m_new, needed = J.expand_matches(
                     lo, cnt, rows_sorted, mask, cap, False
+                )
+            elif getattr(jp, "geo", None) is not None:
+                # grid-bucket spatial candidate join (exec/geo_join.py):
+                # probe = its own cell, build rows register under
+                # len(offsets) neighbor cells; the exact geo predicate is
+                # re-checked in jp.residual over the expanded domain
+                gs = jp.geo
+                if gs.cell is not None:
+                    cell = jnp.asarray(gs.cell, jnp.float64)
+                else:
+                    cell = aux[gs.bbox_key][2][0]
+                if gs.kind == "poly_probe":
+                    # probe side is the polygon: key = bbox min cell
+                    rcp = domain_compiler(jp.probe_keys)
+                    rid, ridv = rcp.compile(jp.probe_keys[0])
+                    xmin_a, ymin_a, _ = aux[gs.bbox_key]
+                    ridc = jnp.clip(
+                        jnp.asarray(rid, jnp.int32), 0, xmin_a.shape[0] - 1
+                    )
+                    px, py = xmin_a[ridc], ymin_a[ridc]
+                    pvalid = ~jnp.isnan(px)
+                    if ridv is not None:
+                        pvalid = pvalid & ridv
+                else:
+                    pcg = domain_compiler(jp.probe_keys)
+                    px, pxv = pcg.compile(jp.probe_keys[0])
+                    py, pyv = pcg.compile(jp.probe_keys[1])
+                    pvalid = and_valid(pxv, pyv)
+                pci, pcj = _cellify(px, py, cell)
+                pkey = _pack_cells(pci, pcj)
+                pvalid_m = mask if pvalid is None else (mask & pvalid)
+                if gs.kind == "poly_build":
+                    brow, browv = build_side_tv(jp.build_keys[0], bi)
+                    xmin_a, ymin_a, _ = aux[gs.bbox_key]
+                    bric = jnp.clip(
+                        jnp.asarray(brow, jnp.int32), 0, xmin_a.shape[0] - 1
+                    )
+                    bx, by = xmin_a[bric], ymin_a[bric]
+                    bvalid0 = ~jnp.isnan(bx)
+                    if browv is not None:
+                        bvalid0 = bvalid0 & browv
+                else:
+                    bx, bxv = build_side_tv(jp.build_keys[0], bi)
+                    by, byv = build_side_tv(jp.build_keys[1], bi)
+                    bvalid0 = and_valid(bxv, byv)
+                bci, bcj = _cellify(bx, by, cell)
+                reps = len(gs.offsets)
+                bkeys = jnp.concatenate([
+                    _pack_cells(bci + di, bcj + dj) for di, dj in gs.offsets
+                ])
+                indom = jax.lax.broadcasted_iota(jnp.int32, (pb,), 0) \
+                    < nrows[bi]
+                bok = indom if bvalid0 is None else (indom & bvalid0)
+                build = J.build_sorted(
+                    bkeys, jnp.tile(bok, reps),
+                    jnp.asarray(reps * pb, jnp.int32),
+                )
+                # expanded payload index → original build row
+                build = build._replace(rows_sorted=build.rows_sorted % pb)
+                if getattr(jp, "hash_fallback", False) or \
+                        _join_hash_slots(reps * pb) > _JOIN_HASH_MAX_SLOTS:
+                    lo, cnt = J.probe_counts(build, pkey, pvalid_m)
+                else:
+                    table = J.build_hash_table(
+                        build, _join_hash_slots(reps * pb)
+                    )
+                    join_hash_miss[li] = table.unresolved
+                    lo, cnt = J.probe_counts_hash(table, pkey, pvalid_m)
+                rows_by_slot = build.rows_sorted
+                pidx, bidx, out_mask, m_new, needed = J.expand_matches(
+                    lo, cnt, rows_by_slot, mask, cap, left_outer
                 )
             else:
                 # probe keys over the current domain

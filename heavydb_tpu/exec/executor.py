@@ -35,6 +35,7 @@ from heavydb_tpu.errors import (
     WatchdogException,
 )
 from heavydb_tpu.exec import batch as B
+from heavydb_tpu.exec import geo_join as GEO
 from heavydb_tpu.exec import ranges as RNG
 from heavydb_tpu.exec.expr_compiler import ExprCompiler, and_valid
 from heavydb_tpu.ops import agg as AGG
@@ -887,7 +888,25 @@ class Executor:
                 plan.caps.append(B.bucket(max(probe.nrows * max(build_rows, 1), 1)))
                 continue
             if not equis:
-                raise NotSupported("non-equi join conditions require ≥1 equality")
+                # spatial predicates: grid-bucket candidate join (reference
+                # BoundingBoxIntersectJoinHashTable) — the geo conjunct
+                # stays in the residual as the exact test
+                gj = GEO.plan_geo_join(residual, boundary, boundary + b_arity)
+                if gj is None or kind != "INNER":
+                    raise NotSupported(
+                        "non-equi join conditions require ≥1 equality"
+                    )
+                probe_keys, build_keys, spec, extra_aux = gj
+                for k_, s_ in extra_aux:
+                    plan.aux_specs.setdefault(k_, s_)
+                jp = _JoinPlan(kind="INNER", probe_keys=probe_keys,
+                               build_keys=build_keys, residual=residual,
+                               pack="geo", geo=spec)
+                plan.joins.append(jp)
+                est = max(probe.nrows, batches[build_input].nrows, 1) * 4
+                jp.fallback_cap = B.bucket(est)
+                plan.caps.append(jp.fallback_cap)
+                continue
             if kind in ("LEFT", "FULL") and residual:
                 raise NotSupported(
                     f"{kind} JOIN with non-equi residual conditions"
@@ -1099,7 +1118,7 @@ class Executor:
             tuple(
                 (jp.kind, jp.pack, jp.pack_spans, jp.key_min, jp.key_range,
                  jp.translate, jp.unique_build,
-                 getattr(jp, "hash_fallback", False))
+                 getattr(jp, "hash_fallback", False), jp.geo)
                 for jp in plan.joins
             ),
             tuple(sorted(plan.aux_specs.keys(), key=repr)),
@@ -1253,7 +1272,52 @@ class Executor:
             return arr
         if kind == "array":
             return self._array_aux(payload)
+        if kind == "geobbox":
+            return self._geobbox_aux(payload)
         raise NotSupported(f"aux {kind}")
+
+    def _geobbox_aux(self, arr_ref):
+        """Per-row bounding-box min corner + grid cell size for geo joins
+        (reference BoundingBoxIntersectJoinHashTable bucket sizing: cell =
+        the largest bbox extent, so every bbox spans ≤ 2 cells/axis)."""
+        from heavydb_tpu.storage.table import geo_rings
+
+        tid, cid = arr_ref
+        t = self.db.catalog.get_table_by_id(tid)
+        cache_key = ("geobbox", tid, cid, t.generation)
+        hit = self.aux_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        kind = t.column_by_id(cid).type.kind
+        rows = t.column_values(cid)
+        n = len(rows)
+        xmin = np.full(n, np.nan)
+        ymin = np.full(n, np.nan)
+        cell = 0.0
+        for i, r in enumerate(rows):
+            if r is None:
+                continue
+            xs, ys = [], []
+            for c, _ in geo_rings(r, kind):
+                if len(c) >= 2:
+                    xs.append(c[0::2])
+                    ys.append(c[1::2])
+            if not xs:
+                continue
+            x = np.concatenate(xs)
+            y = np.concatenate(ys)
+            xmin[i], ymin[i] = x.min(), y.min()
+            cell = max(cell, float(x.max() - x.min()),
+                       float(y.max() - y.min()))
+        cell = max(cell, 1e-9)
+        pad = B.bucket(max(n, 1))
+        res = (
+            jax.device_put(B.pad_to(xmin, pad, T.double(True))),
+            jax.device_put(B.pad_to(ymin, pad, T.double(True))),
+            jax.device_put(np.asarray([cell], np.float64)),
+        )
+        self.aux_cache[cache_key] = res
+        return res
 
     def _array_aux(self, afn):
         """Aux device arrays for an ArrayFn over a base-table array column.
@@ -1289,7 +1353,7 @@ class Executor:
             validf = flat != eti.null_sentinel()
 
         if afn.op in ("AREA", "PERIMETER", "CONTAINS", "CONTAINS_LITPOLY",
-                      "NPOINTS", "INTERSECTS_LIT"):
+                      "NPOINTS", "INTERSECTS_LIT", "CONTAINS_SEG"):
             res = self._geo_aux(afn, t, cid, rows, lengths, flat)
             self.aux_cache[cache_key] = res
             return res
@@ -1485,6 +1549,52 @@ class Executor:
                 out[i] = max(a, 0.0)
             return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
                                             T.double(True))),)
+        if afn.op == "CONTAINS_SEG":
+            # per-row segment CSR for the IN-KERNEL even-odd ray cast
+            # (cross-table geo joins can't precompute per-row results —
+            # candidate pairs are data-dependent).  Same ring filter as
+            # point_in below: rings with ≥ 3 points, wrap edge included.
+            seg_cnt = np.full(n, -1, np.int32)
+            xs1, ys1, xs2, ys2 = [], [], [], []
+            for i, r in enumerate(rows):
+                if r is None:
+                    continue
+                cnt = 0
+                for c, _ in geo_rings(r, kind):
+                    if len(c) < 6:
+                        continue
+                    x, y = c[0::2], c[1::2]
+                    xs1.append(x)
+                    ys1.append(y)
+                    xs2.append(np.roll(x, -1))
+                    ys2.append(np.roll(y, -1))
+                    cnt += len(x)
+                seg_cnt[i] = cnt
+            total = int(np.maximum(seg_cnt, 0).sum())
+            seg_off = np.zeros(n + 1, np.int32)
+            np.cumsum(np.maximum(seg_cnt, 0), out=seg_off[1:])
+            maxseg = int(np.maximum(seg_cnt, 0).max()) if n else 0
+
+            def flat_f64(parts):
+                return (np.concatenate(parts) if parts
+                        else np.empty(0, np.float64)).astype(np.float64)
+
+            padn = B.bucket(max(n, 1))
+            padnn = B.bucket(n + 1)
+            padt = B.bucket(max(total, 1))
+            res = (
+                jax.device_put(np.concatenate([
+                    seg_off, np.full(padnn - (n + 1), total, np.int32)
+                ])),
+                jax.device_put(B.pad_to(seg_cnt, padn, T.integer(False))),
+                jax.device_put(B.pad_to(flat_f64(xs1), padt, T.double(False))),
+                jax.device_put(B.pad_to(flat_f64(ys1), padt, T.double(False))),
+                jax.device_put(B.pad_to(flat_f64(xs2), padt, T.double(False))),
+                jax.device_put(B.pad_to(flat_f64(ys2), padt, T.double(False))),
+                # shape carries the STATIC ray-cast trip count
+                jax.device_put(np.zeros(maxseg, np.int8)),
+            )
+            return res
         if afn.op == "PERIMETER":
             out = np.full(n, np.nan)
             closed = kind != K.GEO_LINESTRING
@@ -1778,6 +1888,8 @@ class _JoinPlan:
     # expansion; verified at runtime (dup flag → retry with expansion)
     unique_build: bool = False
     fallback_cap: int = 0
+    # grid-bucket spatial join spec (exec/geo_join.py GeoJoinSpec)
+    geo: Optional[object] = None
 
 
 @dataclasses.dataclass

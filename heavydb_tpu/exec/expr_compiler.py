@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,6 +100,43 @@ class ExprCompiler:
         if e.op == "CARDINALITY":
             ln = aux[0][ridc]
             return ln, okrid & (ln >= 0)
+        if e.op == "CONTAINS_SEG":
+            # in-kernel even-odd ray cast against a POLYGON column's
+            # segment CSR (executor._geo_aux CONTAINS_SEG) — evaluable
+            # over ANY domain, so cross-table geo joins can use it as
+            # the exact residual.  Crossing rule matches the host-side
+            # point_in (executor._geo_aux) bit for bit.
+            seg_off, seg_cnt, sx1, sy1, sx2, sy2, trip_arr = aux
+            nmaxp = seg_cnt.shape[0]
+            ridp = jnp.clip(rid, 0, nmaxp - 1)
+            px, pxv = self.compile(e.args[0])
+            py, pyv = self.compile(e.args[1])
+            px = jnp.asarray(px, jnp.float64)
+            py = jnp.asarray(py, jnp.float64)
+            cnt = seg_cnt[ridp]
+            off = seg_off[ridp]
+            maxseg = trip_arr.shape[0]
+            nseg = sx1.shape[0]
+
+            def body(s, cross):
+                j = jnp.clip(off + s, 0, nseg - 1)
+                x1, y1 = sx1[j], sy1[j]
+                x2, y2 = sx2[j], sy2[j]
+                m = s < cnt
+                cr = ((y1 > py) != (y2 > py)) & (
+                    px < (x2 - x1) * (py - y1)
+                    / jnp.where(y2 == y1, 1e-300, y2 - y1) + x1
+                )
+                return cross + (m & cr).astype(jnp.int32)
+
+            cross0 = jnp.zeros_like(ridp, jnp.int32) \
+                + jnp.zeros_like(px, jnp.int32) + jnp.zeros_like(py, jnp.int32)
+            crossings = jax.lax.fori_loop(0, maxseg, body, cross0)
+            inside = (crossings % 2) == 1
+            ok = okrid & (cnt >= 0)
+            ok = and_valid(ok, pxv)
+            ok = and_valid(ok, pyv)
+            return inside, ok
         if e.op in ("ANY", "ALL", "CONTAINS", "CONTAINS_LITPOLY",
                     "INTERSECTS_LIT", "ARR_EQ"):
             r = aux[0][ridc]

@@ -849,9 +849,26 @@ class ExprBinder:
             if wa is not None and wb is None:
                 a_ast, b_ast, wa, wb = b_ast, a_ast, wb, wa
             if wb is None:
+                # column-vs-column: polygon×point lowers to containment
+                # (ray cast; boundary-touch counts as non-intersecting —
+                # measure-zero deviation from OGC semantics)
+                pa = self._array_base(a_ast)
+                pb_ = self._array_base(b_ast)
+                if pb_.type.kind in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON) \
+                        and pa.type.kind == K.GEO_POINT:
+                    pa, pb_ = pb_, pa
+                    a_ast, b_ast = b_ast, a_ast
+                if pa.type.kind in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON) \
+                        and pb_.type.kind == K.GEO_POINT:
+                    px, py = self._geo_xy(b_ast)
+                    return E.ArrayFn(
+                        op="CONTAINS_SEG", arr_ref=pa.dict_ref,
+                        rowid=pa, args=(px, py),
+                        elem=pa.type.elem_type(), type=T.boolean(True),
+                    )
                 raise NotSupported(
-                    "ST_INTERSECTS requires one literal geometry "
-                    "(geo joins: round-3)"
+                    "ST_INTERSECTS between two columns needs a "
+                    "polygon×point pair (or one literal geometry)"
                 )
             base = self._array_base(a_ast)
             if not base.type.is_geo:
@@ -933,9 +950,15 @@ class ExprBinder:
                 if arg.type.kind != K.GEO_POINT:
                     raise BinderError("ST_CONTAINS point argument")
                 if arg.dict_ref[0] != base.dict_ref[0]:
-                    raise NotSupported(
-                        "ST_CONTAINS with point and polygon from "
-                        "different tables"
+                    # cross-table polygon∋point: in-kernel segment ray
+                    # cast over the pair domain — the executor plans a
+                    # grid-bucket candidate join around it (geo_join.py;
+                    # reference BoundingBoxIntersectJoinHashTable)
+                    px, py = self._geo_xy(pt_ast)
+                    return E.ArrayFn(
+                        op="CONTAINS_SEG", arr_ref=base.dict_ref,
+                        rowid=base, args=(px, py),
+                        elem=base.type.elem_type(), type=T.boolean(True),
                     )
             return E.ArrayFn(
                 op="CONTAINS", arr_ref=base.dict_ref, rowid=base,
