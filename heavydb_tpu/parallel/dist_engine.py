@@ -37,6 +37,31 @@ from heavydb_tpu.plan import rel_alg as R
 from heavydb_tpu.parallel.multihost import MultiHostRuntime, generations_snapshot
 
 
+def _hash_columns(cols: List[np.ndarray]) -> np.ndarray:
+    """Deterministic row hash over key columns — identical on every host
+    (splitmix-style mix over the raw 64-bit lanes; float NaNs — the NULL
+    sentinel — are canonicalized so NULL keys co-locate)."""
+    n = len(cols[0]) if cols else 0
+    h = np.full(n, 0x243F6A8885A308D3, np.uint64)
+    for c in cols:
+        a = np.asarray(c)
+        if a.dtype.kind == "f":
+            b = a.astype(np.float64)
+            lanes = np.where(
+                np.isnan(b), np.uint64(0x7FF8000000000000),
+                b.view(np.uint64),
+            )
+        elif a.dtype.kind == "b":
+            lanes = a.astype(np.uint64)
+        else:
+            lanes = a.astype(np.int64).view(np.uint64)
+        x = h ^ (lanes * np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = x ^ (x >> np.uint64(31))
+    return h
+
+
 class DistEngine:
     def __init__(self, db, runtime: MultiHostRuntime):
         self.db = db
@@ -177,6 +202,10 @@ class DistEngine:
             raise NotSupported("distributed full sort without LIMIT")
         if isinstance(plan, R.Compound) and decomposable(plan):
             return self._dist_aggregate(plan), plan
+        if isinstance(plan, R.Compound) and plan.is_aggregate:
+            # non-decomposable aggregates (COUNT DISTINCT, APPROX_*,
+            # MODE, STDDEV, dict-string MIN/MAX): repartition by group key
+            return self._dist_repartition_agg(plan), plan
         if isinstance(plan, R.Compound) and not plan.is_aggregate:
             # distributed projection: local rows, gathered (small results
             # only — the watchdog guards unbounded projections locally)
@@ -217,6 +246,153 @@ class DistEngine:
         )
         merge_node = make_merge_node(node, wave_aggs, fin, td)
         return ex.execute(merge_node)
+
+    def _dist_repartition_agg(self, node: R.Compound):
+        """Non-decomposable aggregates: repartition rows by hashed group
+        key so every group lands WHOLLY on one host, run the ORIGINAL
+        aggregate locally over complete groups, and concatenate the
+        disjoint per-host group results (reference: sharded top-k groups
+        skip the aggregator re-agg the same way,
+        QueryEngine/RelAlgExecutor.cpp:1266-1292
+        shard_count_for_top_groups)."""
+        import dataclasses
+
+        import heavydb_tpu.exec.batch as B
+
+        ex = self.db.executor
+        k = len(node.group_exprs)
+        if k == 0:
+            return self._dist_keyless_distinct(node)
+
+        # leaf projection over the local partition: group keys ++ agg
+        # args (joins/filter evaluated locally — build sides must be
+        # replicated dimension tables, as for the decomposable path)
+        proj_targets: List[E.Expr] = list(node.group_exprs)
+
+        def _project(e: Optional[E.Expr]) -> Optional[int]:
+            if e is None or not E.collect_input_refs(e):
+                return None  # constants stay inline (e.g. quantile frac)
+            proj_targets.append(e)
+            return len(proj_targets) - 1
+
+        arg_pos = [_project(a.arg) for a in node.aggs]
+        arg2_pos = [_project(a.arg2) for a in node.aggs]
+        for t in proj_targets:
+            if t.type.is_array or t.type.is_geo:
+                raise NotSupported(
+                    "distributed repartition aggregate over array/geo "
+                    "columns (rowid payloads are host-local)"
+                )
+        names = [f"c{i}" for i in range(len(proj_targets))]
+        leaf = R.Compound(
+            list(node.inputs), list(node.join_levels), node.filter_cond,
+            [], [], proj_targets, names, None,
+        )
+        out = ex.execute(leaf)
+        host = out.to_numpy()
+        if any(c is None for c in host):
+            raise NotSupported("repartition aggregate with pruned columns")
+        dest = (_hash_columns(host[:k])
+                % np.uint64(self.rt.num_processes)).astype(np.int32)
+        mine = self.rt.exchange_rows(list(host), dest)
+
+        td = R.TableData(
+            names, [t.type for t in proj_targets], mine,
+            [getattr(t, "dict_ref", None) for t in proj_targets],
+        )
+        final_groups = [
+            E.InputRef(0, i, g.type, getattr(g, "dict_ref", None))
+            for i, g in enumerate(node.group_exprs)
+        ]
+
+        def _ref(pos, orig):
+            if pos is None:
+                return orig  # None or a constant expression
+            t = proj_targets[pos]
+            return E.InputRef(0, pos, t.type, getattr(t, "dict_ref", None))
+
+        final_aggs = [
+            dataclasses.replace(
+                a, arg=_ref(p, a.arg), arg2=_ref(p2, a.arg2)
+            )
+            for a, p, p2 in zip(node.aggs, arg_pos, arg2_pos)
+        ]
+        final = R.Compound(
+            [td], [], None, final_groups, final_aggs,
+            list(node.target_exprs), list(node.fields), node.having,
+        )
+        res = ex.execute(final)
+        cols = self.rt.allgather_concat(list(res.to_numpy()))
+        return B.from_host_columns(
+            cols, len(cols[0]) if cols else 0, node.types
+        )
+
+    def _dist_keyless_distinct(self, node: R.Compound):
+        """Keyless COUNT(DISTINCT x) / APPROX_COUNT_DISTINCT(x):
+        repartition rows by hashed VALUE — per-host distinct sets are
+        disjoint, so local distinct counts merge by exact SUM."""
+        import dataclasses
+
+        import heavydb_tpu.exec.batch as B
+
+        ex = self.db.executor
+        args = []
+        for a in node.aggs:
+            if (a.kind == E.AggKind.COUNT_DISTINCT
+                    or (a.kind == E.AggKind.COUNT and a.distinct)
+                    or a.kind == E.AggKind.APPROX_COUNT_DISTINCT):
+                args.append(a.arg)
+            else:
+                raise NotSupported(
+                    "distributed keyless aggregate mixing DISTINCT with "
+                    f"{a.kind.value}"
+                )
+        if len({a.key() for a in args}) != 1:
+            raise NotSupported(
+                "distributed keyless DISTINCT aggregates must share one "
+                "argument (value-partitioned merge)"
+            )
+        arg = args[0]
+        if arg.type.is_array or arg.type.is_geo:
+            raise NotSupported("distributed DISTINCT over array/geo")
+        leaf = R.Compound(
+            list(node.inputs), list(node.join_levels), node.filter_cond,
+            [], [], [arg], ["c0"], None,
+        )
+        out = ex.execute(leaf)
+        host = out.to_numpy()
+        dest = (_hash_columns(host[:1])
+                % np.uint64(self.rt.num_processes)).astype(np.int32)
+        mine = self.rt.exchange_rows(list(host), dest)
+        td = R.TableData(
+            ["c0"], [arg.type], mine,
+            [getattr(arg, "dict_ref", None)],
+        )
+        ref = E.InputRef(0, 0, arg.type, getattr(arg, "dict_ref", None))
+        local_aggs = [dataclasses.replace(a, arg=ref) for a in node.aggs]
+        ident = [
+            E.InputRef(0, j, a.type) for j, a in enumerate(node.aggs)
+        ]
+        local = R.Compound(
+            [td], [], None, [], local_aggs, ident,
+            [f"p{j}" for j in range(len(node.aggs))], None,
+        )
+        res = ex.execute(local)
+        cols = self.rt.allgather_concat(list(res.to_numpy()))
+        ptd = R.TableData(
+            [f"p{j}" for j in range(len(node.aggs))],
+            [a.type for a in node.aggs], cols,
+            [None] * len(node.aggs),
+        )
+        merge_aggs = [
+            E.Agg(E.AggKind.SUM, E.InputRef(0, j, a.type), False, a.type)
+            for j, a in enumerate(node.aggs)
+        ]
+        merge = R.Compound(
+            [ptd], [], None, [], merge_aggs, list(node.target_exprs),
+            list(node.fields), node.having,
+        )
+        return ex.execute(merge)
 
     def _dist_topk(self, plan: R.Sort):
         """Local top-k per host → gather S·k candidates → final top-k."""

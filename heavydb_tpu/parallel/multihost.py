@@ -119,6 +119,27 @@ class MultiHostRuntime:
                     merged.append(s)
         return merged
 
+    def exchange_rows(
+        self, cols: List[np.ndarray], dest: np.ndarray
+    ) -> List[np.ndarray]:
+        """Route row i of `cols` to host dest[i] (the repartition data
+        plane — reference broadcast_serialized_rows re-routing rows for
+        the next distributed step).  Emulated with allgather + local
+        filter: the Gloo CPU backend has no all-to-all, so traffic is
+        allgather-shaped, but memory/compute partition correctly — swap
+        for a real ragged all-to-all on ICI/DCN pods."""
+        all_dest = np.concatenate(
+            self.allgather_array(
+                np.ascontiguousarray(np.asarray(dest, np.int32))
+            )
+        )
+        keep = all_dest == self.process_id
+        out = []
+        for c in cols:
+            parts = self.allgather_array(np.ascontiguousarray(c))
+            out.append(np.concatenate(parts)[keep])
+        return out
+
     def barrier(self, name: str = "hdt"):
         from jax.experimental import multihost_utils as mhu
 

@@ -130,6 +130,50 @@ def main(pid: int, nprocs: int, port: int):
     want = [(int(k[i]), float(v[i])) for i in order]
     check("topk", r, want, approx=True)
 
+    # 5b. non-decomposable aggregates: repartition-by-group-key path
+    r = dist.sql(
+        "SELECT g, count(DISTINCT k), count(*) FROM fact "
+        "GROUP BY g ORDER BY g"
+    ).rows()
+    want = []
+    for gg in sorted(set(g.tolist())):
+        selg = g == gg
+        want.append((gg, len(set(k[selg].tolist())), int(selg.sum())))
+    check("groupby_count_distinct", r, want)
+
+    r = dist.sql(
+        "SELECT g, approx_median(v) FROM fact WHERE g < 5 "
+        "GROUP BY g ORDER BY g"
+    ).rows()
+    want = []
+    for gg in range(5):
+        vv = v[(g == gg) & m]
+        want.append((gg, float(np.median(vv))))
+    check("groupby_median", r, want, approx=True)
+
+    # dict-string MIN/MAX (excluded from the decomposable path: merged
+    # ids order by id, not lexicographic rank)
+    r = dist.sql(
+        "SELECT g, min(s), max(s) FROM fact GROUP BY g ORDER BY g"
+    ).rows()
+    want = []
+    for gg in sorted(set(g.tolist())):
+        ss = sorted(names[g == gg].tolist())
+        want.append((gg, ss[0], ss[-1]))
+    check("groupby_minmax_string", r, want)
+
+    # 5c. keyless DISTINCT: value-partitioned, merged by exact SUM
+    r = dist.sql(
+        "SELECT count(DISTINCT k), approx_count_distinct(k) FROM fact "
+        "WHERE g < 30"
+    ).rows()
+    nd = len(set(k[g < 30].tolist()))
+    got_exact, got_approx = r[0]
+    if got_exact != nd or not (0.9 * nd <= got_approx <= 1.1 * nd):
+        ok = False
+        print(f"[{pid}] MISMATCH keyless_distinct: {r} want {nd}",
+              flush=True)
+
     # 6. SHARD KEY routed loading: identical full data passed on every
     # host; hash routing keeps disjoint row partitions covering all rows
     db.sql("CREATE TABLE sharded (k INT, v FLOAT, SHARD KEY (k)) "
