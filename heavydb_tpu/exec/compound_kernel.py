@@ -108,6 +108,12 @@ def _build_compound_kernel(node, batches, plan, config):
     group_cap = plan.group_cap
     joins = plan.joins
     caps = list(plan.caps)
+    # filter push-down split (executor._plan_compound): probe-side
+    # conjuncts tighten the mask before expansion, build-side conjuncts
+    # keep filtered rows out of the join tables
+    pre_mask_filters = list(getattr(plan, "pre_mask", []) or [])
+    build_filters = dict(getattr(plan, "build_filters", {}) or {})
+    filter_rest = getattr(plan, "filter_rest", None)
 
     def kernel(*args):
         # ---- unpack ----
@@ -211,6 +217,26 @@ def _build_compound_kernel(node, batches, plan, config):
                 h = _splitmix64_combine(h, jnp.asarray(val, jnp.int64))
             return jnp.asarray(h >> jnp.uint64(1), jnp.int64), valid
 
+        def apply_build_filters(bi, bvalid):
+            """AND pushed single-input filter conjuncts into the build
+            side's validity — filtered rows never enter the join table."""
+            for c in build_filters.get(bi, ()):
+                val, valid = build_side_tv(c, bi)
+                keep = jnp.asarray(val, jnp.bool_)
+                if valid is not None:
+                    keep = keep & valid
+                bvalid = keep if bvalid is None else (bvalid & keep)
+            return bvalid
+
+        # pushed probe-side conjuncts: tighten the mask BEFORE any join
+        # expansion (the reference applies these only after a dynamic
+        # selectivity probe + re-plan round trip)
+        if pre_mask_filters:
+            pmc = domain_compiler(pre_mask_filters)
+            for c in pre_mask_filters:
+                mask = mask & pmc.compile_predicate(c)
+            trivial = False
+
         # ---- join levels ----
         for li, jp in enumerate(joins):
             bi = li + 1
@@ -312,6 +338,7 @@ def _build_compound_kernel(node, batches, plan, config):
                     bx, bxv = build_side_tv(jp.build_keys[0], bi)
                     by, byv = build_side_tv(jp.build_keys[1], bi)
                     bvalid0 = and_valid(bxv, byv)
+                bvalid0 = apply_build_filters(bi, bvalid0)
                 bci, bcj = _cellify(bx, by, cell)
                 reps = len(gs.offsets)
                 bkeys = jnp.concatenate([
@@ -356,6 +383,7 @@ def _build_compound_kernel(node, batches, plan, config):
                     )
                     build_tvs = [(tval, bvalid)]
                 bkey, bvalid = pack_keys(build_tvs, jp, is_build=True)
+                bvalid = apply_build_filters(bi, bvalid)
                 if jp.key_min is not None:
                     # dense-range positional build: probe = 2 gathers
                     # (reference PerfectJoinHashTable — no sort, no search)
@@ -455,7 +483,14 @@ def _build_compound_kernel(node, batches, plan, config):
                     mask = mask & rc.compile_predicate(r)
 
         # ---- filter ----
-        if node.filter_cond is not None:
+        if filter_rest is not None:
+            # split performed: only the residual conjuncts remain here
+            if filter_rest:
+                fc = domain_compiler(filter_rest)
+                for c in filter_rest:
+                    mask = mask & fc.compile_predicate(c)
+                trivial = False
+        elif node.filter_cond is not None:
             fc = domain_compiler([node.filter_cond])
             mask = mask & fc.compile_predicate(node.filter_cond)
             trivial = False

@@ -874,6 +874,46 @@ class Executor:
                     f"watchdog limit ({cfg.watchdog_max_projected_rows:,})"
                 )
 
+        # ---- filter push-down into the join pipeline (reference
+        # FILTER_PROJECT_TRANSPOSE rules + JoinFilterPushDown): conjuncts
+        # of the post-join WHERE that reference a single input move to
+        # (a) the probe mask BEFORE any join expansion (input 0) or
+        # (b) the build-side validity of an INNER level (build rows that
+        # fail never enter the hash table, shrinking expansion caps).
+        # The reference needs a selectivity probe + Calcite re-plan to do
+        # this; here the pushed conjunct runs inside the same fused
+        # kernel over a strictly smaller domain, so pushing never loses.
+        # FULL levels disable the split (their appended null-extended
+        # rows must see the post-join filter); DIV/MOD conjuncts stay put
+        # (error flags must not fire for rows a join would have dropped).
+        if node.filter_cond is not None and node.join_levels \
+                and not any(k == "FULL" for k, _ in node.join_levels):
+            from heavydb_tpu.plan.optimizer import _split_conjuncts
+
+            rest = []
+            for c in _split_conjuncts(node.filter_cond):
+                refs = E.collect_input_refs(c)
+                pushable = bool(refs) and not any(
+                    isinstance(s, E.BinOp)
+                    and s.op in (E.BinOpKind.DIV, E.BinOpKind.MOD)
+                    for s in E.walk(c)
+                )
+                owner = set()
+                for r in refs:
+                    for i in reversed(range(len(node.inputs))):
+                        if r.field_idx >= offsets[i]:
+                            owner.add(i)
+                            break
+                if pushable and owner == {0}:
+                    plan.pre_mask.append(c)
+                elif pushable and len(owner) == 1 and \
+                        node.join_levels[next(iter(owner)) - 1][0] == "INNER":
+                    bi = next(iter(owner))
+                    plan.build_filters.setdefault(bi, []).append(c)
+                else:
+                    rest.append(c)
+            plan.filter_rest = rest
+
         # join levels
         for li, (kind, cond) in enumerate(node.join_levels):
             build_input = li + 1
@@ -1902,6 +1942,10 @@ class _CompoundPlan:
     group_cap: int = 0
     aux_specs: dict = dataclasses.field(default_factory=dict)
     udfs: dict = dataclasses.field(default_factory=dict)
+    # filter push-down split (None filter_rest = no split performed)
+    pre_mask: list = dataclasses.field(default_factory=list)
+    build_filters: dict = dataclasses.field(default_factory=dict)
+    filter_rest: Optional[list] = None
 
 
 @dataclasses.dataclass
