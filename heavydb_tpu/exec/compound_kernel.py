@@ -30,6 +30,7 @@ import numpy as np
 from heavydb_tpu import types as T
 from heavydb_tpu.errors import NotSupported
 from heavydb_tpu.exec.expr_compiler import ExprCompiler, and_valid
+from heavydb_tpu.ops import scan as SC
 from heavydb_tpu.ops import agg as AGG
 from heavydb_tpu.ops import groupby as G
 from heavydb_tpu.ops import join as J
@@ -665,7 +666,7 @@ def _compact_perm(mask):
     scatter (no sort): out_position[i] = cumsum(mask)[i]-1 for kept rows."""
     n = mask.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = SC.cumsum(mask.astype(jnp.int32)) - 1
     target = jnp.where(mask, pos, n)  # dropped rows scatter off the end
     perm = jnp.zeros(n + 1, jnp.int32).at[target].set(rows, mode="drop")[:n]
     return perm, None

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from heavydb_tpu.ops import scan as SC
+
 TV = Tuple[object, Optional[object]]
 
 
@@ -134,7 +136,7 @@ def sort_group_ids(key_tvs: Sequence[TV], mask, cap: int):
         )
         changed = changed | diff
     changed = changed & s_domain
-    sgid = jnp.cumsum(changed.astype(jnp.int32)) - 1
+    sgid = SC.cumsum(changed.astype(jnp.int32)) - 1
     num_groups = changed.sum().astype(jnp.int32)
     sgid = jnp.where(s_domain, sgid, cap)
     sgid = jnp.minimum(sgid, cap)
@@ -733,7 +735,7 @@ def quantile_per_group(gid, val_tv: TV, mask, num_slots: int, q: float):
     sg, sv = lax.sort([g, fval], num_keys=2, is_stable=False)
     # start offset and count per group
     counts = jnp.zeros(num_slots + 1, jnp.int64).at[sg].add(1, mode="drop")[:num_slots]
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int64), jnp.cumsum(counts)[:-1]])
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int64), SC.cumsum(counts)[:-1]])
     pos = q * jnp.maximum(counts - 1, 0).astype(jnp.float64)
     lo = jnp.floor(pos).astype(jnp.int64)
     hi = jnp.ceil(pos).astype(jnp.int64)
@@ -830,7 +832,7 @@ def mode_per_group(gid, val_tv: TV, mask, num_slots: int):
     newrun = jnp.concatenate(
         [jnp.ones(1, jnp.bool_), (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1])]
     )
-    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # < n
+    run_id = SC.cumsum(newrun.astype(jnp.int32)) - 1  # < n
     run_len = jnp.zeros(n + 1, jnp.int64).at[run_id].add(1)[:n]
     # per-row: length of its run
     row_run_len = run_len[run_id]

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from heavydb_tpu.ops import scan as SC
+
 
 class SortedBuild(NamedTuple):
     """Build-side index: rows sorted by key."""
@@ -189,12 +191,12 @@ def expand_matches(
         eff = eff_cnt
     # i32 prefix sums (i64 scans are emulated and ~100x slower on TPU);
     # per-chip row counts stay below 2^31
-    offsets32 = jnp.cumsum(eff.astype(jnp.int32))
+    offsets32 = SC.cumsum(eff.astype(jnp.int32))
     needed = offsets32[-1].astype(jnp.int64) if n else jnp.asarray(0, jnp.int64)
     starts = offsets32 - eff.astype(jnp.int32)  # start slot per probe row
     has = eff > 0
     # compact the contributing probe rows; mark each one's start slot
-    kpos = jnp.cumsum(has.astype(jnp.int32)) - 1
+    kpos = SC.cumsum(has.astype(jnp.int32)) - 1
     rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
     rowmap = jnp.zeros(n + 1, jnp.int32).at[
         jnp.where(has, kpos, n)
@@ -202,7 +204,7 @@ def expand_matches(
     marks = jnp.zeros(cap + 1, jnp.int32).at[
         jnp.where(has, starts, cap)
     ].set(1, mode="drop")[:cap]
-    pj = jnp.cumsum(marks) - 1  # ordinal among contributing rows per slot
+    pj = SC.cumsum(marks) - 1  # ordinal among contributing rows per slot
     pidx = rowmap[jnp.clip(pj, 0, n - 1)]
     slot = lax.broadcasted_iota(jnp.int32, (cap,), 0)
     ordinal = slot - starts[pidx]
@@ -229,7 +231,7 @@ def build_matched_flags(lo, cnt, build_rows_sorted, contributing, n_build: int):
     diff = jnp.zeros(m + 1, jnp.int32)
     diff = diff.at[jnp.where(has, lo, m)].add(1, mode="drop")
     diff = diff.at[jnp.where(has, lo + cnt, m)].add(-1, mode="drop")
-    covered = jnp.cumsum(diff[:m]) > 0
+    covered = SC.cumsum(diff[:m]) > 0
     tgt = jnp.where(covered, build_rows_sorted, n_build)
     flags = jnp.zeros(n_build + 1, jnp.bool_).at[tgt].set(
         True, mode="drop"
@@ -272,7 +274,7 @@ def build_perfect(keys, valid, num_rows_scalar, key_min: int, key_range: int):
         :key_range
     ]
     offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int64), jnp.cumsum(counts.astype(jnp.int64))[:-1]]
+        [jnp.zeros(1, jnp.int64), SC.cumsum(counts.astype(jnp.int64))[:-1]]
     )
     # place rows: sort by slot, payload = row ids in slot order
     rows = lax.broadcasted_iota(jnp.int32, (b,), 0)

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from heavydb_tpu.ops import scan as SC
+
 TV = Tuple[object, Optional[object]]
 
 
@@ -82,9 +84,9 @@ def topk_indices(key, k: int):
     at = u == threshold
     n_above = above.sum(dtype=jnp.int32)
     # take all strictly-above plus enough ties to reach k
-    tie_rank = jnp.cumsum(at.astype(jnp.int32))
+    tie_rank = SC.cumsum(at.astype(jnp.int32))
     sel = above | (at & (tie_rank <= (kk - n_above)))
-    pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    pos = SC.cumsum(sel.astype(jnp.int32)) - 1
     out = _compact_selected(sel, pos, k)
     # order the k winners among themselves (k is small)
     ksel = u[out]

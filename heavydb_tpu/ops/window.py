@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from heavydb_tpu.ops import scan as SC
+
 TV = Tuple[object, Optional[object]]
 
 
@@ -39,7 +41,7 @@ def forward_fill_value(x, pstart):
 
 
 def partition_ids(pstart):
-    return jnp.cumsum(pstart.astype(jnp.int32)) - 1
+    return SC.cumsum(pstart.astype(jnp.int32)) - 1
 
 
 def row_number(pstart):
@@ -59,7 +61,7 @@ def rank(pstart, ostart):
 def dense_rank(pstart, ostart):
     pid = partition_ids(pstart)
     newgrp = (pstart | ostart).astype(jnp.int64)
-    g = jnp.cumsum(newgrp)
+    g = SC.cumsum(newgrp)
     base, _ = forward_fill_value(g - 1, pstart)
     return g - base
 
@@ -129,7 +131,7 @@ def nonnull_lookup(vals, valid, pstart):
     n = vals.shape[0]
     ok = valid if valid is not None else jnp.ones(n, jnp.bool_)
     oki = ok.astype(jnp.int32)
-    cpre = jnp.cumsum(oki)
+    cpre = SC.cumsum(oki)
     pos = cpre - 1
     compact = jnp.zeros(n + 1, vals.dtype).at[
         jnp.where(ok, pos, n)
@@ -185,7 +187,7 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
     if kind in ("SUM", "AVG", "COUNT"):
         contrib = jnp.where(ok, jnp.asarray(vals, acc_dtype), 0) if kind != "COUNT" \
             else ok.astype(jnp.int32)
-        pre = jnp.cumsum(contrib)
+        pre = SC.cumsum(contrib)
         base, _ = forward_fill_value(pre - contrib, pstart)
         run = pre - base
         if kind == "COUNT":
@@ -212,7 +214,7 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
     else:
         raise ValueError(kind)
     cnt_contrib = ok.astype(jnp.int32)
-    cpre = jnp.cumsum(cnt_contrib)
+    cpre = SC.cumsum(cnt_contrib)
     cbase, _ = forward_fill_value(cpre - cnt_contrib, pstart)
     crun = cpre - cbase
     # RANGE frame: every row sees the value at the END of its peer group
@@ -258,7 +260,7 @@ def _seg_running_op(x, starts, op):
 
 
 def _prefix(x):
-    c = jnp.cumsum(x)
+    c = SC.cumsum(x)
     return jnp.concatenate([jnp.zeros(1, c.dtype), c])
 
 

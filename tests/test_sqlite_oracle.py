@@ -31,6 +31,24 @@ def _norm_rows(rows):
     return [tuple(_norm(v) for v in r) for r in rows]
 
 
+def _vals_close(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is b
+        return math.isclose(float(a), float(b), rel_tol=1e-5, abs_tol=1e-6)
+    return a == b
+
+
+def _rows_close(ours, theirs):
+    """Pairwise equality with float tolerance — round(v, 6) alone makes
+    the comparison a coin flip for values sitting on a rounding boundary
+    (engine sums in a different order than SQLite)."""
+    return len(ours) == len(theirs) and all(
+        len(r) == len(s) and all(_vals_close(a, b) for a, b in zip(r, s))
+        for r, s in zip(ours, theirs)
+    )
+
+
 class Oracle:
     def __init__(self, db):
         self.db = db
@@ -79,9 +97,13 @@ class Oracle:
         if ordered is None:
             ordered = "ORDER BY" in sql.upper()
         if ordered:
-            assert ours == theirs, f"\nquery: {sql}\nours:   {ours[:8]}\ntheirs: {theirs[:8]}"
+            assert _rows_close(ours, theirs), (
+                f"\nquery: {sql}\nours:   {ours[:8]}\ntheirs: {theirs[:8]}"
+            )
         else:
-            assert sorted(ours, key=repr) == sorted(theirs, key=repr), (
+            assert _rows_close(
+                sorted(ours, key=repr), sorted(theirs, key=repr)
+            ), (
                 f"\nquery: {sql}\nours:   {sorted(ours, key=repr)[:8]}\n"
                 f"theirs: {sorted(theirs, key=repr)[:8]}"
             )

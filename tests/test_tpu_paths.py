@@ -110,3 +110,17 @@ def test_tiled_onehot_scan_exact(tpu_paths, rng):
             assert abs(r[5] - v[m][k[m] == i].max()) < 1e-12
         seen += 1
     assert seen == (want_c > 0).sum()
+
+
+def test_blocked_cumsum_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    from heavydb_tpu.ops import scan as SC
+
+    for n in (0, 1, 1000, (1 << 20) - 3, (1 << 20) + 17, 3_000_001):
+        x = rng.integers(-5, 9, n).astype(np.int32)
+        got = np.asarray(SC.cumsum(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.cumsum(x))
+    x = rng.integers(0, 2, 2_500_000).astype(np.int64)
+    got = np.asarray(SC.cumsum(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x))
