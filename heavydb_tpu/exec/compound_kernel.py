@@ -576,18 +576,35 @@ def _build_compound_kernel(node, batches, plan, config):
                         [g.type for g in node.group_exprs],
                     )
                 else:
+                    # positional key reconstruction: the perfect slot id is
+                    # an arithmetic code of the key tuple, so slot → key is
+                    # pure arithmetic (no data pass).  Only BUCKETED keys
+                    # (DATE_TRUNC ranges — reference
+                    # get_group_value_fast_with_original_key) need a
+                    # min-scan to recover the original value; the NULL slot
+                    # is a fixed coordinate either way.
                     key_out_tvs = []
-                    for (val, valid), gexpr in zip(key_tvs, node.group_exprs):
+                    rem = jax.lax.broadcasted_iota(jnp.int32, (slots,), 0)
+                    coords = []
+                    for (mn, extent, has_nulls, bucket) in reversed(
+                            group_strategy[1]):
+                        span = extent + (1 if has_nulls else 0)
+                        coords.append(rem % span)
+                        rem = rem // span
+                    coords.reverse()
+                    for (val, valid), gexpr, rng, coord in zip(
+                            key_tvs, node.group_exprs, group_strategy[1],
+                            coords):
+                        mn, extent, has_nulls, bucket = rng
                         dt = gexpr.type.np_dtype()
-                        kbuf = G.segment_minmax(
-                            gid, jnp.asarray(val, dt), mask, slots,
-                            is_min=True
-                        )
-                        if valid is not None:
-                            vmask = valid if mask is None else (mask & valid)
-                            vbuf = G.segment_count(gid, vmask, slots) > 0
+                        if bucket > 1:
+                            kbuf = G.segment_minmax(
+                                gid, jnp.asarray(val, dt), mask, slots,
+                                is_min=True
+                            )
                         else:
-                            vbuf = None
+                            kbuf = (coord.astype(jnp.int64) + mn).astype(dt)
+                        vbuf = (coord < extent) if has_nulls else None
                         key_out_tvs.append((kbuf, vbuf))
             elif group_strategy[0] == "keyless":
                 slots = 1
@@ -606,9 +623,14 @@ def _build_compound_kernel(node, batches, plan, config):
                     key_out_tvs.append((kval, kvalid))
             out["num_groups"] = num_groups
 
-            # partial aggregation + finalize
+            # partial aggregation + finalize (per-slot presence counts
+            # ride the same shared scan — a separate segment_count would
+            # re-stream the whole table)
             lowered = [AGG.LoweredAgg(a) for a in node.aggs]
-            all_partials = AGG.accumulate_all(lowered, kc, gid, mask, slots)
+            all_partials, present_counts = AGG.accumulate_all(
+                lowered, kc, gid, mask, slots,
+                want_present=group_strategy[0] in ("perfect", "hash"),
+            )
             merge_masked_flags(aflags, mask)
             agg_tvs = [
                 la.finalize(p, aux) for la, p in zip(lowered, all_partials)
@@ -616,7 +638,7 @@ def _build_compound_kernel(node, batches, plan, config):
 
             # group presence
             if group_strategy[0] in ("perfect", "hash"):
-                present = G.segment_count(gid, mask, slots) > 0
+                present = present_counts > 0
             elif group_strategy[0] == "keyless":
                 present = jnp.ones(1, jnp.bool_)
             else:

@@ -36,23 +36,42 @@ class PartialSpec:
 _BATCHABLE = None  # set below
 
 
-def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
+def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
+                   want_present: bool = False):
     """Partials for ALL aggregates of one group-by.  On the TPU mid-slot
     path, every count/sum-style partial becomes one value stream of a SINGLE
     shared-one-hot scan (separate scans would each re-stream the N×slots
     one-hot traffic).  Per-aggregate filters fold into the streams
     (count_i = Σ mask_i, sum_i = Σ value·mask_i), so one scan serves them
-    all.  Other kinds fall back to per-aggregate accumulation."""
+    all.  Other kinds fall back to per-aggregate accumulation.
+
+    Returns (partials, present_counts): with want_present, the per-slot
+    row count under the PLAIN mask also rides the shared scan (the kernel
+    needs it for group presence — a separate segment_count would re-stream
+    the whole table)."""
     from heavydb_tpu.ops.groupby import (
-        ONEHOT_TILED_MAX_SLOTS,
+        RADIX_F32_MAX_SLOTS,
+        RADIX_INT_MAX_SLOTS,
         SMALL_SLOTS,
         _on_tpu,
         _onehot_scan,
     )
 
     A = E.AggKind
-    if not (_on_tpu() and SMALL_SLOTS < num_slots <= ONEHOT_TILED_MAX_SLOTS):
-        return [la.accumulate(compiler, gid, mask, num_slots) for la in lowered]
+    # exact-int limb streams cap the shared scan earlier than f32/count
+    # streams (more int8 lhs lanes per slot — see groupby.py bounds)
+    bound = RADIX_F32_MAX_SLOTS
+    for la in lowered:
+        ag = la.agg
+        if la.kind in (A.SUM, A.SUM_IF, A.AVG) and ag.arg is not None \
+                and not ag.arg.type.is_decimal \
+                and np.dtype(ag.arg.type.np_dtype()).kind in "iub":
+            bound = RADIX_INT_MAX_SLOTS
+    if not (_on_tpu() and SMALL_SLOTS < num_slots <= bound):
+        return (
+            [la.accumulate(compiler, gid, mask, num_slots) for la in lowered],
+            G.segment_count(gid, mask, num_slots) if want_present else None,
+        )
 
     n = gid.shape[0]
     base_mask = mask if mask is not None else jnp.ones(n, jnp.bool_)
@@ -81,7 +100,9 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
         p: dict = {}
         partials[idx] = p
         cmf = cm.astype(jnp.float32)
-        streams.append((cmf, True, True))
+        # 0/1 streams ride the f32 dot exactly ("count" class) — no int8
+        # pass needed for count-style partials
+        streams.append((cmf, "count", False))
         sinks.append((p, "count", lambda x: x.astype(jnp.int64)))
         if k in (A.COUNT, A.COUNT_IF):
             continue
@@ -125,12 +146,17 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
             streams.append((f32v * f32v, True, False))
             sinks.append((p, "sumsq", lambda x: x.astype(jnp.float64)))
 
-    if streams:
+    present = None
+    if streams or want_present:
         res = _onehot_scan(
             g32, base_mask, [s for s, _, _ in streams], num_slots,
             exact_accs=tuple(f for _, f, _ in streams),
             bf16_ok=tuple(b for _, _, b in streams),
         )
+        if want_present:
+            # counts under the plain mask — _onehot_scan's count output
+            # uses exactly base_mask as the rhs validity
+            present = res[0].astype(jnp.int64)
         for (p, key, post), r in zip(sinks, res[1:]):
             p[key] = post(r) if post is not None else r
         for p, acc, nl in limb_jobs:
@@ -140,7 +166,7 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int):
             if p is not None and "$split" in p:
                 acc = p.pop("$split")
                 p["sum"] = (p.pop("$hi") + p.pop("$lo")).astype(acc)
-    return partials
+    return partials, present
 
 
 class LoweredAgg:

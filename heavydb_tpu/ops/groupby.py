@@ -372,19 +372,18 @@ def _pallas_eligible(num_slots: int, f64: bool = False) -> bool:
     )
 
 
-# XLA fallback for mid-cardinality slots when Pallas is unavailable:
-# chunked one-hot matmul under lax.scan — N×slots MXU FLOPs, bounded
-# [chunk, slots] intermediates.
+# MIN/MAX keep the chunked masked-tile scan (no matmul formulation):
 ONEHOT_MAX_SLOTS = 4096
-# Round-2 measured costs (carry-chained fori_loop protocol, 20M rows,
-# COUNT+SUM, benchmarks/shootout5/6_r2.py):
-#   one-hot: 47ms @1k, 101ms @2k, 234ms @4k, 497ms @8k (linear in slots)
-#   scatter: 350ms @1k, 267ms @64k..1M, 450ms @10M (slot-independent)
-#   sort-groupby @10M slots: 629ms
-# → one-hot wins ≤ ~4k slots; the colliding scatter wins above (round 1's
-# 4.6µs/slot scatter pathology no longer exists on this runtime), so the
-# slot-TILED one-hot tier (4k-64k) is retired from default routing.
 ONEHOT_TILED_MAX_SLOTS = ONEHOT_MAX_SLOTS
+# Radix-factorized one-hot bounds — round-2 measured (carry-chained
+# while_loop protocol, 20M rows, COUNT+SUM, /tmp/radix_shootout.py):
+#   radix f32:  44ms @1k, 52ms @16k, 79ms @64k, 170ms @262k
+#   radix limb: 76ms @1k, 80ms @4k, 220ms @16k, 347ms @64k
+#   scatter:    266-350ms (slot-independent); sort @10M slots 629ms
+# → f32/count streams win ≤ 2^18; exact-int limb streams win ≤ 2^14;
+#   the colliding scatter takes over above.
+RADIX_F32_MAX_SLOTS = 1 << 18
+RADIX_INT_MAX_SLOTS = 1 << 14
 
 
 def _onehot_chunk(slots_p: int) -> int:
@@ -392,85 +391,174 @@ def _onehot_chunk(slots_p: int) -> int:
     return int(max(512, min(8192, (c // 512) * 512 if c >= 512 else 512)))
 
 
+def _radix_factors(num_slots: int, lhs_bytes_per_a: int = 8):
+    """(A, B) with A·B ≥ num_slots: slot = hi·B + lo.
+
+    Per-row traffic is lhs_bytes_per_a·A + B bytes (lhs carries the
+    value-folded hi factors, rhs the 1-byte lo one-hot), so the split
+    balances BYTES, not lanes: B* = sqrt(num_slots·lhs_bytes_per_a),
+    rounded to a lane multiple."""
+    b_star = max(128.0, (num_slots * max(lhs_bytes_per_a, 1)) ** 0.5)
+    B = min(2048, max(128, int(round(b_star / 128)) * 128))
+    return -(-num_slots // B), B
+
+
+# K-chunk bound for exact int8→int32 dots: |Σ| ≤ 2^23·128 = 2^30 < 2^31
+_RADIX_KCHUNK = 1 << 23
+
+
 def _onehot_scan(gid, mask, value_list, num_slots: int, exact_accs=(),
                  bf16_ok=()):
-    """Returns [counts i32, sums... per value] each [num_slots] — one scan,
-    shared one-hot.  exact_accs[i] True → value i accumulates in f64 (limb
-    integer sums; per-chunk dots stay exact).  bf16_ok[i] True → stream i's
-    values are small exact ints (≤255) that can ride the bf16 MXU path.
-    Above ONEHOT_MAX_SLOTS the slot space is processed in 4096-wide tiles
-    (one data pass per tile; rows outside the tile mask out)."""
-    if num_slots > ONEHOT_MAX_SLOTS:
-        # lax.map over slot tiles: ONE compiled body (a Python loop would
-        # unroll T copies of the scan and blow up compile time)
-        tile = ONEHOT_MAX_SLOTS
-        t_count = -(-num_slots // tile)
-        base_mask = mask if mask is not None else jnp.ones(
-            gid.shape[0], jnp.bool_
-        )
+    """Returns [counts i32, sums... per value] each [num_slots].
 
-        def one_tile(t0):
-            m2 = base_mask & (gid >= t0) & (gid < t0 + tile)
-            return tuple(_onehot_scan(
-                gid - t0, m2, value_list, tile, exact_accs, bf16_ok
-            ))
+    Radix-FACTORIZED one-hot (TPU-native histogram): split slot = hi·B+lo
+    and contract over ROWS —
 
-        stacked = jax.lax.map(
-            one_tile,
-            jnp.arange(t_count, dtype=jnp.int32) * tile,
-        )
-        return [a.reshape(t_count * tile)[:num_slots] for a in stacked]
+        hist[hi, lo] = Σ_r  oh_hi[r, hi] · oh_lo[r, lo]  =  oh_hiᵀ @ oh_lo
+
+    The direct one-hot materializes n×slots entries (40GB at 20M rows ×
+    1k slots — measured 47-306ms); the factored form touches only
+    n×(A+B) entries (~2.6GB) and turns the histogram into a dense GEMM
+    with a huge contraction dim — exactly what the MXU wants.  Weighted
+    sums fold the value into the hi factor: Σ v_r·oh_hi·oh_lo.
+
+    Exactness: counts and exact_accs (8-bit limb) streams use int8×int8
+    →int32 MXU dots, K-chunked so per-chunk totals stay < 2^31, summed
+    across chunks in int64 (limb values are biased by −128 to fit int8;
+    the bias is undone with the exact counts).  Other streams use f32
+    dots — non-matching rows contribute exact 0s, so per-slot rounding
+    matches a direct f32 accumulation.  bf16_ok is accepted for
+    signature compatibility and ignored (int8 subsumes it)."""
     n = gid.shape[0]
-    slots_p = ((max(num_slots, 128) + 127) // 128) * 128
-    chunk = _onehot_chunk(slots_p)
-    n_p = ((n + chunk - 1) // chunk) * chunk
-    pad = n_p - n
-    g = jnp.concatenate([gid.astype(jnp.int32), jnp.full(pad, -1, jnp.int32)]) \
-        if pad else gid.astype(jnp.int32)
-    m = jnp.concatenate([mask, jnp.zeros(pad, jnp.bool_)]) if pad else mask
-    vals = [
-        jnp.concatenate([jnp.asarray(v, jnp.float32), jnp.zeros(pad, jnp.float32)])
-        if pad else jnp.asarray(v, jnp.float32)
-        for v in value_list
+    flags = list(exact_accs) + [False] * (len(value_list) - len(exact_accs))
+    bfok = list(bf16_ok) + [False] * (len(value_list) - len(bf16_ok))
+    # four stream classes:
+    #   e: exact small ints (≤255 limbs) → int8 MXU dot, i64 acc
+    #   c: exact 0/1 masks (count-style) → f32 dot (per-chunk sums ≤
+    #      kchunk < 2^24 stay exact), i64 cross-chunk acc
+    #   d: f32 values needing an f64 accumulator → f32 dot, f64 acc
+    #   f: plain f32                              → f32 dot, f32 acc
+    e_idx = [i for i in range(len(value_list))
+             if flags[i] is True and bfok[i]]
+    c_idx = [i for i in range(len(value_list)) if flags[i] == "count"]
+    d_idx = [i for i in range(len(value_list))
+             if flags[i] is True and not bfok[i]]
+    f_idx = [i for i in range(len(value_list)) if not flags[i]]
+    fd_idx = c_idx + d_idx + f_idx
+    # when no int8 streams exist, counts ride the f32 dot (per-chunk
+    # counts ≤ kchunk < 2^24 stay exact in f32; cross-chunk accumulation
+    # is i64) and the int8 pass is skipped entirely
+    int_pass = bool(e_idx) or not fd_idx
+    n_int = (1 + len(e_idx)) if int_pass else 0
+    n_f = (len(fd_idx) + (0 if int_pass else 1)) if fd_idx else 0
+    A, B = _radix_factors(num_slots, n_int + 4 * n_f)
+
+    g = jnp.asarray(gid, jnp.int32)
+    m = mask if mask is not None else jnp.ones(n, jnp.bool_)
+
+    # row-chunked scan: the factor matrices exist only per chunk (whole-
+    # array factors are n×(A·streams+B) bytes — OOM at high slot counts),
+    # bounded by ~2GB of chunk temporaries; kchunk ≤ 2^23 also keeps
+    # int8→int32 dots exact (|Σ| ≤ 2^23·128 = 2^30)
+    per_row = n_int * A + B + 4 * n_f * A
+    # d-streams accumulate f32 INSIDE a chunk's dot: cap the chunk so
+    # per-slot intra-chunk term counts stay small and the f64 cross-chunk
+    # accumulation dominates the rounding story
+    kcap = (1 << 19) if d_idx else _RADIX_KCHUNK
+    kchunk = min(kcap, (1 << 31) // max(per_row, 1))
+    kchunk = max(512, min(kchunk, max(n, 1)))
+    kchunk = ((kchunk + 511) // 512) * 512
+    c_count = max(1, -(-n // kchunk))
+    pad = c_count * kchunk - n
+
+    def padded(x, fill):
+        return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+
+    gg = padded(g, -1).reshape(c_count, kchunk)
+    mm = padded(m, False).reshape(c_count, kchunk)
+    vv = [
+        padded(jnp.asarray(value_list[i], jnp.float32), 0).reshape(
+            c_count, kchunk
+        )
+        for i in range(len(value_list))
     ]
-    nchunks = n_p // chunk
-    gg = g.reshape(nchunks, chunk)
-    mm = m.reshape(nchunks, chunk)
-    vv = [v.reshape(nchunks, chunk) for v in vals]
-    iota = jnp.arange(slots_p, dtype=jnp.int32)
+    iota_a = jnp.arange(A, dtype=jnp.int32)
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+    dims = (((0,), (0,)), ((), ()))  # contract over rows
 
     def body(accs, xs):
-        gc = xs[0]
-        mbool = xs[1]
-        # bf16 one-hot halves the dominant HBM traffic; 0/1 and the ≤255
-        # limb values are exact in bf16, and dots accumulate in f32
-        oh = ((gc[:, None] == iota[None, :]) & mbool[:, None]).astype(
-            jnp.bfloat16)
-        ones_bf = jnp.ones((1, oh.shape[0]), jnp.bfloat16)
-        blk_cnt = jnp.dot(ones_bf, oh, preferred_element_type=jnp.float32)[0]
-        # counts exact: per-chunk dot is a small int in f32, accumulate i32
-        outs = [accs[0] + blk_cnt.astype(jnp.int32)]
-        for i, vc in enumerate(xs[2:]):
-            # sanitize BEFORE the dot: masked rows may hold NaN sentinels and
-            # NaN·0 would poison the whole product
-            vc = jnp.where(mbool, vc, jnp.asarray(0, vc.dtype))
-            # small-int streams (≤255 limbs / 0-1 masks) ride bf16 exactly
-            small = bool(bf_flags[i])
-            lhs = vc[None, :].astype(jnp.bfloat16) if small else vc[None, :]
-            rhs = oh if small else oh.astype(jnp.float32)
-            blk = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)[0]
-            outs.append(accs[i + 1] + blk.astype(accs[i + 1].dtype))
-        return tuple(outs), None
+        gc, mc = xs[0], xs[1]
+        vc = xs[2:]
+        hi = gc // B  # out-of-range/negative gid → no match → contributes 0
+        lo = gc % B
+        ih = (hi[:, None] == iota_a[None, :])  # (kchunk, A) bool
+        il = ((lo[:, None] == iota_b[None, :]) & mc[:, None]).astype(jnp.int8)
+        acc_i, acc_c, acc_d, acc_f = accs
+        if int_pass:
+            int_lhs = [ih.astype(jnp.int8)]
+            for i in e_idx:
+                lv = (vc[i].astype(jnp.int32) - 128).astype(jnp.int8)
+                int_lhs.append(int_lhs[0] * lv[:, None])
+            out_i = lax.dot_general(
+                jnp.concatenate(int_lhs, axis=1), il,
+                dims, preferred_element_type=jnp.int32,
+            )
+            acc_i = acc_i + out_i.astype(jnp.int64)
+        if fd_idx:
+            ihf = ih.astype(jnp.float32)
+            f_lhs = [] if int_pass else [ihf]  # fold counts as a 1s stream
+            for i in fd_idx:
+                # sanitize BEFORE the product: masked rows may hold NaN
+                # sentinels and NaN·0 would poison the slot
+                f_lhs.append(ihf * jnp.where(mc, vc[i], 0.0)[:, None])
+            # mixed f32×int8 dot: the one-hot rhs stays 1 byte/lane (a
+            # f32 rhs copy would quadruple the dominant traffic term)
+            out_f = lax.dot_general(
+                jnp.concatenate(f_lhs, axis=1), il,
+                dims, preferred_element_type=jnp.float32,
+            )
+            if not int_pass:
+                # counts: exact per-chunk in f32, accumulate in i64
+                acc_i = acc_i + out_f[:A].astype(jnp.int64)
+                out_f = out_f[A:]
+            if c_idx:
+                acc_c = acc_c + out_f[:len(c_idx) * A].astype(jnp.int64)
+                out_f = out_f[len(c_idx) * A:]
+            if d_idx:
+                acc_d = acc_d + out_f[:len(d_idx) * A].astype(jnp.float64)
+                out_f = out_f[len(d_idx) * A:]
+            if f_idx:
+                acc_f = acc_f + out_f
+        return (acc_i, acc_c, acc_d, acc_f), None
 
-    flags = list(exact_accs) + [False] * (len(vals) - len(exact_accs))
-    bf_flags = list(bf16_ok) + [False] * (len(vals) - len(bf16_ok))
-    init = tuple(
-        [jnp.zeros(slots_p, jnp.int32)]
-        + [jnp.zeros(slots_p, jnp.float64 if f else jnp.float32)
-           for f in flags]
+    init = (
+        jnp.zeros((max(n_int, 1) * A, B), jnp.int64),
+        jnp.zeros((max(len(c_idx), 1) * A, B), jnp.int64),
+        jnp.zeros((max(len(d_idx), 1) * A, B), jnp.float64),
+        jnp.zeros((max(len(f_idx), 1) * A, B), jnp.float32),
     )
-    accs, _ = jax.lax.scan(body, init, (gg, mm, *vv))
-    return [a[:num_slots] for a in accs]
+    (acc_i, acc_c, acc_d, acc_f), _ = jax.lax.scan(body, init, (gg, mm, *vv))
+
+    counts64 = acc_i[:A].reshape(A * B)[:num_slots]
+    res = [counts64.astype(jnp.int32)]
+    e_j = 1
+    c_j = d_j = f_j = 0
+    for i in range(len(value_list)):
+        if flags[i] is True and bfok[i]:
+            limb = acc_i[A * e_j:A * (e_j + 1)].reshape(A * B)[:num_slots]
+            # undo the −128 bias; exact in f64 (values ≤ n·255 < 2^53)
+            res.append((limb + 128 * counts64).astype(jnp.float64))
+            e_j += 1
+        elif flags[i] == "count":
+            res.append(acc_c[A * c_j:A * (c_j + 1)].reshape(A * B)[:num_slots])
+            c_j += 1
+        elif flags[i]:
+            res.append(acc_d[A * d_j:A * (d_j + 1)].reshape(A * B)[:num_slots])
+            d_j += 1
+        else:
+            res.append(acc_f[A * f_j:A * (f_j + 1)].reshape(A * B)[:num_slots])
+            f_j += 1
+    return res
 
 
 def _limb_count(value_dtype) -> int:
@@ -533,7 +621,7 @@ def segment_count(gid, contrib_mask, num_slots: int):
         from heavydb_tpu.kernels.groupby_pallas import count_per_slot
 
         return count_per_slot(gid.astype(jnp.int32), cm, num_slots)
-    if _on_tpu() and num_slots <= ONEHOT_TILED_MAX_SLOTS:
+    if _on_tpu() and num_slots <= RADIX_F32_MAX_SLOTS:
         return _onehot_scan(gid, cm, [], num_slots)[0].astype(jnp.int64)
     seg = jnp.where(cm, gid, num_slots)
     return jnp.zeros(num_slots + 1, jnp.int32).at[seg].add(
@@ -565,11 +653,13 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
         # int sums use the XLA limb scan below (the Pallas f64 accumulator
         # variant is disabled: f64-in-Pallas support varies across
         # toolchains); f64/int64-valued sums also fall through
-    if _on_tpu() and num_slots <= ONEHOT_TILED_MAX_SLOTS:
-        if acc_dtype.kind == "f" and acc_dtype.itemsize == 4:
+    if _on_tpu():
+        if acc_dtype.kind == "f" and acc_dtype.itemsize == 4 \
+                and num_slots <= RADIX_F32_MAX_SLOTS:
             s = _onehot_scan(g32, cm, [v0], num_slots)[1]
             return s.astype(acc_dtype)
-        if acc_dtype.kind == "i" and np.dtype(v0.dtype).kind in "iub":
+        if acc_dtype.kind == "i" and np.dtype(v0.dtype).kind in "iub" \
+                and num_slots <= RADIX_INT_MAX_SLOTS:
             # EXACT int sums: 8-bit limbs of the biased value (4 limbs for
             # ≤32-bit args, 8 for BIGINT)
             nl = _limb_count(v0.dtype)
