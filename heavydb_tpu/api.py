@@ -1187,6 +1187,21 @@ class Database:
                 cols[key], cd.type, t.dicts.get(cd.col_id)
             )
         t.insert_columns(arrays)
+        self._maybe_prestage(t)
+
+    def _maybe_prestage(self, t):
+        cfg = self.config
+        on = cfg.eager_device_staging
+        if on is None:
+            try:
+                import jax
+
+                on = jax.default_backend() == "tpu"
+            except Exception:
+                on = False
+        if on and t.num_rows >= cfg.eager_staging_min_rows:
+            with self.executor.timer.scope("eager_stage"):
+                self.executor.prestage_table(t)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,15 @@ class Config:
     # Device scan-cache byte budget for LRU eviction (reference BufferMgr
     # slab LRU).  0 = auto (~70% of device memory).  -1 = unbounded.
     device_cache_bytes: int = 0
+    # Eagerly stage bulk-loaded columns into the device scan cache (and
+    # force one tiny D2H sync) at LOAD time: the axon relay's first
+    # device->host fetch after a heavy host->device burst can stall for
+    # minutes (measured 60-1400s), which would otherwise land on the
+    # first QUERY.  None = auto (on for TPU backends, off elsewhere).
+    eager_device_staging: "Optional[bool]" = None
+    # Minimum rows before eager staging bothers (tiny tables stage
+    # on-demand at negligible cost)
+    eager_staging_min_rows: int = 1 << 20
     # Fragment-streaming threshold: single-table aggregates whose needed
     # scan bytes exceed this execute in fragment waves with partial-agg
     # merge, so tables larger than HBM stay queryable (reference

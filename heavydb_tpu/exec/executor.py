@@ -306,6 +306,28 @@ class Executor:
         memo[node.id] = out
         return out
 
+    def prestage_table(self, t) -> None:
+        """Eagerly stage a table's columns into the device scan cache and
+        force one tiny D2H sync (reference role: DataMgr prefetch — data
+        is resident before the first query).  On the axon relay the first
+        device→host fetch after a heavy host→device burst can stall for
+        minutes (measured 60s-1400s, STATUS round 2); absorbing the
+        transfer + sync at LOAD time keeps the first QUERY at engine
+        speed.  Best-effort: staging failures fall back to on-demand."""
+        try:
+            batch = self._exec_scan(R.Scan(t), None)
+            last = None
+            for a in batch.cols:
+                if a is not None and hasattr(a, "block_until_ready"):
+                    a.block_until_ready()
+                    last = a
+            if last is not None:
+                # ONE tiny D2H: block_until_ready can return before remote
+                # completion on the relay; a real fetch is the true sync
+                jax.device_get(jnp.ravel(last)[:1])
+        except Exception:
+            pass
+
     # ---- Scan ----
     def _exec_scan(self, node: R.Scan, needed, frag_ids=None) -> B.Batch:
         t = node.table

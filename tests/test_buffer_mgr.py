@@ -134,3 +134,33 @@ def test_streaming_excludes_dict_string_minmax(rng):
     assert run(-1) == run(20_000)
     rows = run(20_000)
     assert rows[0][1] == "aa" and rows[0][2] == "zz"
+
+
+def test_eager_prestage(monkeypatch):
+    import jax
+
+    import heavydb_tpu as hdt
+
+    db = hdt.connect()
+    db.config.eager_device_staging = True
+    db.config.eager_staging_min_rows = 10
+    n = 5000
+    rng = np.random.default_rng(3)
+    db.load_table(
+        "stg",
+        {"a": rng.integers(0, 9, n).astype(np.int32),
+         "b": rng.random(n).astype(np.float32)},
+        create=True,
+    )
+    t = db.catalog.get_table("stg")
+    ex = db.executor
+    from heavydb_tpu.exec import batch as B
+
+    size = B.bucket(t.num_rows)
+    staged = [
+        k for k, _ in ex.scan_cache.items()
+        if k[0] == t.table_id and k[1] == t.generation and k[3] == size
+    ]
+    assert len(staged) == 2  # both columns resident before any query
+    r = db.sql("SELECT a, count(*), sum(b) FROM stg GROUP BY a").rows()
+    assert sum(c for _, c, _ in r) == n
