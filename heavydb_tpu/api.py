@@ -255,6 +255,15 @@ class Database:
     def table_rows(self, name: str) -> int:
         return self.catalog.get_table(name).num_rows
 
+    def stream_importer(self, table_name: str, **kw):
+        """Batched streaming ingest into a table (reference KafkaImporter /
+        StreamImporter: ImportExport/KafkaImporter.cpp).  Returns a
+        StreamImporter; feed it rows/lines or run() it over a source
+        (io/stream.py: FileTailSource, KafkaSource adapter)."""
+        from heavydb_tpu.io.stream import StreamImporter
+
+        return StreamImporter(self, table_name, **kw)
+
     # ------------------------------------------------------------------
     # planning helpers (used by binder for subqueries)
     # ------------------------------------------------------------------

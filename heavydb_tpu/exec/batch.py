@@ -24,10 +24,16 @@ MIN_BUCKET = 8
 
 
 def bucket(n: int) -> int:
-    """Next power-of-two ≥ n (min MIN_BUCKET)."""
+    """Next {1, 1.25, 1.5, 1.75}·2^k ≥ n (min MIN_BUCKET).
+
+    Pure powers of two waste up to half the domain as padding (a 20M-row
+    table pads to 32M — every kernel then streams/scatters 1.6x the real
+    rows).  Quarter-steps cap padding at 25% for a bounded 4x growth in
+    distinct compiled shapes (the kernel cache keys on the bucket)."""
     if n <= MIN_BUCKET:
         return MIN_BUCKET
-    return 1 << (n - 1).bit_length()
+    step = 1 << ((n - 1).bit_length() - 3)  # quarter points of the octave
+    return -(-n // step) * step
 
 
 def pad_to(arr: np.ndarray, size: int, ti: T.TypeInfo) -> np.ndarray:

@@ -68,10 +68,20 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
                 and np.dtype(ag.arg.type.np_dtype()).kind in "iub":
             bound = RADIX_INT_MAX_SLOTS
     if not (_on_tpu() and SMALL_SLOTS < num_slots <= bound):
-        return (
-            [la.accumulate(compiler, gid, mask, num_slots) for la in lowered],
-            G.segment_count(gid, mask, num_slots) if want_present else None,
-        )
+        parts = [la.accumulate(compiler, gid, mask, num_slots)
+                 for la in lowered]
+        pres = None
+        if want_present:
+            # an unfiltered COUNT(*) partial counts exactly the masked
+            # rows per slot — reuse it instead of a second full scatter
+            for la, p in zip(lowered, parts):
+                if la.kind == A.COUNT and la.agg.arg is None \
+                        and isinstance(p, dict) and "count" in p:
+                    pres = p["count"]
+                    break
+            if pres is None:
+                pres = G.segment_count(gid, mask, num_slots)
+        return parts, pres
 
     n = gid.shape[0]
     base_mask = mask if mask is not None else jnp.ones(n, jnp.bool_)
