@@ -1166,6 +1166,15 @@ class Database:
     def _copy_from(self, st: A.CopyFrom) -> ResultSet:
         from heavydb_tpu.io.csv_import import detect_column_types, import_csv
 
+        src_type = str(st.options.get("source_type", "")).lower()
+        if src_type in ("geo_file", "geojson") or (
+            not src_type and st.path.lower().endswith(".geojson")
+        ):
+            # reference GDAL geo import (source_type='geo_file')
+            from heavydb_tpu.io.geo_import import import_geo
+
+            n = import_geo(self, st.table, st.path, st.options)
+            return _string_result("result", [f"Loaded: {n} recs"])
         t = self.catalog.get_table_opt(st.table)
         if t is None:
             # auto-create with detected schema (reference detect_column_types)

@@ -303,6 +303,15 @@ class ExprBinder:
     def _bind_IsNull(self, node: A.IsNull) -> E.Expr:
         operand = self._bind(node.operand)
         kind = E.UnOpKind.ISNOTNULL if node.negated else E.UnOpKind.ISNULL
+        if (operand.type.is_geo or operand.type.is_array) \
+                and getattr(operand, "dict_ref", None) is not None:
+            # geo/array columns compile to a rowid HANDLE (never null
+            # itself); nullness lives in the aux lengths — probe it via
+            # CARDINALITY, whose result is NULL exactly for null values
+            operand = E.ArrayFn(
+                op="CARDINALITY", arr_ref=operand.dict_ref, rowid=operand,
+                elem=operand.type.elem_type(), type=T.integer(True),
+            )
         return E.UnOp(kind, operand, T.boolean(nullable=False))
 
     def _bind_Binary(self, node: A.Binary) -> E.Expr:

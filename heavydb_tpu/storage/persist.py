@@ -152,6 +152,10 @@ class TableStore:
                     manifest["chunks"][key] = prev
                     continue
                 path = self._chunk_path(frag.fragment_id, cid, epoch)
+                enc, parts = (
+                    ("raw", [arr]) if arr.dtype == object
+                    else encode_chunk(arr)
+                )
                 with open(path, "wb") as f:
                     if arr.dtype == object:
                         # array column: (lengths, flat) pair — no pickling
@@ -168,11 +172,12 @@ class TableStore:
                         np.save(f, lens)
                         np.save(f, flat)
                     else:
-                        np.save(f, arr)
+                        for p in parts:
+                            np.save(f, p)
                     f.flush()
                     os.fsync(f.fileno())
                 manifest["chunks"][key] = {
-                    "epoch": epoch, "rows": int(arr.shape[0])
+                    "epoch": epoch, "rows": int(arr.shape[0]), "enc": enc
                 }
         for cid, d in t.dicts.items():
             dpath = self._dict_path(cid, epoch)
@@ -258,7 +263,11 @@ class TableStore:
                         arr[i] = flat[pos:pos + ln]
                         pos += ln
             else:
-                arr = np.load(path)
+                enc = ref.get("enc", "raw")
+                with open(path, "rb") as fh:
+                    n_parts = {"raw": 1, "rle": 2, "diff": 2}[enc]
+                    parts = [np.load(fh) for _ in range(n_parts)]
+                arr = decode_chunk(enc, parts, cd.type.np_dtype())
             t.fragments_by_id()[int(f_s)].chunks[int(c_s)] = arr
         for cid_s, ref in m["dicts"].items():
             cid = int(cid_s)
@@ -269,6 +278,74 @@ class TableStore:
 
     def destroy(self):
         shutil.rmtree(self.dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Chunk encoders — reference RL / DIFF encoders (DataMgr's RunLengthEncoder /
+# DiffEncoder roles).  On TPU the in-HBM representation stays the flat
+# physical dtype (FIXED narrowing covers device width); these encoders cut
+# the DISK footprint + IO of checkpointed chunks.  The smallest of
+# {raw, rle, diff} is chosen per chunk and recorded in the manifest.
+# ---------------------------------------------------------------------------
+
+
+def _narrowest_int(arr):
+    """Smallest signed dtype that exactly holds arr (arr: int64-safe)."""
+    if arr.size == 0:
+        return arr.astype(np.int8)
+    lo, hi = int(arr.min()), int(arr.max())
+    for dt in (np.int8, np.int16, np.int32):
+        ii = np.iinfo(dt)
+        if ii.min <= lo and hi <= ii.max:
+            return arr.astype(dt)
+    return arr.astype(np.int64)
+
+
+def encode_chunk(arr):
+    """(encoding_name, list_of_arrays) for one fixed-width chunk."""
+    if arr.dtype == object or arr.dtype.kind not in "iu" or arr.size < 64:
+        return "raw", [arr]
+    raw_bytes = arr.nbytes
+    # RLE: values + run lengths (wins on sorted / low-NDV columns)
+    change = np.empty(arr.shape[0], bool)
+    change[0] = True
+    np.not_equal(arr[1:], arr[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    if starts.size * 2 <= arr.shape[0]:
+        values = arr[starts]
+        lens = _narrowest_int(np.diff(np.append(starts, arr.shape[0])))
+        rle_bytes = values.nbytes + lens.nbytes
+    else:
+        values = lens = None
+        rle_bytes = raw_bytes + 1
+    # DIFF: first value + narrowed deltas (wins on near-monotonic columns
+    # like event timestamps); int64 wraparound is exact on decode cumsum
+    d = np.diff(arr.astype(np.int64))
+    deltas = _narrowest_int(d)
+    diff_bytes = 8 + deltas.nbytes
+    best = min(raw_bytes, rle_bytes, diff_bytes)
+    if best == raw_bytes:
+        return "raw", [arr]
+    if best == rle_bytes:
+        return "rle", [values, lens]
+    first = np.array([arr[0]], np.int64)
+    return "diff", [first, deltas]
+
+
+def decode_chunk(enc, parts, dtype):
+    if enc == "raw":
+        return parts[0]
+    if enc == "rle":
+        values, lens = parts
+        return np.repeat(values, lens.astype(np.int64)).astype(dtype)
+    if enc == "diff":
+        first, deltas = parts
+        out = np.empty(deltas.shape[0] + 1, np.int64)
+        out[0] = first[0]
+        np.cumsum(deltas.astype(np.int64), out=out[1:])
+        out[1:] += first[0]
+        return out.astype(dtype)
+    raise StorageError(f"unknown chunk encoding {enc!r}")
 
 
 def _json_safe(v):

@@ -3,6 +3,7 @@ DUMP/RESTORE (reference Tests/FileMgrTest.cpp / EpochConsistency patterns)."""
 
 import os
 
+import numpy as np
 import pytest
 
 import heavydb_tpu as hdt
@@ -215,3 +216,50 @@ def test_newer_catalog_version_refused(tmp_path):
         json.dump(data, f)
     with pytest.raises(Exception):
         hdt.connect(root)
+
+
+def test_chunk_encoders_roundtrip(tmp_path, rng):
+    """RL / DIFF chunk encoders (reference RunLength/Diff encoder roles):
+    the smallest of raw/rle/diff is chosen per chunk and round-trips."""
+    from heavydb_tpu.storage.persist import decode_chunk, encode_chunk
+
+    sorted_lownd = np.repeat(np.arange(50, dtype=np.int32), 200)
+    monotonic = (np.arange(10_000, dtype=np.int64) * 60
+                 + rng.integers(0, 30, 10_000))
+    random_col = rng.integers(-2**40, 2**40, 10_000)
+    for arr, want_enc in [
+        (sorted_lownd, "rle"),
+        (monotonic, "diff"),
+        (random_col, "raw"),
+    ]:
+        enc, parts = encode_chunk(arr)
+        assert enc == want_enc, (enc, want_enc)
+        back = decode_chunk(enc, parts, arr.dtype)
+        np.testing.assert_array_equal(back, arr)
+        if enc != "raw":
+            assert sum(p.nbytes for p in parts) < arr.nbytes
+
+    # negative / wrapping deltas stay exact
+    jumpy = np.array([2**62, -2**62, 0, 2**61, -5], np.int64)
+    enc, parts = encode_chunk(np.repeat(jumpy, 100))
+    back = decode_chunk(enc, parts, np.dtype(np.int64))
+    np.testing.assert_array_equal(back, np.repeat(jumpy, 100))
+
+
+def test_encoded_chunks_persist_roundtrip(tmp_path, rng):
+    import heavydb_tpu as hdt
+
+    d = str(tmp_path / "encdb")
+    db = hdt.connect(d)
+    n = 20_000
+    ts = np.arange(n, dtype=np.int64) * 30 + 1_600_000_000
+    g = np.repeat(np.arange(20, dtype=np.int32), n // 20)
+    v = rng.random(n)
+    db.load_table("ev", {"ts": ts, "g": g, "v": v}, create=True)
+    db.checkpoint()
+    db2 = hdt.connect(d)
+    assert db2.sql("SELECT count(*), min(g), max(g) FROM ev").rows() == \
+        [(n, 0, 19)]
+    r1 = db.sql("SELECT g, count(*) FROM ev GROUP BY g ORDER BY g").rows()
+    r2 = db2.sql("SELECT g, count(*) FROM ev GROUP BY g ORDER BY g").rows()
+    assert r1 == r2
