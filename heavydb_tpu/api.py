@@ -255,6 +255,17 @@ class Database:
     def table_rows(self, name: str) -> int:
         return self.catalog.get_table(name).num_rows
 
+    @property
+    def refresh_scheduler(self):
+        """Scheduled foreign-table refresh (reference
+        RefreshTimeCalculator + scheduled REFRESH): poll() in embedded
+        use, start() for the background thread (the server does)."""
+        if getattr(self, "_refresh_scheduler", None) is None:
+            from heavydb_tpu.storage.refresh import RefreshScheduler
+
+            self._refresh_scheduler = RefreshScheduler(self)
+        return self._refresh_scheduler
+
     def stream_importer(self, table_name: str, **kw):
         """Batched streaming ingest into a table (reference KafkaImporter /
         StreamImporter: ImportExport/KafkaImporter.cpp).  Returns a
@@ -572,11 +583,15 @@ class Database:
         if isinstance(st, A.CreateForeignTable):
             return self._create_foreign_table(st)
         if isinstance(st, A.RefreshForeignTables):
+            import time as _time
+
             for name in st.tables:
                 t = self.catalog.get_table(name)
                 if getattr(t, "foreign", None) is None:
                     raise SqlError(f"{name!r} is not a foreign table")
                 self._load_foreign(t)
+                t.foreign["last_refresh"] = _time.time()
+                t.foreign.pop("next_refresh", None)  # recompute on poll
             return None
         if isinstance(st, A.DropTable):
             self.catalog.drop_table(st.name, st.if_exists)

@@ -19,7 +19,8 @@ from heavydb_tpu.plan import rel_alg as R
 def optimize(root: R.RelNode) -> R.RelNode:
     root = _hoist_cross_join_filters(root)
     root = _fuse(root)
-    return _reorder_joins(root)
+    root = _reorder_joins(root)
+    return _prune_dead_columns(root)
 
 
 # ---------------------------------------------------------------------------
@@ -409,3 +410,158 @@ def _fuse(node: R.RelNode) -> R.RelNode:
         return R.Compound(inputs, levels, fcond, [], [], targets, names, None)
 
     raise AssertionError(f"unhandled node {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Pass 4: dead-column elimination (reference RelAlgOptimizer.cpp
+# eliminate_dead_columns) — a Compound child consumed by exactly one
+# Compound parent computes only the targets the parent actually references;
+# the parent's combined-domain InputRefs are remapped to the trimmed
+# layout.  Scan pruning is separate (the executor fetches only referenced
+# scan columns); this pass shrinks INTERMEDIATE results and their kernels.
+# ---------------------------------------------------------------------------
+
+
+def _consumer_counts(root: R.RelNode):
+    counts: dict = {}
+    seen = set()
+
+    def walk(n):
+        if n.id in seen:
+            return
+        seen.add(n.id)
+        for i in n.inputs:
+            counts[i.id] = counts.get(i.id, 0) + 1
+            walk(i)
+
+    counts[root.id] = 1
+    walk(root)
+    return counts
+
+
+def _input_domain_exprs(node: R.Compound):
+    """Exprs of `node` that reference the COMBINED INPUT domain (an agg
+    Compound's targets/having reference the post-agg domain instead)."""
+    for _, c in node.join_levels:
+        if c is not None:
+            yield c
+    if node.filter_cond is not None:
+        yield node.filter_cond
+    yield from node.group_exprs
+    yield from node.aggs
+    if not node.is_aggregate:
+        yield from node.target_exprs
+
+
+def _prune_dead_columns(node: R.RelNode, counts=None, seen=None) -> R.RelNode:
+    if counts is None:
+        counts = _consumer_counts(node)
+        seen = set()
+    if node.id in seen:
+        return node
+    seen.add(node.id)
+    for i in node.inputs:
+        _prune_dead_columns(i, counts, seen)
+    if not isinstance(node, R.Compound) or not node.inputs:
+        return node
+
+    offsets = []
+    off = 0
+    for i in node.inputs:
+        offsets.append(off)
+        off += i.arity
+
+    needed_local = [set() for _ in node.inputs]
+    for e in _input_domain_exprs(node):
+        for r in E.collect_input_refs(e):
+            for i in reversed(range(len(node.inputs))):
+                if r.field_idx >= offsets[i]:
+                    needed_local[i].add(r.field_idx - offsets[i])
+                    break
+
+    new_offsets = []
+    field_map = {}
+    noff = 0
+    trimmed_any = False
+    for i, child in enumerate(node.inputs):
+        new_offsets.append(noff)
+        keep = sorted(needed_local[i])
+        trim = (
+            isinstance(child, R.Compound)
+            and counts.get(child.id, 0) == 1
+            and node.inputs.count(child) == 1
+            and 0 < len(keep) < child.arity
+        )
+        if trim:
+            child.target_exprs = [child.target_exprs[j] for j in keep]
+            child.types = [child.types[j] for j in keep]
+            if getattr(child, "fields", None):
+                child.fields = [child.fields[j] for j in keep]
+            if child.is_aggregate:
+                _trim_unused_aggs(child)
+            for rank, j in enumerate(keep):
+                field_map[offsets[i] + j] = noff + rank
+            noff += len(keep)
+            trimmed_any = True
+        else:
+            for j in range(child.arity):
+                field_map[offsets[i] + j] = noff + j
+            noff += child.arity
+
+    if not trimmed_any:
+        return node
+
+    def subst(e):
+        if isinstance(e, E.InputRef) and e.field_idx in field_map:
+            import dataclasses
+
+            return dataclasses.replace(e, field_idx=field_map[e.field_idx])
+        return e
+
+    node.join_levels = [
+        (k, E.rewrite(c, subst) if c is not None else None)
+        for k, c in node.join_levels
+    ]
+    if node.filter_cond is not None:
+        node.filter_cond = E.rewrite(node.filter_cond, subst)
+    node.group_exprs = [E.rewrite(g, subst) for g in node.group_exprs]
+    node.aggs = [_rewrite_agg(a, subst) for a in node.aggs]
+    if not node.is_aggregate:
+        node.target_exprs = [E.rewrite(t, subst) for t in node.target_exprs]
+    return node
+
+
+def _trim_unused_aggs(child: R.Compound) -> None:
+    """After an agg Compound's targets were trimmed, drop aggregates the
+    remaining targets/having no longer reference (group keys always stay —
+    they define the grouping).  Post-agg field space = keys ++ aggs."""
+    n_keys = len(child.group_exprs)
+    used = set()
+    exprs = list(child.target_exprs) + (
+        [child.having] if child.having is not None else []
+    )
+    for e in exprs:
+        for r in E.collect_input_refs(e):
+            used.add(r.field_idx)
+    keep_aggs = [
+        j for j in range(len(child.aggs)) if (n_keys + j) in used
+    ]
+    if len(keep_aggs) == len(child.aggs):
+        return
+    amap = {}
+    for rank, j in enumerate(keep_aggs):
+        amap[n_keys + j] = n_keys + rank
+    for k in range(n_keys):
+        amap[k] = k
+    child.aggs = [child.aggs[j] for j in keep_aggs]
+
+    def subst(e):
+        if isinstance(e, E.InputRef) and e.field_idx in amap:
+            import dataclasses
+
+            return dataclasses.replace(e, field_idx=amap[e.field_idx])
+        return e
+
+    child.target_exprs = [E.rewrite(t, subst) for t in child.target_exprs]
+    if child.having is not None:
+        child.having = E.rewrite(child.having, subst)

@@ -367,6 +367,9 @@ def serve(host: str = "127.0.0.1", port: int = 6274,
                         print(f"warmup {q[:60]!r}: {e!r}", flush=True)
         except OSError as e:
             print(f"warmup file unreadable: {e!r}", flush=True)
+    # scheduled foreign-table refresh (reference ForeignStorage scheduled
+    # refresh thread; tables opt in with REFRESH_TIMING_TYPE='SCHEDULED')
+    engine.db.refresh_scheduler.start()
     srv = _ThreadedServer((host, port), _Handler)
     srv.engine = engine
     return srv

@@ -144,3 +144,41 @@ def test_pushdown_shrinks_expansion_cap(db, rng):
         "SELECT count(*) FROM bigf f JOIN bigd d ON f.k = d.k WHERE d.sel = 0"
     ).rows()
     assert r[0][0] == n  # exactly one build match per probe row
+
+
+def test_dead_column_elimination(db, rng):
+    """Optimizer pass 4 (reference eliminate_dead_columns): a derived
+    table computing unused expressions gets trimmed to what the outer
+    query references."""
+    n = 30_000
+    db.load_table("wide", {
+        "k": rng.integers(0, 50, n).astype(np.int32),
+        "a": rng.random(n).astype(np.float32),
+        "b": rng.random(n).astype(np.float32),
+        "c": rng.random(n).astype(np.float32),
+        "d": rng.integers(0, 9, n).astype(np.int32),
+    }, create=True)
+    from heavydb_tpu.plan import rel_alg as R
+    from heavydb_tpu.plan.optimizer import optimize
+    from heavydb_tpu.sql.parser import parse
+
+    # pure projections inline during fusion; an AGGREGATE derived table
+    # survives as an intermediate Compound — its unused aggs must go
+    q = ("SELECT t.k, t.s FROM (SELECT k, sum(a) AS s, sum(b) AS sb, "
+         "sum(c) AS sc, count(d) AS cd FROM wide GROUP BY k) t "
+         "WHERE t.s > 0")
+    node = optimize(db._plan_select(parse(q)))
+    if isinstance(node, R.Sort):
+        node = node.inputs[0]
+    inner = node.inputs[0]
+    assert isinstance(inner, R.Compound) and inner.is_aggregate
+    assert inner.arity == 2  # k, s — sb/sc/cd eliminated
+    assert len(inner.aggs) == 1
+    # and the results are right
+    rows = db.sql(q + " ORDER BY t.k").rows()
+    import numpy as np_
+    k = np_.asarray(db.sql("SELECT k FROM wide").to_pandas()["k"])
+    a = np_.asarray(db.sql("SELECT a FROM wide").to_pandas()["a"])
+    assert len(rows) == 50
+    for kk, s in rows[:5]:
+        assert s == pytest.approx(float(a[k == kk].sum()), rel=1e-4)

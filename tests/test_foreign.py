@@ -168,3 +168,45 @@ def test_fsi_cache_invalidated_on_source_change(tmp_path):
     src.write_text("a\n1\n2\n3\n4\n")
     db2 = hdt.connect(root)
     assert db2.sql("SELECT count(*) FROM cft2").rows()[0][0] == 4
+
+
+def test_scheduled_refresh(db, tmp_path):
+    """Reference RefreshTimeCalculator + scheduled refresh: tables with
+    REFRESH_TIMING_TYPE='SCHEDULED' re-import when their interval
+    elapses; MANUAL tables never auto-refresh."""
+    import time
+
+    from heavydb_tpu.storage.refresh import next_refresh_time, parse_interval
+
+    assert parse_interval("30S") == 30
+    assert parse_interval("2H") == 7200
+    assert parse_interval("1d") == 86400
+    # alignment: next = start + k*interval strictly after now
+    nxt = next_refresh_time(
+        {"refresh_timing_type": "SCHEDULED", "refresh_interval": "10S",
+         "refresh_start_date_time": "1970-01-01T00:00:00+00:00"},
+        None, now=1005.0,
+    )
+    assert nxt == 1010.0
+    assert next_refresh_time({"refresh_timing_type": "MANUAL"}, None, 0) \
+        is None
+
+    p = tmp_path / "feed.csv"
+    p.write_text("a\n1\n2\n")
+    db.sql(f"CREATE SERVER s_sched FOREIGN DATA WRAPPER delimited_file "
+           f"WITH (base_path='{tmp_path}')")
+    db.sql("CREATE FOREIGN TABLE ft_sched (a INT) SERVER s_sched WITH ("
+           "file_path='feed.csv', refresh_timing_type='SCHEDULED', "
+           "refresh_interval='1S')")
+    assert db.sql("SELECT count(*) FROM ft_sched").rows() == [(2,)]
+    p.write_text("a\n1\n2\n3\n")
+    sched = db.refresh_scheduler
+    now = time.time()
+    assert sched.poll(now) == 0          # not due yet
+    assert sched.poll(now + 2.0) == 1    # 1S interval elapsed → refreshed
+    assert db.sql("SELECT count(*) FROM ft_sched").rows() == [(3,)]
+    # manual tables are never picked up
+    db.sql("CREATE FOREIGN TABLE ft_man (a INT) SERVER s_sched WITH ("
+           "file_path='feed.csv')")
+    db.sql("SELECT count(*) FROM ft_man")
+    assert all(t.name != "ft_man" for t in sched.due_tables(now + 9999))
