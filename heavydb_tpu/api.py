@@ -387,7 +387,12 @@ class Database:
 
     def _load_foreign(self, t: Table):
         """(Re)populate a foreign table from its source file."""
+        import time as _time
+
         fo = t.foreign
+        # the refresh schedule anchors at the last (initial) load, not at
+        # the scheduler's first poll (reference: createdAt/last_refresh)
+        fo.setdefault("last_refresh", _time.time())
         server = self._servers.get(fo["server"])
         if server is None:
             raise SqlError(f"no server {fo['server']!r}")

@@ -86,9 +86,13 @@ class RefreshScheduler:
             f = t.foreign
             nxt = f.get("next_refresh")
             if nxt is None:
+                # anchor at the last load/refresh, NOT the poll time —
+                # otherwise the computed time always sits in the future
+                # of the poll and nothing ever comes due
+                anchor = f.get("last_refresh")
                 nxt = next_refresh_time(
                     {k.lower(): v for k, v in f["options"].items()},
-                    f.get("last_refresh"), now,
+                    anchor, anchor if anchor is not None else now,
                 )
                 f["next_refresh"] = nxt
             if nxt is not None and now >= nxt:
