@@ -255,6 +255,43 @@ class Database:
     def table_rows(self, name: str) -> int:
         return self.catalog.get_table(name).num_rows
 
+    # -- dashboards (reference Catalog dashboards + TDashboard CRUD) --
+    @property
+    def dashboards(self) -> Dict[int, dict]:
+        if getattr(self, "_dashboards", None) is None:
+            self._dashboards = {}
+            self._next_dashboard_id = 1
+        return self._dashboards
+
+    def create_dashboard(self, name: str, state: str = "",
+                         metadata: str = "", owner: str = "admin") -> int:
+        import time as _time
+
+        ds = self.dashboards
+        did = self._next_dashboard_id
+        self._next_dashboard_id += 1
+        ds[did] = {
+            "id": did, "name": name, "state": state,
+            "metadata": metadata, "owner": owner,
+            "update_time": _time.time(),
+        }
+        return did
+
+    def replace_dashboard(self, did: int, name: str, state: str,
+                          metadata: str, owner: str):
+        import time as _time
+
+        if did not in self.dashboards:
+            raise SqlError(f"no dashboard {did}")
+        self.dashboards[did].update(
+            name=name, state=state, metadata=metadata, owner=owner,
+            update_time=_time.time(),
+        )
+
+    def delete_dashboard(self, did: int):
+        if self.dashboards.pop(did, None) is None:
+            raise SqlError(f"no dashboard {did}")
+
     @property
     def refresh_scheduler(self):
         """Scheduled foreign-table refresh (reference

@@ -57,6 +57,10 @@ class Connection:
             raise ServerError(resp["error"]["type"], resp["error"]["message"])
         return resp["result"]
 
+    def call(self, method: str, **params):
+        """Raw RPC escape hatch (any rpc_* endpoint by name)."""
+        return self._call(method, **params)
+
     def sql(self, query: str) -> RemoteResult:
         return RemoteResult(self._call("sql_execute", session=self.session,
                                        query=query))

@@ -9,6 +9,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import secrets
 import socket
 import socketserver
@@ -313,6 +314,118 @@ class HeavyTpuServer:
             {"name": n, "type": t.sql_name()}
             for n, t in detect_column_types(path, options or {})
         ]
+
+    # ---- session / cluster info (heavy.thrift:686-716) ----
+
+    def rpc_get_session_info(self, session: str) -> dict:
+        s = self._session(session)
+        return {
+            "user": s.user,
+            "database": "heavyai",
+            "start_time": s.created,
+            "is_super": s.user == "admin",
+        }
+
+    def rpc_clone_session(self, session: str) -> str:
+        s = self._session(session)
+        sid = secrets.token_hex(16)
+        self.sessions[sid] = Session(sid, s.user)
+        return sid
+
+    def rpc_switch_database(self, session: str, dbname: str) -> bool:
+        self._session(session)
+        if dbname != "heavyai":
+            raise HeavyTpuError(f"no database {dbname!r}")
+        return True
+
+    def rpc_get_hardware_info(self, session: str) -> dict:
+        self._session(session)
+        import jax
+
+        devs = jax.devices()
+        return {
+            "num_gpus": len([d for d in devs if d.platform != "cpu"]),
+            "num_cpu_hw_threads": os.cpu_count(),
+            "devices": [
+                {"id": d.id, "platform": d.platform, "kind": d.device_kind}
+                for d in devs
+            ],
+        }
+
+    def rpc_get_users(self, session: str) -> list:
+        self._session(session)
+        return self.db.syscatalog.list_users()
+
+    def rpc_get_roles(self, session: str) -> list:
+        self._session(session)
+        return self.db.syscatalog.list_roles()
+
+    def rpc_get_all_roles_for_user(self, session: str, user: str) -> list:
+        self._session(session)
+        return sorted(self.db.syscatalog.roles_of(user))
+
+    def rpc_get_completion_hints(self, session: str, sql: str,
+                                 cursor: int = -1) -> list:
+        """Table/column/keyword completions for the token at `cursor`
+        (reference get_completion_hints / CalciteServerHandler)."""
+        self._session(session)
+        frag = sql[:cursor] if 0 <= cursor <= len(sql) else sql
+        word = ""
+        for ch in reversed(frag):
+            if ch.isalnum() or ch == "_":
+                word = ch + word
+            else:
+                break
+        wl = word.lower()
+        hints = []
+        for name in self.db.catalog.list_tables():
+            if name.lower().startswith(wl):
+                hints.append({"hint": name, "type": "TABLE"})
+            t = self.db.catalog.get_table(name)
+            for cd in t.columns:
+                if wl and cd.name.lower().startswith(wl):
+                    hints.append({"hint": cd.name, "type": "COLUMN"})
+        for kw in ("SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
+                   "LIMIT", "JOIN", "LEFT", "INNER", "ON", "HAVING",
+                   "UNION", "INSERT", "UPDATE", "DELETE"):
+            if wl and kw.lower().startswith(wl):
+                hints.append({"hint": kw, "type": "KEYWORD"})
+        return hints[:50]
+
+    # ---- dashboards (heavy.thrift:739-752 TDashboard CRUD) ----
+
+    def rpc_get_dashboards(self, session: str) -> list:
+        self._session(session)
+        return [
+            {k: v for k, v in d.items() if k != "state"}
+            for d in self.db.dashboards.values()
+        ]
+
+    def rpc_get_dashboard(self, session: str, dashboard_id: int) -> dict:
+        self._session(session)
+        d = self.db.dashboards.get(int(dashboard_id))
+        if d is None:
+            raise HeavyTpuError(f"no dashboard {dashboard_id}")
+        return dict(d)
+
+    def rpc_create_dashboard(self, session: str, name: str,
+                             state: str = "", metadata: str = "") -> int:
+        s = self._session(session)
+        return self.db.create_dashboard(name, state, metadata, s.user)
+
+    def rpc_replace_dashboard(self, session: str, dashboard_id: int,
+                              name: str, state: str = "",
+                              metadata: str = "") -> bool:
+        s = self._session(session)
+        self.db.replace_dashboard(
+            int(dashboard_id), name, state, metadata, s.user
+        )
+        return True
+
+    def rpc_delete_dashboard(self, session: str, dashboard_id: int) -> bool:
+        self._session(session)
+        self.db.delete_dashboard(int(dashboard_id))
+        return True
 
 
 def _is_write(sql: str) -> bool:

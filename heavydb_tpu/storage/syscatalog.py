@@ -175,6 +175,17 @@ class SysCatalog:
                 )
 
     # ---- persistence ----
+    def list_users(self) -> list:
+        return sorted(self.users)
+
+    def list_roles(self) -> list:
+        return sorted(self.roles)
+
+    def roles_of(self, user: str) -> Set[str]:
+        """Roles transitively granted to a user (reference
+        get_all_roles_for_user)."""
+        return self._all_grantees_of(user) - {user.lower()}
+
     def to_json(self) -> dict:
         return {
             "users": [

@@ -245,3 +245,58 @@ def test_warmup_file(tmp_path):
         assert out["columns"][0][0] == 3
     finally:
         srv.server_close()
+
+
+def test_session_and_cluster_info_rpcs(conn):
+    """heavy.thrift:686-716 surface: session info, clone/switch,
+    hardware info, users/roles."""
+    info = conn.call("get_session_info", session=conn.session)
+    assert info["user"] == "admin" and info["database"] == "heavyai"
+    sid2 = conn.call("clone_session", session=conn.session)
+    assert sid2 != conn.session
+    assert conn.call("get_session_info", session=sid2)["user"] == "admin"
+    assert conn.call("switch_database", session=conn.session,
+                     dbname="heavyai") is True
+    with pytest.raises(ServerError):
+        conn.call("switch_database", session=conn.session, dbname="nope")
+    hw = conn.call("get_hardware_info", session=conn.session)
+    assert hw["num_cpu_hw_threads"] >= 1 and len(hw["devices"]) >= 1
+    assert "admin" in conn.call("get_users", session=conn.session)
+    conn.sql("CREATE USER bob (password='pw')")
+    conn.sql("CREATE ROLE analyst")
+    conn.sql("GRANT analyst TO bob")
+    assert "analyst" in conn.call("get_roles", session=conn.session)
+    assert conn.call("get_all_roles_for_user", session=conn.session,
+                     user="bob") == ["analyst"]
+
+
+def test_completion_hints(conn):
+    conn.sql("CREATE TABLE flights (carrier TEXT, delay INT)")
+    hints = conn.call("get_completion_hints", session=conn.session,
+                      sql="SELECT car", cursor=10)
+    assert {"hint": "carrier", "type": "COLUMN"} in hints
+    hints = conn.call("get_completion_hints", session=conn.session,
+                      sql="SELECT * FROM fli", cursor=18)
+    assert {"hint": "flights", "type": "TABLE"} in hints
+    hints = conn.call("get_completion_hints", session=conn.session,
+                      sql="SELECT * FROM t WHE", cursor=19)
+    assert {"hint": "WHERE", "type": "KEYWORD"} in hints
+
+
+def test_dashboard_crud(conn):
+    did = conn.call("create_dashboard", session=conn.session,
+                    name="sales", state="eyJ2IjoxfQ==", metadata="{}")
+    assert did == 1
+    boards = conn.call("get_dashboards", session=conn.session)
+    assert len(boards) == 1 and boards[0]["name"] == "sales"
+    assert "state" not in boards[0]  # list omits the (big) state blob
+    d = conn.call("get_dashboard", session=conn.session, dashboard_id=did)
+    assert d["state"] == "eyJ2IjoxfQ=="
+    conn.call("replace_dashboard", session=conn.session, dashboard_id=did,
+              name="sales2", state="e30=", metadata="{}")
+    d = conn.call("get_dashboard", session=conn.session, dashboard_id=did)
+    assert d["name"] == "sales2" and d["state"] == "e30="
+    conn.call("delete_dashboard", session=conn.session, dashboard_id=did)
+    assert conn.call("get_dashboards", session=conn.session) == []
+    with pytest.raises(ServerError):
+        conn.call("get_dashboard", session=conn.session, dashboard_id=did)
