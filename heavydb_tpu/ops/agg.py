@@ -16,6 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +35,69 @@ class PartialSpec:
 
 
 _BATCHABLE = None  # set below
+
+
+def _keyless_fused(lowered, compiler, mask):
+    """Keyless (single-slot) aggregation as ONE variadic lax.reduce.
+
+    Sibling scalar reductions (count pass, sum pass, ...) each re-stream
+    the scanned columns when XLA emits them as separate fusion loops —
+    measured 1.4ms/iter for count+sum over 100M rows where the stream
+    ceiling implies ~1.0ms.  A single multi-operand reduce is guaranteed
+    one pass.  Returns partials (each value shaped [1]) or None when an
+    aggregate kind can't ride (caller falls back)."""
+    A = E.AggKind
+    operands: list = []
+    inits: list = []
+    sinks: list = []  # (partials dict, key, post)
+    partials: List[Optional[dict]] = [None] * len(lowered)
+    for idx, la in enumerate(lowered):
+        k = la.kind
+        agg = la.agg
+        if k not in (A.COUNT, A.COUNT_IF, A.SUM, A.SUM_IF, A.AVG,
+                     A.STDDEV, A.VARIANCE) or (
+            agg.arg is not None and agg.arg.type.is_decimal
+        ):
+            return None
+        arg_tv = compiler.compile(agg.arg) if agg.arg is not None else None
+        cm = mask
+        if arg_tv is not None and arg_tv[1] is not None:
+            cm = arg_tv[1] if cm is None else (cm & arg_tv[1])
+        if k in (A.COUNT_IF, A.SUM_IF):
+            pred = compiler.compile_predicate(agg.arg2)
+            cm = pred if cm is None else (cm & pred)
+        if cm is None:
+            if arg_tv is None:
+                return None  # bare count(*) with no mask: nothing to fuse
+            cm = jnp.ones(jnp.asarray(arg_tv[0]).shape, jnp.bool_)
+        p: dict = {}
+        partials[idx] = p
+        operands.append(cm.astype(jnp.int32))
+        inits.append(jnp.asarray(0, jnp.int32))
+        sinks.append((p, "count", lambda x: x.astype(jnp.int64)[None]))
+        if k in (A.COUNT, A.COUNT_IF):
+            continue
+        val = jnp.asarray(arg_tv[0])
+        acc = np.dtype(np.float64) if k in (A.STDDEV, A.VARIANCE) \
+            else np.dtype(la._acc_dtype())
+        v = jnp.where(cm, val.astype(acc), jnp.asarray(0, acc))
+        operands.append(v)
+        inits.append(jnp.asarray(0, acc))
+        sinks.append((p, "sum", lambda x: x[None]))
+        if k in (A.STDDEV, A.VARIANCE):
+            operands.append(v * v)
+            inits.append(jnp.asarray(0, acc))
+            sinks.append((p, "sumsq", lambda x: x[None]))
+    if not operands:
+        return None
+
+    def comb(accs, xs):
+        return tuple(a + x for a, x in zip(accs, xs))
+
+    res = jax.lax.reduce(tuple(operands), tuple(inits), comb, (0,))
+    for (p, key, post), r in zip(sinks, res):
+        p[key] = post(r)
+    return partials
 
 
 def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
@@ -67,6 +131,12 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
                 and not ag.arg.type.is_decimal \
                 and np.dtype(ag.arg.type.np_dtype()).kind in "iub":
             bound = RADIX_INT_MAX_SLOTS
+    if num_slots == 1 and not want_present:
+        # keyless only: a 1-slot PERFECT group-by still needs presence
+        # counts, which the fused reduce doesn't produce
+        fused = _keyless_fused(lowered, compiler, mask)
+        if fused is not None:
+            return fused, None
     if not (_on_tpu() and SMALL_SLOTS < num_slots <= bound):
         parts = [la.accumulate(compiler, gid, mask, num_slots)
                  for la in lowered]
