@@ -1,0 +1,145 @@
+"""TPC-H-shaped differential suite vs the SQLite oracle — the reference
+validates these query shapes in Tests/ExecuteTest.cpp and benchmarks them
+in Benchmarks/ (lineitem/orders/customer schema scaled down).  Covers
+multi-way joins, date filters, aggregations, HAVING, CASE, top-k."""
+
+import pytest
+
+import heavydb_tpu as hdt
+from tests.test_sqlite_oracle import Oracle
+
+
+@pytest.fixture(scope="module")
+def tpch(rng):
+    db = hdt.connect()
+    o = Oracle(db)
+    n_part, n_cust, n_ord, n_li = 200, 150, 1200, 6000
+    o.load(
+        "part",
+        {
+            "p_partkey": list(range(n_part)),
+            "p_brand": [f"Brand#{v}" for v in rng.integers(1, 6, n_part)],
+            "p_size": [int(v) for v in rng.integers(1, 51, n_part)],
+            "p_retailprice": [
+                float(round(900 + v, 2)) for v in rng.uniform(0, 1200, n_part)
+            ],
+        },
+        {"p_partkey": "INT", "p_brand": "TEXT", "p_size": "INT",
+         "p_retailprice": "DOUBLE"},
+    )
+    o.load(
+        "customer",
+        {
+            "c_custkey": list(range(n_cust)),
+            "c_mktsegment": [
+                ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+                 "FURNITURE"][v]
+                for v in rng.integers(0, 5, n_cust)
+            ],
+            "c_acctbal": [
+                float(round(v, 2)) for v in rng.uniform(-999, 9999, n_cust)
+            ],
+        },
+        {"c_custkey": "INT", "c_mktsegment": "TEXT", "c_acctbal": "DOUBLE"},
+    )
+    o.load(
+        "orders",
+        {
+            "o_orderkey": list(range(n_ord)),
+            "o_custkey": [int(v) for v in rng.integers(0, n_cust, n_ord)],
+            "o_orderdate": [
+                int(v) for v in rng.integers(8000, 11000, n_ord)
+            ],  # days-ish ints keep both engines' date math out of play
+            "o_totalprice": [
+                float(round(v, 2)) for v in rng.uniform(100, 400000, n_ord)
+            ],
+        },
+        {"o_orderkey": "INT", "o_custkey": "INT", "o_orderdate": "INT",
+         "o_totalprice": "DOUBLE"},
+    )
+    o.load(
+        "lineitem",
+        {
+            "l_orderkey": [int(v) for v in rng.integers(0, n_ord, n_li)],
+            "l_partkey": [int(v) for v in rng.integers(0, n_part, n_li)],
+            "l_quantity": [int(v) for v in rng.integers(1, 51, n_li)],
+            "l_extendedprice": [
+                float(round(v, 2)) for v in rng.uniform(900, 100000, n_li)
+            ],
+            "l_discount": [
+                float(round(v, 2)) for v in rng.uniform(0, 0.1, n_li)
+            ],
+            "l_returnflag": [
+                ["A", "N", "R"][v] for v in rng.integers(0, 3, n_li)
+            ],
+            "l_shipdate": [int(v) for v in rng.integers(8000, 11000, n_li)],
+        },
+        {"l_orderkey": "INT", "l_partkey": "INT", "l_quantity": "INT",
+         "l_extendedprice": "DOUBLE", "l_discount": "DOUBLE",
+         "l_returnflag": "TEXT", "l_shipdate": "INT"},
+    )
+    return o
+
+
+Q1 = (  # pricing summary (TPC-H Q1 shape)
+    "SELECT l_returnflag, count(*), sum(l_quantity), "
+    "sum(l_extendedprice * (1 - l_discount)), avg(l_extendedprice) "
+    "FROM lineitem WHERE l_shipdate <= 10900 "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+Q3 = (  # shipping priority (Q3 shape): 3-way join + group + topk
+    "SELECT o.o_orderkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS rev "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < 9500 "
+    "AND l.l_shipdate > 9000 "
+    "GROUP BY o.o_orderkey ORDER BY rev DESC, o.o_orderkey LIMIT 10"
+)
+Q5 = (  # local supplier volume (Q5-ish): join + segment grouping
+    "SELECT c.c_mktsegment, sum(l.l_extendedprice * (1 - l.l_discount)) "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+)
+Q6 = (  # forecast revenue change (Q6 shape): pure scan-filter-agg
+    "SELECT sum(l_extendedprice * l_discount) FROM lineitem "
+    "WHERE l_shipdate >= 8500 AND l_shipdate < 9500 "
+    "AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24"
+)
+Q10 = (  # returned item reporting (Q10 shape) + HAVING
+    "SELECT c.c_custkey, count(*) AS cnt, "
+    "sum(l.l_extendedprice * (1 - l.l_discount)) AS rev "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_returnflag = 'R' GROUP BY c.c_custkey "
+    "HAVING count(*) > 5 ORDER BY rev DESC, c.c_custkey LIMIT 20"
+)
+Q12 = (  # shipmode priority (Q12 shape): CASE aggregation
+    "SELECT l_returnflag, "
+    "sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS high, "
+    "sum(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS low "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+Q14 = (  # promo revenue (Q14 shape): join + conditional ratio
+    "SELECT 100.0 * sum(CASE WHEN p.p_brand = 'Brand#1' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) "
+    "/ sum(l.l_extendedprice * (1 - l.l_discount)) "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= 9000 AND l.l_shipdate < 9300"
+)
+Q18 = (  # large volume customer (Q18 shape): agg subquery + IN
+    "SELECT o.o_orderkey, o.o_totalprice, sum(l.l_quantity) "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+    "GROUP BY o.o_orderkey, o.o_totalprice "
+    "ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10"
+)
+
+
+@pytest.mark.parametrize("sql", [Q1, Q3, Q5, Q6, Q10, Q12, Q14, Q18],
+                         ids=["q1", "q3", "q5", "q6", "q10", "q12", "q14",
+                              "q18"])
+def test_tpch_shape(tpch, sql):
+    tpch.check(sql)
