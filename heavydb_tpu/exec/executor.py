@@ -597,7 +597,20 @@ class Executor:
             for sub in E.walk(w):
                 if isinstance(sub, E.DictStrPredicate):
                     aux[sub.key()] = self._aux_array(("strpred", sub))
-        wcols = run_window(node, inp, aux, cache=self.kernel_cache)
+        # dict-encoded string ORDER BY keys must rank LEXICOGRAPHICALLY,
+        # not by dictionary id (same contract as the Sort node) — ship the
+        # id→rank table and have the kernel translate before sorting
+        rank_info = {}
+        for w in node.wfuncs:
+            for e, _asc, _nf in w.order_by:
+                if e.type.is_dict_string and isinstance(e, E.InputRef):
+                    ref = self._result_dict_ref(child, e.field_idx)
+                    if ref is not None:
+                        ak = ("winrank", e.key())
+                        aux[ak] = self._dict_rank_table(ref)
+                        rank_info[e.key()] = (ak, self.db.dict_by_ref(ref).size)
+        wcols = run_window(node, inp, aux, cache=self.kernel_cache,
+                           rank_info=rank_info)
         return B.Batch(
             list(inp.cols) + list(wcols), inp.nrows, list(node.types)
         )

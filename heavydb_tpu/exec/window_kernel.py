@@ -25,7 +25,7 @@ from heavydb_tpu.ops.sort import _sortable_operands
 from heavydb_tpu.plan import exprs as E
 
 
-def run_window(node, inp, aux, cache=None) -> List[jax.Array]:
+def run_window(node, inp, aux, cache=None, rank_info=None) -> List[jax.Array]:
     """ONE jit'd program PER (partition, order) spec — each program carries
     a single multi-operand lax.sort, so XLA never sees all specs' sorts
     fused into one giant kernel (round-1: a multi-spec 20M-row window
@@ -56,7 +56,8 @@ def run_window(node, inp, aux, cache=None) -> List[jax.Array]:
         jitted = cache.get(ck) if cache is not None else None
         if jitted is None:
             jitted = jax.jit(_make_spec_kernel(
-                node, inp, padded, present, wfuncs, widxs, aux_keys
+                node, inp, padded, present, wfuncs, widxs, aux_keys,
+                rank_info or {},
             ))
             if cache is not None:
                 cache[ck] = jitted
@@ -70,8 +71,135 @@ def run_window(node, inp, aux, cache=None) -> List[jax.Array]:
     return outs
 
 
-def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys):
+def _pack_plan(node, w0, padded: int, rank_info=None):
+    """Host-side plan to pack ALL (partition, order) sort keys into one
+    bounded non-negative integer, using chunk-stat expression ranges
+    (exec/ranges.py, the reference ExpressionRange analogue).  Shrinks the
+    window sort from 2 operands per key to a 1-3 operand `lax.sort` —
+    round-2 found the multi-operand variadic sort is both the compile-time
+    cliff (100M-row window programs took >20min in remote compile) and the
+    runtime cost.  Returns None when any key lacks a static range (floats,
+    unbounded exprs) — the generic operand path still handles those."""
+    from heavydb_tpu.exec import ranges as RG
+
+    fields = []
+    for p in w0.partition_by:
+        r = RG.expr_range(p, node.inputs)
+        if r is None or r.extent <= 0:
+            return None
+        fields.append({"expr": p, "order": False, "asc": True,
+                       "nulls_first": True, "r": r})
+    for e, asc, nf in w0.order_by:
+        ri = (rank_info or {}).get(e.key())
+        if ri is not None:
+            # rank-translated dict-string key: values land in [0, dsize)
+            ak, dsize = ri
+            r = RG.IntRange(0, max(dsize - 1, 0), e.type.nullable)
+            fields.append({"expr": e, "order": True, "asc": asc,
+                           "nulls_first": nf, "r": r, "rank": ak})
+            continue
+        r = RG.expr_range(e, node.inputs)
+        if r is None or r.extent <= 0:
+            return None
+        fields.append({"expr": e, "order": True, "asc": asc,
+                       "nulls_first": nf, "r": r})
+    order_bits = 0
+    key_bits = 1  # in-domain flag rides the top bit
+    for f in fields:
+        r = f["r"]
+        extent = int(r.extent)
+        field_extent = extent + (1 if r.has_nulls else 0)
+        bits = max(field_extent - 1, 0).bit_length()
+        f["extent"] = extent
+        f["bits"] = bits
+        key_bits += bits
+        if f["order"]:
+            order_bits += bits
+    if key_bits > 62:
+        return None
+    rows_bits = max((padded - 1).bit_length(), 1)
+    fuse_rows = key_bits + rows_bits <= 62
+    return {"fields": fields, "key_bits": key_bits, "order_bits": order_bits,
+            "rows_bits": rows_bits, "fuse_rows": fuse_rows}
+
+
+def _rank_translate(val, aux_dict, ak):
+    """id → lexicographic rank via the shipped table (clipped gather; null
+    sentinel ids land on an arbitrary rank, masked by valid downstream)."""
+    tbl = aux_dict[ak]
+    ids = jnp.clip(jnp.asarray(val, jnp.int32), 0, tbl.shape[0] - 1)
+    return tbl[ids]
+
+
+def _packed_sort(pack, comp, in_domain, padded, aux_dict):
+    """Build the packed key, sort it, and return (s_rows, pstart, ostart)
+    in sorted order.  Key layout (high→low bits): [~in_domain | partition
+    fields | order fields | rows?].  pstart = change in the partition
+    prefix; ostart = change in the whole (partition+order) key — every
+    consumer in ops/window.py uses `pstart | ostart`, so folding partition
+    changes into ostart is equivalent."""
+    acc = (~in_domain).astype(jnp.int64)
+    for f in pack["fields"]:
+        r = f["r"]
+        extent = f["extent"]
+        val, valid = comp.compile(f["expr"])
+        if "rank" in f:
+            val = _rank_translate(val, aux_dict, f["rank"])
+        v = jnp.broadcast_to(jnp.asarray(val), (padded,)).astype(jnp.int64)
+        bucket = max(r.bucket, 1)
+        if f["order"] and not f["asc"]:
+            base = (jnp.int64(r.hi) - v) // bucket
+        else:
+            base = (v - jnp.int64(r.lo)) // bucket
+        # pad rows carry garbage values; clip so they can't overflow into
+        # higher fields (they sort last via the domain flag regardless)
+        base = jnp.clip(base, 0, extent - 1)
+        if r.has_nulls:
+            ok = valid if valid is not None else jnp.ones(padded, jnp.bool_)
+            if f["order"] and not f["nulls_first"]:
+                field = jnp.where(ok, base, jnp.int64(extent))
+            else:
+                field = jnp.where(ok, base + 1, jnp.int64(0))
+        else:
+            field = base
+        acc = (acc << f["bits"]) | field
+    rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
+    rb = pack["rows_bits"]
+    if pack["fuse_rows"]:
+        acc = (acc << rb) | rows.astype(jnp.int64)
+        if pack["key_bits"] + rb <= 31:
+            res = lax.sort([acc.astype(jnp.int32)], num_keys=1)
+            acc_s = res[0].astype(jnp.int64)
+        else:
+            hi = (acc >> 31).astype(jnp.int32)
+            lo = (acc & ((1 << 31) - 1)).astype(jnp.int32)
+            res = lax.sort([hi, lo], num_keys=2)
+            acc_s = (res[0].astype(jnp.int64) << 31) | res[1].astype(jnp.int64)
+        s_rows = (acc_s & ((1 << rb) - 1)).astype(jnp.int32)
+        kwr = acc_s >> rb
+    else:
+        if pack["key_bits"] <= 31:
+            res = lax.sort([acc.astype(jnp.int32), rows], num_keys=2)
+            s_rows = res[1]
+            kwr = res[0].astype(jnp.int64)
+        else:
+            hi = (acc >> 31).astype(jnp.int32)
+            lo = (acc & ((1 << 31) - 1)).astype(jnp.int32)
+            res = lax.sort([hi, lo, rows], num_keys=3)
+            s_rows = res[2]
+            kwr = (res[0].astype(jnp.int64) << 31) | res[1].astype(jnp.int64)
+    one = jnp.ones(1, jnp.bool_)
+    ostart = jnp.concatenate([one, kwr[1:] != kwr[:-1]])
+    pk = kwr >> pack["order_bits"]
+    pstart = jnp.concatenate([one, pk[1:] != pk[:-1]])
+    return s_rows, pstart, ostart
+
+
+def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
+                      rank_info):
     from heavydb_tpu.exec.executor import _derive_valid
+
+    pack = _pack_plan(node, wfuncs[widxs[0]], padded, rank_info)
 
     def kernel(nrows, aux_vals, *cols):
         aux_dict = dict(zip(aux_keys, aux_vals))
@@ -85,34 +213,41 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys):
         comp = ExprCompiler(col_tvs, aux_dict, {})
 
         w0 = wfuncs[widxs[0]]
-        operands = [(~in_domain).astype(jnp.int8)]
-        for p in w0.partition_by:
-            val, valid = comp.compile(p)
-            nullf, v = _canonical_key(jnp.asarray(val), valid)
-            operands += [nullf, v]
-        n_part_ops = len(operands)
-        for e, asc, nf in w0.order_by:
-            val, valid = comp.compile(e)
-            nullr, v = _sortable_operands(val, valid, asc, nf)
-            operands += [nullr, v]
-        rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
-        res = lax.sort(operands + [rows], num_keys=len(operands),
-                       is_stable=True)
-        s_rows = res[-1]
-        # partition starts: first row, any partition operand changed, or
-        # the in-domain flag changed (out-of-domain pad rows must form
-        # their own partition so they can't pollute running aggregates)
-        pstart = jnp.zeros(padded, jnp.bool_).at[0].set(True)
-        for opnd in res[0:n_part_ops]:
-            pstart = pstart | jnp.concatenate(
-                [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
-            )
-        # peer-group starts: any order operand changed
-        ostart = jnp.zeros(padded, jnp.bool_)
-        for opnd in res[n_part_ops:-1]:
-            ostart = ostart | jnp.concatenate(
-                [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
-            )
+        if pack is not None:
+            s_rows, pstart, ostart = _packed_sort(pack, comp, in_domain,
+                                                  padded, aux_dict)
+        else:
+            operands = [(~in_domain).astype(jnp.int8)]
+            for p in w0.partition_by:
+                val, valid = comp.compile(p)
+                nullf, v = _canonical_key(jnp.asarray(val), valid)
+                operands += [nullf, v]
+            n_part_ops = len(operands)
+            for e, asc, nf in w0.order_by:
+                val, valid = comp.compile(e)
+                ri = rank_info.get(e.key())
+                if ri is not None:
+                    val = _rank_translate(val, aux_dict, ri[0])
+                nullr, v = _sortable_operands(val, valid, asc, nf)
+                operands += [nullr, v]
+            rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
+            res = lax.sort(operands + [rows], num_keys=len(operands),
+                           is_stable=True)
+            s_rows = res[-1]
+            # partition starts: first row, any partition operand changed, or
+            # the in-domain flag changed (out-of-domain pad rows must form
+            # their own partition so they can't pollute running aggregates)
+            pstart = jnp.zeros(padded, jnp.bool_).at[0].set(True)
+            for opnd in res[0:n_part_ops]:
+                pstart = pstart | jnp.concatenate(
+                    [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
+                )
+            # peer-group starts: any order operand changed
+            ostart = jnp.zeros(padded, jnp.bool_)
+            for opnd in res[n_part_ops:-1]:
+                ostart = ostart | jnp.concatenate(
+                    [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
+                )
 
         outs = []
         for wi in widxs:

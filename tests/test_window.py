@@ -287,3 +287,34 @@ def test_ignore_nulls_navigation(db):
     assert [r[2] for r in db.sql(
         f"SELECT g, x, LAG(v) RESPECT NULLS {base}"
     ).rows()] == [None, 10.0, None, None, 40.0, None, None]
+
+
+def test_string_order_key_lexicographic(db, rng):
+    """Window ORDER BY on a dict-encoded TEXT column must rank by
+    LEXICOGRAPHIC order, not dictionary id (ids follow insertion order) —
+    same contract as the Sort node's rank tables.  Also exercises the
+    rank-translated packed sort-key path."""
+    import sqlite3
+
+    db.sql("CREATE TABLE wso (s TEXT, g INT, v INT)")
+    words = ["zebra", "apple", "mango", "kiwi", "banana", "apple", "zebra"]
+    rows = [(w, int(i % 2), i) for i, w in enumerate(words)]
+    db.load_table(
+        "wso",
+        {"s": [r[0] for r in rows], "g": [r[1] for r in rows],
+         "v": [r[2] for r in rows]},
+    )
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE wso (s TEXT, g INT, v INT)")
+    con.executemany("INSERT INTO wso VALUES (?,?,?)", rows)
+    for q in [
+        "SELECT v, RANK() OVER (ORDER BY s) FROM wso ORDER BY v",
+        "SELECT v, DENSE_RANK() OVER (ORDER BY s DESC) FROM wso ORDER BY v",
+        "SELECT v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY s, v) "
+        "FROM wso ORDER BY v",
+        "SELECT v, FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY s) "
+        "FROM wso ORDER BY v",
+        "SELECT v, SUM(v) OVER (ORDER BY s) FROM wso ORDER BY v",
+    ]:
+        mine = [tuple(r) for r in db.sql(q).rows()]
+        assert mine == sorted(con.execute(q).fetchall()), q
