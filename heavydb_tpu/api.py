@@ -210,6 +210,15 @@ class Database:
         register_runtime_extension_functions)."""
         self._udfs[name.upper()] = (fn, list(arg_types), ret_type)
 
+    def register_llm_transform(self, fn) -> None:
+        """Backend for the LLM_TRANSFORM(text, prompt) string op (reference
+        StringOps.h LLM_TRANSFORM hits an external model endpoint; this
+        build has no egress).  `fn(text, prompt) -> str` is applied once
+        per distinct dictionary entry."""
+        from heavydb_tpu.storage import string_ops as SO
+
+        SO.set_llm_transform(fn)
+
     def register_table_function(self, name: str, fn):
         """Register a table function: fn(*scalar_args, cursor=<dict of numpy
         columns>) → dict[str, numpy array].  Invoked as

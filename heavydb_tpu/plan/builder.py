@@ -205,7 +205,7 @@ _STRING_FNS = {
     "LTRIM", "RTRIM", "SUBSTRING", "SUBSTR", "REPLACE", "LPAD", "RPAD",
     "REPEAT", "SPLIT_PART", "REGEXP_REPLACE", "BASE64_ENCODE",
     "BASE64_DECODE", "URL_ENCODE", "URL_DECODE", "OVERLAY", "JSON_VALUE",
-    "REGEXP_SUBSTR", "LEFT", "RIGHT",
+    "REGEXP_SUBSTR", "LEFT", "RIGHT", "LLM_TRANSFORM",
 }
 
 # integer-valued string kernels → per-entry int lookup tables

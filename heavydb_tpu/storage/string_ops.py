@@ -21,9 +21,30 @@ def _substring(s: str, start, length=None) -> str:
     return s[i : i + int(length)]
 
 
+# LLM_TRANSFORM backend (reference StringOps.h LLM_TRANSFORM calls an
+# external model endpoint per distinct dictionary entry).  This build has
+# no egress, so the backend is a user-registered callable:
+# db.register_llm_transform(fn) with fn(text, prompt) -> str.
+_LLM_TRANSFORM_FN = None
+
+
+def set_llm_transform(fn) -> None:
+    global _LLM_TRANSFORM_FN
+    _LLM_TRANSFORM_FN = fn
+
+
 def apply_op(s: str, name: str, args: Tuple) -> Optional[str]:
     if name == "IDENTITY":
         return s
+    if name == "LLM_TRANSFORM":
+        if _LLM_TRANSFORM_FN is None:
+            from heavydb_tpu.errors import NotSupported
+
+            raise NotSupported(
+                "LLM_TRANSFORM requires a backend: call "
+                "db.register_llm_transform(fn) with fn(text, prompt) -> str"
+            )
+        return str(_LLM_TRANSFORM_FN(s, *[str(a) for a in args]))
     if name in ("UPPER", "UCASE"):
         return s.upper()
     if name in ("LOWER", "LCASE"):

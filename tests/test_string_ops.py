@@ -238,3 +238,34 @@ def test_greatest_least(db):
     assert rows[0] == (5, 1, 5.0)
     assert rows[1][:2] == (7, 3) and rows[1][2] is None
     assert rows[2] == (None, None, None)
+
+
+def test_llm_transform_gated(db):
+    """LLM_TRANSFORM(text, prompt) applies the registered backend per
+    distinct dictionary entry (reference SqlStringOpKind::LLM_TRANSFORM);
+    without a backend it raises a clear NotSupported."""
+    import pytest
+
+    from heavydb_tpu.errors import NotSupported
+    from heavydb_tpu.storage import string_ops as SO
+
+    db.sql("CREATE TABLE lt (s TEXT)")
+    db.sql("INSERT INTO lt VALUES ('cat'), ('dog'), ('cat')")
+    with pytest.raises(NotSupported):
+        db.sql("SELECT LLM_TRANSFORM(s, 'translate to fr') FROM lt")
+    calls = []
+
+    def fake(text, prompt):
+        calls.append((text, prompt))
+        return f"{prompt}:{text.upper()}"
+
+    db.register_llm_transform(fake)
+    try:
+        out = db.sql(
+            "SELECT LLM_TRANSFORM(s, 'p') FROM lt ORDER BY s"
+        ).rows()
+        assert [r[0] for r in out] == ["p:CAT", "p:CAT", "p:DOG"]
+        # applied per distinct entry, not per row
+        assert sorted(calls) == [("cat", "p"), ("dog", "p")]
+    finally:
+        SO.set_llm_transform(None)
