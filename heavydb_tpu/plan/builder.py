@@ -712,12 +712,14 @@ class ExprBinder:
 
     def _bind_ScalarSubquery(self, node: A.ScalarSubquery) -> E.Expr:
         plan, correlated = self._plan_subquery(node.subquery)
-        if correlated:
-            raise NotSupported("correlated scalar subqueries")
         if plan.arity != 1:
             raise BinderError("scalar subquery must return one column")
+        # correlated scalar subqueries are decorrelated by the planner
+        # (SelectPlanner._decorrelate_scalar → LEFT JOIN on the regrouped
+        # aggregate); uncorrelated ones are materialized by the executor
         return E.SubqueryExpr(
-            plan=plan, kind="scalar", type=plan.types[0].with_nullable(True)
+            plan=plan, kind="scalar", correlated=correlated,
+            type=plan.types[0].with_nullable(True),
         )
 
     def _bind_InSubquery(self, node: A.InSubquery) -> E.Expr:
@@ -769,6 +771,8 @@ class ExprBinder:
         )
 
     def _bind_QuantCmp(self, node: A.QuantCmp) -> E.Expr:
+        if isinstance(node.rhs, A.ScalarSubquery):
+            return self._bind_quant_subquery(node)
         base = self._array_base(node.rhs)
         lhs = self._bind(node.lhs)
         if not isinstance(lhs, E.Constant):
@@ -780,6 +784,76 @@ class ExprBinder:
             cmp_op=node.op, elem=base.type.elem_type(),
             type=T.boolean(True),
         )
+
+    def _bind_quant_subquery(self, node: A.QuantCmp) -> E.Expr:
+        """x <op> ANY/SOME/ALL (SELECT c ...) — expanded at the AST level
+        (reference: Calcite SubQueryRemoveRule): = ANY → IN, <> ALL →
+        NOT IN; ordered comparisons become guarded MIN/MAX scalar
+        aggregates with COUNT(*)/COUNT(c) guards for empty-set and
+        NULL-element semantics.  Correlated subqueries compose with
+        scalar-subquery decorrelation."""
+        import copy
+
+        sub = node.rhs.subquery
+        op, quant = node.op, node.quant
+        if op == "=" and quant == "ANY":
+            return self._bind(A.InSubquery(node.lhs, sub, False))
+        if op == "<>" and quant == "ALL":
+            return self._bind(A.InSubquery(node.lhs, sub, True))
+        if not sub.projections or isinstance(sub.projections[0][0], A.Star):
+            raise BinderError("quantified subquery must select one column")
+        proj_ast = sub.projections[0][0]
+
+        def agg_sq(fn=None, star=False):
+            s = copy.deepcopy(sub)
+            if star:
+                s.projections = [(A.FuncCall("COUNT", [], star=True), None)]
+            else:
+                s.projections = [
+                    (A.FuncCall(fn, [copy.deepcopy(proj_ast)]), None)
+                ]
+            s.order_by, s.limit, s.offset = [], None, None
+            return A.ScalarSubquery(s)
+
+        def x():
+            return copy.deepcopy(node.lhs)
+
+        mn, mx = agg_sq("MIN"), agg_sq("MAX")
+        if op in ("=", "<>"):
+            both = A.Binary("AND", A.Binary("=", x(), mn),
+                            A.Binary("=", x(), mx))
+            # = ALL: every non-null element equals x; <> ANY: some differs
+            sat = both if (op, quant) == ("=", "ALL") else A.Unary("NOT", both)
+        else:
+            # monotone comparisons reduce to one extremum: the witness for
+            # ANY / the universal bound for ALL
+            ext = {
+                (">", "ANY"): mn, (">=", "ANY"): mn,
+                ("<", "ANY"): mx, ("<=", "ANY"): mx,
+                (">", "ALL"): mx, (">=", "ALL"): mx,
+                ("<", "ALL"): mn, ("<=", "ALL"): mn,
+            }[(op, quant)]
+            sat = A.Binary(op, x(), ext)
+        cnt_all, cnt_nn = agg_sq(star=True), agg_sq("COUNT")
+        null_l = A.Literal(None, "null")
+        has_null = A.Binary("<", cnt_nn, copy.deepcopy(cnt_all))
+        if quant == "ANY":
+            out = A.CaseWhen(whens=[
+                (A.Binary("=", cnt_all, A.Literal(0, "num_int")),
+                 A.Literal(False, "bool")),
+                (sat, A.Literal(True, "bool")),
+                (has_null, null_l),
+                (A.IsNull(x(), False), null_l),
+            ], else_=A.Literal(False, "bool"))
+        else:
+            out = A.CaseWhen(whens=[
+                (A.Binary("=", cnt_all, A.Literal(0, "num_int")),
+                 A.Literal(True, "bool")),
+                (A.Unary("NOT", sat), A.Literal(False, "bool")),
+                (has_null, null_l),
+                (A.IsNull(x(), False), null_l),
+            ], else_=A.Literal(True, "bool"))
+        return self._bind(out)
 
     def _bind_ArrayLiteral(self, node: A.ArrayLiteral) -> E.Expr:
         raise NotSupported(

@@ -268,6 +268,7 @@ class SelectPlanner:
             if E.is_aggregate(cond):
                 raise BinderError("aggregates not allowed in WHERE")
             rel, cond = self._decorrelate_where(rel, cond)
+            rel, cond = self._decorrelate_scalar(rel, cond)
             if cond is not None:
                 rel = R.Filter(rel, cond)
 
@@ -297,6 +298,7 @@ class SelectPlanner:
                     dict_ref=ref,
                 )
             name = alias or _auto_name(expr_ast, len(proj_items))
+            rel, e = self._decorrelate_scalar(rel, e)
             proj_items.append((e, name))
 
         # UNNEST expansion — one row per array element, before aggregation
@@ -387,21 +389,126 @@ class SelectPlanner:
             rel = self._build_existence_join(rel, sub, anti)
         return rel, _and_all(keep)
 
-    def _build_existence_join(self, rel, sub: E.SubqueryExpr, anti: bool):
-        """Decorrelate one EXISTS/IN subquery into a SEMI/ANTI join."""
+    def _decorrelate_scalar(self, rel, expr):
+        """Rewrite each correlated SCALAR subquery inside `expr` (the
+        aggregate-over-correlated-equality shape: TPC-H Q2/Q11/Q17) into a
+        LEFT JOIN of `rel` against the subquery re-grouped by its
+        correlation keys; the subquery expr becomes an InputRef to the
+        joined aggregate column (reference: Calcite RelDecorrelator /
+        RelAlgDag.cpp subquery unnesting).  Returns (new_rel, new_expr)."""
         import dataclasses
 
-        plan = sub.plan
-        # peel Project/Filter chain; collect filter conjuncts over `base`
-        if not isinstance(plan, R.Project):
-            raise NotSupported("cannot decorrelate this subquery shape")
-        proj = plan
-        filters = []
-        base = proj.inputs[0]
-        while isinstance(base, R.Filter):
-            filters.append(base.condition)
-            base = base.inputs[0]
-        from heavydb_tpu.plan.optimizer import _and_all, _split_conjuncts
+        from heavydb_tpu.plan.optimizer import _and_all
+
+        if expr is None:
+            return rel, None
+        subs = [
+            s for s in E.walk(expr)
+            if isinstance(s, E.SubqueryExpr) and s.kind == "scalar"
+            and s.correlated
+        ]
+        if not subs:
+            return rel, expr
+        replacements = {}
+        for sub in subs:
+            if id(sub) in replacements:
+                continue
+            plan = sub.plan
+            if not isinstance(plan, R.Project):
+                raise NotSupported("correlated scalar subquery shape")
+            # optional HAVING filters sit between Project and Aggregate
+            having = []
+            agg = plan.inputs[0]
+            while isinstance(agg, R.Filter):
+                having.append(agg.condition)
+                agg = agg.inputs[0]
+            if not isinstance(agg, R.Aggregate) or agg.group_exprs:
+                raise NotSupported(
+                    "correlated scalar subquery must be a single aggregate"
+                )
+            filters = []
+            base = agg.inputs[0]
+            while isinstance(base, R.Filter):
+                filters.append(base.condition)
+                base = base.inputs[0]
+            pairs, residual = self._correlated_pairs(filters)
+            if not pairs:
+                raise NotSupported(
+                    "correlated scalar subquery without equi predicates"
+                )
+            sq = base
+            resid = _and_all(residual)
+            if resid is not None:
+                sq = R.Filter(sq, resid)
+            inner_keys = [ie for _, ie in pairs]
+            n_keys = len(inner_keys)
+            new_agg = R.Aggregate(
+                sq, inner_keys, agg.agg_exprs,
+                [f"$ck{i}" for i in range(n_keys)]
+                + [f"$agg{i}" for i in range(len(agg.agg_exprs))],
+            )
+
+            def shift(e):
+                # original plan's refs address [aggs...]; now [keys ++ aggs]
+                if isinstance(e, E.InputRef):
+                    return dataclasses.replace(
+                        e, field_idx=e.field_idx + n_keys
+                    )
+                return e
+
+            out: R.RelNode = new_agg
+            for h in reversed(having):
+                out = R.Filter(out, E.rewrite(h, shift))
+            scalar_e = E.rewrite(plan.exprs[0], shift)
+            key_refs = [
+                E.InputRef(0, i, new_agg.types[i],
+                           getattr(inner_keys[i], "dict_ref", None))
+                for i in range(n_keys)
+            ]
+            new_proj = R.Project(
+                out, [scalar_e] + key_refs,
+                [plan.fields[0]] + [f"$ck{i}" for i in range(n_keys)],
+            )
+            conds = []
+            for i, (outer_probe, _ie) in enumerate(pairs):
+                conds.append(E.BinOp(
+                    E.BinOpKind.EQ, outer_probe,
+                    E.InputRef(0, rel.arity + 1 + i, new_proj.types[1 + i]),
+                    T.boolean(True),
+                ))
+            scalar_idx = rel.arity
+            rel = R.Join(rel, new_proj, "LEFT", _and_all(conds))
+            ref = E.InputRef(0, scalar_idx, sub.type,
+                             getattr(scalar_e, "dict_ref", None))
+            rep: E.Expr = ref
+            # COUNT over an empty correlated set is 0, but the LEFT-join
+            # miss yields NULL — coalesce when the scalar is a bare COUNT
+            if (
+                isinstance(plan.exprs[0], E.InputRef)
+                and plan.exprs[0].field_idx < len(agg.agg_exprs)
+                and agg.agg_exprs[plan.exprs[0].field_idx].kind
+                in (E.AggKind.COUNT, E.AggKind.COUNT_IF,
+                    E.AggKind.COUNT_DISTINCT)
+            ):
+                rep = E.Case(
+                    whens=((E.UnOp(E.UnOpKind.ISNULL, ref,
+                                   T.boolean(False)),
+                            E.Constant(0, sub.type.with_nullable(False))),),
+                    else_=ref, type=sub.type.with_nullable(False),
+                )
+            replacements[id(sub)] = rep
+
+        def swap(e):
+            return replacements.get(id(e), e)
+
+        return rel, E.rewrite(expr, swap)
+
+    @staticmethod
+    def _correlated_pairs(filters):
+        """Split filter conjuncts into (outer_probe, inner_expr) equality
+        pairs and outer-free residual conjuncts.  outer_probe has OuterRefs
+        rewritten to InputRefs over the ENCLOSING query's schema."""
+        from heavydb_tpu.plan.optimizer import _split_conjuncts
 
         pairs = []  # (outer_expr, inner_expr)
         residual = []
@@ -440,6 +547,23 @@ class SelectPlanner:
                 if any(isinstance(x, E.OuterRef) for x in E.walk(inner_e)):
                     raise NotSupported("mixed correlated predicate")
                 pairs.append((outer_probe, inner_e))
+        return pairs, residual
+
+    def _build_existence_join(self, rel, sub: E.SubqueryExpr, anti: bool):
+        """Decorrelate one EXISTS/IN subquery into a SEMI/ANTI join."""
+        plan = sub.plan
+        # peel Project/Filter chain; collect filter conjuncts over `base`
+        if not isinstance(plan, R.Project):
+            raise NotSupported("cannot decorrelate this subquery shape")
+        proj = plan
+        filters = []
+        base = proj.inputs[0]
+        while isinstance(base, R.Filter):
+            filters.append(base.condition)
+            base = base.inputs[0]
+        from heavydb_tpu.plan.optimizer import _and_all
+
+        pairs, residual = self._correlated_pairs(filters)
         if not pairs:
             raise NotSupported("correlated subquery without equi predicates")
         # rebuild subplan: base + residual filters + projection of the
