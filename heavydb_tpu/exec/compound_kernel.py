@@ -261,31 +261,77 @@ def _build_compound_kernel(node, batches, plan, config):
                     )
                     build_tvs = [(tval, bvalid)]
                 bkey, bvalid = pack_keys(build_tvs, jp, is_build=True)
+                bvalid = apply_build_filters(bi, bvalid)
                 if jp.key_min is not None:
                     pbuild = J.build_perfect(
                         bkey, bvalid, nrows[bi], jp.key_min, jp.key_range
                     )
-                    _, cnt = J.probe_perfect(
+                    lo, cnt = J.probe_perfect(
                         pbuild, pkey, pvalid_m, jp.key_range
                     )
+                    rows_by_slot = pbuild.payload
                 elif getattr(jp, "hash_fallback", False) or \
                         _join_hash_slots(pb) > _JOIN_HASH_MAX_SLOTS:
                     build = J.build_sorted(bkey, bvalid, nrows[bi])
-                    _, cnt = J.probe_counts(build, pkey, pvalid_m)
+                    lo, cnt = J.probe_counts(build, pkey, pvalid_m)
+                    rows_by_slot = build.rows_sorted
                 else:
                     build = J.build_sorted(bkey, bvalid, nrows[bi])
                     table = J.build_hash_table(
                         build, _join_hash_slots(build.keys_sorted.shape[0])
                     )
                     join_hash_miss[li] = table.unresolved
-                    _, cnt = J.probe_counts_hash(table, pkey, pvalid_m)
+                    lo, cnt = J.probe_counts_hash(table, pkey, pvalid_m)
+                    rows_by_slot = build.rows_sorted
+                if jp.residual:
+                    # residual conditions (e.g. TPC-H Q4/Q21's correlated
+                    # l_shipdate > o_orderdate, or hash-pack rechecks) need
+                    # the candidate PAIRS: expand, test, then contract back
+                    # to per-probe-row existence — the domain is unchanged
+                    pidx, bidx, out_mask, _mn, needed = J.expand_matches(
+                        lo, cnt, rows_by_slot, mask, cap, False
+                    )
+                    join_needed.append(needed)
+                    saved_idx = dict(idx)
+                    saved_matched = dict(matched)
+                    for i in list(idx.keys()):
+                        idx[i] = pidx if idx[i] is None else idx[i][pidx]
+                        if matched.get(i) is not None:
+                            matched[i] = matched[i][pidx]
+                    idx[bi] = bidx
+                    matched[bi] = None
+                    tv_cache.clear()
+                    ok = out_mask
+                    rc = domain_compiler(jp.residual)
+                    for r in jp.residual:
+                        ok = ok & rc.compile_predicate(r)
+                    idx.clear()
+                    idx.update(saved_idx)
+                    matched.clear()
+                    matched.update(saved_matched)
+                    tv_cache.clear()
+                    # pairs are probe-major at exclusive-cumsum offsets of
+                    # the effective counts (expand_matches layout): prefix
+                    # sums give each probe row's surviving-match count
+                    eff = jnp.where(mask, cnt, 0).astype(jnp.int32)
+                    ends32 = SC.cumsum(eff)
+                    starts32 = ends32 - eff
+                    pref = jnp.concatenate([
+                        jnp.zeros(1, jnp.int32),
+                        SC.cumsum(ok.astype(jnp.int32)),
+                    ])
+                    sv = pref[jnp.minimum(ends32, cap)] - \
+                        pref[jnp.minimum(starts32, cap)]
+                    exists = sv > 0
+                else:
+                    exists = cnt > 0
+                    join_needed.append(jnp.asarray(0, jnp.int64))
                 if jp.kind == "SEMI":
-                    mask = mask & (cnt > 0)
+                    mask = mask & exists
                 else:
                     # ANTI keeps rows with NO match; rows whose key is NULL
                     # never match, so they are kept (NOT EXISTS semantics)
-                    mask = mask & (cnt == 0)
-                join_needed.append(jnp.asarray(0, jnp.int64))
+                    mask = mask & ~exists
                 trivial = False
                 continue
             if jp.kind == "CROSS":

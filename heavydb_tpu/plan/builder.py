@@ -224,7 +224,8 @@ _EXTRACT_MAP = {f.value: f for f in E.ExtractField}
 
 
 class ExprBinder:
-    def __init__(self, scope: Scope, db, allow_aggs: bool, outer_scope=None):
+    def __init__(self, scope: Scope, db, allow_aggs: bool, outer_scope=None,
+                 cte_env=None):
         self.scope = scope
         self.db = db  # Database facade for subquery planning
         self.allow_aggs = allow_aggs
@@ -232,6 +233,8 @@ class ExprBinder:
         # enclosing query's scope, for correlated subqueries (reference
         # Analyzer::Var with rte_idx pointing at the outer query)
         self.outer_scope = outer_scope
+        # enclosing query's CTEs, visible to subqueries (SQL scoping)
+        self.cte_env = cte_env
         self.used_outer = False
 
     # -- public --
@@ -706,7 +709,8 @@ class ExprBinder:
         correlated references bind to OuterRefs."""
         from heavydb_tpu.plan.select_planner import SelectPlanner, plan_has_outer_refs
 
-        planner = SelectPlanner(self.db, outer_scope=self.scope)
+        planner = SelectPlanner(self.db, cte_env=self.cte_env,
+                                outer_scope=self.scope)
         plan = planner.plan(sub)
         return plan, plan_has_outer_refs(plan)
 

@@ -255,11 +255,15 @@ class SelectPlanner:
 
     # ------------------------------------------------------------------
     def _plan_core(self, sel: A.Select, env, apply_order: bool = False) -> R.RelNode:
+        # CTEs of this select (and enclosing ones) are visible to every
+        # binder below, including inside subqueries (SQL name scoping)
+        self._env = env
         scope = Scope()
         rel = self._plan_from(sel.from_, scope, env)
 
         binder = ExprBinder(scope, self.db, allow_aggs=False,
-                            outer_scope=self.outer_scope)
+                            outer_scope=self.outer_scope,
+                            cte_env=self._env)
 
         # WHERE — correlated EXISTS/IN conjuncts decorrelate into SEMI/ANTI
         # joins (reference: hash-join existence quals); the rest filters
@@ -274,7 +278,7 @@ class SelectPlanner:
 
         # expand stars, bind projections
         proj_items: List[Tuple[E.Expr, str]] = []
-        agg_binder = ExprBinder(scope, self.db, allow_aggs=True)
+        agg_binder = ExprBinder(scope, self.db, allow_aggs=True, cte_env=self._env)
         for expr_ast, alias in sel.projections:
             if isinstance(expr_ast, A.Star):
                 for name, fb in scope.all_fields(expr_ast.table):
@@ -431,8 +435,9 @@ class SelectPlanner:
             while isinstance(base, R.Filter):
                 filters.append(base.condition)
                 base = base.inputs[0]
-            pairs, residual = self._correlated_pairs(filters)
-            if not pairs:
+            # equality-only: the regrouping needs hashable correlation keys
+            pairs, residual, extras = self._correlated_pairs(filters)
+            if extras or not pairs:
                 raise NotSupported(
                     "correlated scalar subquery without equi predicates"
                 )
@@ -504,14 +509,21 @@ class SelectPlanner:
         return rel, E.rewrite(expr, swap)
 
     @staticmethod
-    def _correlated_pairs(filters):
+    def _correlated_pairs(filters, allow_noneq: bool = False):
         """Split filter conjuncts into (outer_probe, inner_expr) equality
         pairs and outer-free residual conjuncts.  outer_probe has OuterRefs
-        rewritten to InputRefs over the ENCLOSING query's schema."""
+        rewritten to InputRefs over the ENCLOSING query's schema.  With
+        `allow_noneq`, correlated comparison conjuncts (outer-vs-inner,
+        any operator) come back as extras: (op, outer_probe, inner_expr,
+        outer_is_left) — the caller turns them into residual join
+        conditions (TPC-H Q4/Q21's l_shipdate > o_orderdate)."""
         from heavydb_tpu.plan.optimizer import _split_conjuncts
 
+        _CMP = (E.BinOpKind.EQ, E.BinOpKind.NE, E.BinOpKind.LT,
+                E.BinOpKind.LE, E.BinOpKind.GT, E.BinOpKind.GE)
         pairs = []  # (outer_expr, inner_expr)
         residual = []
+        extras = []  # (op, outer_probe, inner_expr, outer_is_left)
         for f in filters:
             for c in _split_conjuncts(f):
                 has_outer = any(
@@ -520,21 +532,22 @@ class SelectPlanner:
                 if not has_outer:
                     residual.append(c)
                     continue
-                ok = (
-                    isinstance(c, E.BinOp) and c.op == E.BinOpKind.EQ
+                ok = isinstance(c, E.BinOp) and (
+                    c.op == E.BinOpKind.EQ
+                    or (allow_noneq and c.op in _CMP)
                 )
                 if ok:
                     l_out = any(isinstance(x, E.OuterRef) for x in E.walk(c.left))
                     r_out = any(isinstance(x, E.OuterRef) for x in E.walk(c.right))
                     if l_out and not r_out:
-                        outer_e, inner_e = c.left, c.right
+                        outer_e, inner_e, outer_left = c.left, c.right, True
                     elif r_out and not l_out:
-                        outer_e, inner_e = c.right, c.left
+                        outer_e, inner_e, outer_left = c.right, c.left, False
                     else:
                         ok = False
                 if not ok:
                     raise NotSupported(
-                        "correlated predicate must be an equality between an "
+                        "correlated predicate must be a comparison between an "
                         "outer expression and a subquery expression"
                     )
                 # outer side must be PURE outer (becomes a probe-side expr)
@@ -546,8 +559,11 @@ class SelectPlanner:
                 outer_probe = E.rewrite(outer_e, to_inner_ref)
                 if any(isinstance(x, E.OuterRef) for x in E.walk(inner_e)):
                     raise NotSupported("mixed correlated predicate")
-                pairs.append((outer_probe, inner_e))
-        return pairs, residual
+                if c.op == E.BinOpKind.EQ:
+                    pairs.append((outer_probe, inner_e))
+                else:
+                    extras.append((c.op, outer_probe, inner_e, outer_left))
+        return pairs, residual, extras
 
     def _build_existence_join(self, rel, sub: E.SubqueryExpr, anti: bool):
         """Decorrelate one EXISTS/IN subquery into a SEMI/ANTI join."""
@@ -563,16 +579,18 @@ class SelectPlanner:
             base = base.inputs[0]
         from heavydb_tpu.plan.optimizer import _and_all
 
-        pairs, residual = self._correlated_pairs(filters)
-        if not pairs:
+        pairs, residual, extras = self._correlated_pairs(
+            filters, allow_noneq=True
+        )
+        if not pairs and not (sub.kind == "in" and sub.arg is not None):
             raise NotSupported("correlated subquery without equi predicates")
         # rebuild subplan: base + residual filters + projection of the
-        # original outputs ++ the inner join-key exprs
+        # original outputs ++ the inner join-key/comparison exprs
         sq = base
         resid = _and_all(residual)
         if resid is not None:
             sq = R.Filter(sq, resid)
-        inner_exprs = [p for _, p in pairs]
+        inner_exprs = [p for _, p in pairs] + [x[2] for x in extras]
         new_proj = R.Project(
             sq,
             list(proj.exprs) + inner_exprs,
@@ -587,6 +605,13 @@ class SelectPlanner:
                 E.InputRef(0, base_idx + i, inner_e.type),
                 T.boolean(True),
             ))
+        # correlated comparisons ride along as residual join conditions,
+        # preserving operand orientation
+        for j, (op, outer_probe, inner_e, outer_left) in enumerate(extras):
+            iref = E.InputRef(0, base_idx + len(pairs) + j, inner_e.type)
+            left, right = (outer_probe, iref) if outer_left \
+                else (iref, outer_probe)
+            conds.append(E.BinOp(op, left, right, T.boolean(True)))
         if sub.kind == "in":
             conds.append(E.BinOp(
                 E.BinOpKind.EQ, sub.arg,
@@ -638,7 +663,7 @@ class SelectPlanner:
                     if f.lower() == name:
                         return i
             # bind against the source scope (aggregate-aware)
-            b = ExprBinder(scope, self.db, allow_aggs=True)
+            b = ExprBinder(scope, self.db, allow_aggs=True, cte_env=self._env)
             e = b.bind(e_ast)
             if rewrite_fn is not None:
                 e = rewrite_fn(e)
@@ -753,10 +778,10 @@ class SelectPlanner:
                         A.Identifier((_alias_of(ref.right), col)),
                     )
                     conds = c if conds is None else A.Binary("AND", conds, c)
-                binder = ExprBinder(scope, self.db, allow_aggs=False)
+                binder = ExprBinder(scope, self.db, allow_aggs=False, cte_env=self._env)
                 cond = binder.bind_condition(conds)
             elif ref.condition is not None:
-                binder = ExprBinder(scope, self.db, allow_aggs=False)
+                binder = ExprBinder(scope, self.db, allow_aggs=False, cte_env=self._env)
                 cond = binder.bind_condition(ref.condition)
             elif ref.kind != "CROSS":
                 raise BinderError("JOIN requires a condition")
@@ -775,7 +800,7 @@ class SelectPlanner:
         scalar_args = []
         cursor = None
         empty_scope = Scope()
-        binder = ExprBinder(empty_scope, self.db, allow_aggs=False)
+        binder = ExprBinder(empty_scope, self.db, allow_aggs=False, cte_env=self._env)
         for a in ref.args:
             if isinstance(a, A.Select):
                 from heavydb_tpu.plan.optimizer import optimize
@@ -826,7 +851,7 @@ class SelectPlanner:
 
     # ------------------------------------------------------------------
     def _plan_aggregate(self, sel, rel, scope, proj_items) -> R.RelNode:
-        binder = ExprBinder(scope, self.db, allow_aggs=False)
+        binder = ExprBinder(scope, self.db, allow_aggs=False, cte_env=self._env)
 
         # bind GROUP BY items: ordinals, aliases, or expressions over input
         group_exprs: List[E.Expr] = []
@@ -838,7 +863,7 @@ class SelectPlanner:
 
         # collect aggregates from projections + having
         having_expr = None
-        agg_binder = ExprBinder(scope, self.db, allow_aggs=True)
+        agg_binder = ExprBinder(scope, self.db, allow_aggs=True, cte_env=self._env)
         if sel.having is not None:
             having_expr = agg_binder.bind_condition(sel.having)
 
@@ -1004,7 +1029,7 @@ class SelectPlanner:
         scope = Scope()
         dict_refs = [_node_dict_ref(rel, i) for i in range(rel.arity)]
         scope.add_relation("$out", rel.fields, rel.types, dict_refs)
-        binder = ExprBinder(scope, self.db, allow_aggs=False)
+        binder = ExprBinder(scope, self.db, allow_aggs=False, cte_env=self._env)
         e = binder.bind(e_ast)
         if isinstance(e, E.InputRef):
             return e.field_idx

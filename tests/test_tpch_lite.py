@@ -138,8 +138,77 @@ Q18 = (  # large volume customer (Q18 shape): agg subquery + IN
 )
 
 
-@pytest.mark.parametrize("sql", [Q1, Q3, Q5, Q6, Q10, Q12, Q14, Q18],
-                         ids=["q1", "q3", "q5", "q6", "q10", "q12", "q14",
-                              "q18"])
+Q2 = (  # minimum-cost supplier (Q2 shape): correlated MIN subquery
+    "SELECT p.p_partkey, l.l_extendedprice FROM part p "
+    "JOIN lineitem l ON l.l_partkey = p.p_partkey "
+    "WHERE p.p_size < 20 AND l.l_extendedprice = "
+    "(SELECT min(l2.l_extendedprice) FROM lineitem l2 "
+    "WHERE l2.l_partkey = p.p_partkey) "
+    "ORDER BY l.l_extendedprice, p.p_partkey LIMIT 15"
+)
+Q4 = (  # order priority check (Q4 shape): correlated EXISTS
+    "SELECT o.o_custkey, count(*) FROM orders o "
+    "WHERE o.o_orderdate >= 9000 AND o.o_orderdate < 10000 "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o.o_custkey ORDER BY o.o_custkey LIMIT 20"
+)
+Q11 = (  # important stock (Q11 shape): HAVING vs global scalar subquery
+    "SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val "
+    "FROM lineitem GROUP BY l_partkey "
+    "HAVING sum(l_extendedprice * l_quantity) > "
+    "(SELECT sum(l_extendedprice * l_quantity) * 0.01 FROM lineitem) "
+    "ORDER BY val DESC, l_partkey LIMIT 15"
+)
+Q15 = (  # top supplier (Q15 shape): CTE referenced from a subquery
+    "WITH rev AS (SELECT l_partkey, "
+    "sum(l_extendedprice * (1 - l_discount)) AS total FROM lineitem "
+    "WHERE l_shipdate >= 9000 AND l_shipdate < 9600 GROUP BY l_partkey) "
+    "SELECT l_partkey, total FROM rev "
+    "WHERE total = (SELECT max(total) FROM rev)"
+)
+Q16 = (  # parts/supplier relationship (Q16 shape): NOT IN subquery
+    "SELECT p_brand, count(*) FROM part "
+    "WHERE p_size IN (5, 10, 15, 20) AND p_partkey NOT IN "
+    "(SELECT l_partkey FROM lineitem WHERE l_quantity > 49) "
+    "GROUP BY p_brand ORDER BY p_brand"
+)
+Q17 = (  # small-quantity-order revenue (Q17 shape): correlated AVG
+    "SELECT sum(l.l_extendedprice) / 7.0 FROM lineitem l "
+    "JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE p.p_brand = 'Brand#2' AND l.l_quantity < "
+    "(SELECT 0.6 * avg(l2.l_quantity) FROM lineitem l2 "
+    "WHERE l2.l_partkey = p.p_partkey)"
+)
+Q20 = (  # potential part promotion (Q20 shape): nested IN + correlated agg
+    "SELECT c_custkey FROM customer WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders o WHERE o_totalprice > "
+    "(SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2 "
+    "WHERE o2.o_custkey = o.o_custkey)) "
+    "ORDER BY c_custkey LIMIT 20"
+)
+Q21 = (  # suppliers who kept waiting (Q21 shape): EXISTS + NOT EXISTS
+    "SELECT c.c_custkey, count(*) FROM customer c "
+    "JOIN orders o ON o.o_custkey = c.c_custkey "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l2 "
+    "WHERE l2.l_orderkey = o.o_orderkey AND l2.l_discount > 0.09) "
+    "GROUP BY c.c_custkey ORDER BY count(*) DESC, c.c_custkey LIMIT 15"
+)
+Q22 = (  # global sales opportunity (Q22 shape): scalar subquery + NOT EXISTS
+    "SELECT count(*), sum(c_acctbal) FROM customer c "
+    "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+    "WHERE c_acctbal > 0.0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [Q1, Q2, Q3, Q4, Q5, Q6, Q10, Q11, Q12, Q14, Q15, Q16, Q17, Q18, Q20,
+     Q21, Q22],
+    ids=["q1", "q2", "q3", "q4", "q5", "q6", "q10", "q11", "q12", "q14",
+         "q15", "q16", "q17", "q18", "q20", "q21", "q22"])
 def test_tpch_shape(tpch, sql):
     tpch.check(sql)
