@@ -244,6 +244,11 @@ def _build_compound_kernel(node, batches, plan, config):
             cap = caps[li]
             pb = paddeds[bi]
             left_outer = jp.kind in ("LEFT", "FULL")
+            # LEFT with residual conditions: a pair failing the residual is
+            # NOT a match (ON-clause semantics) — expand pairs-only, apply
+            # the residual, then append a null-extended slot for every
+            # probe-domain row that lost all its matches
+            left_resid = jp.kind == "LEFT" and bool(jp.residual)
             if jp.kind in ("SEMI", "ANTI"):
                 # existence joins: refine the mask, NO domain expansion
                 # (reference: EXISTS/IN executed as hash-join quals)
@@ -479,9 +484,14 @@ def _build_compound_kernel(node, batches, plan, config):
                             mask = mask & rc.compile_predicate(r)
                     continue
                 pidx, bidx, out_mask, m_new, needed = J.expand_matches(
-                    lo, cnt, rows_by_slot, mask, cap, left_outer
+                    lo, cnt, rows_by_slot, mask, cap,
+                    left_outer and not left_resid
                 )
             join_needed.append(needed)
+            prev_idx = dict(idx)
+            prev_matched = dict(matched)
+            prev_mask = mask
+            prev_domain = domain_size
             # remap existing domain state through pidx
             for i in list(idx.keys()):
                 if idx[i] is None:
@@ -491,7 +501,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 if matched.get(i) is not None:
                     matched[i] = matched[i][pidx]
             idx[bi] = bidx
-            matched[bi] = m_new if left_outer else None
+            matched[bi] = m_new if (left_outer and not left_resid) else None
             mask = out_mask
             domain_size = cap
             if jp.kind == "FULL":
@@ -528,6 +538,49 @@ def _build_compound_kernel(node, batches, plan, config):
                 rc = domain_compiler(jp.residual)
                 for r in jp.residual:
                     mask = mask & rc.compile_predicate(r)
+            if left_resid:
+                # per-prev-domain-row surviving-match existence via prefix
+                # sums over the expansion layout (probe-major, exclusive-
+                # cumsum offsets of the effective counts)
+                eff = jnp.where(prev_mask, cnt, 0).astype(jnp.int32)
+                ends32 = SC.cumsum(eff)
+                starts32 = ends32 - eff
+                pref = jnp.concatenate([
+                    jnp.zeros(1, jnp.int32),
+                    SC.cumsum(mask.astype(jnp.int32)),
+                ])
+                sv = pref[jnp.minimum(ends32, cap)] - \
+                    pref[jnp.minimum(starts32, cap)]
+                extra_valid = prev_mask & (sv == 0)
+                for i in list(idx.keys()):
+                    if i == bi:
+                        continue
+                    pi = prev_idx.get(i)
+                    if pi is None:
+                        pi = jax.lax.broadcasted_iota(
+                            jnp.int32, (prev_domain,), 0
+                        )
+                    idx[i] = jnp.concatenate([idx[i], pi])
+                    pm = matched.get(i)
+                    ppm = prev_matched.get(i)
+                    if pm is not None or ppm is not None:
+                        if pm is None:
+                            pm = jnp.ones(cap, jnp.bool_)
+                        if ppm is None:
+                            ppm = jnp.ones(prev_domain, jnp.bool_)
+                        matched[i] = jnp.concatenate([pm, ppm])
+                idx[bi] = jnp.concatenate([
+                    idx[bi], jnp.zeros(prev_domain, idx[bi].dtype)
+                ])
+                mb = matched.get(bi)
+                if mb is None:
+                    mb = jnp.ones(cap, jnp.bool_)
+                matched[bi] = jnp.concatenate([
+                    mb, jnp.zeros(prev_domain, jnp.bool_)
+                ])
+                mask = jnp.concatenate([mask, extra_valid])
+                domain_size = cap + prev_domain
+                tv_cache.clear()
 
         # ---- filter ----
         if filter_rest is not None:

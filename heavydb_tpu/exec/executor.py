@@ -982,9 +982,10 @@ class Executor:
                 jp.fallback_cap = B.bucket(est)
                 plan.caps.append(jp.fallback_cap)
                 continue
-            if kind in ("LEFT", "FULL") and residual:
+            if kind == "FULL" and residual:
+                # build-side matched flags don't see residual kills yet
                 raise NotSupported(
-                    f"{kind} JOIN with non-equi residual conditions"
+                    "FULL JOIN with non-equi residual conditions"
                 )
             jp = self._plan_join_keys(node, equis, residual, kind, batches, build_input)
             if (

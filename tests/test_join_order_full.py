@@ -172,3 +172,68 @@ def test_fragment_skipping_consistent_around_outer_joins(rng):
         ]
 
     assert run(100_000) == run(8_000)
+
+
+def test_left_join_residual_conditions(db):
+    """LEFT JOIN with non-equi ON conditions: a pair failing the residual
+    is not a match, so the probe row null-extends (ON-clause semantics,
+    NOT WHERE semantics).  Reference: join quals vs filter quals split in
+    QueryEngine/JoinFilterPushDown."""
+    import sqlite3
+
+    db.sql("CREATE TABLE lo (k INT, d INT)")
+    db.load_table("lo", {"k": [1, 2, 3, None], "d": [10, 20, 30, 5]})
+    db.sql("CREATE TABLE ll (k INT, s INT, w DOUBLE)")
+    db.load_table("ll", {"k": [1, 1, 2, 3], "s": [5, 15, 19, 40],
+                         "w": [1.0, 2.0, 3.0, 4.0]})
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE lo (k INT, d INT)")
+    con.executemany("INSERT INTO lo VALUES (?,?)",
+                    [(1, 10), (2, 20), (3, 30), (None, 5)])
+    con.execute("CREATE TABLE ll (k INT, s INT, w DOUBLE)")
+    con.executemany("INSERT INTO ll VALUES (?,?,?)",
+                    [(1, 5, 1.0), (1, 15, 2.0), (2, 19, 3.0), (3, 40, 4.0)])
+    for q in [
+        "SELECT lo.k, lo.d, ll.s, ll.w FROM lo LEFT JOIN ll "
+        "ON lo.k = ll.k AND ll.s > lo.d "
+        "ORDER BY lo.k NULLS LAST, ll.s NULLS LAST",
+        "SELECT lo.k, count(ll.s) FROM lo LEFT JOIN ll "
+        "ON lo.k = ll.k AND ll.s > lo.d GROUP BY lo.k "
+        "ORDER BY lo.k NULLS LAST",
+        "SELECT lo.k, sum(ll.w) FROM lo LEFT JOIN ll "
+        "ON lo.k = ll.k AND ll.s <> lo.d + 5 GROUP BY lo.k "
+        "ORDER BY lo.k NULLS LAST",
+        "SELECT lo.k, ll.s FROM lo LEFT JOIN ll "
+        "ON lo.k = ll.k AND ll.s < 10 "
+        "ORDER BY lo.k NULLS LAST, ll.s NULLS LAST",
+    ]:
+        assert [tuple(r) for r in db.sql(q).rows()] == \
+            con.execute(q).fetchall(), q
+
+
+def test_semi_anti_residual_conditions(db):
+    """EXISTS/NOT EXISTS with correlated non-equality predicates evaluate
+    the residual over candidate pairs (TPC-H Q4/Q21 shape)."""
+    import sqlite3
+
+    db.sql("CREATE TABLE so (k INT, d INT)")
+    db.load_table("so", {"k": [1, 2, 3, None], "d": [10, 20, 30, 5]})
+    db.sql("CREATE TABLE sl (k INT, s INT)")
+    db.load_table("sl", {"k": [1, 1, 2, 3], "s": [5, 15, 19, 40]})
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE so (k INT, d INT)")
+    con.executemany("INSERT INTO so VALUES (?,?)",
+                    [(1, 10), (2, 20), (3, 30), (None, 5)])
+    con.execute("CREATE TABLE sl (k INT, s INT)")
+    con.executemany("INSERT INTO sl VALUES (?,?)",
+                    [(1, 5), (1, 15), (2, 19), (3, 40)])
+    for q in [
+        "SELECT k FROM so WHERE EXISTS (SELECT 1 FROM sl "
+        "WHERE sl.k = so.k AND sl.s > so.d) ORDER BY k",
+        "SELECT k, d FROM so WHERE NOT EXISTS (SELECT 1 FROM sl "
+        "WHERE sl.k = so.k AND sl.s > so.d) ORDER BY k NULLS LAST",
+        "SELECT k FROM so WHERE EXISTS (SELECT 1 FROM sl "
+        "WHERE sl.k = so.k AND sl.s <> so.d AND sl.s < 20) ORDER BY k",
+    ]:
+        assert [tuple(r) for r in db.sql(q).rows()] == \
+            con.execute(q).fetchall(), q
