@@ -261,6 +261,131 @@ class Database:
         t = self.catalog.get_table(name)
         self._insert_columns(t, cols)
 
+    def load_table_device(self, name: str, data, create: bool = False,
+                          dicts=None):
+        """Ingest DEVICE-RESIDENT jax arrays as a table with NO
+        host→device copy: the device scan cache is seeded directly and
+        the host master materializes lazily (one D2H) only if a host
+        path needs it (checkpoint, UPDATE, COPY TO).  The reference
+        analogue is GPU-resident columnar ingest (load_table_binary_
+        columnar over Arrow device buffers / CUDA IPC, heavy.thrift:736).
+        TEXT columns pass device-resident dictionary IDS plus a host-side
+        vocabulary: dicts={"col": ["a", "b", ...]} (id i ↔ vocab[i]);
+        the target table must be empty."""
+        import jax.numpy as jnp
+
+        from heavydb_tpu.exec import batch as B
+        from heavydb_tpu.storage.table import ChunkStats, LazyDeviceChunk
+
+        cols = {k: v for k, v in data.items()}
+        dicts = {k.lower(): v for k, v in (dicts or {}).items()}
+        if not cols:
+            raise SqlError("load_table_device: no columns")
+
+        def ti_of(cname, a):
+            if cname.lower() in dicts:
+                return T.text_dict()
+            dt = np.dtype(a.dtype)
+            if dt == np.bool_ or dt == np.int8:
+                return T.smallint()
+            if dt.kind == "i":
+                return {2: T.smallint, 4: T.integer, 8: T.bigint}[dt.itemsize]()
+            if dt == np.float32:
+                return T.float_()
+            if dt == np.float64:
+                return T.double()
+            raise SqlError(
+                f"load_table_device: unsupported dtype {dt} "
+                "(TEXT needs a dicts={{col: vocab}} entry or load_table)"
+            )
+
+        if create and self.catalog.get_table_opt(name) is None:
+            self.catalog.create_table(
+                name, [(k, ti_of(k, a)) for k, a in cols.items()]
+            )
+        t = self.catalog.get_table(name)
+        _reject_foreign_write(t)
+        if t.num_rows:
+            raise NotSupported(
+                "load_table_device appends only into an empty table (the "
+                "scan cache seed covers the whole table)"
+            )
+        arrays = {}
+        for cd in t.columns:
+            key = next(
+                (k for k in cols if k.lower() == cd.name.lower()), None
+            )
+            if key is None:
+                raise StorageError(f"missing column {cd.name}")
+            if cd.type.is_dict_string:
+                vocab = dicts.get(cd.name.lower())
+                if vocab is None:
+                    raise NotSupported(
+                        f"load_table_device: TEXT column {cd.name} needs "
+                        "a dicts={col: vocab} entry (ids on device, "
+                        "vocabulary on host)"
+                    )
+                d = t.dicts[cd.col_id]
+                for s in vocab:
+                    d.get_or_add(str(s))
+            elif cd.type.is_array:
+                raise NotSupported(
+                    f"load_table_device: column {cd.name} is "
+                    f"{cd.type} — use load_table"
+                )
+            a = cols[key]
+            want = cd.type.np_dtype()
+            if np.dtype(a.dtype) != want:
+                a = jnp.asarray(a, want)
+            arrays[cd.col_id] = a
+        ns = {int(a.shape[0]) for a in arrays.values()}
+        if len(ns) != 1:
+            raise StorageError(f"ragged insert: lengths {ns}")
+        (n,) = ns
+        size = B.bucket(n)
+        order = sorted(arrays)
+        types = [t.column_by_id(cid).type for cid in order]
+
+        # ONE compiled program: per-column sentinel-padding to the scan
+        # bucket + min/max/null-count stats (a handful of scalars D2H)
+        def _stat_pad(*arrs):
+            outs = []
+            for a, ti in zip(arrs, types):
+                dt = a.dtype
+                if dt.kind == "f":
+                    valid = ~jnp.isnan(a)
+                    lo = jnp.asarray(-np.inf, dt)
+                    hi = jnp.asarray(np.inf, dt)
+                else:
+                    valid = a != jnp.asarray(ti.null_sentinel(), dt)
+                    lo = jnp.asarray(np.iinfo(dt).min, dt)
+                    hi = jnp.asarray(np.iinfo(dt).max, dt)
+                mn = jnp.min(jnp.where(valid, a, hi))
+                mx = jnp.max(jnp.where(valid, a, lo))
+                nulls = jnp.sum(~valid)
+                pad = jnp.full(size - n, jnp.asarray(ti.null_sentinel(), dt))
+                padded = jnp.concatenate([a, pad]) if size > n else a
+                outs.append((padded, mn, mx, nulls))
+            return tuple(outs)
+
+        import jax
+
+        res = jax.jit(_stat_pad)(*[arrays[cid] for cid in order])
+        chunks, stats = {}, {}
+        for (padded, mn, mx, nulls), cid, ti in zip(res, order, types):
+            n_null = int(jax.device_get(nulls))
+            st = ChunkStats(has_nulls=n_null > 0)
+            if n_null < n:
+                mn_h, mx_h = jax.device_get((mn, mx))
+                st.min, st.max = np.asarray(mn_h).item(), np.asarray(mx_h).item()
+            chunks[cid] = LazyDeviceChunk(arrays[cid])
+            stats[cid] = st
+        t.insert_device_columns(chunks, stats)
+        # seed the scan cache under the post-insert generation
+        for (padded, _, _, _), cid in zip(res, order):
+            key = (t.table_id, t.generation, cid, size, None)
+            self.executor.scan_cache[key] = padded
+
     def table_rows(self, name: str) -> int:
         return self.catalog.get_table(name).num_rows
 

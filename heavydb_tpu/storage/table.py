@@ -106,6 +106,55 @@ class Fragment:
         return st
 
 
+class LazyDeviceChunk:
+    """Host-master chunk backed by a DEVICE array (api.load_table_device):
+    quacks like a read-only numpy array; materializes via one D2H on first
+    host access (checkpoint, UPDATE, COPY TO).  Query execution never
+    touches it — the device scan cache is seeded directly at load."""
+
+    def __init__(self, dev):
+        self.device_array = dev
+        self._np: Optional[np.ndarray] = None
+        self.dtype = np.dtype(dev.dtype)
+        self.shape = tuple(dev.shape)
+        self.size = int(np.prod(self.shape)) if self.shape else 1
+
+    def _materialize(self) -> np.ndarray:
+        if self._np is None:
+            import jax
+
+            self._np = np.asarray(jax.device_get(self.device_array))
+        return self._np
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._materialize()
+        if dtype is not None and np.dtype(dtype) != a.dtype:
+            return a.astype(dtype)
+        return a
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __len__(self):
+        return self.shape[0]
+
+    def min(self, *a, **k):
+        return self._materialize().min(*a, **k)
+
+    def max(self, *a, **k):
+        return self._materialize().max(*a, **k)
+
+    def copy(self):
+        return self._materialize().copy()
+
+    def astype(self, dt):
+        return self._materialize().astype(dt)
+
+    @property
+    def nbytes(self):
+        return self.size * self.dtype.itemsize
+
+
 class Table:
     """A table: descriptor + fragments + per-dict-column StringDictionary."""
 
@@ -315,6 +364,27 @@ class Table:
             self.generation += 1
 
     # ---- reads ----
+    def insert_device_columns(self, chunks: Dict[int, "LazyDeviceChunk"],
+                              stats: Dict[int, ChunkStats]):
+        """Append ONE fragment of device-resident chunks with stats
+        precomputed on device (api.load_table_device): the host master
+        stays lazy, the device scan cache is seeded by the caller."""
+        ns = {c.shape[0] for c in chunks.values()}
+        if len(ns) != 1:
+            raise StorageError(f"ragged device insert: lengths {ns}")
+        (n,) = ns
+        if set(chunks) != {cd.col_id for cd in self.columns}:
+            raise StorageError("insert must cover all columns")
+        with self._lock:
+            frag = Fragment(len(self.fragments), max(n, self.fragment_rows))
+            frag.num_rows = n
+            frag.chunks = dict(chunks)
+            for col_id, st in stats.items():
+                st.num_rows = n
+                frag.stats[col_id] = st
+            self.fragments.append(frag)
+            self.generation += 1
+
     def column_values(self, col_id: int) -> np.ndarray:
         """Concatenated host values for a column (exact length)."""
         cd = self.column_by_id(col_id)
