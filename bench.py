@@ -141,19 +141,35 @@ def main():
 
     db = hdt.connect()
     rng = np.random.default_rng(42)
+    # datagen ON DEVICE via load_table_device: the relay's host→device
+    # path measures 13-30MB/s with minute-scale stalls, so shipping
+    # 100M-row columns from host costs tens of minutes; device-resident
+    # ingest seeds the scan cache directly (no H2D, no prestage needed)
     t0 = time.time()
-    x = rng.integers(0, 1_000_000, n_rows, dtype=np.int32)
-    y = rng.random(n_rows, dtype=np.float32)
-    log(f"datagen {time.time()-t0:.1f}s")
-    t0 = time.time()
-    db.sql("CREATE TABLE t (x INT, y FLOAT) WITH (fragment_size=33554432)")
-    db.catalog.get_table("t").insert_columns({1: x, 2: y})
-    log(f"load {time.time()-t0:.1f}s")
-    # eager device staging + one tiny D2H: absorbs the relay's first-
-    # fetch-after-big-H2D stall at LOAD time instead of on query 1
-    t0 = time.time()
-    db.executor.prestage_table(db.catalog.get_table("t"))
-    log(f"prestage+sync {time.time()-t0:.1f}s")
+    try:
+        import jax.numpy as jnp
+        import jax.random as jrnd
+
+        kx, ky = jrnd.split(jrnd.PRNGKey(42))
+        db.sql("CREATE TABLE t (x INT, y FLOAT) "
+               "WITH (fragment_size=33554432)")
+        db.load_table_device("t", {
+            "x": jrnd.randint(kx, (n_rows,), 0, 1_000_000, jnp.int32),
+            "y": jrnd.uniform(ky, (n_rows,), jnp.float32),
+        })
+        log(f"device datagen+load {time.time()-t0:.1f}s")
+    except Exception as e:
+        log(f"device load failed ({e!r}); host path")
+        x = rng.integers(0, 1_000_000, n_rows, dtype=np.int32)
+        y = rng.random(n_rows, dtype=np.float32)
+        if db.catalog.get_table_opt("t") is None:
+            db.sql("CREATE TABLE t (x INT, y FLOAT) "
+                   "WITH (fragment_size=33554432)")
+        db.catalog.get_table("t").insert_columns({1: x, 2: y})
+        # eager device staging + one tiny D2H: absorbs the relay's first-
+        # fetch-after-big-H2D stall at LOAD time instead of on query 1
+        db.executor.prestage_table(db.catalog.get_table("t"))
+        log(f"host load+prestage {time.time()-t0:.1f}s")
 
     sub = {}
 
@@ -172,8 +188,9 @@ def main():
     hbm_bw = {"tpu": 819e9, "cpu": 100e9}.get(backend, 819e9)
     try:
         import jax.numpy as jnp
+        import jax.random as jrnd
 
-        arr = jnp.asarray(y)
+        arr = jrnd.uniform(jrnd.PRNGKey(3), (n_rows,), jnp.float32)
 
         @jax.jit
         def bw_loop(carry0, k_iters, a):
@@ -221,13 +238,27 @@ def main():
 
     # ---- configs 2-4 at 20M rows (unconditional) ----
     m = min(20_000_000, n_rows)
-    k1 = rng.integers(0, 1000, m, dtype=np.int32)
-    k2 = rng.integers(0, 10_000_000, m, dtype=np.int32)
-    v = rng.random(m, dtype=np.float32)
     db.sql("CREATE TABLE g (k1 INT, k2 INT, v FLOAT) "
            "WITH (fragment_size=33554432)")
-    db.catalog.get_table("g").insert_columns({1: k1, 2: k2, 3: v})
-    db.executor.prestage_table(db.catalog.get_table("g"))
+    t0 = time.time()
+    try:
+        import jax.numpy as jnp
+        import jax.random as jrnd
+
+        ka, kb, kc = jrnd.split(jrnd.PRNGKey(7), 3)
+        db.load_table_device("g", {
+            "k1": jrnd.randint(ka, (m,), 0, 1000, jnp.int32),
+            "k2": jrnd.randint(kb, (m,), 0, 10_000_000, jnp.int32),
+            "v": jrnd.uniform(kc, (m,), jnp.float32),
+        })
+        log(f"device load g {time.time()-t0:.1f}s")
+    except Exception as e:
+        log(f"device load g failed ({e!r}); host path")
+        k1 = rng.integers(0, 1000, m, dtype=np.int32)
+        k2 = rng.integers(0, 10_000_000, m, dtype=np.int32)
+        v = rng.random(m, dtype=np.float32)
+        db.catalog.get_table("g").insert_columns({1: k1, 2: k2, 3: v})
+        db.executor.prestage_table(db.catalog.get_table("g"))
     db.sql("CREATE TABLE dim (k1 INT, nm INT)")
     db.catalog.get_table("dim").insert_columns({
         1: np.arange(1000, dtype=np.int32),
