@@ -190,6 +190,14 @@ class HeavyTpuServer:
             })
         return out
 
+    def rpc_get_query_timings(self, session: str) -> dict:
+        """Hierarchical timer tree of the session's LAST query (reference
+        QueryState / DEBUG_TIMER stopAndGetJson, Logger.h:393-423).
+        Requires enable_debug_timer (ALTER SESSION SET
+        enable_debug_timer='true')."""
+        self._session(session)
+        return getattr(self.db, "last_query_timings", None) or {}
+
     def rpc_interrupt(self, session: str) -> bool:
         """reference Thrift `interrupt` (heavy.thrift:725)."""
         s = self.sessions.get(session)

@@ -300,3 +300,14 @@ def test_dashboard_crud(conn):
     assert conn.call("get_dashboards", session=conn.session) == []
     with pytest.raises(ServerError):
         conn.call("get_dashboard", session=conn.session, dashboard_id=did)
+
+
+def test_query_timings_rpc(conn):
+    """reference QueryState / DEBUG_TIMER tree via get_query_timings."""
+    conn.call("sql_execute", session=conn.session,
+              query="ALTER SESSION SET enable_debug_timer='true'")
+    conn.call("sql_execute", session=conn.session, query="SELECT 1+1")
+    tree = conn.call("get_query_timings", session=conn.session)
+    assert tree.get("name") == "query"
+    names = [c["name"] for c in tree.get("children", [])]
+    assert "plan" in names and "execute" in names
