@@ -105,7 +105,7 @@ def build_hash_table(build: SortedBuild, slots: int, rounds: int = 4):
     nvalid = build.valid_sorted.sum().astype(jnp.int32)
     # index of next first ≥ i: reverse min-scan over first positions
     s = jnp.where(first, pos, b)
-    rev = lax.associative_scan(jnp.minimum, s, reverse=True)
+    rev = SC.assoc_scan(jnp.minimum, s, reverse=True)
     nxt_first = jnp.concatenate([rev[1:], jnp.full(1, b, jnp.int32)])
     run = jnp.minimum(nxt_first, nvalid) - pos
     big = jnp.int64(np.iinfo(np.int64).max)

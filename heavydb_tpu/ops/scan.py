@@ -15,7 +15,9 @@ thrust::inclusive_scan for the same role in
 QueryEngine/InPlaceSort.cpp's partition offsets).
 """
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 # below this size the plain lowering fits VMEM comfortably and the
 # reshape/pad of the blocked form is pure overhead
@@ -39,3 +41,89 @@ def cumsum(x, dtype=None):
     )
     out = (within + base[:, None]).reshape(-1)
     return out[:n] if pad else out
+
+
+def _hillis_steele_axis1(combine, blocks):
+    """Inclusive scan along axis 1 via the doubling ladder: log2(blk)
+    rounds of shift + combine + select — only pads and elementwise ops,
+    no recursive slicing, so the program stays compile-helper-friendly."""
+    leaves = jax.tree_util.tree_leaves(blocks)
+    blk = leaves[0].shape[1]
+    col = lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    y = blocks
+    shift = 1
+    while shift < blk:
+        s = shift
+
+        def shf(a):
+            return jnp.pad(a, ((0, 0), (s, 0)))[:, :blk]
+
+        cand = combine(jax.tree_util.tree_map(shf, y), y)
+        keep = col < s
+        y = jax.tree_util.tree_map(
+            lambda orig, c: jnp.where(keep, orig, c), y, cand
+        )
+        shift *= 2
+    return y
+
+
+def assoc_scan(combine, elems, reverse: bool = False):
+    """Inclusive 1-D associative scan, blocked two-level above
+    _BLOCKED_MIN — a drop-in for ``lax.associative_scan`` over 1-D
+    (pytrees of) arrays.
+
+    A flat 25M-element ``lax.associative_scan`` builds a log2(n)-deep
+    recursive slice/interleave program that today's remote TPU compile
+    helper cannot finish (observed: SIGKILL after minutes; plain
+    ``lax.sort`` of the same array compiles in ~30s).  The blocked form
+    scans the short minor axis of a (blocks, block) reshape, combines the
+    per-block carries with one tiny scan, then applies each block's
+    prefix elementwise — same O(n) work, log2(block) depth.
+
+    ``combine`` must be elementwise and associative; it receives two
+    pytrees matching ``elems``.  Scans are causal, so padding (with each
+    leaf's own edge values) never flows into real outputs; ``reverse``
+    flips, scans forward, flips back."""
+    leaves = jax.tree_util.tree_leaves(elems)
+    n = leaves[0].shape[0]
+    if reverse:
+        flipped = jax.tree_util.tree_map(lambda a: a[::-1], elems)
+        out = assoc_scan(combine, flipped)
+        return jax.tree_util.tree_map(lambda a: a[::-1], out)
+    if n < _BLOCKED_MIN:
+        return lax.associative_scan(combine, elems)
+    nb = -(-n // _BLK)
+    pad = nb * _BLK - n
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,))])
+        return a.reshape(nb, _BLK)
+
+    blocks = jax.tree_util.tree_map(prep, elems)
+    # within-block scan along the short minor axis: native cumulative ops
+    # where they exist; otherwise an explicit Hillis-Steele ladder of
+    # pads + selects (lax.associative_scan's recursive odd/even slicing
+    # also chokes the remote compile helper, even on the 2-D reshape)
+    if len(leaves) == 1 and combine in (jnp.maximum, jnp.minimum):
+        cum = lax.cummax if combine is jnp.maximum else lax.cummin
+        within = jax.tree_util.tree_map(
+            lambda a: cum(a, axis=1), blocks
+        )
+    else:
+        within = _hillis_steele_axis1(combine, blocks)
+    carry = jax.tree_util.tree_map(lambda w: w[:, -1], within)
+    carry_scan = lax.associative_scan(combine, carry)
+    # block b combines the carry of blocks < b; block 0 keeps `within`
+    prev = jax.tree_util.tree_map(
+        lambda c: jnp.broadcast_to(c[:-1, None], (nb - 1, _BLK)), carry_scan
+    )
+    tail = jax.tree_util.tree_map(lambda w: w[1:], within)
+    combined_tail = combine(prev, tail)
+    out = jax.tree_util.tree_map(
+        lambda w, ct: jnp.concatenate([w[:1], ct]).reshape(-1),
+        within, combined_tail,
+    )
+    return jax.tree_util.tree_map(
+        lambda a: a[:n] if pad else a, out
+    )

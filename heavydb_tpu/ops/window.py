@@ -34,9 +34,7 @@ def forward_fill_value(x, pstart):
     start positions are used)."""
     marked = jnp.where(pstart, x, jnp.asarray(0, x.dtype))
     idx = jnp.arange(x.shape[0])
-    start_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(pstart, idx, 0)
-    )
+    start_idx = SC.assoc_scan(jnp.maximum, jnp.where(pstart, idx, 0))
     return x[start_idx], start_idx
 
 
@@ -73,7 +71,7 @@ def _next_start_idx(starts):
     n = starts.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     s = jnp.where(starts, idx, jnp.int32(n))
-    r = lax.associative_scan(jnp.minimum, s, reverse=True)
+    r = SC.assoc_scan(jnp.minimum, s, reverse=True)
     return jnp.concatenate([r[1:], jnp.full(1, n, jnp.int32)])
 
 
@@ -210,7 +208,7 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
             bv, breset = b
             return jnp.where(breset, bv, op(av, bv)), areset | breset
 
-        run, _ = jax.lax.associative_scan(combine, (x, pstart))
+        run, _ = SC.assoc_scan(combine, (x, pstart))
     else:
         raise ValueError(kind)
     cnt_contrib = ok.astype(jnp.int32)
@@ -255,7 +253,7 @@ def _seg_running_op(x, starts, op):
         bv, breset = b
         return jnp.where(breset, bv, op(av, bv)), areset | breset
 
-    run, _ = jax.lax.associative_scan(combine, (x, starts))
+    run, _ = SC.assoc_scan(combine, (x, starts))
     return run
 
 
