@@ -71,6 +71,13 @@ class Config:
     perfect_join_max_range: int = 1 << 26
     # Loop-join fallback threshold (reference g_trivial_loop_join_threshold=1000).
     trivial_loop_join_threshold: int = 1000
+    # Dynamic selectivity probe (reference JoinFilterPushDown.cpp +
+    # find_push_down_candidates re-plan loop): before the runtime join
+    # reorder, count the rows surviving each input's single-input WHERE
+    # conjuncts with a tiny fused count kernel, so the build/probe decision
+    # sees POST-filter cardinalities.  Counts are cached per (conjuncts,
+    # table generation).
+    enable_selectivity_probe: bool = True
     # Initial output-capacity multiplier for 1:N join fan-out.
     join_fanout_headroom: float = 1.5
 

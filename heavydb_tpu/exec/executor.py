@@ -49,6 +49,12 @@ from heavydb_tpu.storage.table import from_physical
 MAX_RETRIES = 4
 
 
+def _walk_nodes(node: R.RelNode):
+    yield node
+    for i in node.inputs:
+        yield from _walk_nodes(i)
+
+
 def _iter_node_exprs(node: R.RelNode):
     if isinstance(node, R.Compound):
         for _, c in node.join_levels:
@@ -87,6 +93,10 @@ class Executor:
         self.aux_cache = DeviceLRUCache(
             max(budget // 4, 1 << 28) if budget else 0
         )
+        # selectivity-probe result cache: (conjuncts, input, generation)
+        # → surviving row count (reference caches push-down candidates per
+        # query plan the same way)
+        self._sel_cache: Dict[tuple, int] = {}
         # multi-device: tables row-sharded over a 1-D mesh; the jit'd
         # compound kernels are partitioned by XLA GSPMD, which inserts the
         # collectives (psum for aggregate merges, all-to-all under global
@@ -798,7 +808,20 @@ class Executor:
         if len(node.inputs) > 1:
             from heavydb_tpu.plan.optimizer import _reorder_joins
 
-            _reorder_joins(node, sizes=[b.nrows for b in batches])
+            sizes = [b.nrows for b in batches]
+            if (
+                getattr(self.config, "enable_selectivity_probe", True)
+                and node.filter_cond is not None
+                and all(k == "INNER" and c is not None
+                        for k, c in node.join_levels)
+            ):
+                try:
+                    sizes = self._selectivity_sizes(
+                        node, batches, offsets, sizes
+                    )
+                except Exception:
+                    pass  # probe is advisory; fall back to raw counts
+            _reorder_joins(node, sizes=sizes)
             order = node.__dict__.pop("_reordered", None)
             if order:
                 batches = [batches[i] for i in order]
@@ -811,6 +834,117 @@ class Executor:
         # 2. plan the kernel (strategy, caps, aux arrays)
         plan = self._plan_compound(node, batches, offsets)
         return batches, plan
+
+    # ---- dynamic selectivity probe (reference JoinFilterPushDown.cpp:
+    # execute the filter, measure selectivity, re-plan the join order) ----
+    def _selectivity_sizes(self, node, batches, offsets, sizes):
+        """Post-filter effective cardinality per join input: counts the
+        rows surviving each input's single-input WHERE conjuncts with a
+        tiny fused count kernel.  The reference runs a selectivity probe
+        and round-trips through Calcite to re-plan
+        (DBHandler::execute_rel_alg_with_filter_push_down); here the
+        probed counts feed the runtime join reorder directly."""
+        from heavydb_tpu.plan.optimizer import _split_conjuncts
+
+        n_in = len(node.inputs)
+        per_input: Dict[int, list] = {}
+        for c in _split_conjuncts(node.filter_cond):
+            refs = E.collect_input_refs(c)
+            if not refs:
+                continue
+            owner = set()
+            for r in refs:
+                for i in reversed(range(n_in)):
+                    if r.field_idx >= offsets[i]:
+                        owner.add(i)
+                        break
+            if len(owner) == 1:
+                per_input.setdefault(next(iter(owner)), []).append(c)
+        if not per_input:
+            return sizes
+
+        out = list(sizes)
+        if len(self._sel_cache) > 4096:
+            self._sel_cache.clear()
+        for bi, conjs in per_input.items():
+            if n_in == 2 and sizes[bi] <= sizes[1 - bi]:
+                # two-input case: shrinking the already-smaller side cannot
+                # flip the probe/build decision — skip the device round trip
+                continue
+            ckeys = tuple(sorted(c.key() for c in conjs))
+            gens = tuple(sorted(
+                (s.table.table_id, s.table.generation)
+                for s in _walk_nodes(node.inputs[bi])
+                if isinstance(s, R.Scan)
+            ))
+            rkey = ("selprobe", node.inputs[bi].plan_key(),
+                    ckeys, gens, batches[bi].nrows)
+            hit = self._sel_cache.get(rkey)
+            if hit is not None:
+                out[bi] = hit
+                continue
+            cnt = self._probe_count(node, batches[bi], offsets[bi], conjs)
+            if cnt is None:
+                continue
+            self._sel_cache[rkey] = cnt
+            out[bi] = cnt
+        return out
+
+    def _probe_count(self, node, batch, offset, conjs):
+        """Device count of batch rows passing `conjs` (all conjuncts
+        reference only this input's fields)."""
+        # aux arrays the conjuncts need (dict predicates / transforms)
+        aux_specs = {}
+        for c in conjs:
+            for sub in E.walk(c):
+                if isinstance(sub, E.DictStrPredicate):
+                    aux_specs[sub.key()] = ("strpred", sub)
+                elif isinstance(sub, E.StringTransform):
+                    aux_specs[sub.key()] = ("strtransform", sub)
+                elif isinstance(sub, E.ArrayFn) and sub.op != "UNNEST":
+                    aux_specs[sub.key()] = ("array", sub)
+                elif isinstance(sub, (E.SubqueryExpr, E.Agg, E.WindowFunc)):
+                    return None
+        needed = sorted({
+            r.field_idx for c in conjs for r in E.collect_input_refs(c)
+        })
+        locals_ = [f - offset for f in needed]
+        if any(l < 0 or l >= len(batch.cols) or batch.cols[l] is None
+               for l in locals_):
+            return None
+        aux_order = sorted(aux_specs.keys(), key=repr)
+        ckeys = tuple(sorted(c.key() for c in conjs))
+        kkey = ("selprobe_kernel", ckeys, batch.padded,
+                tuple(str(batch.types[l].np_dtype()) for l in locals_),
+                tuple(aux_order))
+        jitted = self.kernel_cache.get(kkey)
+        if jitted is None:
+            types = [batch.types[l] for l in locals_]
+            fields = list(needed)
+            padded = batch.padded
+            udfs = dict(getattr(self.db, "_udfs", {}))
+
+            def kern(nrows, aux_vals, *cols):
+                cdict = {}
+                for f, ti, v in zip(fields, types, cols):
+                    valid = _derive_valid(v, ti) if ti.nullable else None
+                    cdict[f] = (v, valid)
+                comp = ExprCompiler(cdict, dict(zip(aux_order, aux_vals)),
+                                    {}, udfs)
+                m = jax.lax.broadcasted_iota(
+                    jnp.int32, (padded,), 0) < nrows
+                for c in conjs:
+                    m = m & comp.compile_predicate(c)
+                return m.sum(dtype=jnp.int32)
+
+            jitted = jax.jit(kern)
+            self.kernel_cache[kkey] = jitted
+        aux_vals = tuple(
+            self._aux_array(aux_specs[k]) for k in aux_order
+        )
+        cnt = jitted(jnp.asarray(batch.nrows, jnp.int32), aux_vals,
+                     *[batch.cols[l] for l in locals_])
+        return int(jax.device_get(cnt))
 
     # ---- fragment skipping (reference Executor::skipFragment,
     # Execute.cpp:4776: compare simple quals against chunk min/max) ----
