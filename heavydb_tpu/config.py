@@ -40,6 +40,10 @@ class Config:
     # gpu_input_mem_limit punt-to-CPU / out-of-core).  0 = auto (cache
     # budget / 2); -1 disables streaming.
     stream_threshold_bytes: int = 0
+    # Row cap per fragment wave in streamed ORDER BY ... LIMIT (radix
+    # select temporaries are a few bytes/row; an uncapped 1B-row wave
+    # would exhaust HBM).
+    topk_stream_row_cap: int = 1 << 26
     # Device row-block size: fragments are padded to a multiple of this so one
     # compiled XLA program serves all fragments (the multifrag-kernel trick).
     row_block: int = 1 << 13  # 8192

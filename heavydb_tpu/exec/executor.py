@@ -357,6 +357,41 @@ class Executor:
                 continue
             key = (t.table_id, t.generation, cd.col_id, size, fkey)
             arr = self.scan_cache.get(key)
+            if arr is None and fkey is not None and not cd.type.is_array:
+                # device-slice fast path: if the FULL column is already
+                # resident (device ingest / prestage), carve the wave out
+                # of it instead of round-tripping through host chunks —
+                # device-ingested tables may have no host master at all.
+                # Slices are transient (one wave each) and NOT cached, so
+                # they don't double-count against the LRU budget.
+                full_key = (
+                    t.table_id, t.generation, cd.col_id,
+                    B.bucket(t.num_rows), None,
+                )
+                full = self.scan_cache.get(full_key)
+                if full is not None:
+                    gstart = np.cumsum(
+                        [0] + [f.num_rows for f in t.fragments]
+                    )
+                    runs = []  # contiguous fragment-id runs → one slice
+                    for fid in frag_ids:
+                        if runs and fid == runs[-1][1]:
+                            runs[-1][1] = fid + 1
+                        else:
+                            runs.append([fid, fid + 1])
+                    segs = [
+                        full[int(gstart[a]):int(gstart[b])]
+                        for a, b in runs
+                    ]
+                    cat = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+                    if cat.shape[0] < size:
+                        pad = jnp.full(
+                            size - cat.shape[0],
+                            cd.type.null_sentinel(), cat.dtype,
+                        )
+                        cat = jnp.concatenate([cat, pad])
+                    cols.append(cat)
+                    continue
             if arr is None:
                 if cd.type.is_array:
                     # array column device handle = GLOBAL rowid (stable
@@ -417,23 +452,32 @@ class Executor:
     # ---- Sort ----
     def _exec_sort(self, node: R.Sort, memo) -> B.Batch:
         child = node.inputs[0]
+        key_specs = [(asc, nf) for _, asc, nf in node.keys]
+        key_idxs = [i for i, _, _ in node.keys]
+        limit_total = (node.limit or 0) + (node.offset or 0)
+        topk_eligible = (
+            len(node.keys) == 1
+            and node.limit is not None
+            and 0 < limit_total <= 16384
+            and not node.types[key_idxs[0]].is_dict_string
+        )
+        # streamed top-k over fragment waves (reference StreamingTopN:
+        # ORDER BY ... LIMIT without materializing the full input) — big
+        # scans never exist as one batch, so tables beyond the device
+        # budget stay sortable
+        if topk_eligible and child.id not in memo:
+            st = self._try_stream_topk(node, child, limit_total)
+            if st is not None:
+                return st
         inp = self._exec(child, memo, set(range(child.arity)))
         n = inp.nrows
         if n == 0:
             return B.Batch(inp.cols, 0, list(node.types))
-        key_specs = [(asc, nf) for _, asc, nf in node.keys]
-        key_idxs = [i for i, _, _ in node.keys]
 
-        # top-k fast path: single sort key + small LIMIT → lax.top_k
+        # top-k fast path: single sort key + small LIMIT → radix select
         # (reference StreamingTopN / TopKSort.cu role; full bitonic sorts of
         # large domains are very slow on TPU)
-        limit_total = (node.limit or 0) + (node.offset or 0)
-        if (
-            len(node.keys) == 1
-            and node.limit is not None
-            and 0 < limit_total <= 16384
-            and not inp.types[key_idxs[0]].is_dict_string
-        ):
+        if topk_eligible:
             return self._exec_topk(node, inp, limit_total)
 
         # dict-encoded string keys sort by LEXICOGRAPHIC RANK, not id —
@@ -492,7 +536,102 @@ class Executor:
             ]
         return B.Batch(sorted_cols, n_out, list(node.types))
 
-    def _exec_topk(self, node: R.Sort, inp: B.Batch, k_total: int) -> B.Batch:
+    def _try_stream_topk(self, node: R.Sort, child, k_total: int):
+        """ORDER BY <key> LIMIT k over fragment waves: per-wave radix
+        select keeps k candidates, waves' winners concatenate (waves × k
+        rows — tiny), and one final select picks the global top k.  The
+        union of per-wave top-k is a superset of the global top-k, so
+        this is exact.  Returns None when the input is small enough for
+        the one-shot path (or the child shape doesn't stream)."""
+        cfg = self.config
+        thr = cfg.stream_threshold_bytes
+        if thr < 0:
+            return None
+        if thr == 0:
+            thr = (self.scan_cache.budget_bytes or (11 << 30)) // 2
+        if isinstance(child, R.Scan):
+            scan, compound = child, None
+        elif (
+            isinstance(child, R.Compound)
+            and not child.is_aggregate
+            and not child.join_levels
+            and len(child.inputs) == 1
+            and isinstance(child.inputs[0], R.Scan)
+        ):
+            scan, compound = child.inputs[0], child
+        else:
+            return None
+        t = scan.table
+        if len(t.fragments) < 2:
+            return None
+        if compound is None:
+            scan_needed = set(range(scan.arity))
+        else:
+            scan_needed = set()
+            for e in _iter_node_exprs(compound):
+                for r in E.collect_input_refs(e):
+                    scan_needed.add(r.field_idx)
+        if any(t.columns[f].type.is_array for f in scan_needed):
+            return None
+        row_bytes = max(
+            sum(t.columns[f].type.np_dtype().itemsize for f in scan_needed),
+            1,
+        )
+        if t.num_rows * row_bytes <= thr:
+            return None
+
+        frag_ids = None
+        fc = compound.filter_cond if compound is not None else None
+        if fc is not None and getattr(
+            self.config, "enable_fragment_skipping", True
+        ):
+            frag_ids = self._surviving_fragments(scan, 0, fc)
+        if frag_ids is None:
+            frag_ids = [f.fragment_id for f in t.fragments]
+
+        # wave sizing: byte budget AND a row cap (radix select temporaries
+        # are a few bytes/row; an uncapped 1B-row wave would OOM)
+        wave_budget = max(thr // 2, 1)
+        row_cap = getattr(cfg, "topk_stream_row_cap", 1 << 26)
+        waves, cur, cur_bytes, cur_rows = [], [], 0, 0
+        for fid in frag_ids:
+            fr = t.fragments[fid].num_rows
+            fb = fr * row_bytes
+            if cur and (cur_bytes + fb > wave_budget
+                        or cur_rows + fr > row_cap):
+                waves.append(cur)
+                cur, cur_bytes, cur_rows = [], 0, 0
+            cur.append(fid)
+            cur_bytes += fb
+            cur_rows += fr
+        if cur:
+            waves.append(cur)
+        if len(waves) < 2:
+            return None
+
+        winners: List[B.Batch] = []
+        for wave in waves:
+            self._checkpoint()
+            batch = self._exec_scan(scan, scan_needed, frag_ids=wave)
+            if compound is not None:
+                plan = self._plan_compound(compound, [batch], [0])
+                batch = self._run_compound(compound, [batch], plan)
+            if batch.nrows == 0:
+                continue
+            winners.append(
+                self._exec_topk(node, batch, k_total, apply_offset=False)
+            )
+        if not winners:
+            return B.Batch(
+                [jnp.empty(B.MIN_BUCKET, ti.np_dtype()) for ti in node.types],
+                0, list(node.types),
+            )
+        cat = B.concat_batches(winners)
+        cat.types = list(node.types)
+        return self._exec_topk(node, cat, k_total)
+
+    def _exec_topk(self, node: R.Sort, inp: B.Batch, k_total: int,
+                   apply_offset: bool = True) -> B.Batch:
         """ORDER BY <single key> LIMIT k via lax.top_k + gather."""
         idx, asc, nulls_first = node.keys[0]
         ti = inp.types[idx]
@@ -537,6 +676,10 @@ class Executor:
         out_cols: List[Optional[jax.Array]] = [None] * len(inp.cols)
         for j, i in enumerate(present):
             out_cols[i] = out_present[j]
+        if not apply_offset:
+            # per-wave call from the streamed path: keep ALL k_total
+            # candidates; the final global select applies offset/limit
+            return B.Batch(out_cols, min(inp.nrows, k), list(node.types))
         off = node.offset or 0
         n_out = max(min(inp.nrows, k) - off, 0)
         if node.limit is not None:
