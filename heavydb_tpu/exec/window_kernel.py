@@ -131,13 +131,20 @@ def _rank_translate(val, aux_dict, ak):
     return tbl[ids]
 
 
-def _packed_sort(pack, comp, in_domain, padded, aux_dict):
-    """Build the packed key, sort it, and return (s_rows, pstart, ostart)
-    in sorted order.  Key layout (high→low bits): [~in_domain | partition
-    fields | order fields | rows?].  pstart = change in the partition
-    prefix; ostart = change in the whole (partition+order) key — every
-    consumer in ops/window.py uses `pstart | ostart`, so folding partition
-    changes into ostart is equivalent."""
+def _packed_sort(pack, comp, in_domain, padded, aux_dict, payload=()):
+    """Build the packed key, sort it, and return (s_rows, pstart, ostart,
+    sorted_payload) in sorted order.  Key layout (high→low bits):
+    [~in_domain | partition fields | order fields | rows?].  pstart =
+    change in the partition prefix; ostart = change in the whole
+    (partition+order) key — every consumer in ops/window.py uses
+    `pstart | ostart`, so folding partition changes into ostart is
+    equivalent.
+
+    `payload`: extra arrays carried through the sort as non-key operands.
+    Measured at 100M rows (v5e): a payload operand costs ~200ms inside
+    lax.sort vs ~1.2s for a random gather `val[s_rows]` afterwards — so
+    window-function argument columns ride the sort instead of being
+    gathered through the permutation."""
     acc = (~in_domain).astype(jnp.int64)
     for f in pack["fields"]:
         r = f["r"]
@@ -165,34 +172,39 @@ def _packed_sort(pack, comp, in_domain, padded, aux_dict):
         acc = (acc << f["bits"]) | field
     rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
     rb = pack["rows_bits"]
+    pay = list(payload)
     if pack["fuse_rows"]:
         acc = (acc << rb) | rows.astype(jnp.int64)
         if pack["key_bits"] + rb <= 31:
-            res = lax.sort([acc.astype(jnp.int32)], num_keys=1)
+            res = lax.sort([acc.astype(jnp.int32)] + pay, num_keys=1)
             acc_s = res[0].astype(jnp.int64)
+            spay = res[1:]
         else:
             hi = (acc >> 31).astype(jnp.int32)
             lo = (acc & ((1 << 31) - 1)).astype(jnp.int32)
-            res = lax.sort([hi, lo], num_keys=2)
+            res = lax.sort([hi, lo] + pay, num_keys=2)
             acc_s = (res[0].astype(jnp.int64) << 31) | res[1].astype(jnp.int64)
+            spay = res[2:]
         s_rows = (acc_s & ((1 << rb) - 1)).astype(jnp.int32)
         kwr = acc_s >> rb
     else:
         if pack["key_bits"] <= 31:
-            res = lax.sort([acc.astype(jnp.int32), rows], num_keys=2)
+            res = lax.sort([acc.astype(jnp.int32), rows] + pay, num_keys=2)
             s_rows = res[1]
             kwr = res[0].astype(jnp.int64)
+            spay = res[2:]
         else:
             hi = (acc >> 31).astype(jnp.int32)
             lo = (acc & ((1 << 31) - 1)).astype(jnp.int32)
-            res = lax.sort([hi, lo, rows], num_keys=3)
+            res = lax.sort([hi, lo, rows] + pay, num_keys=3)
             s_rows = res[2]
             kwr = (res[0].astype(jnp.int64) << 31) | res[1].astype(jnp.int64)
+            spay = res[3:]
     one = jnp.ones(1, jnp.bool_)
     ostart = jnp.concatenate([one, kwr[1:] != kwr[:-1]])
     pk = kwr >> pack["order_bits"]
     pstart = jnp.concatenate([one, pk[1:] != pk[:-1]])
-    return s_rows, pstart, ostart
+    return s_rows, pstart, ostart, spay
 
 
 def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
@@ -200,6 +212,21 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
     from heavydb_tpu.exec.executor import _derive_valid
 
     pack = _pack_plan(node, wfuncs[widxs[0]], padded, rank_info)
+
+    # payload plan: distinct non-constant first-arg expressions ride the
+    # sort as extra operands instead of being gathered through s_rows
+    # afterwards (measured 100M rows: ~200ms/operand in-sort vs ~1.2s per
+    # random gather, ~0.8s per scatter-back)
+    payload_exprs: List[E.Expr] = []
+    payload_map: Dict[tuple, int] = {}
+    for wi in widxs:
+        w = wfuncs[wi]
+        if w.args and not isinstance(w.args[0], E.Constant) \
+                and w.kind != E.WindowKind.NTILE:
+            k = w.args[0].key()
+            if k not in payload_map:
+                payload_map[k] = len(payload_exprs)
+                payload_exprs.append(w.args[0])
 
     def kernel(nrows, aux_vals, *cols):
         aux_dict = dict(zip(aux_keys, aux_vals))
@@ -212,10 +239,25 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
             col_tvs[ci] = (val, valid)
         comp = ExprCompiler(col_tvs, aux_dict, {})
 
+        # payload TVs in ORIGINAL order → operand list for the sort
+        pay_ops = []
+        pay_slots = []  # (val_slot, valid_slot or None) per payload expr
+        for e in payload_exprs:
+            val, valid = comp.compile(e)
+            val = jnp.broadcast_to(jnp.asarray(val), (padded,))
+            vslot = len(pay_ops)
+            pay_ops.append(val)
+            if valid is not None and getattr(valid, "ndim", 0):
+                pay_ops.append(valid.astype(jnp.int8))
+                pay_slots.append((vslot, vslot + 1))
+            else:
+                pay_slots.append((vslot, None))
+
         w0 = wfuncs[widxs[0]]
         if pack is not None:
-            s_rows, pstart, ostart = _packed_sort(pack, comp, in_domain,
-                                                  padded, aux_dict)
+            s_rows, pstart, ostart, spay = _packed_sort(
+                pack, comp, in_domain, padded, aux_dict, pay_ops)
+            pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
         else:
             operands = [(~in_domain).astype(jnp.int8)]
             for p in w0.partition_by:
@@ -231,9 +273,11 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
                 nullr, v = _sortable_operands(val, valid, asc, nf)
                 operands += [nullr, v]
             rows = lax.broadcasted_iota(jnp.int32, (padded,), 0)
-            res = lax.sort(operands + [rows], num_keys=len(operands),
-                           is_stable=True)
-            s_rows = res[-1]
+            res = lax.sort(operands + [rows] + pay_ops,
+                           num_keys=len(operands), is_stable=True)
+            spay = res[len(operands) + 1:]
+            s_rows = res[len(operands)]
+            pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
             # partition starts: first row, any partition operand changed, or
             # the in-domain flag changed (out-of-domain pad rows must form
             # their own partition so they can't pollute running aggregates)
@@ -252,7 +296,8 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
         outs = []
         for wi in widxs:
             w = wfuncs[wi]
-            val_s, valid_s = _compute_one(w, comp, s_rows, pstart, ostart)
+            val_s, valid_s = _compute_one(w, comp, s_rows, pstart, ostart,
+                                          pay_sorted)
             out_dt = w.type.np_dtype()
             val_s = jnp.broadcast_to(jnp.asarray(val_s, out_dt), (padded,))
             if valid_s is not None:
@@ -271,11 +316,33 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
     return kernel
 
 
-def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart):
+def _bind_payload(payload_exprs, pay_slots, spay):
+    """Map expr key → (sorted val, sorted valid|None) from the sort's
+    payload outputs.  A None valid slot means the original validity was
+    None or a scalar — the consumer recomputes it (XLA CSEs the work)."""
+    out = {}
+    for e, (vs, js) in zip(payload_exprs, pay_slots):
+        sval = spay[vs]
+        svalid = spay[js].astype(jnp.bool_) if js is not None else None
+        out[e.key()] = (sval, svalid, js is not None)
+    return out
+
+
+def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart,
+                 pay_sorted=None):
     """Compute one window function in SORTED order."""
     K = E.WindowKind
 
     def arg_tv(i):
+        ps = (pay_sorted or {}).get(w.args[i].key()) if w.args else None
+        if ps is not None:
+            sval, svalid, had_valid = ps
+            if not had_valid:
+                _, valid = comp.compile(w.args[i])
+                if valid is not None and getattr(valid, "ndim", 0):
+                    valid = valid[s_rows]
+                svalid = valid
+            return sval, svalid
         val, valid = comp.compile(w.args[i])
         val = jnp.asarray(val)
         # reorder to sorted order
