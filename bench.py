@@ -309,6 +309,48 @@ def main():
     except Exception as e:
         log(f"topk failed: {e!r}")
 
+    # config 4 at FULL scale: 1B rows (2^30), single-key and multi-key
+    # ORDER BY ... LIMIT over streamed fragment waves (BASELINE.md config
+    # 4: "Radix sort + ORDER BY … LIMIT (top-k) over 1B rows,
+    # multi-column keys").  Fresh connection: the 1B table needs the HBM
+    # the earlier working set occupies.
+    try:
+        del db
+        import gc
+
+        gc.collect()
+        db4 = hdt.connect()
+        import jax.numpy as jnp
+        import jax.random as jrnd
+
+        n4 = (1 << 30) if backend == "tpu" else (1 << 22)
+        db4.sql("CREATE TABLE big (k2 INT, v FLOAT) "
+                "WITH (fragment_size=67108864)")
+        t0 = time.time()
+        ka, kc = jrnd.split(jrnd.PRNGKey(7), 2)
+        db4.load_table_device("big", {
+            "k2": jrnd.randint(ka, (n4,), 0, 10_000_000, jnp.int32),
+            "v": jrnd.uniform(kc, (n4,), jnp.float32),
+        })
+        log(f"config4 load {n4:,} rows {time.time()-t0:.1f}s")
+        for tag, q in [
+            ("topk_1b", "SELECT k2, v FROM big ORDER BY v DESC LIMIT 100"),
+            ("topk_1b_multikey",
+             "SELECT k2, v FROM big ORDER BY k2 ASC, v DESC LIMIT 100"),
+        ]:
+            t0 = time.perf_counter()
+            db4.sql(q).rows()
+            first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            db4.sql(q).rows()
+            warm = time.perf_counter() - t0
+            sub[tag + "_first_s"] = round(first, 2)
+            sub[tag + "_warm_s"] = round(warm, 2)
+            sub[tag + "_rows_per_s"] = round(n4 / max(warm, 1e-9))
+            log(f"{tag}: n={n4:,} first={first:.1f}s warm={warm:.2f}s")
+    except Exception as e:
+        log(f"config4 1B failed: {e!r}")
+
     print(json.dumps({
         "metric": "scan_filter_agg_rows_per_s",
         "value": rows_per_s,

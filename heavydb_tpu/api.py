@@ -346,45 +346,80 @@ class Database:
         order = sorted(arrays)
         types = [t.column_by_id(cid).type for cid in order]
 
+        # fragment boundaries: bulk device ingest splits at fragment_rows so
+        # fragment-wave streaming (out-of-core sort/agg) and chunk-stat
+        # pruning work — fragments are VIEWS over the whole array, no copy
+        fr = max(int(t.fragment_rows), 1)
+        bounds = [(s, min(s + fr, n)) for s in range(0, max(n, 1), fr)]
+
         # ONE compiled program: per-column sentinel-padding to the scan
-        # bucket + min/max/null-count stats (a handful of scalars D2H)
-        def _stat_pad(*arrs):
+        # bucket + per-FRAGMENT min/max/null-count stats (scalars D2H)
+        # stats jit returns ONLY scalars (returning the arrays themselves
+        # would copy the full ingest — 2× HBM at 1B rows); padding, when
+        # the bucket exceeds n, runs per column with donated inputs
+        def _stats(*arrs):
             outs = []
             for a, ti in zip(arrs, types):
                 dt = a.dtype
                 if dt.kind == "f":
-                    valid = ~jnp.isnan(a)
                     lo = jnp.asarray(-np.inf, dt)
                     hi = jnp.asarray(np.inf, dt)
                 else:
-                    valid = a != jnp.asarray(ti.null_sentinel(), dt)
                     lo = jnp.asarray(np.iinfo(dt).min, dt)
                     hi = jnp.asarray(np.iinfo(dt).max, dt)
-                mn = jnp.min(jnp.where(valid, a, hi))
-                mx = jnp.max(jnp.where(valid, a, lo))
-                nulls = jnp.sum(~valid)
-                pad = jnp.full(size - n, jnp.asarray(ti.null_sentinel(), dt))
-                padded = jnp.concatenate([a, pad]) if size > n else a
-                outs.append((padded, mn, mx, nulls))
+                # slice FIRST: whole-array valid/min/max temporaries would
+                # multiply the resident footprint (OOM at 1B rows)
+                fstats = []
+                for s, e in bounds:
+                    af = a[s:e]
+                    if dt.kind == "f":
+                        vf = ~jnp.isnan(af)
+                    else:
+                        vf = af != jnp.asarray(ti.null_sentinel(), dt)
+                    fstats.append((
+                        jnp.min(jnp.where(vf, af, hi)),
+                        jnp.max(jnp.where(vf, af, lo)),
+                        jnp.sum(~vf),
+                    ))
+                outs.append(tuple(fstats))
             return tuple(outs)
 
         import jax
 
-        res = jax.jit(_stat_pad)(*[arrays[cid] for cid in order])
-        chunks, stats = {}, {}
-        for (padded, mn, mx, nulls), cid, ti in zip(res, order, types):
-            n_null = int(jax.device_get(nulls))
-            st = ChunkStats(has_nulls=n_null > 0)
-            if n_null < n:
-                mn_h, mx_h = jax.device_get((mn, mx))
-                st.min, st.max = np.asarray(mn_h).item(), np.asarray(mx_h).item()
-            chunks[cid] = LazyDeviceChunk(arrays[cid])
-            stats[cid] = st
-        t.insert_device_columns(chunks, stats)
+        frag_stats_host = jax.device_get(
+            jax.jit(_stats)(*[arrays[cid] for cid in order])
+        )
+        seeds = {}
+        for cid, ti in zip(order, types):
+            if size > n:
+                sent = ti.null_sentinel()
+
+                def _pad(a, _s=sent):
+                    return jnp.concatenate(
+                        [a, jnp.full(size - n, jnp.asarray(_s, a.dtype))]
+                    )
+
+                seeds[cid] = jax.jit(_pad)(arrays[cid])
+            else:
+                seeds[cid] = arrays[cid]
+        frags = []
+        for fi, (s, e) in enumerate(bounds):
+            chunks, stats = {}, {}
+            for ci, (cid, ti) in enumerate(zip(order, types)):
+                mn, mx, nulls = frag_stats_host[ci][fi]
+                n_null = int(nulls)
+                st = ChunkStats(has_nulls=n_null > 0)
+                if n_null < e - s:
+                    st.min = np.asarray(mn).item()
+                    st.max = np.asarray(mx).item()
+                chunks[cid] = LazyDeviceChunk(arrays[cid], s, e)
+                stats[cid] = st
+            frags.append((chunks, stats))
+        t.insert_device_fragments(frags)
         # seed the scan cache under the post-insert generation
-        for (padded, _, _, _), cid in zip(res, order):
+        for cid in order:
             key = (t.table_id, t.generation, cid, size, None)
-            self.executor.scan_cache[key] = padded
+            self.executor.scan_cache[key] = seeds[cid]
 
     def table_rows(self, name: str) -> int:
         return self.catalog.get_table(name).num_rows

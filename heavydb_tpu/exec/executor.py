@@ -455,18 +455,25 @@ class Executor:
         key_specs = [(asc, nf) for _, asc, nf in node.keys]
         key_idxs = [i for i, _, _ in node.keys]
         limit_total = (node.limit or 0) + (node.offset or 0)
+        composite_specs = None
+        if len(node.keys) > 1 and node.limit is not None:
+            composite_specs = self._composite_sort_plan(node, child)
         topk_eligible = (
-            len(node.keys) == 1
-            and node.limit is not None
+            node.limit is not None
             and 0 < limit_total <= 16384
-            and not node.types[key_idxs[0]].is_dict_string
+            and (
+                (len(node.keys) == 1
+                 and not node.types[key_idxs[0]].is_dict_string)
+                or composite_specs is not None
+            )
         )
         # streamed top-k over fragment waves (reference StreamingTopN:
         # ORDER BY ... LIMIT without materializing the full input) — big
         # scans never exist as one batch, so tables beyond the device
         # budget stay sortable
         if topk_eligible and child.id not in memo:
-            st = self._try_stream_topk(node, child, limit_total)
+            st = self._try_stream_topk(node, child, limit_total,
+                                       composite_specs)
             if st is not None:
                 return st
         inp = self._exec(child, memo, set(range(child.arity)))
@@ -478,7 +485,8 @@ class Executor:
         # (reference StreamingTopN / TopKSort.cu role; full bitonic sorts of
         # large domains are very slow on TPU)
         if topk_eligible:
-            return self._exec_topk(node, inp, limit_total)
+            return self._exec_topk(node, inp, limit_total,
+                                   specs=composite_specs)
 
         # dict-encoded string keys sort by LEXICOGRAPHIC RANK, not id —
         # rank tables are the analogue of the reference's sorted string
@@ -536,7 +544,43 @@ class Executor:
             ]
         return B.Batch(sorted_cols, n_out, list(node.types))
 
-    def _try_stream_topk(self, node: R.Sort, child, k_total: int):
+    def _composite_sort_plan(self, node: R.Sort, child):
+        """Multi-key ORDER BY ... LIMIT packing: per-key orderable bit
+        widths — chunk-stat-narrowed ints, sign-flipped f32 — packed into
+        one ≤63-bit radix-select key (reference role: multi-column
+        StreamingTopN; TPU-native because ONE radix select replaces a full
+        lexicographic sort).  Returns specs for ops.sort.composite_topk_key
+        or None when the keys don't pack."""
+        specs = []
+        total = 0
+        for idx, asc, nulls_first in node.keys:
+            ti = node.types[idx]
+            if ti.is_dict_string or ti.is_array or ti.is_geo \
+                    or ti.is_string:
+                return None
+            if ti.is_fp:
+                if np.dtype(ti.np_dtype()) != np.float32:
+                    return None  # f64 never fits beside another key
+                wv, lo = 32, None
+            else:
+                r = RNG.column_range(child, idx)
+                if r is not None and r.hi >= r.lo:
+                    extent = int(r.hi) - int(r.lo)
+                    wv = max(extent.bit_length(), 1)
+                    lo = int(r.lo)
+                elif np.dtype(ti.np_dtype()).itemsize <= 4:
+                    wv, lo = 32, None
+                else:
+                    return None  # unbounded 64-bit int beside another key
+            w = wv + (1 if ti.nullable else 0)
+            specs.append((wv, lo, asc, nulls_first, ti.nullable))
+            total += w
+        if total > 63:
+            return None
+        return tuple(specs), total
+
+    def _try_stream_topk(self, node: R.Sort, child, k_total: int,
+                         composite_specs=None):
         """ORDER BY <key> LIMIT k over fragment waves: per-wave radix
         select keeps k candidates, waves' winners concatenate (waves × k
         rows — tiny), and one final select picks the global top k.  The
@@ -619,7 +663,8 @@ class Executor:
             if batch.nrows == 0:
                 continue
             winners.append(
-                self._exec_topk(node, batch, k_total, apply_offset=False)
+                self._exec_topk(node, batch, k_total, apply_offset=False,
+                                specs=composite_specs)
             )
         if not winners:
             return B.Batch(
@@ -628,20 +673,46 @@ class Executor:
             )
         cat = B.concat_batches(winners)
         cat.types = list(node.types)
-        return self._exec_topk(node, cat, k_total)
+        return self._exec_topk(node, cat, k_total, specs=composite_specs)
 
     def _exec_topk(self, node: R.Sort, inp: B.Batch, k_total: int,
-                   apply_offset: bool = True) -> B.Batch:
-        """ORDER BY <single key> LIMIT k via lax.top_k + gather."""
+                   apply_offset: bool = True, specs=None) -> B.Batch:
+        """ORDER BY ... LIMIT k via radix select — single key directly,
+        multi-key through a packed composite key (specs from
+        _composite_sort_plan)."""
         idx, asc, nulls_first = node.keys[0]
         ti = inp.types[idx]
         padded = inp.padded
         k = min(k_total, padded)
         present = [i for i, c in enumerate(inp.cols) if c is not None]
 
-        ck = ("topk", node.plan_key(), padded, k, tuple(present),
+        ck = ("topk", node.plan_key(), padded, k, tuple(present), specs,
               tuple(str(inp.cols[i].dtype) for i in present))
         jitted = self.kernel_cache.get(ck)
+        if jitted is None and specs is not None:
+            key_specs, total_bits = specs
+            key_meta = [
+                (i, inp.types[i]) for i, _, _ in node.keys
+            ]
+
+            def kernel(nrows, *cols):
+                in_domain = jax.lax.broadcasted_iota(
+                    jnp.int32, (padded,), 0) < nrows
+                key_tvs = []
+                for (kidx, kti) in key_meta:
+                    val = cols[present.index(kidx)]
+                    valid = (
+                        _derive_valid(val, kti) if kti.nullable else None
+                    )
+                    key_tvs.append((val, valid))
+                u, kbits = S.composite_topk_key(
+                    key_tvs, key_specs, total_bits, in_domain=in_domain
+                )
+                top_idx = S.topk_indices_u(u, kbits, k)
+                return tuple(c[top_idx] for c in cols)
+
+            jitted = jax.jit(kernel)
+            self.kernel_cache[ck] = jitted
         if jitted is None:
             def kernel(nrows, *cols):
                 val = cols[present.index(idx)]

@@ -67,6 +67,65 @@ def _orderable_bits(key):
     raise TypeError(f"no orderable bits for {dt}")
 
 
+def composite_topk_key(key_tvs: Sequence[TV], specs, total_bits: int,
+                       in_domain=None):
+    """Pack multi-column ORDER BY keys into ONE orderable uint where a
+    LARGER packed value means EARLIER in the output order (descending-
+    priority, the convention of the radix select).
+
+    specs: per key (wv, lo, asc, nulls_first, nullable) — wv = value bit
+    width (range-narrowed via chunk stats when lo is not None), lo = int
+    bias or None for full-width orderable bits.  Nullable keys spend one
+    extra bit: real codes shift up by 1, null maps to the all-ones code
+    (nulls first) or 0 (nulls last).  Caller guarantees Σ widths ≤ 63.
+
+    in_domain (optional bool[n]) spends the TOP bit so padding rows rank
+    strictly below every real row (padding carries null sentinels, and a
+    NULLS FIRST key would otherwise rank it above everything).
+    Returns (u, bits)."""
+    bits = total_bits + (1 if in_domain is not None else 0)
+    udt = jnp.uint32 if bits <= 32 else jnp.uint64
+    acc = None
+    for (val, valid), (wv, lo, asc, nulls_first, nullable) in zip(
+            key_tvs, specs):
+        if lo is None:
+            u, full = _orderable_bits(val)
+            assert full == wv
+            u = u.astype(udt)
+        else:
+            u = (jnp.asarray(val, jnp.int64) - lo).astype(jnp.uint64)
+            u = jnp.clip(u, 0, (np.uint64(1) << np.uint64(wv)) - 1)
+            u = u.astype(udt)
+        top = (np.int64(1) << np.int64(wv)) - 1
+        if asc:  # earlier = smaller value → flip within width
+            u = jnp.asarray(top, udt) - u
+        w = wv
+        if nullable:
+            w = wv + 1
+            u = u + jnp.asarray(1, udt)
+            null_code = (np.int64(1) << np.int64(w)) - 1 if nulls_first else 0
+            if valid is not None:
+                u = jnp.where(valid, u, jnp.asarray(null_code, udt))
+        acc = u if acc is None else (
+            (acc << jnp.asarray(w, udt)) | u
+        )
+    if in_domain is not None:
+        acc = acc | (
+            in_domain.astype(udt) << jnp.asarray(total_bits, udt)
+        )
+    return acc, bits
+
+
+def topk_indices_u(u, bits: int, k: int):
+    """topk_indices over precomputed orderable bits (composite keys)."""
+    n = u.shape[0]
+    kk = jnp.asarray(k, jnp.int32)
+    if n <= 16384 or k >= n:
+        _, idx = lax.top_k(u, min(k, n))
+        return idx
+    return _select_topk(u, bits, kk, k)
+
+
 def topk_indices(key, k: int):
     """Indices of the k largest `key` values — EXACT radix-select: ~bits
     masked-count passes to find the k-th value's bit pattern, then one
@@ -79,6 +138,10 @@ def topk_indices(key, k: int):
         return idx
     u, bits = _orderable_bits(key)
     kk = jnp.asarray(k, jnp.int32)
+    return _select_topk(u, bits, kk, k)
+
+
+def _select_topk(u, bits: int, kk, k: int):
     threshold, _ = _radix_loop(u, bits, kk)
     above = u > threshold
     at = u == threshold

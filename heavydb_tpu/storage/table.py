@@ -112,18 +112,26 @@ class LazyDeviceChunk:
     host access (checkpoint, UPDATE, COPY TO).  Query execution never
     touches it — the device scan cache is seeded directly at load."""
 
-    def __init__(self, dev):
+    def __init__(self, dev, start: int = 0, stop: Optional[int] = None):
+        # (start, stop) bounds a fragment VIEW over a shared whole-table
+        # device array — fragment slicing must not copy device memory
+        # (a 1B-row ingest would double its HBM footprint otherwise)
         self.device_array = dev
+        self.start = int(start)
+        self.stop = int(dev.shape[0] if stop is None else stop)
         self._np: Optional[np.ndarray] = None
         self.dtype = np.dtype(dev.dtype)
-        self.shape = tuple(dev.shape)
+        self.shape = (self.stop - self.start,) + tuple(dev.shape[1:])
         self.size = int(np.prod(self.shape)) if self.shape else 1
 
     def _materialize(self) -> np.ndarray:
         if self._np is None:
             import jax
 
-            self._np = np.asarray(jax.device_get(self.device_array))
+            a = self.device_array
+            if (self.start, self.stop) != (0, a.shape[0]):
+                a = a[self.start:self.stop]
+            self._np = np.asarray(jax.device_get(a))
         return self._np
 
     def __array__(self, dtype=None, copy=None):
@@ -369,20 +377,30 @@ class Table:
         """Append ONE fragment of device-resident chunks with stats
         precomputed on device (api.load_table_device): the host master
         stays lazy, the device scan cache is seeded by the caller."""
-        ns = {c.shape[0] for c in chunks.values()}
-        if len(ns) != 1:
-            raise StorageError(f"ragged device insert: lengths {ns}")
-        (n,) = ns
-        if set(chunks) != {cd.col_id for cd in self.columns}:
-            raise StorageError("insert must cover all columns")
+        self.insert_device_fragments([(chunks, stats)])
+
+    def insert_device_fragments(self, frags):
+        """Append device-resident fragments (list of (chunks, stats)) under
+        ONE generation bump — api.load_table_device splits a bulk device
+        ingest at fragment_rows boundaries so fragment-wave streaming and
+        chunk-stat pruning work on device-loaded tables too."""
         with self._lock:
-            frag = Fragment(len(self.fragments), max(n, self.fragment_rows))
-            frag.num_rows = n
-            frag.chunks = dict(chunks)
-            for col_id, st in stats.items():
-                st.num_rows = n
-                frag.stats[col_id] = st
-            self.fragments.append(frag)
+            for chunks, stats in frags:
+                ns = {c.shape[0] for c in chunks.values()}
+                if len(ns) != 1:
+                    raise StorageError(f"ragged device insert: lengths {ns}")
+                (n,) = ns
+                if set(chunks) != {cd.col_id for cd in self.columns}:
+                    raise StorageError("insert must cover all columns")
+                frag = Fragment(
+                    len(self.fragments), max(n, self.fragment_rows)
+                )
+                frag.num_rows = n
+                frag.chunks = dict(chunks)
+                for col_id, st in stats.items():
+                    st.num_rows = n
+                    frag.stats[col_id] = st
+                self.fragments.append(frag)
             self.generation += 1
 
     def column_values(self, col_id: int) -> np.ndarray:

@@ -75,3 +75,42 @@ def test_device_load_rejects(db):
         db.load_table_device(
             "r2", {"s": jnp.zeros(4, jnp.complex64)}, create=True
         )
+
+
+def test_device_load_fragments_and_streaming(db):
+    """Bulk device ingest splits at fragment_rows: fragment-wave streaming
+    (top-k + partial-agg merge) and chunk-stat pruning work on
+    device-loaded tables (BASELINE config 4 mechanism at small scale)."""
+    import jax.numpy as jnp
+
+    db.config.stream_threshold_bytes = 1 << 12  # 4KB → everything streams
+    db.sql("CREATE TABLE dfrag (k INT, v FLOAT) WITH (fragment_size=1000)")
+    n = 10_000
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 50, n).astype(np.int32)
+    v = rng.random(n).astype(np.float32)
+    db.load_table_device("dfrag", {"k": jnp.asarray(k), "v": jnp.asarray(v)})
+    t = db.catalog.get_table("dfrag")
+    assert len(t.fragments) == 10
+    assert all(f.num_rows == 1000 for f in t.fragments)
+    # per-fragment stats exist (pruning metadata)
+    st = t.fragments[3].stats[1]
+    assert st.min == k[3000:4000].min() and st.max == k[3000:4000].max()
+
+    # streamed top-k over waves
+    rows = db.sql("SELECT k, v FROM dfrag ORDER BY v DESC LIMIT 5").rows()
+    order = np.argsort(-v)[:5]
+    assert [r[1] for r in rows] == pytest.approx(v[order].tolist())
+
+    # streamed group-by with partial-agg merge
+    rows = sorted(db.sql(
+        "SELECT k, count(*), sum(v) FROM dfrag GROUP BY k").rows())
+    ref_c = np.bincount(k, minlength=50)
+    ref_s = np.bincount(k, weights=v.astype(np.float64), minlength=50)
+    for kk, c, s in rows:
+        assert c == ref_c[kk]
+        assert s == pytest.approx(ref_s[kk], rel=1e-4)
+
+    # host materialization of a fragment VIEW (LazyDeviceChunk bounds)
+    frag_vals = np.asarray(t.fragments[7].chunks[2])
+    assert np.allclose(frag_vals, v[7000:8000])
