@@ -351,6 +351,29 @@ def main():
     except Exception as e:
         log(f"config4 1B failed: {e!r}")
 
+    # config 5: multi-host weak scaling (TPC-H-like Q1/Q3/Q5 + skewed
+    # PK-FK fact join) on the multi-process CPU rig — same DistEngine
+    # path that rides ICI/DCN on a pod.  Subprocess: the rig needs its
+    # own jax.distributed processes.
+    try:
+        import subprocess
+
+        mh_rows = int(os.environ.get("HEAVYDB_TPU_BENCH_MH_ROWS", 300_000))
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "bench_multihost.py"),
+             str(mh_rows)],
+            capture_output=True, text=True, timeout=1500,
+        )
+        mh = json.loads(r.stdout.strip().splitlines()[-1])
+        sub["weak_scaling_rows_per_host"] = mh["rows_per_host"]
+        for nn, eff in mh["efficiency"].items():
+            sub[f"weak_scaling_eff_n{nn}"] = round(eff, 3)
+        log(f"config5 weak scaling: {mh['efficiency']}")
+    except Exception as e:
+        log(f"config5 multihost failed: {e!r}")
+
     print(json.dumps({
         "metric": "scan_filter_agg_rows_per_s",
         "value": rows_per_s,

@@ -69,6 +69,27 @@ def worker(pid: int, nprocs: int, port: int, rows: int):
     dist.load_table("customer", {
         "k": dim_k, "nation": (dim_k % 25).astype(np.int32),
     }, replicated=True)
+    # orders: a SECOND partitioned fact with a UNIQUE key (PK side of a
+    # PK-FK join, like l_orderkey→orders).  lineitem carries a SKEWED FK
+    # into it — under plain hash routing every probe row of a hot key
+    # lands on one host; the hot-key exchange (probe stays, build
+    # broadcasts) keeps per-host work flat.  Join output stays linear in
+    # probe rows (weak scaling must not grow output per host).
+    n_o = max(n // 10, 1)
+    n_orders_global = n_o * nprocs
+    okey = np.arange(pid, n_orders_global, nprocs, dtype=np.int32)
+    dist.load_table("orders", {
+        "okey": okey,
+        "total": (rng.random(len(okey)) * 5000).astype(np.float32),
+    })
+    # skewed FK: squared-uniform piles probe rows onto low order keys
+    lok = np.minimum(
+        (rng.random(n) ** 2 * n_orders_global).astype(np.int64),
+        n_orders_global - 1,
+    ).astype(np.int32)
+    dist.load_table("li_ok", {
+        "ok": lok, "flag2": flag, "price2": price,
+    })
 
     queries = [
         # Q1-like: pricing summary
@@ -82,6 +103,12 @@ def worker(pid: int, nprocs: int, port: int, rows: int):
         ("q5", "SELECT c.nation, sum(l.price), avg(l.qty) FROM lineitem l "
                "JOIN customer c ON l.cust = c.k WHERE l.mon <= 6 "
                "GROUP BY c.nation ORDER BY c.nation"),
+        # fact-fact PK-FK: both sides hash-partitioned, skewed FK → the
+        # co-location exchange + hot-key broadcast
+        # (DistEngine._colocate_joins) is on the measured path
+        ("q_ff", "SELECT l.flag2, count(*), sum(o.total) FROM li_ok l "
+                 "JOIN orders o ON l.ok = o.okey "
+                 "GROUP BY l.flag2 ORDER BY l.flag2"),
     ]
     # warm (compile)
     for _, q in queries:

@@ -68,6 +68,10 @@ class DistEngine:
         self.rt = runtime
         # global row counts per distributed table (generations snapshot)
         self.global_rows: Dict[str, int] = {}
+        # tables whose rows are hash/row-partitioned across hosts (vs
+        # replicated) — partitioned build sides force a co-location
+        # exchange before local join execution
+        self.partitioned: set = set()
 
     # ------------------------------------------------------------------
     # loading
@@ -138,6 +142,7 @@ class DistEngine:
             self.global_rows[name.lower()] = sum(
                 self.rt.allgather_scalar(n_local)
             )
+            self.partitioned.add(name.lower())
         return t
 
     # ------------------------------------------------------------------
@@ -191,6 +196,10 @@ class DistEngine:
         ex = self.db.executor
         if isinstance(plan, R.Sort):
             child = plan.inputs[0]
+            if isinstance(child, R.Compound) and child.join_levels \
+                    and not child.is_aggregate:
+                child = self._colocate_joins(child)
+                plan = R.Sort(child, plan.keys, plan.limit, plan.offset)
             if isinstance(child, R.Compound) and child.is_aggregate:
                 batch, _ = self._exec_distributed(child)
                 # aggregator-side sort over the (replicated) merged result
@@ -200,6 +209,8 @@ class DistEngine:
             if plan.limit is not None:
                 return self._dist_topk(plan), plan
             raise NotSupported("distributed full sort without LIMIT")
+        if isinstance(plan, R.Compound) and plan.join_levels:
+            plan = self._colocate_joins(plan)
         if isinstance(plan, R.Compound) and decomposable(plan):
             return self._dist_aggregate(plan), plan
         if isinstance(plan, R.Compound) and plan.is_aggregate:
@@ -227,6 +238,192 @@ class DistEngine:
             f"distributed execution of {type(plan).__name__} "
             "(non-decomposable aggregates)"
         )
+
+    def _colocate_joins(self, node: R.Compound) -> R.Compound:
+        """Distributed hash join: when a join's BUILD side reads a
+        PARTITIONED table, its rows and the probe fact's rows are hash-
+        repartitioned by the join key so matching rows co-locate, then
+        the join runs locally (reference: leaf single-step execution over
+        shard-routed tables, RelAlgExecutor.cpp:1211 + heavy.thrift:769).
+        Replicated build sides need no exchange; a partitioned build with
+        a fully REPLICATED probe is already a disjoint union across hosts.
+        Supported shape: probe fact = input 0, at most ONE partitioned
+        build whose equi key is a plain column of input 0.  Skewed keys
+        stay CORRECT (a hot key lands wholly on one host; that host's
+        local join does proportionally more work — the weak-scaling bench
+        measures exactly this)."""
+        from heavydb_tpu.exec.executor import _split_join_condition
+
+        def scan_tname(inp):
+            return (
+                inp.table.name.lower() if isinstance(inp, R.Scan) else None
+            )
+
+        def subtree_partitioned(inp):
+            out = []
+            stack = [inp]
+            while stack:
+                x = stack.pop()
+                if isinstance(x, R.Scan) \
+                        and x.table.name.lower() in self.partitioned:
+                    out.append(x.table.name.lower())
+                stack.extend(x.inputs)
+            return out
+
+        part_builds = []
+        for li, (kind, cond) in enumerate(node.join_levels):
+            b = node.inputs[li + 1]
+            tn = scan_tname(b)
+            if tn is not None and tn in self.partitioned:
+                part_builds.append((li, kind, cond))
+            elif subtree_partitioned(b):
+                raise NotSupported(
+                    "partitioned table under a non-scan build input"
+                )
+        if not part_builds:
+            return node
+        if len(part_builds) > 1:
+            raise NotSupported(
+                "more than one partitioned build side per join pipeline"
+            )
+        li, kind, cond = part_builds[0]
+        probe0 = node.inputs[0]
+        tn0 = scan_tname(probe0)
+        if tn0 is None:
+            if subtree_partitioned(probe0):
+                raise NotSupported(
+                    "partitioned table under a non-scan probe input"
+                )
+            return node  # replicated probe: local build partition is fine
+        if tn0 not in self.partitioned:
+            return node
+        if cond is None:
+            raise NotSupported("partitioned CROSS join build")
+        lo = sum(i.arity for i in node.inputs[: li + 1])
+        hi = lo + node.inputs[li + 1].arity
+        equis, _resid = _split_join_condition(cond, lo, hi)
+        key = None
+        for pe, be in equis:
+            if isinstance(pe, E.InputRef) and pe.field_idx < probe0.arity \
+                    and isinstance(be, E.InputRef):
+                key = (pe.field_idx, be.field_idx - lo)
+                break
+        if key is None:
+            raise NotSupported(
+                "partitioned join needs an equi key on the probe fact"
+            )
+        pk, bk = key
+        new_inputs = list(node.inputs)
+        new_inputs[0], new_inputs[li + 1] = self._exchange_join_sides(
+            probe0, pk, node.inputs[li + 1], bk
+        )
+        return R.Compound(
+            new_inputs, list(node.join_levels), node.filter_cond,
+            list(node.group_exprs), list(node.aggs),
+            list(node.target_exprs), list(node.fields), node.having,
+        )
+
+    def _scan_host_cols(self, scan: R.Scan) -> List[np.ndarray]:
+        t = scan.table
+        for cd in t.columns:
+            if cd.type.is_array or cd.type.is_geo:
+                raise NotSupported(
+                    "distributed join exchange over array/geo columns"
+                )
+        return [t.column_values(cd.col_id) for cd in t.columns]
+
+    def _hot_join_keys(self, pkey: np.ndarray, bkey: np.ndarray):
+        """Globally-agreed HOT key set for a fact-fact join.  A key whose
+        pair work (global probe count × global build count) exceeds ~4×
+        a host's fair share of candidate pair work would make the
+        receiving host the straggler under plain hash routing — its pairs
+        grow N² under weak scaling while hosts grow N.  Hot keys skip the
+        hash exchange: probe rows STAY PUT, build rows BROADCAST
+        (reference role: OverlapsJoin skew handling / salted shuffles)."""
+        P = self.rt.num_processes
+        if P <= 1:
+            return np.empty(0, np.int64)
+
+        def local_top(keys, m=64):
+            if len(keys) == 0:
+                return np.empty(0, np.int64)
+            u, c = np.unique(keys, return_counts=True)
+            return u[np.argsort(-c)[:m]].astype(np.int64)
+
+        cand = np.unique(np.concatenate(
+            self.rt.allgather_array(
+                np.concatenate([local_top(pkey), local_top(bkey)])
+            )
+        ))
+        if len(cand) == 0:
+            return cand
+
+        def global_counts(keys):
+            k64 = np.asarray(keys, np.int64)
+            idx = np.searchsorted(cand, k64)  # cand is unique-sorted
+            idx_c = np.clip(idx, 0, len(cand) - 1)
+            match = cand[idx_c] == k64
+            local = np.bincount(
+                idx_c[match], minlength=len(cand)
+            ).astype(np.int64)
+            return np.sum(self.rt.allgather_array(local), axis=0)
+
+        pc = global_counts(pkey)
+        bc = global_counts(bkey)
+        pairs = pc * bc
+        fair = max(int(pairs.sum()) // P, 1)
+        return cand[pairs > 4 * fair]
+
+    def _exchange_join_sides(self, probe_scan: R.Scan, pk: int,
+                             build_scan: R.Scan, bk: int):
+        """Hash-repartition both join sides so matching rows co-locate,
+        with hot-key skew handling (probe hot rows local, build hot rows
+        broadcast).  Returns (probe TableData, build TableData) at full
+        scan arity so combined-domain InputRefs stay valid.  String
+        columns exchange raw dictionary ids — dictionaries are built
+        globally at load, so ids agree across hosts."""
+        from heavydb_tpu.plan.select_planner import _node_dict_ref
+
+        ph = self._scan_host_cols(probe_scan)
+        bh = self._scan_host_cols(build_scan)
+        pkey = np.asarray(ph[pk], np.int64)
+        bkey = np.asarray(bh[bk], np.int64)
+        P = self.rt.num_processes
+        hot = self._hot_join_keys(pkey, bkey)
+
+        def mk_dest(keyc):
+            return (_hash_columns([keyc])
+                    % np.uint64(P)).astype(np.int32)
+
+        p_dest = mk_dest(ph[pk])
+        b_dest = mk_dest(bh[bk])
+        if len(hot):
+            p_hot = np.isin(pkey, hot)
+            b_hot = np.isin(bkey, hot)
+            # probe hot rows stay where they are
+            p_dest = np.where(p_hot, self.rt.process_id, p_dest)
+            # build hot rows replicate: exchange the cold rows, then
+            # allgather the hot ones onto every host
+            b_cold = self.rt.exchange_rows(
+                [c[~b_hot] for c in bh], b_dest[~b_hot]
+            )
+            b_bcast = self.rt.allgather_concat(
+                [np.ascontiguousarray(c[b_hot]) for c in bh]
+            )
+            b_mine = [
+                np.concatenate([cc, cb]) for cc, cb in zip(b_cold, b_bcast)
+            ]
+        else:
+            b_mine = self.rt.exchange_rows(list(bh), b_dest)
+        p_mine = self.rt.exchange_rows(list(ph), p_dest)
+
+        def td(scan, cols):
+            return R.TableData(
+                list(scan.fields), list(scan.types), cols,
+                [_node_dict_ref(scan, i) for i in range(scan.arity)],
+            )
+
+        return td(probe_scan, p_mine), td(build_scan, b_mine)
 
     def _dist_aggregate(self, node: R.Compound):
         """Leaf partial aggregate → allgather → aggregator merge."""

@@ -174,6 +174,49 @@ def main(pid: int, nprocs: int, port: int):
         print(f"[{pid}] MISMATCH keyless_distinct: {r} want {nd}",
               flush=True)
 
+    # 5d. fact-fact distributed hash join: BOTH sides partitioned → the
+    # engine hash-repartitions probe and build by the join key so
+    # matching rows co-locate (DistEngine._colocate_joins).  Keys are
+    # SKEWED (half of all orders on key 0) — correctness must hold with
+    # a hot key resident wholly on one host.
+    n_o = 2_000
+    ok_keys = np.where(
+        rng.random(n_o) < 0.5, 0, rng.integers(0, 400, n_o)
+    ).astype(np.int32)
+    o_w = rng.random(n_o).astype(np.float32)
+    osel = slice(pid, None, nprocs)
+    dist.load_table("orders", {"ok": ok_keys[osel], "w": o_w[osel]})
+
+    r = dist.sql(
+        "SELECT count(*), sum(f.v), sum(o.w) FROM fact f JOIN orders o "
+        "ON f.k = o.ok"
+    ).rows()
+    # numpy oracle over the FULL data
+    import collections as C
+
+    per_key_cnt = C.Counter(ok_keys.tolist())
+    per_key_w = C.defaultdict(float)
+    for kk, ww in zip(ok_keys.tolist(), o_w.tolist()):
+        per_key_w[kk] += ww
+    cnt_j = sum(per_key_cnt.get(int(kk), 0) for kk in k)
+    sv = float(sum(
+        (0.0 if np.isnan(vv) else vv) * per_key_cnt.get(int(kk), 0)
+        for kk, vv in zip(k, v)
+    ))
+    sw = float(sum(per_key_w.get(int(kk), 0.0) for kk in k))
+    check("fact_fact_join", r, [(cnt_j, sv, sw)], approx=True)
+
+    r = dist.sql(
+        "SELECT f.g, count(*) FROM fact f JOIN orders o ON f.k = o.ok "
+        "WHERE o.w > 0.5 GROUP BY f.g ORDER BY f.g"
+    ).rows()
+    hot = C.Counter(ok_keys[o_w > 0.5].tolist())
+    want_map = C.defaultdict(int)
+    for kk, gg in zip(k.tolist(), g.tolist()):
+        want_map[gg] += hot.get(kk, 0)
+    want = [(gg, want_map[gg]) for gg in sorted(want_map) if want_map[gg]]
+    check("fact_fact_join_groupby", r, want)
+
     # 6. SHARD KEY routed loading: identical full data passed on every
     # host; hash routing keeps disjoint row partitions covering all rows
     db.sql("CREATE TABLE sharded (k INT, v FLOAT, SHARD KEY (k)) "
