@@ -56,6 +56,11 @@ class Config:
     # (beyond that the partial buffers start costing real HBM); the sort
     # path (629ms @10M sparse) covers wider/sparser key spaces.
     baseline_groupby_threshold: int = 1 << 24
+    # Above this many perfect-hash slots, route to the sorted-segment
+    # tier instead of per-slot scatters: lax.sort at 20M rows measures
+    # 57-93ms on v5e while a 10M-slot scatter-count costs 226ms plus
+    # slot compaction (bench groupby_10m_sparse 655ms → ~250ms sorted).
+    sortagg_min_slots: int = 1 << 20
     # multi-round hash slot claiming for sparse keys: claims + compacted
     # accumulation are several colliding scatters over claim-table-sized
     # buffers, which loses to the sort path under the per-slot scatter

@@ -711,25 +711,83 @@ def _build_compound_kernel(node, batches, plan, config):
                 gid = jnp.where(mask, 0, 1)
                 num_groups = jnp.asarray(1, jnp.int32)
                 key_out_tvs = []
-            else:  # sort
+            else:  # sort — aggregate over the SORTED row domain
+                # Scatter-free: agg args ride the grouping sort as
+                # payloads, per-group totals are prefix-sum diffs /
+                # reverse segmented scans at group-start rows, and ONE
+                # stable compaction sort materializes every per-group
+                # array.  Multi-operand sorts are flat ~56-69ms at 20M
+                # rows on v5e while each random gather/scatter costs
+                # 150-230ms — the old tier paid one scatter-back plus
+                # per-slot scatters and slot-domain compaction.
                 slots = group_cap
                 key_tvs = [kc.compile(g) for g in node.group_exprs]
-                gid, num_groups, rep_rows = G.sort_group_ids(key_tvs, mask, slots)
+                # pre-compile agg argument exprs → sort payloads
+                seeds = {}
+                for a in node.aggs:
+                    for e in (a.arg, a.arg2):
+                        if e is not None and E.collect_input_refs(e) \
+                                and e.key() not in seeds:
+                            seeds[e.key()] = kc.compile(e)
+                payload_arrays = []
+                payload_layout = []  # (expr_key, has_valid)
+                for ekey, (val, valid) in seeds.items():
+                    payload_arrays.append(val)
+                    if valid is not None:
+                        payload_arrays.append(valid)
+                    payload_layout.append((ekey, valid is not None))
+                (sgid, s_rows, s_domain, changed, num_groups,
+                 sorted_keys, sorted_pl) = G.sort_group_rows(
+                    key_tvs, mask, slots, payloads=payload_arrays
+                )
+                agg_segs = G.SortedSegments(
+                    changed, s_domain, num_groups, slots
+                )
+                agg_kc = _SortedCompiler(kc, s_rows)
+                pi = 0
+                for ekey, has_valid in payload_layout:
+                    sval = sorted_pl[pi]
+                    pi += 1
+                    svalid = None
+                    if has_valid:
+                        svalid = sorted_pl[pi]
+                        pi += 1
+                    agg_kc._memo[ekey] = (sval, svalid)
+                agg_gid, agg_mask = sgid, s_domain
+                # keys at group-start rows, deferred through compaction
                 key_out_tvs = []
-                for val, valid in key_tvs:
-                    kval = val[rep_rows]
-                    kvalid = valid[rep_rows] if valid is not None else None
-                    key_out_tvs.append((kval, kvalid))
+                for (sv, svalid), gexpr in zip(sorted_keys,
+                                               node.group_exprs):
+                    kd = agg_segs.defer(sv)
+                    vd = agg_segs.defer(svalid) \
+                        if gexpr.type.nullable else None
+                    key_out_tvs.append((kd, vd))
             out["num_groups"] = num_groups
+            if group_strategy[0] != "sort":
+                agg_kc, agg_gid, agg_mask, agg_segs = kc, gid, mask, None
 
             # partial aggregation + finalize (per-slot presence counts
             # ride the same shared scan — a separate segment_count would
             # re-stream the whole table)
             lowered = [AGG.LoweredAgg(a) for a in node.aggs]
             all_partials, present_counts = AGG.accumulate_all(
-                lowered, kc, gid, mask, slots,
+                lowered, agg_kc, agg_gid, agg_mask, slots,
                 want_present=group_strategy[0] in ("perfect", "hash"),
+                segs=agg_segs,
             )
+            if agg_segs is not None:
+                # one compaction sort materializes every deferred
+                # per-group array (keys + partials)
+                agg_segs.flush()
+                all_partials = [
+                    {pk: agg_segs.resolve(pv) for pk, pv in p.items()}
+                    for p in all_partials
+                ]
+                key_out_tvs = [
+                    (agg_segs.resolve(a),
+                     agg_segs.resolve(b) if b is not None else None)
+                    for a, b in key_out_tvs
+                ]
             merge_masked_flags(aflags, mask)
             agg_tvs = [
                 la.finalize(p, aux) for la, p in zip(lowered, all_partials)
@@ -770,6 +828,11 @@ def _build_compound_kernel(node, batches, plan, config):
             if group_strategy[0] == "keyless":
                 out["cols"] = tuple(outs)
                 out["n_out"] = jnp.asarray(1, jnp.int32)
+            elif group_strategy[0] == "sort" and node.having is None:
+                # sorted-segment outputs are dense by construction
+                # (groups 0..num_groups-1) — skip the compaction scatter
+                out["cols"] = tuple(outs)
+                out["n_out"] = jnp.minimum(num_groups, slots)
             else:
                 perm, _ = _compact_perm(present)
                 out["cols"] = tuple(o[perm] for o in outs)
@@ -780,6 +843,49 @@ def _build_compound_kernel(node, batches, plan, config):
         return out
 
     return kernel, layout
+
+
+class _SortedCompiler:
+    """Row-domain ExprCompiler viewed through a sort permutation:
+    expressions compile in ORIGINAL row order (error flags stay
+    row-domain), results gather into the sorted row domain for
+    sorted-segment aggregation (ops.groupby.SortedSegments)."""
+
+    def __init__(self, base, s_rows):
+        self._base = base
+        self._rows = s_rows
+        self._memo = {}
+        self.aux = base.aux
+
+    def __getattr__(self, name):
+        return getattr(self._base, name)
+
+    def _gather(self, a):
+        if a is None:
+            return None
+        if getattr(a, "ndim", 0) == 0 or not hasattr(a, "shape"):
+            return a
+        if a.shape[0] != self._rows.shape[0]:
+            return a
+        return a[self._rows]
+
+    def compile(self, e):
+        key = e.key()
+        hit = self._memo.get(key)
+        if hit is not None:
+            return hit
+        val, valid = self._base.compile(e)
+        out = (self._gather(val), self._gather(valid))
+        self._memo[key] = out
+        return out
+
+    def compile_predicate(self, e):
+        val, valid = self.compile(e)
+        val = val.astype(jnp.bool_) if hasattr(val, "astype") \
+            else jnp.asarray(val, jnp.bool_)
+        if valid is None:
+            return val
+        return val & valid
 
 
 def _compact_perm(mask):

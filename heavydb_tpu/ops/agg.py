@@ -101,7 +101,7 @@ def _keyless_fused(lowered, compiler, mask):
 
 
 def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
-                   want_present: bool = False):
+                   want_present: bool = False, segs=None):
     """Partials for ALL aggregates of one group-by.  On the TPU mid-slot
     path, every count/sum-style partial becomes one value stream of a SINGLE
     shared-one-hot scan (separate scans would each re-stream the N×slots
@@ -137,8 +137,10 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
         fused = _keyless_fused(lowered, compiler, mask)
         if fused is not None:
             return fused, None
+    if segs is None:
+        segs = G
     if not (_on_tpu() and SMALL_SLOTS < num_slots <= bound):
-        parts = [la.accumulate(compiler, gid, mask, num_slots)
+        parts = [la.accumulate(compiler, gid, mask, num_slots, segs=segs)
                  for la in lowered]
         pres = None
         if want_present:
@@ -150,7 +152,7 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
                     pres = p["count"]
                     break
             if pres is None:
-                pres = G.segment_count(gid, mask, num_slots)
+                pres = segs.segment_count(gid, mask, num_slots)
         return parts, pres
 
     n = gid.shape[0]
@@ -169,7 +171,8 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
             agg.arg is not None and agg.arg.type.is_decimal
         ):
             # decimals keep their scaled-int scatter path (exact)
-            partials[idx] = la.accumulate(compiler, gid, mask, num_slots)
+            partials[idx] = la.accumulate(compiler, gid, mask, num_slots,
+                                          segs=segs)
             continue
         arg_tv = compiler.compile(agg.arg) if agg.arg is not None else None
         cm = base_mask
@@ -283,8 +286,15 @@ class LoweredAgg:
         raise NotSupported(f"aggregate {k}")
 
     # -- accumulate over the row domain --
-    def accumulate(self, compiler, gid, mask, num_slots: int) -> Dict[str, object]:
-        """compiler: ExprCompiler over the input row domain."""
+    def accumulate(self, compiler, gid, mask, num_slots: int,
+                   segs=None) -> Dict[str, object]:
+        """compiler: ExprCompiler over the input row domain.  `segs`
+        swaps the segment-reduction implementations — None = the
+        scatter/one-hot formulations in ops.groupby; a
+        groupby.SortedSegments instance aggregates a SORTED row domain
+        with prefix-sum diffs and segmented scans instead."""
+        if segs is None:
+            segs = G
         k = self.kind
         A = E.AggKind
         arg_tv = compiler.compile(self.agg.arg) if self.agg.arg is not None else None
@@ -300,11 +310,11 @@ class LoweredAgg:
             if cm is None:
                 n = gid.shape[0]
                 cm = jnp.ones(n, jnp.bool_)
-            return {"count": G.segment_count(gid, cm, num_slots)}
+            return {"count": segs.segment_count(gid, cm, num_slots)}
         if k == A.COUNT_IF:
             cond = compiler.compile_predicate(self.agg.arg2)
             cm = contrib_mask(cond)
-            return {"count": G.segment_count(gid, cm, num_slots)}
+            return {"count": segs.segment_count(gid, cm, num_slots)}
         if k in (A.SUM, A.SUM_IF, A.AVG):
             val, valid = arg_tv
             cm = contrib_mask(valid)
@@ -315,8 +325,8 @@ class LoweredAgg:
             if cm is None:
                 cm = jnp.ones(gid.shape[0], jnp.bool_)
             return {
-                "sum": G.segment_sum(gid, val, cm, num_slots, acc_dt),
-                "count": G.segment_count(gid, cm, num_slots),
+                "sum": segs.segment_sum(gid, val, cm, num_slots, acc_dt),
+                "count": segs.segment_count(gid, cm, num_slots),
             }
         if k in (A.MIN, A.MAX, A.SAMPLE, A.SINGLE_VALUE):
             val, valid = arg_tv
@@ -332,8 +342,8 @@ class LoweredAgg:
                 safe = jnp.clip(val, 0, rank.shape[0] - 1)
                 val = jnp.where(val >= 0, rank[safe], 0).astype(jnp.int32)
             return {
-                name: G.segment_minmax(gid, jnp.asarray(val), cm, num_slots, is_min),
-                "count": G.segment_count(gid, cm, num_slots),
+                name: segs.segment_minmax(gid, jnp.asarray(val), cm, num_slots, is_min),
+                "count": segs.segment_count(gid, cm, num_slots),
             }
         if k in (A.STDDEV, A.VARIANCE):
             val, valid = arg_tv
@@ -344,12 +354,12 @@ class LoweredAgg:
             if self.agg.arg.type.is_decimal:
                 fval = fval / (10**self.agg.arg.type.scale)
             return {
-                "sum": G.segment_sum(gid, fval, cm, num_slots, np.dtype(np.float64)),
-                "sumsq": G.segment_sum(gid, fval * fval, cm, num_slots, np.dtype(np.float64)),
-                "count": G.segment_count(gid, cm, num_slots),
+                "sum": segs.segment_sum(gid, fval, cm, num_slots, np.dtype(np.float64)),
+                "sumsq": segs.segment_sum(gid, fval * fval, cm, num_slots, np.dtype(np.float64)),
+                "count": segs.segment_count(gid, cm, num_slots),
             }
         if k == A.COUNT_DISTINCT:
-            cnt, overflow = G.distinct_count_per_group(
+            cnt, overflow = segs.distinct_count_per_group(
                 gid, arg_tv, mask, num_slots,
                 allow_hash=not getattr(compiler, "distinct_force_sort",
                                        False),
@@ -361,16 +371,16 @@ class LoweredAgg:
             )
             return {"count": cnt}
         if k == A.APPROX_COUNT_DISTINCT:
-            return {"hll": G.hll_registers(gid, arg_tv, mask, num_slots)}
+            return {"hll": segs.hll_registers(gid, arg_tv, mask, num_slots)}
         if k == A.APPROX_QUANTILE:
             q = float(self.agg.arg2.value)
-            val, cnt_valid = G.quantile_per_group(gid, arg_tv, mask, num_slots, q)
+            val, cnt_valid = segs.quantile_per_group(gid, arg_tv, mask, num_slots, q)
             return {
                 "value": val,
                 "count": cnt_valid.astype(jnp.int64),
             }
         if k == A.MODE:
-            val, has = G.mode_per_group(gid, arg_tv, mask, num_slots)
+            val, has = segs.mode_per_group(gid, arg_tv, mask, num_slots)
             return {"max": val, "count": has.astype(jnp.int64)}
         raise NotSupported(f"aggregate {k}")
 

@@ -108,14 +108,23 @@ def perfect_group_ids(
     return gid, total
 
 
-def sort_group_ids(key_tvs: Sequence[TV], mask, cap: int):
-    """Sort-based grouping for arbitrary key tuples.
+def sort_group_rows(key_tvs: Sequence[TV], mask, cap: int, payloads=()):
+    """Sort-based grouping that KEEPS the sorted row domain.  Extra row
+    arrays (agg arguments, validity masks) ride the SAME sort as
+    payloads: multi-operand lax.sort measures FLAT ~56-69ms at 20M rows
+    on v5e while each 20M random gather/scatter costs 150-230ms — the
+    round-1 sort tier's scatter-back and the per-arg gathers were the
+    whole cost.
 
-    Returns:
-      gid[N] int32      — group id per row (cap for masked rows)
-      num_groups        — device scalar, EXACT count (valid even if > cap)
-      rep_rows[cap]     — row index of each group's first row (for key
-                          materialization); junk where g >= num_groups
+    Returns (sgid, s_rows, s_domain, changed, num_groups, sorted_keys,
+    sorted_payloads):
+      sgid[N] int32       — contiguous group id per SORTED row
+      s_rows[N] int32     — original row index per sorted position
+      s_domain[N] bool    — in-domain rows (sorted first)
+      changed[N] bool     — first sorted row of each group
+      num_groups          — device scalar, EXACT (valid even if > cap)
+      sorted_keys         — per key (canonical_value, null_flag==0) TVs
+      sorted_payloads     — the payload arrays, sorted
     """
     n = key_tvs[0][0].shape[0]
     in_domain = mask if mask is not None else jnp.ones(n, jnp.bool_)
@@ -126,11 +135,19 @@ def sort_group_ids(key_tvs: Sequence[TV], mask, cap: int):
         operands.append(v)
     row_idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
     num_keys = len(operands)
-    sorted_ops = lax.sort(operands + [row_idx], num_keys=num_keys, is_stable=True)
+    pl = [jnp.asarray(p) for p in payloads]
+    pl = [p.astype(jnp.int8) if p.dtype == jnp.bool_ else p for p in pl]
+    sorted_ops = lax.sort(
+        operands + [row_idx] + pl, num_keys=num_keys, is_stable=True
+    )
     s_domain = sorted_ops[0] == 0
-    s_rows = sorted_ops[-1]
+    s_rows = sorted_ops[num_keys]
+    sorted_pl = list(sorted_ops[num_keys + 1:])
+    for i, p in enumerate(payloads):
+        if jnp.asarray(p).dtype == jnp.bool_:
+            sorted_pl[i] = sorted_pl[i] != 0
     changed = jnp.zeros(n, jnp.bool_).at[0].set(True)
-    for opnd in sorted_ops[1:-1]:
+    for opnd in sorted_ops[1:num_keys]:
         diff = jnp.concatenate(
             [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
         )
@@ -138,17 +155,169 @@ def sort_group_ids(key_tvs: Sequence[TV], mask, cap: int):
     changed = changed & s_domain
     sgid = SC.cumsum(changed.astype(jnp.int32)) - 1
     num_groups = changed.sum().astype(jnp.int32)
-    sgid = jnp.where(s_domain, sgid, cap)
-    sgid = jnp.minimum(sgid, cap)
-    # scatter group ids back to original row order
-    gid = jnp.zeros(n, jnp.int32).at[s_rows].set(sgid)
-    # representative (first) row per group
-    rep_rows = (
-        jnp.zeros(cap + 1, jnp.int32)
-        .at[jnp.where(changed, sgid, cap)]
-        .max(s_rows, mode="drop")
-    )[:cap]
-    return gid, num_groups, rep_rows
+    sgid = jnp.where(s_domain, jnp.minimum(sgid, cap), cap)
+    sorted_keys = []
+    for ki in range(len(key_tvs)):
+        nullf = sorted_ops[1 + 2 * ki]
+        v = sorted_ops[2 + 2 * ki]
+        sorted_keys.append((v, nullf == 0))
+    return (sgid, s_rows, s_domain, changed, num_groups, sorted_keys,
+            sorted_pl)
+
+
+class _Deferred:
+    """Placeholder for a per-group array that materializes after the
+    shared compaction sort (SortedSegments.flush)."""
+
+    def __init__(self, idx: int, post):
+        self.idx = idx
+        self.post = post
+
+
+class SortedSegments:
+    """Sorted-domain drop-in for the ops.groupby segment_* functions
+    (ops.agg.LoweredAgg.accumulate's `segs` hook).  gid arguments are the
+    contiguous SORTED sgid; values/masks arrive in sorted order (the
+    kernel seeds its compiler with sort-payload results).
+
+    Sums/counts become prefix sums whose value at each group's FIRST row
+    is deferred; min/max become reverse segmented scans (group total at
+    the first row).  ONE stable compaction sort (boundary rows first,
+    group order preserved) then materializes every deferred array at
+    [cap]; totals are adjacent diffs in the compacted domain.  No
+    per-slot scatters, no random gathers."""
+
+    def __init__(self, changed, s_domain, num_groups, cap: int):
+        self.changed = changed
+        self.s_domain = s_domain
+        self.num_groups = num_groups
+        self.cap = cap
+        self._pending = []   # sorted-domain arrays, valid at start rows
+
+    # -- deferral plumbing --
+    def defer(self, start_vals, post=None):
+        self._pending.append(jnp.asarray(start_vals))
+        return _Deferred(len(self._pending) - 1, post)
+
+    def flush(self):
+        """One stable sort compacts every pending start-row array."""
+        if not self._pending:
+            self._compacted = []
+            return
+        key = (~self.changed).astype(jnp.int8)  # boundary rows first
+        pl = [p.astype(jnp.int8) if p.dtype == jnp.bool_ else p
+              for p in self._pending]
+        out = lax.sort([key] + pl, num_keys=1, is_stable=True)
+        comp = []
+        for o, p in zip(out[1:], self._pending):
+            c = o[: self.cap]
+            if p.dtype == jnp.bool_:
+                c = c != 0
+            comp.append(c)
+        self._compacted = comp
+
+    def resolve(self, obj):
+        if isinstance(obj, _Deferred):
+            c = self._compacted[obj.idx]
+            return obj.post(c) if obj.post is not None else c
+        return obj
+
+    # -- helpers --
+    def _prefix_total(self, c):
+        """Defer a prefix sum: compacted entry g = prefix BEFORE group g;
+        per-group total = next entry − mine (last group closes against
+        the grand total)."""
+        cprev = jnp.concatenate([jnp.zeros(1, c.dtype), c[:-1]])
+        total = c[-1]
+        ng = self.num_groups
+
+        def post(cp):
+            gi = lax.broadcasted_iota(jnp.int32, (self.cap,), 0)
+            nxt = jnp.where(
+                gi + 1 < ng,
+                jnp.concatenate([cp[1:], jnp.zeros(1, cp.dtype)]),
+                total,
+            )
+            return nxt - cp
+
+        return self.defer(cprev, post)
+
+    # -- the segment_* surface --
+    def segment_count(self, gid, contrib_mask, num_slots: int):
+        cm = contrib_mask if contrib_mask is not None \
+            else jnp.ones(gid.shape[0], jnp.bool_)
+        cm = cm & self.s_domain
+        c = SC.cumsum(cm.astype(jnp.int32))
+        d = self._prefix_total(c)
+        d.post = (lambda f: (lambda cp: f(cp).astype(jnp.int64)))(d.post)
+        return d
+
+    def segment_sum(self, gid, values, contrib_mask, num_slots: int,
+                    acc_dtype):
+        acc_dtype = np.dtype(acc_dtype)
+        v = jnp.asarray(values)
+        # f32 accumulators upgrade to f64 prefix sums: a diff of two
+        # 20M-row f32 prefixes carries O(eps·prefix) error, comparable to
+        # whole elements for small groups
+        cum_dt = np.dtype(np.float64) if acc_dtype.kind == "f" \
+            else acc_dtype
+        cm = contrib_mask if contrib_mask is not None \
+            else jnp.ones(gid.shape[0], jnp.bool_)
+        cm = cm & self.s_domain
+        v = jnp.where(cm, v.astype(cum_dt), jnp.asarray(0, cum_dt))
+        c = SC.cumsum(v)
+        d = self._prefix_total(c)
+        if np.dtype(cum_dt) != acc_dtype:
+            d.post = (lambda f: (lambda cp: f(cp).astype(acc_dtype)))(
+                d.post)
+        return d
+
+    def segment_minmax(self, gid, values, contrib_mask, num_slots: int,
+                       is_min: bool):
+        from heavydb_tpu.ops.window import _seg_running_op
+
+        dt = values.dtype
+        if dt.kind == "f":
+            ident = jnp.asarray(np.inf if is_min else -np.inf, dt)
+        else:
+            info = np.iinfo(dt.name)
+            ident = jnp.asarray(info.max if is_min else info.min, dt)
+        v = values
+        cm = contrib_mask if contrib_mask is not None else None
+        cm = (cm & self.s_domain) if cm is not None else self.s_domain
+        v = jnp.where(cm, v, ident)
+        op = jnp.minimum if is_min else jnp.maximum
+        # REVERSE segmented scan (reset at group ends): value at each
+        # group's FIRST row = reduction over the whole group
+        ends = jnp.concatenate(
+            [self.changed[1:], jnp.ones(1, jnp.bool_)]
+        )
+        run = _seg_running_op(v[::-1], ends[::-1], op)[::-1]
+        return self.defer(run)
+
+    # non-decomposable kinds keep their generic formulations — the
+    # contiguous sorted sgid is a valid gid for them
+    def distinct_count_per_group(self, gid, val_tv, mask, num_slots,
+                                 allow_hash=True):
+        m = mask if mask is not None else self.s_domain
+        return distinct_count_per_group(
+            gid, val_tv, m & self.s_domain, num_slots,
+            allow_hash=allow_hash,
+        )
+
+    def hll_registers(self, gid, val_tv, mask, num_slots):
+        m = mask if mask is not None else self.s_domain
+        return hll_registers(gid, val_tv, m & self.s_domain, num_slots)
+
+    def quantile_per_group(self, gid, val_tv, mask, num_slots, q):
+        m = mask if mask is not None else self.s_domain
+        return quantile_per_group(
+            gid, val_tv, m & self.s_domain, num_slots, q
+        )
+
+    def mode_per_group(self, gid, val_tv, mask, num_slots):
+        m = mask if mask is not None else self.s_domain
+        return mode_per_group(gid, val_tv, m & self.s_domain, num_slots)
 
 
 def pack_group_keys(key_tvs: Sequence[TV], spec):
