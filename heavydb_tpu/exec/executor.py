@@ -452,6 +452,18 @@ class Executor:
     # ---- Sort ----
     def _exec_sort(self, node: R.Sort, memo) -> B.Batch:
         child = node.inputs[0]
+        if not node.keys:
+            # LIMIT/OFFSET without ORDER BY: pure slice in input order —
+            # no permutation (a keyless 100M-row "sort" measured 13s)
+            inp = self._exec(child, memo, set(range(child.arity)))
+            off = node.offset or 0
+            n_out = max(inp.nrows - off, 0)
+            if node.limit is not None:
+                n_out = min(n_out, node.limit)
+            cols = inp.cols if not off else [
+                None if c is None else c[off:] for c in inp.cols
+            ]
+            return B.Batch(list(cols), n_out, list(node.types))
         key_specs = [(asc, nf) for _, asc, nf in node.keys]
         key_idxs = [i for i, _, _ in node.keys]
         limit_total = (node.limit or 0) + (node.offset or 0)
@@ -855,7 +867,7 @@ class Executor:
             self._checkpoint()
             kernel, layout = self._get_kernel(node, batches, plan)
             args = self._kernel_args(batches, plan, layout)
-            outs = kernel(*args)
+            outs = _retry_remote_compile(kernel, *args)
             result = self._postprocess(node, plan, outs)
             if result is not None:
                 return result
@@ -2358,6 +2370,25 @@ def _derive_valid(arr, ti: T.TypeInfo):
     if arr.dtype.kind == "f":
         return ~jnp.isnan(arr)
     return arr != jnp.asarray(ti.null_sentinel(), arr.dtype)
+
+
+def _retry_remote_compile(fn, *args, attempts: int = 2):
+    """Dispatch with ONE retry on remote-compile service failures.  The
+    axon relay load-balances compiles across helper endpoints of varying
+    health — a 500/SIGSEGV from one endpoint often succeeds verbatim on
+    the next (observed: the same 100M-row window program failing alone
+    and compiling fine inside a larger group).  Deterministic compile
+    errors fail twice and propagate."""
+    last = None
+    for i in range(attempts):
+        try:
+            return fn(*args)
+        except Exception as e:  # jax.errors.JaxRuntimeError
+            msg = str(e)
+            if "remote_compile" not in msg or i + 1 >= attempts:
+                raise
+            last = e
+    raise last
 
 
 def _split_join_condition(cond, lo: int, hi: int):

@@ -55,17 +55,33 @@ def run_window(node, inp, aux, cache=None, rank_info=None) -> List[jax.Array]:
               tuple(aux_keys))
         jitted = cache.get(ck) if cache is not None else None
         if jitted is None:
-            jitted = jax.jit(_make_spec_kernel(
-                node, inp, padded, present, wfuncs, widxs, aux_keys,
-                rank_info or {},
-            ))
+            # TWO programs per spec — sort stage and functions stage.
+            # One fused program at 100M rows SIGSEGVs the remote compile
+            # helper (the standalone pieces compile fine); the split also
+            # caches the sort stage across retries.  Intermediates stay
+            # on device between the two dispatches.
+            jitted = (
+                jax.jit(_make_sort_kernel(
+                    node, inp, padded, present, wfuncs, widxs, aux_keys,
+                    rank_info or {},
+                )),
+                jax.jit(_make_fns_kernel(
+                    node, inp, padded, present, wfuncs, widxs, aux_keys,
+                    rank_info or {},
+                )),
+            )
             if cache is not None:
                 cache[ck] = jitted
-        res = jitted(
-            jnp.asarray(inp.nrows, jnp.int32),
-            tuple(aux[k] for k in aux_keys),
-            *[inp.cols[i] for i in present],
-        )
+        sort_jit, fns_jit = jitted
+        nrows_dev = jnp.asarray(inp.nrows, jnp.int32)
+        aux_vals = tuple(aux[k] for k in aux_keys)
+        cols_in = [inp.cols[i] for i in present]
+        from heavydb_tpu.exec.executor import _retry_remote_compile
+
+        stage = _retry_remote_compile(sort_jit, nrows_dev, aux_vals,
+                                      *cols_in)
+        res = _retry_remote_compile(fns_jit, nrows_dev, aux_vals, stage,
+                                    *cols_in)
         for wi, o in zip(widxs, res):
             outs[wi] = o
     return outs
@@ -207,16 +223,11 @@ def _packed_sort(pack, comp, in_domain, padded, aux_dict, payload=()):
     return s_rows, pstart, ostart, spay
 
 
-def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
-                      rank_info):
-    from heavydb_tpu.exec.executor import _derive_valid
-
-    pack = _pack_plan(node, wfuncs[widxs[0]], padded, rank_info)
-
-    # payload plan: distinct non-constant first-arg expressions ride the
-    # sort as extra operands instead of being gathered through s_rows
-    # afterwards (measured 100M rows: ~200ms/operand in-sort vs ~1.2s per
-    # random gather, ~0.8s per scatter-back)
+def _payload_plan(wfuncs, widxs):
+    """Distinct non-constant first-arg expressions ride the sort as extra
+    operands instead of being gathered through s_rows afterwards
+    (measured 100M rows: ~200ms/operand in-sort vs ~1.2s per random
+    gather, ~0.8s per scatter-back)."""
     payload_exprs: List[E.Expr] = []
     payload_map: Dict[tuple, int] = {}
     for wi in widxs:
@@ -227,37 +238,56 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
             if k not in payload_map:
                 payload_map[k] = len(payload_exprs)
                 payload_exprs.append(w.args[0])
+    return payload_exprs
+
+
+def _col_compiler(inp, present, cols, aux_dict):
+    from heavydb_tpu.exec.executor import _derive_valid
+
+    col_tvs = {}
+    for j, ci in enumerate(present):
+        ti = inp.types[ci]
+        val = cols[j]
+        valid = _derive_valid(val, ti) if ti.nullable else None
+        col_tvs[ci] = (val, valid)
+    return ExprCompiler(col_tvs, aux_dict, {})
+
+
+def _payload_ops(comp, payload_exprs, padded):
+    """Payload TVs in ORIGINAL order → operand list for the sort."""
+    pay_ops = []
+    pay_slots = []  # (val_slot, valid_slot or None) per payload expr
+    for e in payload_exprs:
+        val, valid = comp.compile(e)
+        val = jnp.broadcast_to(jnp.asarray(val), (padded,))
+        vslot = len(pay_ops)
+        pay_ops.append(val)
+        if valid is not None and getattr(valid, "ndim", 0):
+            pay_ops.append(valid.astype(jnp.int8))
+            pay_slots.append((vslot, vslot + 1))
+        else:
+            pay_slots.append((vslot, None))
+    return pay_ops, pay_slots
+
+
+def _make_sort_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
+                      rank_info):
+    """Stage 1 of a window spec: sort + boundary flags + sorted payloads.
+    Split from the functions stage so neither program is large enough to
+    crash the remote compile helper at 100M rows."""
+    pack = _pack_plan(node, wfuncs[widxs[0]], padded, rank_info)
+    payload_exprs = _payload_plan(wfuncs, widxs)
 
     def kernel(nrows, aux_vals, *cols):
         aux_dict = dict(zip(aux_keys, aux_vals))
         in_domain = lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
-        col_tvs = {}
-        for j, ci in enumerate(present):
-            ti = inp.types[ci]
-            val = cols[j]
-            valid = _derive_valid(val, ti) if ti.nullable else None
-            col_tvs[ci] = (val, valid)
-        comp = ExprCompiler(col_tvs, aux_dict, {})
-
-        # payload TVs in ORIGINAL order → operand list for the sort
-        pay_ops = []
-        pay_slots = []  # (val_slot, valid_slot or None) per payload expr
-        for e in payload_exprs:
-            val, valid = comp.compile(e)
-            val = jnp.broadcast_to(jnp.asarray(val), (padded,))
-            vslot = len(pay_ops)
-            pay_ops.append(val)
-            if valid is not None and getattr(valid, "ndim", 0):
-                pay_ops.append(valid.astype(jnp.int8))
-                pay_slots.append((vslot, vslot + 1))
-            else:
-                pay_slots.append((vslot, None))
+        comp = _col_compiler(inp, present, cols, aux_dict)
+        pay_ops, _pay_slots = _payload_ops(comp, payload_exprs, padded)
 
         w0 = wfuncs[widxs[0]]
         if pack is not None:
             s_rows, pstart, ostart, spay = _packed_sort(
                 pack, comp, in_domain, padded, aux_dict, pay_ops)
-            pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
         else:
             operands = [(~in_domain).astype(jnp.int8)]
             for p in w0.partition_by:
@@ -277,7 +307,6 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
                            num_keys=len(operands), is_stable=True)
             spay = res[len(operands) + 1:]
             s_rows = res[len(operands)]
-            pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
             # partition starts: first row, any partition operand changed, or
             # the in-domain flag changed (out-of-domain pad rows must form
             # their own partition so they can't pollute running aggregates)
@@ -292,6 +321,24 @@ def _make_spec_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
                 ostart = ostart | jnp.concatenate(
                     [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
                 )
+        return (s_rows, pstart, ostart, tuple(spay))
+
+    return kernel
+
+
+def _make_fns_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
+                     rank_info):
+    """Stage 2 of a window spec: per-function computation over the sorted
+    domain + scatter back to original row order."""
+    payload_exprs = _payload_plan(wfuncs, widxs)
+
+    def kernel(nrows, aux_vals, stage, *cols):
+        aux_dict = dict(zip(aux_keys, aux_vals))
+        comp = _col_compiler(inp, present, cols, aux_dict)
+        # recompute the payload SLOT layout (static) to bind sorted arrays
+        _pay_ops, pay_slots = _payload_ops(comp, payload_exprs, padded)
+        s_rows, pstart, ostart, spay = stage
+        pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
 
         outs = []
         for wi in widxs:

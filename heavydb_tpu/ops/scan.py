@@ -35,7 +35,20 @@ def cumsum(x, dtype=None):
     nb = -(-n // _BLK)
     pad = nb * _BLK - n
     xp = jnp.pad(x, (0, pad)) if pad else x
-    within = jnp.cumsum(xp.reshape(nb, _BLK), axis=1)
+    t = xp.reshape(nb, _BLK)
+    if x.dtype.itemsize == 8:
+        # 8-byte (emulated) element types: XLA's axis-1 cumsum lowering
+        # compiles pathologically for f64/i64 at scale (129s for one
+        # 100M-row f64 scan; large programs crash the remote compile
+        # helper) — a Hillis-Steele ladder of log2(block) shifted adds
+        # keeps the HLO tiny and compiles in seconds
+        sh = 1
+        while sh < _BLK:
+            t = t + jnp.pad(t, ((0, 0), (sh, 0)))[:, :_BLK]
+            sh *= 2
+        within = t
+    else:
+        within = jnp.cumsum(t, axis=1)
     base = jnp.concatenate(
         [jnp.zeros(1, x.dtype), jnp.cumsum(within[:, -1])[:-1]]
     )
@@ -127,3 +140,63 @@ def assoc_scan(combine, elems, reverse: bool = False):
     return jax.tree_util.tree_map(
         lambda a: a[:n] if pad else a, out
     )
+
+
+# ---- double-single (paired f32) prefix sums ----
+# f64 is EMULATED on TPU and, on the relay toolchain, any 100M-element
+# f64 op costs ~46s of compile (a 15-step f64 scan ladder crashes the
+# remote compile helper outright).  Double-single arithmetic carries
+# ~2^-48 relative accuracy using only f32 ops; the consumer combines
+# hi+lo into f64 with two elementwise ops at the very end.
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b exactly (f32)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def ds_add(xh, xl, yh, yl):
+    """Double-single addition: (xh,xl) + (yh,yl) → normalized (hi,lo)."""
+    s, e = _two_sum(xh, yh)
+    e = e + (xl + yl)
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def ds_neg(xh, xl):
+    return -xh, -xl
+
+
+def cumsum_ds(x):
+    """Inclusive 1-D prefix sum of an f32 array in double-single pairs.
+    Returns (hi, lo) f32 arrays; hi.astype(f64)+lo.astype(f64) is the
+    ~f48-accurate prefix sum.  Within-block Hillis-Steele ladder in ds
+    arithmetic; tiny per-block totals propagate in real f64 (small
+    shapes compile instantly)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    nb = -(-n // _BLK)
+    pad = nb * _BLK - n
+    xp = jnp.pad(x, (0, pad)) if pad else x
+    th = xp.reshape(nb, _BLK)
+    tl = jnp.zeros_like(th)
+    sh = 1
+    while sh < _BLK:
+        shh = jnp.pad(th, ((0, 0), (sh, 0)))[:, :_BLK]
+        shl = jnp.pad(tl, ((0, 0), (sh, 0)))[:, :_BLK]
+        th, tl = ds_add(th, tl, shh, shl)
+        sh *= 2
+    # per-block totals → exclusive f64 scan over nb elements (tiny)
+    tot = th[:, -1].astype(jnp.float64) + tl[:, -1].astype(jnp.float64)
+    base = jnp.concatenate(
+        [jnp.zeros(1, jnp.float64), jnp.cumsum(tot)[:-1]]
+    )
+    bh = base.astype(jnp.float32)
+    bl = (base - bh.astype(jnp.float64)).astype(jnp.float32)
+    H, L = ds_add(th, tl, bh[:, None], bl[:, None])
+    H = H.reshape(-1)
+    L = L.reshape(-1)
+    return (H[:n], L[:n]) if pad else (H, L)

@@ -183,11 +183,27 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
     n = vals.shape[0]
     ok = valid if valid is not None else jnp.ones(n, jnp.bool_)
     if kind in ("SUM", "AVG", "COUNT"):
-        contrib = jnp.where(ok, jnp.asarray(vals, acc_dtype), 0) if kind != "COUNT" \
-            else ok.astype(jnp.int32)
-        pre = SC.cumsum(contrib)
-        base, _ = forward_fill_value(pre - contrib, pstart)
-        run = pre - base
+        if kind != "COUNT" and _ds_eligible(acc_dtype, n, vals):
+            # double-single running sum: f32 pairs with ~2^-48 accuracy;
+            # avoids the large-shape f64 op chains that crash/stall the
+            # remote compile helper at 100M rows
+            c32 = jnp.where(ok, jnp.asarray(vals, jnp.float32), 0.0)
+            ph, pl = SC.cumsum_ds(c32)
+            bh0, bl0 = SC.ds_add(ph, pl, -c32, jnp.zeros_like(c32))
+            _, start_idx = forward_fill_value(
+                jnp.arange(n, dtype=jnp.int32), pstart
+            )
+            bh, bl = bh0[start_idx], bl0[start_idx]
+            rh, rl = SC.ds_add(ph, pl, -bh, -bl)
+            run = rh.astype(jnp.float64) + rl.astype(jnp.float64)
+        else:
+            contrib = (
+                jnp.where(ok, jnp.asarray(vals, acc_dtype), 0)
+                if kind != "COUNT" else ok.astype(jnp.int32)
+            )
+            pre = SC.cumsum(contrib)
+            base, _ = forward_fill_value(pre - contrib, pstart)
+            run = pre - base
         if kind == "COUNT":
             run = run.astype(jnp.int64)
     elif kind in ("MIN", "MAX"):
@@ -243,6 +259,23 @@ def _minmax_ident(kind: str, acc_dtype):
                            acc_dtype), jnp.minimum
     return jnp.asarray(-np.inf if fp else np.iinfo(acc_dtype).min,
                        acc_dtype), jnp.maximum
+
+
+_DS_MIN_ROWS = 1 << 25
+
+
+def _ds_eligible(acc_dtype, n: int, vals=None) -> bool:
+    """Use double-single f32 pairs instead of emulated f64 for big-n
+    FLOAT sums: on the relay toolchain every ≥2^25-element f64 op costs
+    tens of seconds of compile and long f64 chains crash the compile
+    helper (window SUM at 100M rows).  Int arguments keep real f64 —
+    values above 2^24 would lose exactness in the f32 hi limb."""
+    import numpy as _np
+
+    if vals is not None and _np.dtype(vals.dtype).kind != "f":
+        return False
+    return (_np.dtype(acc_dtype) == _np.float64
+            and n >= _DS_MIN_ROWS)
 
 
 def _seg_running_op(x, starts, op):
@@ -309,6 +342,19 @@ def framed_agg(vals, valid, pstart, lo, hi, kind: str, acc_dtype,
     cnt = jnp.where(empty, 0, pc[hic + 1] - pc[loc])
     if kind == "COUNT":
         return cnt.astype(jnp.int64), None
+    if kind in ("SUM", "AVG") and _ds_eligible(acc_dtype, n, vals):
+        # double-single prefix (see running_agg) — frame sums become ds
+        # diffs of the gathered prefixes, combined to f64 at the end
+        c32 = jnp.where(ok, jnp.asarray(vals, jnp.float32), 0.0)
+        H, L = SC.cumsum_ds(c32)
+        Hp = jnp.concatenate([jnp.zeros(1, jnp.float32), H])
+        Lp = jnp.concatenate([jnp.zeros(1, jnp.float32), L])
+        sh, sl = SC.ds_add(Hp[hic + 1], Lp[hic + 1], -Hp[loc], -Lp[loc])
+        s = sh.astype(jnp.float64) + sl.astype(jnp.float64)
+        s = jnp.where(empty, jnp.asarray(0, jnp.float64), s)
+        if kind == "AVG":
+            return s / jnp.maximum(cnt, 1), cnt > 0
+        return s, cnt > 0
     x = jnp.asarray(vals, acc_dtype)
     if kind in ("SUM", "AVG"):
         pv = _prefix(jnp.where(ok, x, jnp.asarray(0, acc_dtype)))

@@ -113,3 +113,31 @@ def test_dynamic_watchdog_time_limit():
     assert time.time() - t0 < 5.0
     # deadline does not leak into later queries
     assert db.sql("SELECT count(*) FROM wd WHERE k < 10").rows()[0][0] > 0
+
+
+def test_interrupt_mid_streamed_query(db):
+    """A streamed (fragment-wave) query polls the interrupt flag BETWEEN
+    waves (executor._checkpoint) — cancellation lands mid-query, not
+    only between DAG steps (reference DynamicWatchdog + check_interrupt,
+    RuntimeFunctions.cpp:2548)."""
+    import numpy as np
+
+    db.config.stream_threshold_bytes = 1 << 12  # force many waves
+    db.sql("CREATE TABLE big_s (k INT, v FLOAT) WITH (fragment_size=500)")
+    rng = np.random.default_rng(2)
+    db.catalog.get_table("big_s").insert_columns({
+        1: rng.integers(0, 100, 20_000).astype(np.int32),
+        2: rng.random(20_000).astype(np.float32),
+    })
+    calls = {"n": 0}
+
+    def trip_after_three():
+        calls["n"] += 1
+        return calls["n"] > 3
+
+    db.executor.interrupt_check = trip_after_three
+    with pytest.raises(QueryInterrupted):
+        db.sql("SELECT k, count(*), sum(v) FROM big_s GROUP BY k")
+    assert calls["n"] > 3  # polled repeatedly, tripped mid-stream
+    db.executor.interrupt_check = None
+    assert len(db.sql("SELECT k, count(*) FROM big_s GROUP BY k").rows()) == 100

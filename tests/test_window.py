@@ -318,3 +318,31 @@ def test_string_order_key_lexicographic(db, rng):
     ]:
         mine = [tuple(r) for r in db.sql(q).rows()]
         assert mine == sorted(con.execute(q).fetchall()), q
+
+
+def test_double_single_running_sum_matches_f64(monkeypatch):
+    """Force the double-single (paired f32) big-n path and check it against
+    the plain f64 formulation (ops/window._ds_eligible gate)."""
+    import jax.numpy as jnp
+
+    from heavydb_tpu.ops import window as W
+
+    monkeypatch.setattr(W, "_DS_MIN_ROWS", 1)
+    rng = np.random.default_rng(9)
+    n = 100_000
+    vals = jnp.asarray((rng.random(n) - 0.5).astype(np.float32) * 1e3)
+    pstart = jnp.asarray(rng.random(n) < 0.001).at[0].set(True)
+    ostart = jnp.ones(n, bool)  # each row its own peer group
+    run, _ = W.running_agg(vals, None, pstart, ostart, "SUM",
+                           np.dtype(np.float64))
+    # oracle: per-partition running sum in f64
+    v = np.asarray(vals, np.float64)
+    ps = np.asarray(pstart)
+    ref = np.zeros(n)
+    acc = 0.0
+    for i in range(n):
+        if ps[i]:
+            acc = 0.0
+        acc += v[i]
+        ref[i] = acc
+    assert np.allclose(np.asarray(run), ref, rtol=1e-9, atol=1e-6)
