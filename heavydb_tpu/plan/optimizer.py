@@ -19,8 +19,69 @@ from heavydb_tpu.plan import rel_alg as R
 def optimize(root: R.RelNode) -> R.RelNode:
     root = _hoist_cross_join_filters(root)
     root = _fuse(root)
+    root = _push_filter_through_agg(root)
     root = _reorder_joins(root)
     return _prune_dead_columns(root)
+
+
+def _push_filter_through_agg(node: R.RelNode, seen=None) -> R.RelNode:
+    """Filter-aggregate transpose (reference Calcite
+    FilterAggregateTransposeRule in HeavyDBPlanner's rule set): conjuncts
+    of an outer Compound's filter that reference ONLY group-key outputs
+    of an inner aggregate Compound move below the aggregation, rewritten
+    over the inner input domain — rows are filtered before grouping
+    instead of aggregating everything and discarding groups."""
+    if seen is None:
+        seen = {}
+    if id(node) in seen:
+        return seen[id(node)]
+    node.inputs[:] = [
+        _push_filter_through_agg(i, seen) for i in node.inputs
+    ]
+    out = node
+    if (
+        isinstance(node, R.Compound)
+        and node.filter_cond is not None
+        and not node.join_levels
+        and len(node.inputs) == 1
+        and isinstance(node.inputs[0], R.Compound)
+        and node.inputs[0].is_aggregate
+        and node.inputs[0].group_exprs
+    ):
+        child = node.inputs[0]
+        n_keys = len(child.group_exprs)
+        keymap = {}
+        for i, te in enumerate(child.target_exprs):
+            if isinstance(te, E.InputRef) and te.field_idx < n_keys:
+                keymap[i] = child.group_exprs[te.field_idx]
+        push, keep = [], []
+        for c in _split_conjuncts(node.filter_cond):
+            refs = E.collect_input_refs(c)
+            if refs and all(r.field_idx in keymap for r in refs):
+                push.append(E.rewrite(
+                    c, lambda e: keymap[e.field_idx]
+                    if isinstance(e, E.InputRef) else e
+                ))
+            else:
+                keep.append(c)
+        if push:
+            new_inner_filter = _and_all(
+                ([child.filter_cond] if child.filter_cond is not None
+                 else []) + push
+            )
+            new_child = R.Compound(
+                list(child.inputs), list(child.join_levels),
+                new_inner_filter, list(child.group_exprs),
+                list(child.aggs), list(child.target_exprs),
+                list(child.fields), child.having,
+            )
+            out = R.Compound(
+                [new_child], [], _and_all(keep), list(node.group_exprs),
+                list(node.aggs), list(node.target_exprs),
+                list(node.fields), node.having,
+            )
+    seen[id(node)] = out
+    return out
 
 
 # ---------------------------------------------------------------------------

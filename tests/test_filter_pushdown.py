@@ -182,3 +182,35 @@ def test_dead_column_elimination(db, rng):
     assert len(rows) == 50
     for kk, s in rows[:5]:
         assert s == pytest.approx(float(a[k == kk].sum()), rel=1e-4)
+
+
+def test_filter_aggregate_transpose(db):
+    """WHERE on a group-key output of an aggregate subquery filters rows
+    BEFORE grouping (optimizer._push_filter_through_agg; reference
+    FilterAggregateTransposeRule), and results match the unpushed
+    semantics."""
+    import numpy as np
+
+    from heavydb_tpu.plan import rel_alg as R
+    from heavydb_tpu.plan.optimizer import optimize
+    from heavydb_tpu.sql.parser import parse
+
+    rng = np.random.default_rng(4)
+    n = 20_000
+    k = rng.integers(0, 500, n).astype(np.int32)
+    v = rng.random(n).astype(np.float32)
+    db.sql("CREATE TABLE fat (k INT, v FLOAT)")
+    db.catalog.get_table("fat").insert_columns({1: k, 2: v})
+
+    q = ("SELECT k, cnt FROM (SELECT k, count(*) AS cnt, sum(v) AS sv "
+         "FROM fat GROUP BY k) WHERE k BETWEEN 10 AND 20 AND cnt > 0")
+    plan = optimize(db._plan_select(parse(q)))
+    # the key conjunct landed on the INNER aggregate's filter
+    node = plan
+    while not (isinstance(node, R.Compound) and node.is_aggregate):
+        node = node.inputs[0]
+    assert node.filter_cond is not None, "key filter not pushed below agg"
+
+    rows = sorted(db.sql(q).rows())
+    want = [(kk, int((k == kk).sum())) for kk in range(10, 21)]
+    assert rows == want
