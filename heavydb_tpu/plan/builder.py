@@ -225,7 +225,7 @@ _EXTRACT_MAP = {f.value: f for f in E.ExtractField}
 
 class ExprBinder:
     def __init__(self, scope: Scope, db, allow_aggs: bool, outer_scope=None,
-                 cte_env=None):
+                 cte_env=None, alias_env=None):
         self.scope = scope
         self.db = db  # Database facade for subquery planning
         self.allow_aggs = allow_aggs
@@ -235,6 +235,9 @@ class ExprBinder:
         self.outer_scope = outer_scope
         # enclosing query's CTEs, visible to subqueries (SQL scoping)
         self.cte_env = cte_env
+        # select-list alias fallback (HeavyDB/Calcite dialect: HAVING may
+        # reference projection aliases, e.g. SUM(x) AS sx ... HAVING sx<1)
+        self.alias_env = alias_env or {}
         self.used_outer = False
 
     # -- public --
@@ -284,6 +287,9 @@ class ExprBinder:
         try:
             fb = self.scope.resolve(node.parts)
         except BinderError:
+            if len(node.parts) == 1 \
+                    and node.parts[0].lower() in self.alias_env:
+                return self.alias_env[node.parts[0].lower()]
             if self.outer_scope is None:
                 raise
             fb = self.outer_scope.resolve(node.parts)

@@ -861,9 +861,15 @@ class SelectPlanner:
             ge = self._resolve_groupitem(g_ast, binder, proj_items)
             group_exprs.append(ge)
 
-        # collect aggregates from projections + having
+        # collect aggregates from projections + having; HAVING may
+        # reference select-list aliases (HeavyDB/Calcite dialect:
+        # SUM(x) AS sx ... HAVING sx < sy)
         having_expr = None
-        agg_binder = ExprBinder(scope, self.db, allow_aggs=True, cte_env=self._env)
+        alias_env = {
+            n.lower(): e for e, n in proj_items if n
+        }
+        agg_binder = ExprBinder(scope, self.db, allow_aggs=True,
+                                cte_env=self._env, alias_env=alias_env)
         if sel.having is not None:
             having_expr = agg_binder.bind_condition(sel.having)
 
