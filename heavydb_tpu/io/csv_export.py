@@ -11,6 +11,22 @@ def export_csv(rs, path: str, options: Dict) -> int:
     header = options.get("header", True)
     if isinstance(header, str):
         header = header.lower() in ("true", "1", "yes")
+    # fast path: the Arrow CSV writer (C++) — same minimal-quoting rules,
+    # NULL → empty, nullable ints stay ints (a pandas round-trip would
+    # float-widen them).  Exotic columns (arrays/geo lists) fall back to
+    # the row loop below.
+    try:
+        import pyarrow.csv as pacsv
+
+        table = rs.to_arrow()
+        pacsv.write_csv(
+            table, path,
+            pacsv.WriteOptions(include_header=bool(header),
+                               delimiter=delim),
+        )
+        return rs.row_count
+    except Exception:
+        pass
     with open(path, "w") as f:
         if header:
             f.write(delim.join(rs.fields) + "\n")

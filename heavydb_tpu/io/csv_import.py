@@ -9,7 +9,7 @@ from typing import Dict
 import numpy as np
 
 from heavydb_tpu.errors import StorageError
-from heavydb_tpu.storage.table import Table, to_physical
+from heavydb_tpu.storage.table import RawText, Table, to_physical
 
 
 def detect_column_types(path: str, options: Dict = None) -> list:
@@ -67,9 +67,6 @@ def detect_column_types(path: str, options: Dict = None) -> list:
     return out
 
 
-_NULL_TOKENS = {"", "NULL", "\\N", "null"}
-
-
 def parse_csv_native(path: str, delimiter: str = ",", header: bool = True):
     """Parse with the native multithreaded C++ extension (the role of the
     reference's parallel delimited import workers).  Returns
@@ -106,32 +103,14 @@ def parse_csv_native(path: str, delimiter: str = ",", header: bool = True):
             vals[~mask] = np.nan
             out.append(vals)
         else:
+            # un-decoded text column: dict-encoded targets intern the raw
+            # payload natively (strdict_ext.intern_payload); textual null
+            # tokens were already recognized during the native parse, so
+            # no python-side normalization/reclassification remains
             _, payload, offs_b, nulls = entry
             offs = np.frombuffer(offs_b, np.int64)
-            mask = np.frombuffer(nulls, np.uint8).astype(bool)
-            lst = [
-                payload[offs[i]:offs[i + 1]].decode("utf-8", "replace")
-                if mask[i] else None
-                for i in range(nrows)
-            ]
-            # normalize textual null markers (pandas na_values parity)
-            lst = [None if (v is not None and v in _NULL_TOKENS) else v
-                   for v in lst]
-            # columns stringified only by textual null markers re-classify
-            # numeric (pandas parity: "NULL" cells don't make a float
-            # column a string column)
-            vals = [v for v in lst if v is not None]
-            if vals:
-                try:
-                    fv = np.array(
-                        [np.nan if v is None else float(v) for v in lst],
-                        np.float64,
-                    )
-                    out.append(fv)
-                    continue
-                except (TypeError, ValueError):
-                    pass
-            out.append(lst)
+            mask = np.frombuffer(nulls, np.uint8)
+            out.append(RawText(payload, offs, mask))
     if not header:
         names = [f"col_{i}" for i in range(len(names))]
     return names, out, nrows
@@ -140,6 +119,10 @@ def parse_csv_native(path: str, delimiter: str = ",", header: bool = True):
 def _coerce_native_col(col, cd):
     """Adapt a native-parsed column to the table column's type family."""
     ti = cd.type
+    if isinstance(col, RawText) and not (ti.is_string or ti.is_array):
+        # non-text target fed by a string-classified CSV column
+        # (booleans, dates, numbers-with-units): decode once and convert
+        col = col.to_list()
     if isinstance(col, list):
         if ti.is_boolean:
             truthy = {"true", "t", "1", "yes"}

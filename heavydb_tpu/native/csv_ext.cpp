@@ -68,6 +68,22 @@ bool parse_float(const char* s, size_t n, double* out) {
   return true;
 }
 
+// textual null markers (pandas na_values parity with the python
+// fallback's _NULL_TOKENS) — recognized HERE so a numeric column with
+// "NULL" cells classifies numeric natively instead of stringifying
+bool is_null_token(const char* s, size_t n) {
+  switch (n) {
+    case 0:
+      return true;
+    case 2:
+      return s[0] == '\\' && s[1] == 'N';
+    case 4:
+      return (memcmp(s, "NULL", 4) == 0) || (memcmp(s, "null", 4) == 0);
+    default:
+      return false;
+  }
+}
+
 // split one row into fields (quote-aware, in-place views)
 void split_row(const char* p, const char* end, char delim,
                std::vector<std::pair<const char*, size_t>>& fields) {
@@ -128,7 +144,7 @@ void parse_range(const char* base, size_t begin, size_t end_off, char delim,
         const char* fs = c < fields.size() ? fields[c].first : "";
         size_t fn = c < fields.size() ? fields[c].second : 0;
         unquote(fs, fn);
-        bool is_null = fn == 0;
+        bool is_null = is_null_token(fs, fn);
         int64_t iv;
         double dv;
         int cell_kind;

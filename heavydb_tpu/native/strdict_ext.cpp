@@ -158,6 +158,45 @@ PyObject* py_intern_bulk(PyObject*, PyObject* args) {
   return bulk_impl<true>(args);
 }
 
+// bulk get-or-add straight from a CSV parser payload: (capsule,
+// payload bytes, int64 offsets[n+1] bytes, uint8 null-mask[n] bytes) →
+// int32 ids bytes.  No per-row Python string objects — the whole import
+// path stays in native code (reference: parallel getOrAddBulk over the
+// import worker's string views, StringDictionary.cpp).
+PyObject* py_intern_payload(PyObject*, PyObject* args) {
+  PyObject* cap;
+  Py_buffer payload, offs, nulls;
+  if (!PyArg_ParseTuple(args, "Oy*y*y*", &cap, &payload, &offs, &nulls))
+    return nullptr;
+  Dict* d = get_dict(cap);
+  if (!d) {
+    PyBuffer_Release(&payload);
+    PyBuffer_Release(&offs);
+    PyBuffer_Release(&nulls);
+    return nullptr;
+  }
+  const char* base = reinterpret_cast<const char*>(payload.buf);
+  const int64_t* off = reinterpret_cast<const int64_t*>(offs.buf);
+  const uint8_t* ok = reinterpret_cast<const uint8_t*>(nulls.buf);
+  Py_ssize_t n = nulls.len;
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, n * sizeof(int32_t));
+  if (out) {
+    int32_t* ids = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(out));
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      if (!ok[i]) {
+        ids[i] = kNullId;
+      } else {
+        ids[i] = d->get_or_add(base + off[i],
+                               (size_t)(off[i + 1] - off[i]));
+      }
+    }
+  }
+  PyBuffer_Release(&payload);
+  PyBuffer_Release(&offs);
+  PyBuffer_Release(&nulls);
+  return out;
+}
+
 PyObject* py_lookup_bulk(PyObject*, PyObject* args) {
   return bulk_impl<false>(args);
 }
@@ -189,6 +228,8 @@ PyObject* py_export_payload(PyObject*, PyObject* args) {
 PyMethodDef methods[] = {
     {"create", py_create, METH_NOARGS, "new dictionary"},
     {"intern_bulk", py_intern_bulk, METH_VARARGS, "bulk get-or-add"},
+    {"intern_payload", py_intern_payload, METH_VARARGS,
+     "bulk get-or-add from (payload, offsets, mask) buffers"},
     {"lookup_bulk", py_lookup_bulk, METH_VARARGS, "bulk lookup"},
     {"count", py_count, METH_VARARGS, "entry count"},
     {"export_payload", py_export_payload, METH_VARARGS, "payload bytes"},

@@ -290,6 +290,10 @@ class ExprBinder:
             if len(node.parts) == 1 \
                     and node.parts[0].lower() in self.alias_env:
                 return self.alias_env[node.parts[0].lower()]
+            if node.parts[-1].lower() == "rowid":
+                # virtual rowid pseudo-column (reference Catalog's
+                # implicit rowid); row position within the scanned batch
+                return E.RowId(type=T.bigint(nullable=False))
             if self.outer_scope is None:
                 raise
             fb = self.outer_scope.resolve(node.parts)
@@ -1069,6 +1073,15 @@ class ExprBinder:
             raise NotSupported(f"geo function {name}")
         if name in _AGG_NAMES or (name == "COUNT"):
             return self._bind_agg(node)
+        if name == "SAMPLE_RATIO" and len(node.args) == 1:
+            arg = self._bind(node.args[0])
+            if not isinstance(arg, E.Constant) or arg.value is None:
+                raise BinderError("SAMPLE_RATIO requires a literal ratio")
+            ratio = float(arg.value)
+            if arg.type.is_decimal:  # literals carry scaled-int values
+                ratio /= 10 ** arg.type.scale
+            return E.SampleRatio(ratio=ratio,
+                                 type=T.boolean(nullable=False))
         if name in ("NOW", "CURRENT_TIMESTAMP") and not node.args:
             import time as _time
 

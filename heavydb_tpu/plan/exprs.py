@@ -41,6 +41,33 @@ class Expr:
 
 
 @dataclass(frozen=True)
+class RowId(Expr):
+    """The `rowid` pseudo-column over a single-table scan (reference:
+    HeavyDB's virtual rowid) — compiles to the row position within the
+    scanned batch (fragments concatenate in order; fragment skipping
+    shifts positions, matching a logical not physical id)."""
+
+    type: T.TypeInfo = None
+
+    def _key_parts(self):
+        return ("rowid",)
+
+
+@dataclass(frozen=True)
+class SampleRatio(Expr):
+    """SAMPLE_RATIO(f): deterministic per-row sampling predicate
+    (reference Analyzer::SampleRatioExpr / RuntimeFunctions
+    sample_ratio) — splitmix-style hash of the row position compared
+    against the ratio."""
+
+    ratio: float = 0.0
+    type: T.TypeInfo = None
+
+    def _key_parts(self):
+        return (self.ratio,)
+
+
+@dataclass(frozen=True)
 class InputRef(Expr):
     input_idx: int
     field_idx: int

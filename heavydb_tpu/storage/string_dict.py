@@ -159,6 +159,15 @@ class NativeStringDictionary:
         raw = self._ext.intern_bulk(self._h, values)
         return np.frombuffer(raw, np.int32).copy()
 
+    def get_or_add_payload(self, raw) -> np.ndarray:
+        """Bulk intern straight from a native-parser RawText column —
+        no per-row Python strings anywhere on the import path."""
+        ids = self._ext.intern_payload(
+            self._h, raw.payload, raw.offsets.tobytes(),
+            raw.mask.tobytes(),
+        )
+        return np.frombuffer(ids, np.int32).copy()
+
     def load_entries(self, strings):
         if strings:
             self.get_or_add_bulk(list(strings))

@@ -475,11 +475,52 @@ def _parse_time(v) -> int:
     raise StorageError(f"cannot convert {v!r} to TIME")
 
 
+class RawText:
+    """Un-decoded text column straight from the native CSV parser:
+    (utf-8 payload bytes, int64 offsets[n+1], uint8 valid-mask[n]).
+    Dict-encoded targets intern it without EVER materializing Python
+    strings (strdict_ext.intern_payload); other consumers decode once
+    via to_list()."""
+
+    __slots__ = ("payload", "offsets", "mask")
+
+    def __init__(self, payload: bytes, offsets: np.ndarray,
+                 mask: np.ndarray):
+        self.payload = payload
+        self.offsets = np.ascontiguousarray(offsets, np.int64)
+        self.mask = np.ascontiguousarray(mask, np.uint8)
+
+    def __len__(self):
+        return len(self.mask)
+
+    def to_list(self):
+        s = self.payload.decode("utf-8", "replace")
+        # offsets are byte offsets — only valid as str indices when the
+        # payload is pure ASCII; fall back to per-slice decode otherwise
+        off = self.offsets
+        if len(s) == len(self.payload):
+            return [
+                s[off[i]:off[i + 1]] if self.mask[i] else None
+                for i in range(len(self.mask))
+            ]
+        p = self.payload
+        return [
+            p[off[i]:off[i + 1]].decode("utf-8", "replace")
+            if self.mask[i] else None
+            for i in range(len(self.mask))
+        ]
+
+
 def to_physical(
     values, ti: T.TypeInfo, sdict: Optional[StringDictionary] = None
 ) -> np.ndarray:
     """Convert a python/numpy/pandas sequence into the physical column array
     (sentinel nulls in-band)."""
+    if isinstance(values, RawText):
+        if ti.is_dict_string and sdict is not None \
+                and hasattr(sdict, "get_or_add_payload"):
+            return sdict.get_or_add_payload(values)
+        values = values.to_list()
     if ti.is_array:
         # array column: object ndarray of per-row element arrays (None =
         # NULL array).  Reference ArrayNoneEncoder / TypedImportBuffer

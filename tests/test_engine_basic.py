@@ -694,6 +694,12 @@ def test_native_csv_parser_matches_pandas(tmp_path, rng):
         pytest.skip("native csv extension unavailable")
     names, cols, nrows = res
     assert names == ["i", "f", "s"] and nrows == n
+    from heavydb_tpu.storage.table import RawText
+
+    # text columns arrive un-decoded (RawText) for native dict interning
+    assert isinstance(cols[2], RawText)
+    cols = list(cols)
+    cols[2] = cols[2].to_list()
     df = pd.read_csv(p, na_values=["NULL", ""], keep_default_na=True)
     iv = df["i"].to_numpy()
     assert np.allclose(np.nan_to_num(cols[0], nan=-1),
