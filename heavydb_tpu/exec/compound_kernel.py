@@ -183,11 +183,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 for r in E.collect_input_refs(e):
                     needed.add(r.field_idx)
             cdict = {f: field_tv(f) for f in needed}
-            c = ExprCompiler(cdict, aux, error_flags, udfs)
-            # row-position pseudo-columns (rowid / SAMPLE_RATIO) need the
-            # current row-domain length
-            c.domain_size = domain_size
-            return c
+            return ExprCompiler(cdict, aux, error_flags, udfs)
 
         def build_side_tv(expr, bi):
             """Evaluate a build-key expr directly over input bi's rows."""

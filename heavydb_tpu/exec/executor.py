@@ -49,6 +49,14 @@ from heavydb_tpu.storage.table import from_physical
 MAX_RETRIES = 4
 
 
+def _scan_field_type(table, f: int) -> T.TypeInfo:
+    """Type of scan field f; fields past the physical columns are the
+    virtual rowid pseudo-column (BIGINT NOT NULL)."""
+    if f < len(table.columns):
+        return table.columns[f].type
+    return T.bigint(nullable=False)
+
+
 def _walk_nodes(node: R.RelNode):
     yield node
     for i in node.inputs:
@@ -351,10 +359,41 @@ class Executor:
             fkey = None
         size = B.bucket(n)
         cols: List[Optional[jax.Array]] = []
-        for i, cd in enumerate(t.columns):
+        for i in range(node.arity):
             if needed is not None and i not in needed:
                 cols.append(None)
                 continue
+            if i >= len(t.columns):
+                # virtual rowid field: GLOBAL physical row position
+                # (fragment base + local offset) — stable under fragment
+                # skipping and wave streaming; flows through join gathers
+                # like any column (reference: Catalog's virtual rowid)
+                key = (t.table_id, t.generation, "$rowid", size, fkey)
+                arr = self.scan_cache.get(key)
+                if arr is None:
+                    gstart = np.cumsum(
+                        [0] + [f.num_rows for f in t.fragments[:-1]]
+                    )
+                    use = (
+                        list(zip(gstart, t.fragments)) if frags is None
+                        else [(gstart[f.fragment_id], f) for f in frags]
+                    )
+                    host = (
+                        np.concatenate([
+                            g + np.arange(f.num_rows, dtype=np.int64)
+                            for g, f in use if f.num_rows
+                        ]) if any(f.num_rows for _, f in use)
+                        else np.empty(0, np.int64)
+                    )
+                    if host.shape[0] < size:
+                        host = np.concatenate([
+                            host, np.full(size - host.shape[0], -1, np.int64)
+                        ])
+                    arr = jax.device_put(host, self._scan_sharding())
+                    self.scan_cache[key] = arr
+                cols.append(arr)
+                continue
+            cd = t.columns[i]
             key = (t.table_id, t.generation, cd.col_id, size, fkey)
             arr = self.scan_cache.get(key)
             if arr is None and fkey is not None and not cd.type.is_array:
@@ -425,7 +464,7 @@ class Executor:
                 )
                 self.scan_cache[key] = arr
             cols.append(arr)
-        return B.Batch(cols, n, [cd.type for cd in t.columns])
+        return B.Batch(cols, n, list(node.types))
 
     # ---- Values ----
     def _exec_values(self, node: R.Values) -> B.Batch:
@@ -627,10 +666,11 @@ class Executor:
             for e in _iter_node_exprs(compound):
                 for r in E.collect_input_refs(e):
                     scan_needed.add(r.field_idx)
-        if any(t.columns[f].type.is_array for f in scan_needed):
+        if any(_scan_field_type(t, f).is_array for f in scan_needed):
             return None
         row_bytes = max(
-            sum(t.columns[f].type.np_dtype().itemsize for f in scan_needed),
+            sum(_scan_field_type(t, f).np_dtype().itemsize
+                for f in scan_needed),
             1,
         )
         if t.num_rows * row_bytes <= thr:
@@ -905,7 +945,7 @@ class Executor:
         t = inp.table
         total = 0
         for f in needed:
-            ti = t.columns[f].type
+            ti = _scan_field_type(t, f)
             if ti.is_array:
                 return None  # array aux payloads aren't fragment-local
             total += t.num_rows * ti.np_dtype().itemsize
@@ -942,7 +982,8 @@ class Executor:
             for r in E.collect_input_refs(e):
                 needed_fields.add(r.field_idx)
         row_bytes = max(
-            sum(t.columns[f].type.np_dtype().itemsize for f in needed_fields),
+            sum(_scan_field_type(t, f).np_dtype().itemsize
+                for f in needed_fields),
             1,
         )
         wave_budget = max(thr // 2, 1)
@@ -1218,7 +1259,8 @@ class Executor:
                 and c.cmp_op == "=" and not c.negated \
                 and isinstance(c.arg, E.InputRef):
             local = c.arg.field_idx - offset
-            if 0 <= local < scan.arity and c.dict_ref is not None:
+            if 0 <= local < len(scan.table.columns) \
+                    and c.dict_ref is not None:
                 d = self.db.dict_by_ref(c.dict_ref)
                 sid = d.get_id(c.pattern)
                 cd = scan.table.columns[local]
@@ -1237,7 +1279,7 @@ class Executor:
         if rhs.value is None:
             return None
         local = lhs.field_idx - offset
-        if not (0 <= local < scan.arity):
+        if not (0 <= local < len(scan.table.columns)):
             return None
         cd = scan.table.columns[local]
         if not (cd.type.is_integer or cd.type.is_time or cd.type.is_decimal
@@ -1937,6 +1979,8 @@ class Executor:
             idxs.append(e.field_idx)
         cols = []
         for i in idxs:
+            if i >= len(t.columns):  # virtual rowid field: no chunk stats
+                return None
             cd = t.columns[i]
             if cd.type.is_array:
                 return None

@@ -63,27 +63,14 @@ class ExprCompiler:
             raise NotSupported(f"cannot compile {type(e).__name__}")
         return m(e)
 
-    def _domain_iota(self):
-        n = getattr(self, "domain_size", None)
-        if n is None:
-            # fall back to any bound column's length
-            for v, _ in self.cols.values():
-                if hasattr(v, "shape") and getattr(v, "ndim", 0) == 1:
-                    n = v.shape[0]
-                    break
-        if n is None:
-            raise NotSupported(
-                "rowid/SAMPLE_RATIO need a row domain (no columns bound)"
-            )
-        return jax.lax.broadcasted_iota(jnp.int32, (int(n),), 0)
-
-    def _c_RowId(self, e: E.RowId):
-        return self._domain_iota().astype(jnp.int64), None
-
     def _c_SampleRatio(self, e: E.SampleRatio):
-        # deterministic splitmix-style hash of the row position → uniform
-        # [0,1) < ratio (reference RuntimeFunctions sample_ratio)
-        h = self._domain_iota().astype(jnp.uint32)
+        # deterministic hash of the row's global physical position (the
+        # scan's virtual rowid field) → uniform [0,1) < ratio (reference
+        # RuntimeFunctions sample_ratio).  Using the rowid COLUMN (not a
+        # domain iota) keeps the sample stable across fragment skipping,
+        # wave streaming, and join expansion.
+        pos, _ = self.compile(e.pos)
+        h = jnp.asarray(pos, jnp.int64).astype(jnp.uint32)
         h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x45D9F3B)
         h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x45D9F3B)
         h = h ^ (h >> jnp.uint32(16))

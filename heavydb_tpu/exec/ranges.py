@@ -44,6 +44,9 @@ def combined_input_schema(inputs: Sequence[R.RelNode]):
 def column_range(node: R.RelNode, field_idx: int) -> Optional[IntRange]:
     """Range of a field of a rel node, from metadata only."""
     if isinstance(node, R.Scan):
+        if field_idx >= len(node.table.columns):
+            # virtual rowid field: global positions [0, num_rows)
+            return IntRange(0, max(node.table.num_rows - 1, 0), False)
         cd = node.table.columns[field_idx]
         ti = cd.type
         if ti.is_fp:

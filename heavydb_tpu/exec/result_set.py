@@ -88,7 +88,9 @@ class ResultSet:
                 arrays.append(pa.array(vals, pa.time64("us")))
             else:
                 arrays.append(pa.array(vals))
-        return pa.table(dict(zip(names, arrays)))
+        # from_arrays, not pa.table(dict(...)): duplicate output names
+        # (e.g. SELECT x, x) must keep every column
+        return pa.Table.from_arrays(arrays, names=names)
 
     def __repr__(self):
         head = ", ".join(

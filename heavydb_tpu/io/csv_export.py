@@ -27,9 +27,16 @@ def export_csv(rs, path: str, options: Dict) -> int:
         return rs.row_count
     except Exception:
         pass
+    import datetime as _dt
+
+    # match the Arrow writer's conventions exactly (quoted headers,
+    # lowercase booleans, microsecond timestamps) so the two paths —
+    # chosen data-dependently — produce byte-compatible formatting
     with open(path, "w") as f:
         if header:
-            f.write(delim.join(rs.fields) + "\n")
+            f.write(delim.join(
+                '"' + n.replace('"', '""') + '"' for n in rs.fields
+            ) + "\n")
         for row in rs.rows():
             out = []
             for v in row:
@@ -40,6 +47,10 @@ def export_csv(rs, path: str, options: Dict) -> int:
                         out.append('"' + v.replace('"', '""') + '"')
                     else:
                         out.append(v)
+                elif isinstance(v, bool):
+                    out.append("true" if v else "false")
+                elif isinstance(v, _dt.datetime):
+                    out.append(v.strftime("%Y-%m-%d %H:%M:%S.%f"))
                 else:
                     out.append(str(v))
             f.write(delim.join(out) + "\n")

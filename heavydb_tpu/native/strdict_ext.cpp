@@ -179,6 +179,27 @@ PyObject* py_intern_payload(PyObject*, PyObject* args) {
   const int64_t* off = reinterpret_cast<const int64_t*>(offs.buf);
   const uint8_t* ok = reinterpret_cast<const uint8_t*>(nulls.buf);
   Py_ssize_t n = nulls.len;
+  // bounds validation: offsets must cover n+1 entries and stay within
+  // the payload, else the loop below would read out of bounds
+  if (offs.len < (Py_ssize_t)((n + 1) * sizeof(int64_t)) ||
+      (n > 0 && (off[0] < 0 || off[n] > (int64_t)payload.len))) {
+    PyBuffer_Release(&payload);
+    PyBuffer_Release(&offs);
+    PyBuffer_Release(&nulls);
+    PyErr_SetString(PyExc_ValueError,
+                    "intern_payload: offsets/payload size mismatch");
+    return nullptr;
+  }
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    if (off[i + 1] < off[i]) {
+      PyBuffer_Release(&payload);
+      PyBuffer_Release(&offs);
+      PyBuffer_Release(&nulls);
+      PyErr_SetString(PyExc_ValueError,
+                      "intern_payload: non-monotone offsets");
+      return nullptr;
+    }
+  }
   PyObject* out = PyBytes_FromStringAndSize(nullptr, n * sizeof(int32_t));
   if (out) {
     int32_t* ids = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(out));

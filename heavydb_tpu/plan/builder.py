@@ -116,15 +116,22 @@ class Scope:
         self.by_alias: Dict[str, Dict[str, FieldBinding]] = {}
         self.order: List[Tuple[str, str, FieldBinding]] = []  # (alias, col, fb)
 
-    def add_relation(self, alias: str, fields, types, dict_refs):
+    def add_relation(self, alias: str, fields, types, dict_refs,
+                     hidden_fields=()):
+        """hidden_fields: trailing (name, TypeInfo) pseudo-columns that
+        resolve by name but are excluded from `SELECT *` expansion
+        (reference: virtual rowid is a hidden catalog column)."""
         cols = {}
-        base = len(self.order) and (self.order[-1][2].field_idx + 1) or 0
         # recompute base from total fields so far
         base = sum(len(v) for v in self.by_alias.values())
         for i, (f, t) in enumerate(zip(fields, types)):
             fb = FieldBinding(base + i, t, dict_refs[i] if dict_refs else None)
             cols[f.lower()] = fb
             self.order.append((alias, f, fb))
+        for j, (f, t) in enumerate(hidden_fields):
+            name = f.lower()
+            if name not in cols:  # a real column of that name wins
+                cols[name] = FieldBinding(base + len(fields) + j, t, None)
         key = alias.lower()
         if key in self.by_alias:
             raise BinderError(f"duplicate table alias {alias!r}")
@@ -290,10 +297,6 @@ class ExprBinder:
             if len(node.parts) == 1 \
                     and node.parts[0].lower() in self.alias_env:
                 return self.alias_env[node.parts[0].lower()]
-            if node.parts[-1].lower() == "rowid":
-                # virtual rowid pseudo-column (reference Catalog's
-                # implicit rowid); row position within the scanned batch
-                return E.RowId(type=T.bigint(nullable=False))
             if self.outer_scope is None:
                 raise
             fb = self.outer_scope.resolve(node.parts)
@@ -1080,7 +1083,20 @@ class ExprBinder:
             ratio = float(arg.value)
             if arg.type.is_decimal:  # literals carry scaled-int values
                 ratio /= 10 ** arg.type.scale
-            return E.SampleRatio(ratio=ratio,
+            # hash of the first FROM table's rowid (reference
+            # RuntimeFunctions sample_ratio hashes the physical row
+            # position) — stable across waves/skipping/join expansion
+            pos = None
+            for cols in self.scope.by_alias.values():
+                fb = cols.get("rowid")
+                if fb is not None:
+                    pos = E.InputRef(0, fb.field_idx, fb.type, None)
+                    break
+            if pos is None:
+                raise BinderError(
+                    "SAMPLE_RATIO requires a physical table in FROM"
+                )
+            return E.SampleRatio(ratio=ratio, pos=pos,
                                  type=T.boolean(nullable=False))
         if name in ("NOW", "CURRENT_TIMESTAMP") and not node.args:
             import time as _time

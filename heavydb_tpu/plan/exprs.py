@@ -41,30 +41,23 @@ class Expr:
 
 
 @dataclass(frozen=True)
-class RowId(Expr):
-    """The `rowid` pseudo-column over a single-table scan (reference:
-    HeavyDB's virtual rowid) — compiles to the row position within the
-    scanned batch (fragments concatenate in order; fragment skipping
-    shifts positions, matching a logical not physical id)."""
-
-    type: T.TypeInfo = None
-
-    def _key_parts(self):
-        return ("rowid",)
-
-
-@dataclass(frozen=True)
 class SampleRatio(Expr):
     """SAMPLE_RATIO(f): deterministic per-row sampling predicate
     (reference Analyzer::SampleRatioExpr / RuntimeFunctions
-    sample_ratio) — splitmix-style hash of the row position compared
-    against the ratio."""
+    sample_ratio) — splitmix-style hash of the row's GLOBAL physical
+    position (`pos` = the table's virtual rowid field) compared against
+    the ratio, so results are stable under fragment skipping, wave
+    streaming, and join expansion."""
 
     ratio: float = 0.0
+    pos: "Expr" = None  # InputRef to the scan's hidden rowid field
     type: T.TypeInfo = None
 
+    def children(self):
+        return (self.pos,) if self.pos is not None else ()
+
     def _key_parts(self):
-        return (self.ratio,)
+        return (self.ratio,) + tuple(self.children())
 
 
 @dataclass(frozen=True)
@@ -530,6 +523,8 @@ def rewrite(e: Expr, fn):
         return fn(dataclasses.replace(e, arg=arg, arg2=arg2))
     if isinstance(e, SubqueryExpr) and e.arg is not None:
         return fn(dataclasses.replace(e, arg=rewrite(e.arg, fn)))
+    if isinstance(e, SampleRatio) and e.pos is not None:
+        return fn(dataclasses.replace(e, pos=rewrite(e.pos, fn)))
     if isinstance(e, ArrayFn):
         return fn(dataclasses.replace(
             e, rowid=rewrite(e.rowid, fn),

@@ -56,11 +56,22 @@ class RelNode:
 
 
 class Scan(RelNode):
-    def __init__(self, table):
+    ROWID_FIELD = "$rowid"
+
+    def __init__(self, table, with_rowid: bool = False):
         super().__init__([])
         self.table = table  # storage Table
         self.fields = [cd.name for cd in table.columns]
         self.types = [cd.type for cd in table.columns]
+        # `rowid` pseudo-column (reference: Catalog's implicit virtual
+        # rowid column): GLOBAL physical row position — fragment base +
+        # local offset — so it is stable under fragment skipping, wave
+        # streaming, and join gathers.  Exposed as a hidden trailing
+        # field only when the query references rowid / SAMPLE_RATIO.
+        self.with_rowid = bool(with_rowid)
+        if self.with_rowid:
+            self.fields.append(self.ROWID_FIELD)
+            self.types.append(T.bigint(nullable=False))
 
     def _label(self):
         return f"Scan({self.table.name})"
@@ -68,7 +79,7 @@ class Scan(RelNode):
     def _key_parts(self):
         # generation deliberately excluded: kernel structure is data-independent
         # (data-dependent choices — ranges, caps — are separate cache-key parts)
-        return (self.table.table_id,)
+        return (self.table.table_id, self.with_rowid)
 
 
 class Project(RelNode):

@@ -17,6 +17,31 @@ from heavydb_tpu.plan.builder import ExprBinder, Scope
 from heavydb_tpu.sql import ast as A
 
 
+def _mentions_rowid(node) -> bool:
+    """Does this AST (including subqueries) reference the `rowid`
+    pseudo-column or SAMPLE_RATIO?  Drives whether base-table scans
+    expose the hidden rowid field (reference: Catalog's virtual rowid
+    column exists on every physical table; we materialize it only on
+    demand)."""
+    import dataclasses as _dc
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, A.Identifier):
+            if n.parts and n.parts[-1].lower() == "rowid":
+                return True
+            continue
+        if isinstance(n, A.FuncCall) and n.name.upper() == "SAMPLE_RATIO":
+            return True
+        if _dc.is_dataclass(n) and not isinstance(n, type):
+            for f in _dc.fields(n):
+                stack.append(getattr(n, f.name))
+        elif isinstance(n, (list, tuple)):
+            stack.extend(n)
+    return False
+
+
 def plan_has_outer_refs(node: R.RelNode) -> bool:
     from heavydb_tpu.api import _iter_all_exprs
 
@@ -258,6 +283,9 @@ class SelectPlanner:
         # CTEs of this select (and enclosing ones) are visible to every
         # binder below, including inside subqueries (SQL name scoping)
         self._env = env
+        # expose the virtual rowid field on base-table scans only when the
+        # query (or a subquery of it) references rowid / SAMPLE_RATIO
+        self._uses_rowid = _mentions_rowid(sel)
         scope = Scope()
         rel = self._plan_from(sel.from_, scope, env)
 
@@ -742,14 +770,24 @@ class SelectPlanner:
             table = self.db.catalog.get_table(ref.name)
             if hasattr(self.db, "ensure_foreign_loaded"):
                 self.db.ensure_foreign_loaded(table)  # lazy FSI population
-            node = R.Scan(table)
+            with_rowid = getattr(self, "_uses_rowid", False) and not any(
+                cd.name.lower() == "rowid" for cd in table.columns
+            )
+            node = R.Scan(table, with_rowid=with_rowid)
             alias = ref.alias or ref.name
             dict_refs = [
                 (table.table_id, cd.col_id)
                 if (cd.type.is_dict_string or cd.type.is_array) else None
                 for cd in table.columns
             ]
-            scope.add_relation(alias, node.fields, node.types, dict_refs)
+            ncols = len(table.columns)
+            scope.add_relation(
+                alias, node.fields[:ncols], node.types[:ncols], dict_refs,
+                hidden_fields=(
+                    [("rowid", T.bigint(nullable=False))] if with_rowid
+                    else ()
+                ),
+            )
             return node
         if isinstance(ref, A.SubqueryRef):
             node = SelectPlanner(self.db, env).plan(ref.select)
@@ -1063,6 +1101,8 @@ def _auto_name(expr_ast, idx: int) -> str:
 def _node_dict_ref(node: R.RelNode, field_idx: int):
     """Propagate dictionary identity through Scan/Project/Aggregate outputs."""
     if isinstance(node, R.Scan):
+        if field_idx >= len(node.table.columns):  # virtual rowid field
+            return None
         cd = node.table.columns[field_idx]
         if cd.type.is_dict_string or cd.type.is_array:
             return (node.table.table_id, cd.col_id)

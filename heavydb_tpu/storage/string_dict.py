@@ -162,9 +162,11 @@ class NativeStringDictionary:
     def get_or_add_payload(self, raw) -> np.ndarray:
         """Bulk intern straight from a native-parser RawText column —
         no per-row Python strings anywhere on the import path."""
+        # offsets/mask are contiguous numpy arrays (RawText guarantees
+        # it) — pass them via the buffer protocol, no tobytes() copies
         ids = self._ext.intern_payload(
-            self._h, raw.payload, raw.offsets.tobytes(),
-            raw.mask.tobytes(),
+            self._h, raw.payload, memoryview(raw.offsets),
+            memoryview(raw.mask),
         )
         return np.frombuffer(ids, np.int32).copy()
 

@@ -14,7 +14,8 @@ TAXI_DIR = "/root/reference/Benchmarks/queries/taxis"
 LOGS_DIR = "/root/reference/Benchmarks/queries/logs"
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(TAXI_DIR), reason="reference benchmark queries absent"
+    not (os.path.isdir(TAXI_DIR) and os.path.isdir(LOGS_DIR)),
+    reason="reference benchmark queries absent",
 )
 
 N = 40_000
