@@ -55,7 +55,7 @@ def _keyless_fused(lowered, compiler, mask):
         k = la.kind
         agg = la.agg
         if k not in (A.COUNT, A.COUNT_IF, A.SUM, A.SUM_IF, A.AVG,
-                     A.STDDEV, A.VARIANCE) or (
+                     A.STDDEV, A.VARIANCE) or agg.distinct or (
             agg.arg is not None and agg.arg.type.is_decimal
         ):
             return None
@@ -167,10 +167,11 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
         k = la.kind
         agg = la.agg
         if k not in (A.COUNT, A.COUNT_IF, A.SUM, A.SUM_IF, A.AVG,
-                     A.STDDEV, A.VARIANCE) or (
+                     A.STDDEV, A.VARIANCE) or agg.distinct or (
             agg.arg is not None and agg.arg.type.is_decimal
         ):
-            # decimals keep their scaled-int scatter path (exact)
+            # decimals keep their scaled-int scatter path (exact);
+            # DISTINCT sums route through the sorted distinct machinery
             partials[idx] = la.accumulate(compiler, gid, mask, num_slots,
                                           segs=segs)
             continue
@@ -322,6 +323,13 @@ class LoweredAgg:
                 cond = compiler.compile_predicate(self.agg.arg2)
                 cm = cond if cm is None else (cm & cond)
             acc_dt = self._acc_dtype()
+            if self.agg.distinct:
+                # SUM/AVG(DISTINCT x): reduce over distinct (group,
+                # value) pairs (sorted formulation, exact)
+                s, cnt = segs.distinct_sum_per_group(
+                    gid, (val, None), cm, num_slots, acc_dt
+                )
+                return {"sum": s, "count": cnt}
             if cm is None:
                 cm = jnp.ones(gid.shape[0], jnp.bool_)
             return {

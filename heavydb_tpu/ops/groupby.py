@@ -305,6 +305,12 @@ class SortedSegments:
             allow_hash=allow_hash,
         )
 
+    def distinct_sum_per_group(self, gid, val_tv, mask, num_slots, acc_dt):
+        m = mask if mask is not None else self.s_domain
+        return distinct_sum_per_group(
+            gid, val_tv, m & self.s_domain, num_slots, acc_dt
+        )
+
     def hll_registers(self, gid, val_tv, mask, num_slots):
         m = mask if mask is not None else self.s_domain
         return hll_registers(gid, val_tv, m & self.s_domain, num_slots)
@@ -971,6 +977,36 @@ def _distinct_count_sorted(gid, val_tv: TV, mask, num_slots: int):
     return jnp.zeros(num_slots + 1, jnp.int64).at[
         jnp.where(first, sg, num_slots)
     ].add(1, mode="drop")[:num_slots]
+
+
+def distinct_sum_per_group(gid, val_tv: TV, mask, num_slots: int, acc_dt):
+    """Exact SUM(DISTINCT x) GROUP BY (reference: Calcite accepts
+    SUM/AVG(DISTINCT); the engine reduces over the distinct (group,
+    value) pairs).  Sorted formulation: sort (group, value) pairs, keep
+    the first row of each distinct run, scatter-add those values.
+    Returns (sums[num_slots] acc_dt, distinct_counts[num_slots] int64)."""
+    val, valid = val_tv
+    n = val.shape[0]
+    contrib = mask if mask is not None else jnp.ones(n, jnp.bool_)
+    if valid is not None:
+        contrib = contrib & valid
+    g = jnp.where(contrib, gid, num_slots).astype(jnp.int32)
+    v = jnp.asarray(val)
+    ops = lax.sort([g, v], num_keys=2, is_stable=False)
+    sg, sv = ops
+    first = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), (sg[1:] != sg[:-1]) | (sv[1:] != sv[:-1])]
+    )
+    first = first & (sg < num_slots)
+    tgt = jnp.where(first, sg, num_slots)
+    sums = jnp.zeros(num_slots + 1, acc_dt).at[tgt].add(
+        jnp.where(first, sv, jnp.zeros((), sv.dtype)).astype(acc_dt),
+        mode="drop",
+    )[:num_slots]
+    counts = jnp.zeros(num_slots + 1, jnp.int64).at[tgt].add(
+        1, mode="drop"
+    )[:num_slots]
+    return sums, counts
 
 
 # above this row count, APPROX_QUANTILE switches from the exact sorted

@@ -1341,7 +1341,8 @@ class ExprBinder:
         if node.distinct:
             if kind == E.AggKind.COUNT:
                 kind = E.AggKind.COUNT_DISTINCT
-            elif kind not in (E.AggKind.MIN, E.AggKind.MAX):
+            elif kind not in (E.AggKind.MIN, E.AggKind.MAX,
+                              E.AggKind.SUM, E.AggKind.AVG):
                 raise NotSupported(f"DISTINCT {node.name}")
         agg = E.Agg(kind, arg, node.distinct, out_type, arg2)
         self.aggs.append(agg)

@@ -19,9 +19,110 @@ from heavydb_tpu.plan import rel_alg as R
 def optimize(root: R.RelNode) -> R.RelNode:
     root = _hoist_cross_join_filters(root)
     root = _fuse(root)
+    root = _simplify_outer_joins(root)
     root = _push_filter_through_agg(root)
     root = _reorder_joins(root)
     return _prune_dead_columns(root)
+
+
+# ---------------------------------------------------------------------------
+# Outer-join simplification via null rejection (reference Calcite's
+# OuterJoinOptViaNullRejectionRule in HeavyDBPlanner.java:189-266): a WHERE
+# conjunct that cannot evaluate TRUE when the build side's fields are all
+# NULL filters out every LEFT-join-unmatched row anyway, so the LEFT join
+# is equivalent to an INNER join — which unlocks build-side filter
+# push-down and cardinality-based join reordering.
+# ---------------------------------------------------------------------------
+
+
+def _strict_null_prop(e: E.Expr, lo: int, hi: int):
+    """(strictly_null_propagating, references_[lo,hi)) for scalar expr e.
+    "Strict" = NULL in any input forces a NULL result (no CASE/COALESCE/
+    IS NULL that could manufacture a non-NULL from a NULL)."""
+    if isinstance(e, E.InputRef):
+        return True, lo <= e.field_idx < hi
+    if isinstance(e, E.Constant):
+        return e.value is not None, False
+    if isinstance(e, E.BinOp) and (
+        e.op in E.ARITH_OPS or e.op in E.COMPARISON_OPS
+    ):
+        ls, lr = _strict_null_prop(e.left, lo, hi)
+        rs, rr = _strict_null_prop(e.right, lo, hi)
+        return ls and rs, lr or rr
+    if isinstance(e, E.Cast):
+        return _strict_null_prop(e.operand, lo, hi)
+    if isinstance(e, (E.Extract, E.DateTrunc)):
+        return _strict_null_prop(e.operand, lo, hi)
+    if isinstance(e, E.UnOp) and e.op == E.UnOpKind.NEG:
+        return _strict_null_prop(e.operand, lo, hi)
+    return False, False
+
+
+def _null_rejecting(c: E.Expr, lo: int, hi: int) -> bool:
+    """Can conjunct c evaluate TRUE when every field in [lo, hi) is NULL?
+    False ⇒ c rejects that input's NULL-extended rows."""
+    if isinstance(c, E.BinOp):
+        if c.op == E.BinOpKind.AND:
+            return (_null_rejecting(c.left, lo, hi)
+                    or _null_rejecting(c.right, lo, hi))
+        if c.op == E.BinOpKind.OR:
+            return (_null_rejecting(c.left, lo, hi)
+                    and _null_rejecting(c.right, lo, hi))
+        if c.op in E.COMPARISON_OPS:
+            s, r = _strict_null_prop(c, lo, hi)
+            return s and r
+        return False
+    if isinstance(c, E.UnOp):
+        if c.op == E.UnOpKind.ISNOTNULL:
+            s, r = _strict_null_prop(c.operand, lo, hi)
+            return s and r
+        if c.op == E.UnOpKind.NOT and isinstance(c.operand, E.BinOp) \
+                and c.operand.op in E.COMPARISON_OPS:
+            # NOT(a <cmp> b): NULL input → NULL comparison → NOT NULL
+            # is still NULL → not TRUE
+            s, r = _strict_null_prop(c.operand, lo, hi)
+            return s and r
+        return False
+    if isinstance(c, E.InValues):
+        s, r = _strict_null_prop(c.arg, lo, hi)
+        return s and r  # x [NOT] IN (...) is NULL (not TRUE) on NULL x
+    if isinstance(c, E.DictStrPredicate):
+        s, r = _strict_null_prop(c.arg, lo, hi)
+        return s and r  # [NOT] LIKE/REGEXP/CMP is NULL on NULL strings
+    return False
+
+
+def _simplify_outer_joins(node: R.RelNode, seen=None) -> R.RelNode:
+    if seen is None:
+        seen = set()
+    if id(node) in seen:
+        return node
+    seen.add(id(node))
+    for i in node.inputs:
+        _simplify_outer_joins(i, seen)
+    if (
+        isinstance(node, R.Compound)
+        and node.filter_cond is not None
+        and node.join_levels
+    ):
+        offsets = [0]
+        for inp in node.inputs:
+            offsets.append(offsets[-1] + inp.arity)
+        conjs = _split_conjuncts(node.filter_cond)
+        probe_rej = any(
+            _null_rejecting(c, 0, offsets[1]) for c in conjs
+        )
+        for li, (kind, cond) in enumerate(node.join_levels):
+            lo, hi = offsets[li + 1], offsets[li + 2]
+            build_rej = any(_null_rejecting(c, lo, hi) for c in conjs)
+            if kind == "FULL" and probe_rej:
+                # probe fields are NULL exactly on the appended unmatched
+                # build rows — a probe-side rejecting filter drops them
+                kind = "LEFT"
+            if kind == "LEFT" and build_rej:
+                kind = "INNER"
+            node.join_levels[li] = (kind, cond)
+    return node
 
 
 def _push_filter_through_agg(node: R.RelNode, seen=None) -> R.RelNode:

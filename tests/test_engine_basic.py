@@ -745,3 +745,25 @@ def test_sort_column_tightens_fragments(rng):
     want = int((x < 50000).sum())
     assert db.sql("SELECT count(*) FROM sorted_t WHERE x < 50000"
                   ).rows()[0][0] == want
+
+
+def test_sum_avg_distinct(db):
+    """SUM/AVG(DISTINCT x) — reduce over distinct per-group values
+    (reference: Calcite accepts DISTINCT on SUM/AVG; HeavyDB executes
+    via the count-distinct set machinery)."""
+    db.sql("CREATE TABLE sd (k INT, x INT, y DOUBLE)")
+    db.sql(
+        "INSERT INTO sd VALUES (1,5,1.5), (1,5,1.5), (1,7,2.5), "
+        "(2,5,NULL), (2,NULL,3.0), (NULL,4,3.0), (2,5,3.0)"
+    )
+    assert db.sql(
+        "SELECT sum(DISTINCT x), avg(DISTINCT y) FROM sd"
+    ).rows() == [(16, (1.5 + 2.5 + 3.0) / 3)]
+    assert db.sql(
+        "SELECT k, sum(DISTINCT x), avg(DISTINCT x) FROM sd "
+        "GROUP BY k ORDER BY k NULLS FIRST"
+    ).rows() == [(None, 4, 4.0), (1, 12, 6.0), (2, 5, 5.0)]
+    # empty / all-NULL group → NULL (matches plain SUM semantics)
+    assert db.sql(
+        "SELECT sum(DISTINCT x) FROM sd WHERE x IS NULL"
+    ).rows() == [(None,)]

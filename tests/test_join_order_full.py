@@ -237,3 +237,67 @@ def test_semi_anti_residual_conditions(db):
     ]:
         assert [tuple(r) for r in db.sql(q).rows()] == \
             con.execute(q).fetchall(), q
+
+
+def test_outer_join_null_rejection_rule(db):
+    """LEFT→INNER under a null-rejecting WHERE conjunct (reference
+    HeavyDBPlanner OuterJoinOptViaNullRejectionRule) — verified both in
+    the plan (join kind flips) and differentially vs sqlite."""
+    import sqlite3
+
+    from heavydb_tpu.plan.optimizer import optimize
+    from heavydb_tpu.sql.parser import parse
+
+    db.sql("CREATE TABLE njl (x INT)")
+    db.load_table("njl", {"x": [1, 2, 3, 4, None]})
+    db.sql("CREATE TABLE njr (y INT, v INT)")
+    db.load_table("njr", {"y": [2, 3, 3], "v": [10, -5, None]})
+
+    def kinds(sql):
+        node = optimize(db._plan_select(parse(sql)))
+        out = []
+
+        def walk(n):
+            if hasattr(n, "join_levels"):
+                out.extend(k for k, _ in n.join_levels)
+            for i in n.inputs:
+                walk(i)
+
+        walk(node)
+        return out
+
+    assert kinds("SELECT * FROM njl LEFT JOIN njr ON njl.x=njr.y "
+                 "WHERE njr.v > 0") == ["INNER"]
+    assert kinds("SELECT * FROM njl LEFT JOIN njr ON njl.x=njr.y "
+                 "WHERE njr.v IS NULL") == ["LEFT"]
+    assert kinds("SELECT * FROM njl LEFT JOIN njr ON njl.x=njr.y "
+                 "WHERE njr.v > 0 OR njl.x = 1") == ["LEFT"]
+    assert kinds("SELECT * FROM njl LEFT JOIN njr ON njl.x=njr.y "
+                 "WHERE njr.v > 0 OR njr.y = 3") == ["INNER"]
+    assert kinds("SELECT * FROM njl FULL OUTER JOIN njr ON njl.x=njr.y "
+                 "WHERE njl.x > 0") == ["LEFT"]
+    assert kinds("SELECT * FROM njl FULL OUTER JOIN njr ON njl.x=njr.y "
+                 "WHERE njl.x > 0 AND njr.v IS NOT NULL") == ["INNER"]
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE njl (x INT)")
+    con.executemany("INSERT INTO njl VALUES (?)",
+                    [(1,), (2,), (3,), (4,), (None,)])
+    con.execute("CREATE TABLE njr (y INT, v INT)")
+    con.executemany("INSERT INTO njr VALUES (?,?)",
+                    [(2, 10), (3, -5), (3, None)])
+    for q in [
+        "SELECT njl.x, njr.v FROM njl LEFT JOIN njr ON njl.x=njr.y "
+        "WHERE njr.v > 0 ORDER BY njl.x",
+        "SELECT njl.x FROM njl LEFT JOIN njr ON njl.x=njr.y "
+        "WHERE njr.v IS NULL ORDER BY njl.x NULLS LAST",
+        "SELECT njl.x, njr.v FROM njl LEFT JOIN njr ON njl.x=njr.y "
+        "WHERE njr.v > 0 OR njl.x = 1 ORDER BY njl.x",
+        "SELECT njl.x, njr.y FROM njl LEFT JOIN njr ON njl.x=njr.y "
+        "WHERE NOT (njr.v = 10) ORDER BY njl.x, njr.v",
+        "SELECT njl.x, njr.y, njr.v FROM njl FULL OUTER JOIN njr "
+        "ON njl.x=njr.y WHERE njl.x > 0 AND njr.v IS NOT NULL "
+        "ORDER BY njl.x, njr.v",
+    ]:
+        assert [tuple(r) for r in db.sql(q).rows()] == \
+            con.execute(q).fetchall(), q

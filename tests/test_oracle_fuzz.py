@@ -124,7 +124,7 @@ class Gen:
 
     def query(self):
         r = self.r
-        shape = r.randint(0, 5)
+        shape = r.randint(0, 9)
         if shape == 0:  # filtered aggregate
             aggs = ", ".join(self.agg() for _ in range(r.randint(1, 3)))
             return f"SELECT {aggs} FROM f1 WHERE {self.predicate()}"
@@ -160,18 +160,42 @@ class Gen:
             thr = r.randint(-20, 20)
             return (f"SELECT sum(CASE WHEN x > {thr} THEN 1 ELSE 0 END), "
                     f"count(CASE WHEN s = 'red' THEN 1 END) FROM f1")
-        # IN-subquery
-        return (f"SELECT count(*) FROM f1 WHERE k IN "
-                f"(SELECT k FROM f2 WHERE w < {r.randint(1, 9)})")
+        if shape == 5:  # IN-subquery
+            return (f"SELECT count(*) FROM f1 WHERE k IN "
+                    f"(SELECT k FROM f2 WHERE w < {r.randint(1, 9)})")
+        if shape == 6:  # set ops (INTERSECT/EXCEPT/UNION dedup semantics)
+            op = r.choice(["INTERSECT", "EXCEPT", "UNION", "UNION ALL"])
+            return (f"SELECT k FROM f1 WHERE {self.predicate()} "
+                    f"{op} SELECT k FROM f2 WHERE w < {r.randint(2, 9)} "
+                    "ORDER BY 1 NULLS FIRST")
+        if shape == 7:  # DISTINCT aggregates
+            c = r.choice(self.INT_COLS)
+            q = (f"SELECT count(DISTINCT {c}), count(DISTINCT s), "
+                 f"sum(DISTINCT {c}) FROM f1")
+            if r.random() < 0.6:
+                q += f" WHERE {self.predicate()}"
+            return q
+        if shape == 8:  # correlated EXISTS / NOT EXISTS
+            neg = r.choice(["", "NOT "])
+            cmpo = r.choice(["<", ">", "="])
+            return (f"SELECT count(*) FROM f1 WHERE {neg}EXISTS "
+                    f"(SELECT 1 FROM f2 WHERE f2.k = f1.k "
+                    f"AND f2.w {cmpo} {r.randint(1, 9)})")
+        # string-function projection aggregate (sqlite-shared functions)
+        fn = r.choice(["LENGTH(s)", "UPPER(s)", "LOWER(s)",
+                       "SUBSTR(s, 1, 2)"])
+        return (f"SELECT s, count(*), min({fn}) FROM f1 "
+                f"WHERE {self.predicate()} GROUP BY s "
+                "ORDER BY 1 NULLS FIRST")
 
 
-N_QUERIES = 240
+N_QUERIES = 360
 
 
-@pytest.mark.parametrize("batch", range(8))
+@pytest.mark.parametrize("batch", range(12))
 def test_fuzz_batch(foracle, batch):
     gen = Gen(9000 + batch)
-    per = N_QUERIES // 8
+    per = N_QUERIES // 12
     for qi in range(per):
         q = gen.query()
         try:

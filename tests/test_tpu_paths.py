@@ -124,3 +124,43 @@ def test_blocked_cumsum_matches_numpy(rng):
     x = rng.integers(0, 2, 2_500_000).astype(np.int64)
     got = np.asarray(SC.cumsum(jnp.asarray(x)))
     np.testing.assert_array_equal(got, np.cumsum(x))
+
+
+def test_distinct_sum_on_shared_scan_path(tpu_paths, rng):
+    """SUM/AVG(DISTINCT) must NOT ride the shared one-hot scan (which
+    sums every row) — it routes to the sorted distinct machinery even
+    when the TPU mid-slot strategy is active."""
+    db = hdt.connect()
+    n = 50_000
+    k = rng.integers(0, 300, n).astype(np.int32)
+    v = rng.integers(0, 8, n).astype(np.int32)  # heavy duplication
+    db.sql("CREATE TABLE td (k INT, v INT)")
+    db.catalog.get_table("td").insert_columns({1: k, 2: v})
+    rows = sorted(
+        db.sql(
+            "SELECT k, sum(DISTINCT v), avg(DISTINCT v), sum(v) "
+            "FROM td GROUP BY k"
+        ).rows()
+    )
+    import collections
+
+    per = collections.defaultdict(set)
+    tot = collections.defaultdict(int)
+    for kk, vv in zip(k, v):
+        per[int(kk)].add(int(vv))
+        tot[int(kk)] += int(vv)
+    for kk, sd, ad, s in rows:
+        assert sd == sum(per[kk]), kk
+        assert ad == pytest.approx(sum(per[kk]) / len(per[kk]))
+        assert s == tot[kk]
+
+
+def test_keyless_distinct_sum_not_fused(tpu_paths, rng):
+    db = hdt.connect()
+    n = 20_000
+    v = rng.integers(0, 50, n).astype(np.int32)
+    db.sql("CREATE TABLE td2 (v INT)")
+    db.catalog.get_table("td2").insert_columns({1: v})
+    assert db.sql("SELECT sum(DISTINCT v) FROM td2").rows() == [
+        (int(np.unique(v).sum()),)
+    ]
