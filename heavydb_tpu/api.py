@@ -88,7 +88,8 @@ class Database:
         # table functions: name -> fn(*args, **kw) → dict of numpy columns
         # (reference TableFunctionsFactory UDTFs)
         self._table_functions: Dict[str, object] = {}
-        _register_system_tfs(self._table_functions)
+        self._ml_models: Dict[str, object] = {}
+        _register_system_tfs(self._table_functions, self)
         # FSI foreign servers (reference Catalog/ForeignServer.h; default
         # servers created at InitDB, Catalog.cpp createDefaultServers)
         self._servers: Dict[str, dict] = {
@@ -1555,7 +1556,7 @@ def _iter_all_exprs(node):
         yield from node.agg_exprs
 
 
-def _register_system_tfs(registry):
+def _register_system_tfs(registry, db=None):
     """Built-in table functions (reference SystemFunctions/os/ subset)."""
 
     def generate_series(*args, cursor=None):
@@ -1672,6 +1673,103 @@ def _register_system_tfs(registry):
             "ts": ts_s[keep],
             "dwell_time_sec": dwell[keep],
         }
+
+    # ---- tree-model regression (reference DECISION_TREE_REG_FIT /
+    # RANDOM_FOREST_REG_FIT / GBT_REG_FIT / ML_REG_PREDICT / R2_SCORE,
+    # TableFunctions/SystemFunctions/os/ML + MLPredictCodegen.cpp).
+    # Fitted models live in a per-connection named registry the way the
+    # reference's MLModelMap does; prediction is the branch-free gather
+    # ladder in ops/ml.py. ----
+    def _cursor_xy(cursor):
+        cols = list(cursor.values())
+        y = np.asarray(cols[0], np.float64)
+        X = np.column_stack([np.asarray(c, np.float64) for c in cols[1:]])
+        ok = np.isfinite(y)
+        for j in range(X.shape[1]):
+            ok &= np.isfinite(X[:, j])
+        return X[ok], y[ok]
+
+    def _fit_summary(name, model):
+        if db is not None:
+            db._ml_models[str(name).lower()] = model
+        return {
+            "model_name": np.array([str(name)], object),
+            "kind": np.array([model.kind], object),
+            "n_trees": np.array([len(model.trees)], np.int32),
+            "n_features": np.array([model.n_features], np.int32),
+        }
+
+    def decision_tree_reg_fit(*args, cursor=None):
+        """(model_name [, max_depth [, min_leaf]], CURSOR(y, x1..xk))"""
+        from heavydb_tpu.ops import ml
+
+        X, y = _cursor_xy(cursor)
+        depth = int(args[1]) if len(args) > 1 else 8
+        leaf = int(args[2]) if len(args) > 2 else 4
+        return _fit_summary(args[0], ml.fit_single(X, y, depth, leaf))
+
+    def random_forest_reg_fit(*args, cursor=None):
+        """(model_name [, n_trees [, max_depth]], CURSOR(y, x1..xk))"""
+        from heavydb_tpu.ops import ml
+
+        X, y = _cursor_xy(cursor)
+        n_trees = int(args[1]) if len(args) > 1 else 16
+        depth = int(args[2]) if len(args) > 2 else 8
+        return _fit_summary(
+            args[0], ml.fit_forest(X, y, n_trees=n_trees, max_depth=depth))
+
+    def gbt_reg_fit(*args, cursor=None):
+        """(model_name [, n_trees [, max_depth [, learning_rate]]],
+        CURSOR(y, x1..xk))"""
+        from heavydb_tpu.ops import ml
+
+        X, y = _cursor_xy(cursor)
+        n_trees = int(args[1]) if len(args) > 1 else 32
+        depth = int(args[2]) if len(args) > 2 else 3
+        lr = float(args[3]) if len(args) > 3 else 0.2
+        return _fit_summary(
+            args[0], ml.fit_gbt(X, y, n_trees=n_trees, max_depth=depth,
+                                learning_rate=lr))
+
+    def _get_model(name):
+        m = (db._ml_models if db is not None else {}).get(
+            str(name).lower())
+        if m is None:
+            raise ValueError(f"unknown ML model {name!r}")
+        return m
+
+    def ml_reg_predict(*args, cursor=None):
+        """(model_name, CURSOR(id, x1..xk)) → id, prediction"""
+        m = _get_model(args[0])
+        cols = list(cursor.values())
+        ids = np.asarray(cols[0])
+        X = np.column_stack([np.asarray(c, np.float64) for c in cols[1:]])
+        return {"id": ids, "prediction": m.predict(X)}
+
+    def r2_score(*args, cursor=None):
+        """(model_name, CURSOR(y, x1..xk)) → coefficient of determination"""
+        m = _get_model(args[0])
+        X, y = _cursor_xy(cursor)
+        pred = m.predict(X)
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return {"r2": np.array(
+            [1.0 - ss_res / ss_tot if ss_tot else 0.0], np.float64)}
+
+    def ml_models(*args, cursor=None):
+        names = sorted(db._ml_models) if db is not None else []
+        return {
+            "model_name": np.array(names, object),
+            "kind": np.array(
+                [db._ml_models[n].kind for n in names], object),
+        }
+
+    registry["decision_tree_reg_fit"] = decision_tree_reg_fit
+    registry["random_forest_reg_fit"] = random_forest_reg_fit
+    registry["gbt_reg_fit"] = gbt_reg_fit
+    registry["ml_reg_predict"] = ml_reg_predict
+    registry["r2_score"] = r2_score
+    registry["ml_models"] = ml_models
 
     registry["generate_series"] = generate_series
     registry["tf_mandelbrot"] = tf_mandelbrot
