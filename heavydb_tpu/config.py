@@ -67,6 +67,10 @@ class Config:
     # cost above.  Off by default on this runtime; flip on to re-evaluate
     # on runtimes with native scatter performance.
     enable_hash_groupby: bool = False
+    # col || col between two dict-encoded strings builds a DENSE |L|x|R|
+    # pairwise translation table at launch; this caps the cross-product
+    # size (4M pairs intern in ~0.2s via the native dictionary).
+    pair_concat_max_entries: int = 1 << 22
     # Initial entry-count guess for baseline (sort-based) group-by when no
     # estimate is available; retry ladder doubles on OutOfSlots.
     baseline_groupby_initial_entries: int = 1 << 14

@@ -867,6 +867,12 @@ class Executor:
         aux = {}
         for w in node.wfuncs:
             for sub in E.walk(w):
+                if isinstance(sub, E.StringPairConcat):
+                    aux[sub.key()] = self._aux_array(("pairconcat", sub))
+                if isinstance(sub, E.DictPairCompare):
+                    aux[sub.key()] = self._aux_array(("pairrank", sub))
+        for w in node.wfuncs:
+            for sub in E.walk(w):
                 if isinstance(sub, E.StringTransform):
                     aux[sub.key()] = self._aux_array(("strtransform", sub))
         for w in node.wfuncs:
@@ -1168,6 +1174,10 @@ class Executor:
                     aux_specs[sub.key()] = ("strpred", sub)
                 elif isinstance(sub, E.StringTransform):
                     aux_specs[sub.key()] = ("strtransform", sub)
+                elif isinstance(sub, E.StringPairConcat):
+                    aux_specs[sub.key()] = ("pairconcat", sub)
+                elif isinstance(sub, E.DictPairCompare):
+                    aux_specs[sub.key()] = ("pairrank", sub)
                 elif isinstance(sub, E.ArrayFn) and sub.op != "UNNEST":
                     aux_specs[sub.key()] = ("array", sub)
                 elif isinstance(sub, (E.SubqueryExpr, E.Agg, E.WindowFunc)):
@@ -1503,6 +1513,10 @@ class Executor:
                     plan.aux_specs.setdefault(sub.key(), ("strpred", sub))
                 if isinstance(sub, E.StringTransform):
                     plan.aux_specs.setdefault(sub.key(), ("strtransform", sub))
+                if isinstance(sub, E.StringPairConcat):
+                    plan.aux_specs.setdefault(sub.key(), ("pairconcat", sub))
+                if isinstance(sub, E.DictPairCompare):
+                    plan.aux_specs.setdefault(sub.key(), ("pairrank", sub))
                 if isinstance(sub, E.ArrayFn) and sub.op != "UNNEST":
                     plan.aux_specs.setdefault(sub.key(), ("array", sub))
                 if isinstance(sub, E.Agg) and sub.kind in (
@@ -1628,11 +1642,14 @@ class Executor:
             args.append(jnp.asarray(batches[bi].nrows, jnp.int32))
         # string transforms FIRST: they populate the transient dictionaries
         # that predicates/rank tables over transformed strings read
+        # (pair concats before single-column chains — a chain may read a
+        # pair's output dictionary)
         aux_vals = {}
-        for aux_key in layout.aux_order:
-            spec = plan.aux_specs[aux_key]
-            if spec[0] == "strtransform":
-                aux_vals[aux_key] = self._aux_array(spec)
+        for stage in ("pairconcat", "strtransform"):
+            for aux_key in layout.aux_order:
+                spec = plan.aux_specs[aux_key]
+                if spec[0] == stage:
+                    aux_vals[aux_key] = self._aux_array(spec)
         for aux_key in layout.aux_order:
             if aux_key not in aux_vals:
                 aux_vals[aux_key] = self._aux_array(plan.aux_specs[aux_key])
@@ -1728,6 +1745,79 @@ class Executor:
             arr = jax.device_put(host)
             self.aux_cache[cache_key] = arr
             return arr
+        if kind == "pairconcat":
+            e: E.StringPairConcat = payload
+            # a side that is itself a pair concat reads ITS transient
+            # output dict — populate inner tables first
+            for s in (e.left, e.right):
+                if isinstance(s, E.StringPairConcat):
+                    self._aux_array(("pairconcat", s))
+            ld = self.db.dict_by_ref(e.left_ref)
+            rd = self.db.dict_by_ref(e.right_ref)
+            cache_key = ("pairconcat", e.left_ref, ld.size, e.left_ops,
+                         e.right_ref, rd.size, e.right_ops, e.dict_ref)
+            hit = self.aux_cache.get(cache_key)
+            if hit is not None:
+                return hit
+            from heavydb_tpu.storage.string_ops import apply_chain
+
+            cap = getattr(self.db.config, "pair_concat_max_entries",
+                          1 << 22)
+            if ld.size * rd.size > cap:
+                raise NotSupported(
+                    f"|| between dictionary columns with "
+                    f"{ld.size}x{rd.size} entries (dense pairwise "
+                    f"translation table cap {cap})")
+            les = [apply_chain(s, e.left_ops) for s in ld.entries()]
+            res_ = [apply_chain(s, e.right_ops) for s in rd.entries()]
+            dst = self.db.dict_by_ref(e.dict_ref)
+            sent = np.iinfo(np.int32).min
+            host = np.full((B.bucket(max(len(les), 1)),
+                            B.bucket(max(len(res_), 1))), sent, np.int32)
+            strs, pos = [], []
+            for i, a in enumerate(les):
+                if a is None:
+                    continue
+                for j, b in enumerate(res_):
+                    if b is not None:
+                        strs.append(a + b)
+                        pos.append(i * len(res_) + j)
+            if strs:
+                flat = np.full(len(les) * len(res_), sent, np.int32)
+                flat[np.asarray(pos)] = dst.get_or_add_bulk(strs)
+                host[: len(les), : len(res_)] = flat.reshape(
+                    len(les), len(res_))
+            arr = jax.device_put(host)
+            self.aux_cache[cache_key] = arr
+            return arr
+        if kind == "pairrank":
+            e: E.DictPairCompare = payload
+            ld = self.db.dict_by_ref(e.left_ref)
+            rd = self.db.dict_by_ref(e.right_ref)
+            cache_key = ("pairrank", e.left_ref, ld.size, e.left_ops,
+                         e.right_ref, rd.size, e.right_ops)
+            hit = self.aux_cache.get(cache_key)
+            if hit is not None:
+                return hit
+            from heavydb_tpu.storage.string_ops import apply_chain
+
+            les = [apply_chain(s, e.left_ops) for s in ld.entries()]
+            res_ = [apply_chain(s, e.right_ops) for s in rd.entries()]
+            sent = np.iinfo(np.int32).min
+            both = [s for s in les + res_ if s is not None]
+            uniq = sorted(set(both))
+            rank_of = {s: i for i, s in enumerate(uniq)}
+            rl = np.full(B.bucket(max(len(les), 1)), sent, np.int32)
+            rr = np.full(B.bucket(max(len(res_), 1)), sent, np.int32)
+            for i, s in enumerate(les):
+                if s is not None:
+                    rl[i] = rank_of[s]
+            for i, s in enumerate(res_):
+                if s is not None:
+                    rr[i] = rank_of[s]
+            out = (jax.device_put(rl), jax.device_put(rr))
+            self.aux_cache[cache_key] = out
+            return out
         if kind == "dictrank":
             return self._dict_rank_table(payload)
         if kind == "dictorder":

@@ -406,6 +406,33 @@ class ExprCompiler:
         valid = nullv if valid is None else (valid & nullv)
         return out, valid
 
+    def _c_StringPairConcat(self, e) -> TV:
+        idl, vl = self.compile(e.left)
+        idr, vr = self.compile(e.right)
+        tbl = self.aux[e.key()]  # (L, R) pair table → output dict ids
+        nl, nr = tbl.shape
+        sl = jnp.clip(idl, 0, nl - 1)
+        sr = jnp.clip(idr, 0, nr - 1)
+        sentinel = jnp.asarray(np.iinfo(np.int32).min, jnp.int32)
+        ok = (idl >= 0) & (idl < nl) & (idr >= 0) & (idr < nr)
+        out = jnp.where(ok, tbl[sl, sr], sentinel)
+        valid = and_valid(and_valid(vl, vr), out != sentinel)
+        return out, valid
+
+    def _c_DictPairCompare(self, e) -> TV:
+        idl, vl = self.compile(e.left)
+        idr, vr = self.compile(e.right)
+        rl_tbl, rr_tbl = self.aux[e.key()]  # id → merged rank (per side)
+        sentinel = jnp.asarray(np.iinfo(np.int32).min, jnp.int32)
+        rl = rl_tbl[jnp.clip(idl, 0, rl_tbl.shape[0] - 1)]
+        rr = rr_tbl[jnp.clip(idr, 0, rr_tbl.shape[0] - 1)]
+        ok = (idl >= 0) & (idr >= 0) & (rl != sentinel) & (rr != sentinel)
+        res = {
+            "<": rl < rr, "<=": rl <= rr, ">": rl > rr, ">=": rl >= rr,
+            "=": rl == rr, "<>": rl != rr,
+        }[e.op]
+        return res, and_valid(and_valid(vl, vr), ok)
+
     def _c_Extract(self, e: E.Extract) -> TV:
         val, valid = self.compile(e.operand)
         ti = e.operand.type

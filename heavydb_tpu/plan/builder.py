@@ -380,6 +380,8 @@ class ExprBinder:
             if (r.type.is_dict_string or isinstance(r, E.StringTransform)) \
                     and isinstance(l, E.Constant) and l.type.is_string:
                 return self._extend_transform(r, ("PRECONCAT", (str(l.value),)))
+            if l.type.is_dict_string and r.type.is_dict_string:
+                return self._bind_pair_concat(l, r)
             raise NotSupported("|| between two string columns")
         if op in _CMP:
             return self._bind_comparison(op, l, r)
@@ -424,7 +426,22 @@ class ExprBinder:
                 return self._dict_cmp(r, flipped, l)
             if lt.is_dict_string and rt.is_dict_string:
                 if op not in ("=", "<>"):
-                    raise NotSupported("ordering comparison between two dict columns")
+                    # lexicographic ordering via merged-rank tables
+                    def side(e):
+                        if isinstance(e, E.StringTransform):
+                            return e.arg, e.ops, e.src_dict_ref
+                        return e, (), getattr(e, "dict_ref", None)
+
+                    la, lops, lref = side(l)
+                    ra, rops, rref = side(r)
+                    if lref is None or rref is None:
+                        raise NotSupported(
+                            "ordering comparison on computed strings")
+                    return E.DictPairCompare(
+                        left=la, right=ra, op=op, left_ops=lops,
+                        right_ops=rops, left_ref=lref, right_ref=rref,
+                        type=T.boolean(lt.nullable or rt.nullable),
+                    )
                 # same dictionary → direct id compare; else translated at launch
                 nullable = lt.nullable or rt.nullable
                 if l.dict_ref if isinstance(l, E.InputRef) else None:
@@ -1223,6 +1240,12 @@ class ExprBinder:
                 dict_ref=getattr(arg, "dict_ref", None),
                 type=T.boolean(arg.type.nullable),
             )
+        if name == "CONCAT" and len(node.args) >= 2:
+            # n-ary CONCAT folds to nested || (columns and literals alike)
+            expr_ast = node.args[0]
+            for a in node.args[1:]:
+                expr_ast = A.Binary("||", expr_ast, a)
+            return self._bind(expr_ast)
         if name in _STRING_FNS:
             return self._bind_string_fn(name, node.args)
         if name in _INT_STRING_FNS:
@@ -1267,6 +1290,26 @@ class ExprBinder:
                 f"UDF:{name}", tuple(args), ret_type.with_nullable(nullable)
             )
         raise NotSupported(f"function {name}")
+
+    def _bind_pair_concat(self, l: E.Expr, r: E.Expr) -> E.Expr:
+        """col || col between two dict-encoded sides → pairwise dense
+        translation table (built at launch over the two dictionaries)."""
+
+        def side(e):
+            if isinstance(e, E.StringTransform):
+                return e.arg, e.ops, e.src_dict_ref
+            return e, (), getattr(e, "dict_ref", None)
+
+        la, lops, lref = side(l)
+        ra, rops, rref = side(r)
+        if lref is None or rref is None:
+            raise NotSupported("|| between computed string expressions")
+        ref, _ = self.db.register_transient_dict()
+        return E.StringPairConcat(
+            left=la, right=ra, left_ops=lops, right_ops=rops,
+            left_ref=lref, right_ref=rref, dict_ref=ref,
+            type=T.text_dict(nullable=l.type.nullable or r.type.nullable),
+        )
 
     def _bind_string_fn(self, name: str, arg_asts) -> E.Expr:
         """String kernels over dict columns → launch-time translation chains

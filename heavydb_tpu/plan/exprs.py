@@ -39,6 +39,21 @@ class Expr:
     def _key_parts(self) -> tuple:
         return tuple(self.children())
 
+    def match_key(self) -> tuple:
+        """Like key(), but transient output-dictionary ids are erased:
+        two independent binds of the same string expression (each
+        registering its own transient dict) compare equal.  Used for
+        GROUP BY ↔ SELECT-list expression matching."""
+        return _strip_transients(self.key())
+
+
+def _strip_transients(k):
+    if isinstance(k, tuple):
+        if len(k) == 2 and k[0] == "$transient" and isinstance(k[1], int):
+            return ("$transient",)
+        return tuple(_strip_transients(x) for x in k)
+    return k
+
 
 @dataclass(frozen=True)
 class SampleRatio(Expr):
@@ -248,6 +263,61 @@ class StringTransform(Expr):
 
     def _key_parts(self):
         return (self.arg, self.ops, self.src_dict_ref, self.dict_ref)
+
+
+@dataclass(frozen=True)
+class StringPairConcat(Expr):
+    """left || right where BOTH sides are dict-encoded columns (each with
+    an optional transform chain).  The translation table is PAIRWISE: at
+    launch time the dense |L|x|R| cross product of the two source
+    dictionaries is concatenated and interned into a transient output
+    dictionary; the kernel indexes it by l*R + r — one gather, no string
+    work on device.  Bounded by config.pair_concat_max_entries.
+    Reference: two-variable StringOps evaluated per row via
+    StringDictionaryProxy transients (QueryEngine/StringOpsIR.cpp)."""
+
+    left: Expr = None
+    right: Expr = None
+    left_ops: Tuple[tuple, ...] = ()   # chains applied to each side's
+    right_ops: Tuple[tuple, ...] = ()  # dictionary entries at build time
+    left_ref: tuple = None             # source dict refs
+    right_ref: tuple = None
+    dict_ref: tuple = None             # output transient dict
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.left, self.right)
+
+    def _key_parts(self):
+        return (self.left, self.right, self.left_ops, self.right_ops,
+                self.left_ref, self.right_ref, self.dict_ref)
+
+
+@dataclass(frozen=True)
+class DictPairCompare(Expr):
+    """Ordering comparison between two dict-encoded string columns
+    (possibly each under a transform chain).  At launch the UNION of the
+    two dictionaries' (transformed) entries is sorted once; each side
+    gets an id→merged-rank table (equal strings share a rank), so the
+    kernel compares two int gathers — no string work on device.
+    Reference: StringOps comparisons lowered over proxies
+    (QueryEngine/StringOpsIR.cpp)."""
+
+    left: Expr = None
+    right: Expr = None
+    op: str = "<"          # <, <=, >, >=, =, <>
+    left_ops: Tuple[tuple, ...] = ()
+    right_ops: Tuple[tuple, ...] = ()
+    left_ref: tuple = None
+    right_ref: tuple = None
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.left, self.right)
+
+    def _key_parts(self):
+        return (self.left, self.right, self.op, self.left_ops,
+                self.right_ops, self.left_ref, self.right_ref)
 
 
 class ExtractField(enum.Enum):

@@ -917,7 +917,7 @@ class SelectPlanner:
         def collect_aggs(e: E.Expr):
             for n in E.walk(e):
                 if isinstance(n, E.Agg):
-                    k = n.key()
+                    k = n.match_key()
                     if k not in agg_index:
                         agg_index[k] = len(aggs)
                         aggs.append(n)
@@ -930,7 +930,7 @@ class SelectPlanner:
         for g in group_exprs:
             if g.type.is_array:
                 raise BinderError("array columns cannot be GROUP BY keys")
-        group_keys = [g.key() for g in group_exprs]
+        group_keys = [g.match_key() for g in group_exprs]
         n_keys = len(group_exprs)
 
         agg_node = R.Aggregate(
@@ -942,11 +942,14 @@ class SelectPlanner:
 
         # rewrite projection/having expressions over the Aggregate's output
         def rewrite_over_agg(e: E.Expr) -> E.Expr:
-            k = e.key()
+            k = e.match_key()
             if k in group_keys:
                 idx = group_keys.index(k)
-                return E.InputRef(0, idx, agg_node.types[idx],
-                                  getattr(e, "dict_ref", None))
+                # string transforms register a fresh transient dict per
+                # bind — keep the GROUP BY expr's dict so ids line up
+                dref = getattr(group_exprs[idx], "dict_ref",
+                               getattr(e, "dict_ref", None))
+                return E.InputRef(0, idx, agg_node.types[idx], dref)
             if isinstance(e, E.Agg):
                 if k not in agg_index:
                     raise BinderError(
@@ -979,8 +982,13 @@ class SelectPlanner:
                 return dataclasses.replace(e, operand=rewrite_over_agg(e.operand))
             if isinstance(e, E.Cast):
                 return dataclasses.replace(e, operand=rewrite_over_agg(e.operand))
-            if isinstance(e, (E.InValues, E.DictStrPredicate)):
+            if isinstance(e, (E.InValues, E.DictStrPredicate,
+                              E.StringTransform)):
                 return dataclasses.replace(e, arg=rewrite_over_agg(e.arg))
+            if isinstance(e, E.StringPairConcat):
+                return dataclasses.replace(
+                    e, left=rewrite_over_agg(e.left),
+                    right=rewrite_over_agg(e.right))
             if isinstance(e, (E.Extract, E.DateTrunc)):
                 return dataclasses.replace(e, operand=rewrite_over_agg(e.operand))
             if isinstance(e, E.FunctionOp):
