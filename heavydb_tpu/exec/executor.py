@@ -2534,6 +2534,11 @@ def _split_join_condition(cond, lo: int, hi: int):
 
     equis, residual = [], []
     for c in _split_conjuncts(cond):
+        if (isinstance(c, E.DictPairCompare) and c.op == "="
+                and not c.left_ops and not c.right_ops):
+            # chain-free dict=dict: an ordinary equi key — the join
+            # planner's dict translation machinery handles the id remap
+            c = E.BinOp(E.BinOpKind.EQ, c.left, c.right, c.type)
         if isinstance(c, E.BinOp) and c.op == E.BinOpKind.EQ:
             lrefs = E.collect_input_refs(c.left)
             rrefs = E.collect_input_refs(c.right)

@@ -208,7 +208,13 @@ class DistEngine:
                 return out, plan
             if plan.limit is not None:
                 return self._dist_topk(plan), plan
-            raise NotSupported("distributed full sort without LIMIT")
+            # full sort: gather the (filtered/projected) rows to every
+            # host — replicated — and sort on the aggregator role
+            # (reference: sort always executes on the aggregator,
+            # RelAlgExecutor.cpp:1264-1292)
+            batch, _ = self._exec_distributed(child)
+            memo = {child.id: batch}
+            return ex._exec_sort(plan, memo), plan
         if isinstance(plan, R.Compound) and plan.join_levels:
             plan = self._colocate_joins(plan)
         if isinstance(plan, R.Compound) and decomposable(plan):

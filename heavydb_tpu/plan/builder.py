@@ -425,28 +425,30 @@ class ExprBinder:
                 flipped = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
                 return self._dict_cmp(r, flipped, l)
             if lt.is_dict_string and rt.is_dict_string:
-                if op not in ("=", "<>"):
-                    # lexicographic ordering via merged-rank tables
-                    def side(e):
-                        if isinstance(e, E.StringTransform):
-                            return e.arg, e.ops, e.src_dict_ref
-                        return e, (), getattr(e, "dict_ref", None)
+                def side(e):
+                    if isinstance(e, E.StringTransform):
+                        return e.arg, e.ops, e.src_dict_ref
+                    return e, (), getattr(e, "dict_ref", None)
 
-                    la, lops, lref = side(l)
-                    ra, rops, rref = side(r)
-                    if lref is None or rref is None:
-                        raise NotSupported(
-                            "ordering comparison on computed strings")
-                    return E.DictPairCompare(
-                        left=la, right=ra, op=op, left_ops=lops,
-                        right_ops=rops, left_ref=lref, right_ref=rref,
-                        type=T.boolean(lt.nullable or rt.nullable),
-                    )
-                # same dictionary → direct id compare; else translated at launch
+                la, lops, lref = side(l)
+                ra, rops, rref = side(r)
                 nullable = lt.nullable or rt.nullable
-                if l.dict_ref if isinstance(l, E.InputRef) else None:
-                    pass
-                return E.BinOp(E.BinOpKind(op), l, r, T.boolean(nullable))
+                if (op in ("=", "<>") and not lops and not rops
+                        and lref is not None and lref == rref):
+                    # same dictionary → direct id compare
+                    return E.BinOp(E.BinOpKind(op), l, r,
+                                   T.boolean(nullable))
+                # different dictionaries (or transform chains, or an
+                # ordering op) → merged-rank tables: exact string
+                # semantics, one int gather per side
+                if lref is None or rref is None:
+                    raise NotSupported(
+                        "string comparison on computed strings")
+                return E.DictPairCompare(
+                    left=la, right=ra, op=op, left_ops=lops,
+                    right_ops=rops, left_ref=lref, right_ref=rref,
+                    type=T.boolean(nullable),
+                )
             raise NotSupported(f"comparison {lt} {op} {rt}")
         if lt.is_string and rt.is_string:
             # two string literals — compare host-side

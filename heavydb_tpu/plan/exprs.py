@@ -320,6 +320,26 @@ class DictPairCompare(Expr):
                 self.right_ops, self.left_ref, self.right_ref)
 
 
+@dataclass(frozen=True)
+class DictTranslateExpr(Expr):
+    """Re-encode a dict-string value into another dictionary: at launch
+    every entry of the source dictionary is interned into the target
+    (id→id table), so CASE/COALESCE branches from DIFFERENT dictionaries
+    unify into one output dict with a single gather per branch.
+    Reference: StringDictionaryTranslationMgr union maps."""
+
+    arg: Expr = None
+    src_ref: tuple = None
+    dict_ref: tuple = None  # target (usually transient union) dict
+    type: T.TypeInfo = None
+
+    def children(self):
+        return (self.arg,)
+
+    def _key_parts(self):
+        return (self.arg, self.src_ref, self.dict_ref)
+
+
 class ExtractField(enum.Enum):
     YEAR = "YEAR"
     QUARTER = "QUARTER"
@@ -600,4 +620,9 @@ def rewrite(e: Expr, fn):
             e, rowid=rewrite(e.rowid, fn),
             args=tuple(rewrite(a, fn) for a in e.args),
         ))
+    if isinstance(e, (StringPairConcat, DictPairCompare)):
+        return fn(dataclasses.replace(
+            e, left=rewrite(e.left, fn), right=rewrite(e.right, fn)))
+    if isinstance(e, (StringTransform, DictTranslateExpr)):
+        return fn(dataclasses.replace(e, arg=rewrite(e.arg, fn)))
     return fn(e)

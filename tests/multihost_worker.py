@@ -130,6 +130,15 @@ def main(pid: int, nprocs: int, port: int):
     want = [(int(k[i]), float(v[i])) for i in order]
     check("topk", r, want, approx=True)
 
+    # 5a. distributed FULL sort (no LIMIT): gather + aggregator sort
+    r = dist.sql(
+        "SELECT k, v FROM fact WHERE v > 1.5 ORDER BY v DESC NULLS LAST, k"
+    ).rows()
+    sel = np.flatnonzero(m & (v > 1.5))
+    fo = sel[np.lexsort((k[sel], -v[sel]))]
+    want = [(int(k[i]), float(v[i])) for i in fo]
+    check("full_sort", r, want, approx=True)
+
     # 5b. non-decomposable aggregates: repartition-by-group-key path
     r = dist.sql(
         "SELECT g, count(DISTINCT k), count(*) FROM fact "

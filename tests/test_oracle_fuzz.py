@@ -34,11 +34,14 @@ def foracle(fdb):
     s = [None if i % 13 == 0
          else ["red", "green", "blue", "amber", "plum"][v]
          for i, v in enumerate(rng.integers(0, 5, n))]
+    s2 = [None if i % 17 == 0
+          else ["ash", "oak", "elm", "fir"][v]
+          for i, v in enumerate(rng.integers(0, 4, n))]
     k = [int(v) for v in rng.integers(0, 20, n)]
     big = [int(v) for v in rng.integers(-(2**40), 2**40, n)]
     o.load(
-        "f1", {"x": x, "y": y, "s": s, "k": k, "big": big},
-        {"x": "INT", "y": "DOUBLE", "s": "TEXT", "k": "INT",
+        "f1", {"x": x, "y": y, "s": s, "s2": s2, "k": k, "big": big},
+        {"x": "INT", "y": "DOUBLE", "s": "TEXT", "s2": "TEXT", "k": "INT",
          "big": "BIGINT"},
     )
     m = 200
@@ -85,7 +88,7 @@ class Gen:
             op = r.choice(["AND", "OR"])
             p = f"({self.predicate(depth + 1)} {op} {self.predicate(depth + 1)})"
             return f"NOT {p}" if r.random() < 0.2 else p
-        kind = r.randint(0, 6)
+        kind = r.randint(0, 7)
         if kind == 0:
             return (f"{self.int_expr()} "
                     f"{r.choice(['<', '<=', '>', '>=', '=', '<>'])} "
@@ -105,6 +108,9 @@ class Gen:
             return f"s LIKE '{pat}'"
         if kind == 5:
             return f"s = '{r.choice(['red', 'green', 'blue', 'amber'])}'"
+        if kind == 6:
+            # two-dict-column string comparisons (pairwise rank tables)
+            return f"s {r.choice(['<', '<=', '>', '>=', '=', '<>'])} s2"
         return f"y {r.choice(['<', '>'])} {r.randint(-100, 100)}"
 
     def agg(self):
@@ -124,7 +130,7 @@ class Gen:
 
     def query(self):
         r = self.r
-        shape = r.randint(0, 9)
+        shape = r.randint(0, 10)
         if shape == 0:  # filtered aggregate
             aggs = ", ".join(self.agg() for _ in range(r.randint(1, 3)))
             return f"SELECT {aggs} FROM f1 WHERE {self.predicate()}"
@@ -181,12 +187,22 @@ class Gen:
             return (f"SELECT count(*) FROM f1 WHERE {neg}EXISTS "
                     f"(SELECT 1 FROM f2 WHERE f2.k = f1.k "
                     f"AND f2.w {cmpo} {r.randint(1, 9)})")
-        # string-function projection aggregate (sqlite-shared functions)
-        fn = r.choice(["LENGTH(s)", "UPPER(s)", "LOWER(s)",
-                       "SUBSTR(s, 1, 2)"])
-        return (f"SELECT s, count(*), min({fn}) FROM f1 "
-                f"WHERE {self.predicate()} GROUP BY s "
-                "ORDER BY 1 NULLS FIRST")
+        if shape == 9:  # string-function projection aggregate
+            fn = r.choice(["LENGTH(s)", "UPPER(s)", "LOWER(s)",
+                           "SUBSTR(s, 1, 2)"])
+            return (f"SELECT s, count(*), min({fn}) FROM f1 "
+                    f"WHERE {self.predicate()} GROUP BY s "
+                    "ORDER BY 1 NULLS FIRST")
+        # pairwise string ops: col || col concat group-by / projection
+        e = r.choice(["s || s2", "s || '-' || s2", "UPPER(s) || s2",
+                      "s || LOWER(s2)"])
+        if r.random() < 0.5:
+            return (f"SELECT {e}, count(*) FROM f1 "
+                    f"WHERE {self.predicate()} GROUP BY {e} "
+                    "ORDER BY 1 NULLS FIRST, 2")
+        return (f"SELECT x, k, {e} FROM f1 WHERE {self.predicate()} "
+                "ORDER BY 3 NULLS FIRST, x NULLS FIRST, k, big "
+                f"LIMIT {r.randint(1, 40)}")
 
 
 N_QUERIES = 360
