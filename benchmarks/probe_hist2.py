@@ -1,0 +1,173 @@
+"""Probe: dtype/pass variants for the fused hist kernel (v5e).
+
+Variants at 1k slots, count + f32-sum, 20M rows:
+  a) f32 lhs/il, two dots (default + HIGHEST)     [current]
+  b) bf16 lhs/il, ONE default dot, f32-sum as 3 bf16 limb pieces
+  c) int8 lhs/il, ONE dot -> int32 (counts+limbs only path)
+  d) bf16 lhs x int8 il mixed
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+SLOTS = 1000
+A_p, B = 8, 128
+BLOCK = 8 * 1024
+
+
+def chain(fn, args, k_lo=4, k_hi=24):
+    @jax.jit
+    def looped(carry0, k_iters, *a):
+        def cond(st):
+            return st[0] < k_iters
+
+        def body(st):
+            i, carry = st
+            eps = (carry >> jnp.int64(62)).astype(a[0].dtype)
+            out = fn(a[0] + eps, *a[1:])
+            nxt = jnp.int64(0)
+            for c in out:
+                nxt = nxt + jnp.ravel(c)[0].astype(jnp.int64)
+            return i + 1, carry + nxt
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))[1]
+
+    def run(K, seed):
+        t1 = time.perf_counter()
+        out = looped(jnp.int64(seed), jnp.int32(K), *args)
+        float(jax.device_get(out))
+        return time.perf_counter() - t1
+
+    s = iter(range(1, 100))
+    run(k_lo, next(s))
+    run(k_hi, next(s))
+    tlo = min(run(k_lo, next(s)) for _ in range(2))
+    thi = min(run(k_hi, next(s)) for _ in range(2))
+    return max(thi - tlo, 0.0) / (k_hi - k_lo)
+
+
+def im_row(i):
+    return (jnp.int32(i),)
+
+
+def im_acc(i):
+    return (jnp.int32(0), jnp.int32(0))
+
+
+def pad(x, fill=0):
+    n_p = (N + BLOCK - 1) // BLOCK * BLOCK
+    if n_p == N:
+        return x
+    return jnp.concatenate([x, jnp.full(n_p - N, fill, x.dtype)])
+
+
+def variant_b(g, v1, v2, v3):
+    """ONE bf16 dot: pieces = [counts, v1, v2, v3]."""
+    W = 4 * A_p
+
+    def kernel(g_ref, v1_ref, v2_ref, v3_ref, oi_ref, of_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            oi_ref[...] = jnp.zeros_like(oi_ref)
+            of_ref[...] = jnp.zeros_like(of_ref)
+
+        gv = g_ref[...]
+        hi = lax.shift_right_arithmetic(gv, jnp.int32(7))
+        lo = gv & jnp.int32(B - 1)
+        iota_a = lax.broadcasted_iota(jnp.int32, (A_p, BLOCK), 0)
+        iota_b = lax.broadcasted_iota(jnp.int32, (BLOCK, B), 1)
+        ihf = (hi[None, :] == iota_a).astype(jnp.bfloat16)
+        il = (lo[:, None] == iota_b).astype(jnp.bfloat16)
+        pieces = [ihf]
+        for r in (v1_ref, v2_ref, v3_ref):
+            pieces.append(ihf * r[...][None, :])
+        lhs = jnp.concatenate(pieces, axis=0)
+        out = jnp.dot(lhs, il, preferred_element_type=jnp.float32)
+        oi_ref[...] += out[:A_p].astype(jnp.int32)
+        of_ref[...] += out[A_p:]
+
+    n_p = (N + BLOCK - 1) // BLOCK * BLOCK
+    return pl.pallas_call(
+        kernel,
+        grid=(n_p // BLOCK,),
+        in_specs=[pl.BlockSpec((BLOCK,), im_row)] * 4,
+        out_specs=[pl.BlockSpec((A_p, B), im_acc),
+                   pl.BlockSpec((3 * A_p, B), im_acc)],
+        out_shape=[jax.ShapeDtypeStruct((A_p, B), jnp.int32),
+                   jax.ShapeDtypeStruct((3 * A_p, B), jnp.float32)],
+    )(g, v1, v2, v3)
+
+
+def variant_c(g, l0, l1, l2, l3):
+    """ONE int8 dot -> int32 (count + 4 biased limbs)."""
+
+    def kernel(g_ref, l0_ref, l1_ref, l2_ref, l3_ref, oi_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            oi_ref[...] = jnp.zeros_like(oi_ref)
+
+        gv = g_ref[...]
+        hi = lax.shift_right_arithmetic(gv, jnp.int32(7))
+        lo = gv & jnp.int32(B - 1)
+        iota_a = lax.broadcasted_iota(jnp.int32, (A_p, BLOCK), 0)
+        iota_b = lax.broadcasted_iota(jnp.int32, (BLOCK, B), 1)
+        ih8 = (hi[None, :] == iota_a).astype(jnp.int8)
+        il = (lo[:, None] == iota_b).astype(jnp.int8)
+        pieces = [ih8]
+        for r in (l0_ref, l1_ref, l2_ref, l3_ref):
+            pieces.append(ih8 * r[...][None, :])
+        lhs = jnp.concatenate(pieces, axis=0)
+        out = jnp.dot(lhs, il, preferred_element_type=jnp.int32)
+        oi_ref[...] += out
+
+    n_p = (N + BLOCK - 1) // BLOCK * BLOCK
+    return pl.pallas_call(
+        kernel,
+        grid=(n_p // BLOCK,),
+        in_specs=[pl.BlockSpec((BLOCK,), im_row)] * 5,
+        out_specs=pl.BlockSpec((5 * A_p, B), im_acc),
+        out_shape=jax.ShapeDtypeStruct((5 * A_p, B), jnp.int32),
+    )(g, l0, l1, l2, l3),
+
+
+def main():
+    print(f"backend={jax.default_backend()} n={N:,}", flush=True)
+    kg, kv = jax.random.split(jax.random.PRNGKey(0))
+    g = pad(jax.random.randint(kg, (N,), 0, SLOTS, jnp.int32), -1)
+    v = jax.random.uniform(kv, (N,), jnp.float32)
+    v1 = v.astype(jnp.bfloat16)
+    r = v - v1.astype(jnp.float32)
+    v2 = r.astype(jnp.bfloat16)
+    v3 = (r - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    v1, v2, v3 = pad(v1), pad(v2), pad(v3)
+    l8 = [pad(((jax.random.randint(kv, (N,), 0, 256, jnp.int32)
+                >> (0 * k)) & 0xFF).astype(jnp.int8) - 64)
+          for k in range(4)]
+
+    for name, fn, args in (
+        ("b bf16x3 one-dot", variant_b, (g, v1, v2, v3)),
+        ("c int8 one-dot", variant_c, (g, *l8)),
+    ):
+        try:
+            t0 = time.perf_counter()
+            out = jax.jit(fn)(*args)
+            jax.block_until_ready(out)
+            comp = time.perf_counter() - t0
+            per = chain(jax.jit(fn), args)
+            print(f"{name:20s} {per*1e3:7.2f}ms/iter "
+                  f"({N/max(per,1e-9)/1e9:6.2f}G rows/s) compile={comp:.1f}s",
+                  flush=True)
+        except Exception as e:
+            print(f"{name:20s} FAILED: {type(e).__name__} {str(e)[:300]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

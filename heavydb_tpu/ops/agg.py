@@ -118,12 +118,15 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
         RADIX_INT_MAX_SLOTS,
         SMALL_SLOTS,
         _on_tpu,
-        _onehot_scan,
+        _pallas_available,
+        _shared_scan,
+        shared_scan_bound,
     )
 
     A = E.AggKind
-    # exact-int limb streams cap the shared scan earlier than f32/count
-    # streams (more int8 lhs lanes per slot — see groupby.py bounds)
+    # exact-int limb streams cap the XLA shared scan earlier than f32/count
+    # streams (more int8 lhs lanes per slot — see groupby.py bounds); the
+    # Pallas hist/lane kernels carry every stream class to their own bound
     bound = RADIX_F32_MAX_SLOTS
     for la in lowered:
         ag = la.agg
@@ -131,6 +134,12 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
                 and not ag.arg.type.is_decimal \
                 and np.dtype(ag.arg.type.np_dtype()).kind in "iub":
             bound = RADIX_INT_MAX_SLOTS
+    lo_slots = SMALL_SLOTS
+    if _pallas_available():
+        bound = max(bound, shared_scan_bound())
+        # the lane kernel fuses every count/sum stream of a small group-by
+        # into ONE pass — better than per-slot masked reductions
+        lo_slots = 1
     if num_slots == 1 and not want_present:
         # keyless only: a 1-slot PERFECT group-by still needs presence
         # counts, which the fused reduce doesn't produce
@@ -139,7 +148,7 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
             return fused, None
     if segs is None:
         segs = G
-    if not (_on_tpu() and SMALL_SLOTS < num_slots <= bound):
+    if not (_on_tpu() and lo_slots < num_slots <= bound):
         parts = [la.accumulate(compiler, gid, mask, num_slots, segs=segs)
                  for la in lowered]
         pres = None
@@ -232,7 +241,7 @@ def accumulate_all(lowered, compiler, gid, mask, num_slots: int,
 
     present = None
     if streams or want_present:
-        res = _onehot_scan(
+        res = _shared_scan(
             g32, base_mask, [s for s, _, _ in streams], num_slots,
             exact_accs=tuple(f for _, f, _ in streams),
             bf16_ok=tuple(b for _, _, b in streams),

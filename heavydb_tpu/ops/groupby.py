@@ -556,6 +556,59 @@ def _pallas_eligible(num_slots: int, f64: bool = False) -> bool:
     )
 
 
+def shared_scan_bound() -> int:
+    """Max slot count for the fused shared-scan path (accumulate_all):
+    with the Pallas hist kernel live, count/sum-style streams stay fused
+    to 64k slots regardless of exact-int limbs."""
+    from heavydb_tpu.kernels import radix_hist
+
+    if _pallas_available():
+        return radix_hist.MAX_SLOTS
+    return RADIX_F32_MAX_SLOTS
+
+
+def _shared_scan(gid, mask, value_list, num_slots: int, exact_accs=(),
+                 bf16_ok=()):
+    """Dispatch one fused multi-stream histogram pass:
+      slots <= 256  -> lane-parallel VPU kernel (kernels/lane_agg)
+      slots <= 64k  -> radix-factorized MXU kernel (kernels/radix_hist)
+      otherwise / no TPU -> the jitted XLA one-hot scan.
+    Identical return contract to _onehot_scan."""
+    if _pallas_available():
+        from heavydb_tpu.kernels import lane_agg, radix_hist
+
+        flags = list(exact_accs) + [False] * (
+            len(value_list) - len(exact_accs))
+        if num_slots <= lane_agg.MAX_SLOTS:
+            g = jnp.asarray(gid, jnp.int32)
+            streams = []
+            for i, v in enumerate(value_list):
+                op = "sumi" if flags[i] in ("count", True) and (
+                    flags[i] == "count" or (len(bf16_ok) > i and bf16_ok[i])
+                ) else "sumf"
+                streams.append((jnp.asarray(v, jnp.float32), op, 0))
+            out = lane_agg.lane_agg(g, mask, streams, num_slots)
+            res = [out[0].astype(jnp.int32)]
+            for i, r in enumerate(out[1:]):
+                f = flags[i]
+                if f == "count":
+                    res.append(r)                       # int64
+                elif f is True and len(bf16_ok) > i and bf16_ok[i]:
+                    res.append(r.astype(jnp.float64))   # limb, exact
+                elif f is True:
+                    res.append(r)                       # already float64
+                else:
+                    res.append(r.astype(jnp.float32))
+            return res
+        if num_slots <= radix_hist.MAX_SLOTS:
+            return radix_hist.fused_hist(
+                gid, mask, value_list, num_slots,
+                exact_accs=exact_accs, bf16_ok=bf16_ok,
+            )
+    return _onehot_scan(gid, mask, value_list, num_slots,
+                        exact_accs=exact_accs, bf16_ok=bf16_ok)
+
+
 # MIN/MAX keep the chunked masked-tile scan (no matmul formulation):
 ONEHOT_MAX_SLOTS = 4096
 ONEHOT_TILED_MAX_SLOTS = ONEHOT_MAX_SLOTS
@@ -801,11 +854,9 @@ def segment_count(gid, contrib_mask, num_slots: int):
         slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
         eq = (gid[None, :] == slot_ids[:, None]) & cm[None, :]
         return eq.sum(axis=1, dtype=jnp.int32).astype(jnp.int64)
-    # counts ride the XLA radix-factorized scan — measured faster than the
-    # Pallas one-hot kernel (3.4ms vs 4.2ms @4M rows, 1k slots, v5e): both
-    # are VPU-bound building one-hots and XLA fuses them into the dot
-    if _on_tpu() and num_slots <= RADIX_F32_MAX_SLOTS:
-        return _onehot_scan(gid, cm, [], num_slots)[0].astype(jnp.int64)
+    if _on_tpu() and num_slots <= max(shared_scan_bound(),
+                                      RADIX_F32_MAX_SLOTS):
+        return _shared_scan(gid, cm, [], num_slots)[0].astype(jnp.int64)
     seg = jnp.where(cm, gid, num_slots)
     return jnp.zeros(num_slots + 1, jnp.int32).at[seg].add(
         1, mode="drop"
@@ -828,22 +879,19 @@ def segment_sum(gid, values, contrib_mask, num_slots: int, acc_dtype):
     n = gid.shape[0]
     cm = contrib_mask if contrib_mask is not None else jnp.ones(n, jnp.bool_)
     g32 = gid.astype(jnp.int32)
-    # sums ride the XLA radix-factorized scan — measured faster than the
-    # Pallas kernels on v5e (count+sum 3.4ms vs 4.2ms, exact-int limbs
-    # 4.0ms vs 4.5ms @4M rows, 1k slots); Pallas keeps MIN/MAX (no matmul
-    # formulation — see segment_minmax)
     if _on_tpu():
+        bound = shared_scan_bound()
         if acc_dtype.kind == "f" and acc_dtype.itemsize == 4 \
-                and num_slots <= RADIX_F32_MAX_SLOTS:
-            s = _onehot_scan(g32, cm, [v0], num_slots)[1]
+                and num_slots <= max(bound, RADIX_F32_MAX_SLOTS):
+            s = _shared_scan(g32, cm, [v0], num_slots)[1]
             return s.astype(acc_dtype)
         if acc_dtype.kind == "i" and np.dtype(v0.dtype).kind in "iub" \
-                and num_slots <= RADIX_INT_MAX_SLOTS:
+                and num_slots <= max(bound, RADIX_INT_MAX_SLOTS):
             # EXACT int sums: 8-bit limbs of the biased value (4 limbs for
             # ≤32-bit args, 8 for BIGINT)
             nl = _limb_count(v0.dtype)
             limbs = _biased_limbs(v0, nl)
-            res = _onehot_scan(g32, cm, limbs, num_slots,
+            res = _shared_scan(g32, cm, limbs, num_slots,
                                exact_accs=(True,) * nl,
                                bf16_ok=(True,) * nl)
             cnt = res[0].astype(jnp.int64)
@@ -870,6 +918,23 @@ def segment_minmax(gid, values, contrib_mask, num_slots: int, is_min: bool):
         slot_ids = jnp.arange(num_slots, dtype=gid.dtype)
         vv = jnp.where(gid[None, :] == slot_ids[:, None], v[None, :], ident)
         return red(vv, axis=1)
+    if _pallas_available() and 1 < num_slots and dt.itemsize <= 4:
+        from heavydb_tpu.kernels import lane_agg
+
+        if num_slots <= lane_agg.MAX_SLOTS:
+            n = values.shape[0]
+            cm = contrib_mask if contrib_mask is not None \
+                else jnp.ones(n, jnp.bool_)
+            vv = jnp.where(cm, values, ident)
+            op = "min" if is_min else "max"
+            if dt.kind == "f":
+                iv = float(np.inf if is_min else -np.inf)
+            else:
+                info = np.iinfo(dt.name)
+                iv = int(info.max if is_min else info.min)
+            out = lane_agg.lane_agg(
+                gid.astype(jnp.int32), cm, [(vv, op, iv)], num_slots)
+            return out[1]
     if _pallas_eligible(num_slots) and dt.itemsize <= 4:
         from heavydb_tpu.kernels.groupby_pallas import minmax_per_slot
 
