@@ -738,7 +738,10 @@ def _build_compound_kernel(node, batches, plan, config):
                     payload_layout.append((ekey, valid is not None))
                 (sgid, s_rows, s_domain, changed, num_groups,
                  sorted_keys, sorted_pl) = G.sort_group_rows(
-                    key_tvs, mask, slots, payloads=payload_arrays
+                    key_tvs, mask, slots, payloads=payload_arrays,
+                    # s_rows is only ever gathered by the _SortedCompiler
+                    # for agg-arg exprs, all of which ride as payloads
+                    need_rows=bool(payload_arrays),
                 )
                 agg_segs = G.SortedSegments(
                     changed, s_domain, num_groups, slots

@@ -108,7 +108,8 @@ def perfect_group_ids(
     return gid, total
 
 
-def sort_group_rows(key_tvs: Sequence[TV], mask, cap: int, payloads=()):
+def sort_group_rows(key_tvs: Sequence[TV], mask, cap: int, payloads=(),
+                    need_rows: bool = True):
     """Sort-based grouping that KEEPS the sorted row domain.  Extra row
     arrays (agg arguments, validity masks) ride the SAME sort as
     payloads: multi-operand lax.sort measures FLAT ~56-69ms at 20M rows
@@ -127,27 +128,46 @@ def sort_group_rows(key_tvs: Sequence[TV], mask, cap: int, payloads=()):
       sorted_payloads     — the payload arrays, sorted
     """
     n = key_tvs[0][0].shape[0]
-    in_domain = mask if mask is not None else jnp.ones(n, jnp.bool_)
-    operands = [(~in_domain).astype(jnp.int8)]  # valid rows first
+    # constant sort operands are pure cost (each adds ~20-40% to the
+    # bitonic's payload movement at 20M rows): skip the domain flag when
+    # every row is in-domain, per-key null flags for non-nullable keys,
+    # and the row-index payload when the caller never gathers by it
+    operands = []
+    dom_idx = None
+    if mask is not None:
+        dom_idx = len(operands)
+        operands.append((~mask).astype(jnp.int8))
+    key_ops = []  # (null_idx or None, value_idx)
     for val, valid in key_tvs:
         nullf, v = _canonical_key(jnp.asarray(val), valid)
-        operands.append(nullf)
+        ni = None
+        if valid is not None:
+            ni = len(operands)
+            operands.append(nullf)
+        vi = len(operands)
         operands.append(v)
-    row_idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
+        key_ops.append((ni, vi))
     num_keys = len(operands)
     pl = [jnp.asarray(p) for p in payloads]
     pl = [p.astype(jnp.int8) if p.dtype == jnp.bool_ else p for p in pl]
+    rows_op = [lax.broadcasted_iota(jnp.int32, (n,), 0)] if need_rows \
+        else []
     sorted_ops = lax.sort(
-        operands + [row_idx] + pl, num_keys=num_keys, is_stable=True
+        operands + rows_op + pl, num_keys=num_keys, is_stable=True
     )
-    s_domain = sorted_ops[0] == 0
-    s_rows = sorted_ops[num_keys]
-    sorted_pl = list(sorted_ops[num_keys + 1:])
+    s_domain = (sorted_ops[dom_idx] == 0) if dom_idx is not None \
+        else jnp.ones(n, jnp.bool_)
+    if need_rows:
+        s_rows = sorted_ops[num_keys]
+        sorted_pl = list(sorted_ops[num_keys + 1:])
+    else:
+        s_rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
+        sorted_pl = list(sorted_ops[num_keys:])
     for i, p in enumerate(payloads):
         if jnp.asarray(p).dtype == jnp.bool_:
             sorted_pl[i] = sorted_pl[i] != 0
     changed = jnp.zeros(n, jnp.bool_).at[0].set(True)
-    for opnd in sorted_ops[1:num_keys]:
+    for opnd in sorted_ops[1 if dom_idx is not None else 0:num_keys]:
         diff = jnp.concatenate(
             [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
         )
@@ -157,10 +177,11 @@ def sort_group_rows(key_tvs: Sequence[TV], mask, cap: int, payloads=()):
     num_groups = changed.sum().astype(jnp.int32)
     sgid = jnp.where(s_domain, jnp.minimum(sgid, cap), cap)
     sorted_keys = []
-    for ki in range(len(key_tvs)):
-        nullf = sorted_ops[1 + 2 * ki]
-        v = sorted_ops[2 + 2 * ki]
-        sorted_keys.append((v, nullf == 0))
+    for ni, vi in key_ops:
+        v = sorted_ops[vi]
+        valid_s = (sorted_ops[ni] == 0) if ni is not None \
+            else jnp.ones(n, jnp.bool_)
+        sorted_keys.append((v, valid_s))
     return (sgid, s_rows, s_domain, changed, num_groups, sorted_keys,
             sorted_pl)
 
