@@ -1682,6 +1682,11 @@ def _register_system_tfs(registry, db=None):
     # ladder in ops/ml.py. ----
     def _cursor_xy(cursor):
         cols = list(cursor.values())
+        if len(cols) < 2:
+            raise NotSupported(
+                "ML fit cursor needs a target column followed by at least "
+                "one feature column"
+            )
         y = np.asarray(cols[0], np.float64)
         X = np.column_stack([np.asarray(c, np.float64) for c in cols[1:]])
         ok = np.isfinite(y)
@@ -1744,7 +1749,13 @@ def _register_system_tfs(registry, db=None):
         cols = list(cursor.values())
         ids = np.asarray(cols[0])
         X = np.column_stack([np.asarray(c, np.float64) for c in cols[1:]])
-        return {"id": ids, "prediction": m.predict(X)}
+        pred = m.predict(X)
+        # rows with non-finite features were dropped at fit time; at
+        # predict time they must yield NULL, not an arbitrary tree path
+        bad = ~np.isfinite(X).all(axis=1)
+        if bad.any():
+            pred = np.where(bad, np.nan, pred)
+        return {"id": ids, "prediction": pred}
 
     def r2_score(*args, cursor=None):
         """(model_name, CURSOR(y, x1..xk)) → coefficient of determination"""
@@ -1753,8 +1764,12 @@ def _register_system_tfs(registry, db=None):
         pred = m.predict(X)
         ss_res = float(((y - pred) ** 2).sum())
         ss_tot = float(((y - y.mean()) ** 2).sum())
-        return {"r2": np.array(
-            [1.0 - ss_res / ss_tot if ss_tot else 0.0], np.float64)}
+        if ss_tot:
+            r2 = 1.0 - ss_res / ss_tot
+        else:
+            # constant y: a perfect fit scores 1.0 (sklearn convention)
+            r2 = 1.0 if ss_res == 0.0 else 0.0
+        return {"r2": np.array([r2], np.float64)}
 
     def ml_models(*args, cursor=None):
         names = sorted(db._ml_models) if db is not None else []

@@ -1216,8 +1216,16 @@ class Executor:
 
             jitted = jax.jit(kern)
             self.kernel_cache[kkey] = jitted
+        # same two-stage build as _kernel_args: pair concats populate the
+        # transient dictionaries that transforms/predicates over them read
+        staged = {}
+        for stage in ("pairconcat", "strtransform"):
+            for k in aux_order:
+                if aux_specs[k][0] == stage:
+                    staged[k] = self._aux_array(aux_specs[k])
         aux_vals = tuple(
-            self._aux_array(aux_specs[k]) for k in aux_order
+            staged[k] if k in staged else self._aux_array(aux_specs[k])
+            for k in aux_order
         )
         cnt = jitted(jnp.asarray(batch.nrows, jnp.int32), aux_vals,
                      *[batch.cols[l] for l in locals_])
@@ -1566,7 +1574,18 @@ class Executor:
                              build_keys=build_exprs, residual=residual,
                              translate=translate, pack="single",
                              key_min=key_min, key_range=key_range)
-        # multi-key: exact range packing if possible, else hash + recheck
+        # multi-key: exact range packing if possible, else hash + recheck.
+        # Dictionary-encoded string keys are only id-comparable within ONE
+        # dictionary; cross-dict multi-key joins would range/hash-pack raw
+        # ids from different dictionaries (silently wrong), so refuse.
+        for pe, be in zip(probe_exprs, build_exprs):
+            if pe.type.is_dict_string or be.type.is_dict_string:
+                pref = getattr(pe, "dict_ref", None)
+                bref = getattr(be, "dict_ref", None)
+                if pref is None or bref is None or pref != bref:
+                    raise NotSupported(
+                        "multi-column join with cross-dictionary string keys"
+                    )
         ranges = [RNG.expr_range(b, node.inputs) for b in build_exprs]
         pranges = [RNG.expr_range(p, node.inputs) for p in probe_exprs]
         spans = []
@@ -2536,9 +2555,26 @@ def _split_join_condition(cond, lo: int, hi: int):
     for c in _split_conjuncts(cond):
         if (isinstance(c, E.DictPairCompare) and c.op == "="
                 and not c.left_ops and not c.right_ops):
-            # chain-free dict=dict: an ordinary equi key — the join
-            # planner's dict translation machinery handles the id remap
-            c = E.BinOp(E.BinOpKind.EQ, c.left, c.right, c.type)
+            # chain-free dict=dict: unwrap to a raw-id equi key ONLY when
+            # it's a genuine cross-side pair — the join planner's dict
+            # translation machinery then remaps ids.  A same-side
+            # conjunct (e.g. ON f1.k=f2.k AND f1.s=f1.s2) must stay a
+            # DictPairCompare in the residual (its pairrank aux compiles
+            # correctly); a raw-id compare across different dictionaries
+            # would be silently wrong.
+            lrefs = E.collect_input_refs(c.left)
+            rrefs = E.collect_input_refs(c.right)
+            l_probe = bool(lrefs) and all(r.field_idx < lo for r in lrefs)
+            l_build = bool(lrefs) and all(
+                lo <= r.field_idx < hi for r in lrefs)
+            r_probe = bool(rrefs) and all(r.field_idx < lo for r in rrefs)
+            r_build = bool(rrefs) and all(
+                lo <= r.field_idx < hi for r in rrefs)
+            if (l_probe and r_build) or (l_build and r_probe):
+                c = E.BinOp(E.BinOpKind.EQ, c.left, c.right, c.type)
+            else:
+                residual.append(c)
+                continue
         if isinstance(c, E.BinOp) and c.op == E.BinOpKind.EQ:
             lrefs = E.collect_input_refs(c.left)
             rrefs = E.collect_input_refs(c.right)

@@ -985,7 +985,7 @@ class SelectPlanner:
             if isinstance(e, (E.InValues, E.DictStrPredicate,
                               E.StringTransform)):
                 return dataclasses.replace(e, arg=rewrite_over_agg(e.arg))
-            if isinstance(e, E.StringPairConcat):
+            if isinstance(e, (E.StringPairConcat, E.DictPairCompare)):
                 return dataclasses.replace(
                     e, left=rewrite_over_agg(e.left),
                     right=rewrite_over_agg(e.right))
