@@ -1,0 +1,611 @@
+"""Pallas TPU pipeline: sparse / huge-cardinality group-by at bandwidth.
+
+The TPU-native replacement for the reference's baseline-hash group-by
+(QueryEngine/GroupByRuntime.cpp:25 get_group_value, MurmurHash open
+addressing; JoinHashTable/Runtime/HashJoinRuntime.cpp is the same kernel
+family) for key spaces far beyond VMEM — e.g. 10M distinct keys at 20M
+rows, where the round-2 engine bottomed out at two lax.sort HBM
+round-trip networks (~190ms/20M; docs/sparse_groupby_shootout.md).
+
+Round-3 capability probes (benchmarks/probe_mosaic_caps.py) showed this
+toolchain's Mosaic supports every dynamic-addressing form the shootout
+doc believed blocked: dynamic sublane-offset VMEM reads/writes,
+dynamic-row async copies in all directions, data-dependent lane
+gathers, dynamic trip counts, and SMEM scalars carried across the
+sequential grid.  DMA issue cost measured 5-60ns, and the in-VMEM
+bitonic tile sort is ~bandwidth-bound.  That unlocks the classic
+radix-partition design:
+
+  0. hash    h = gid * 0x9E3779B1 (u32 Fibonacci: BIJECTIVE, so equal
+             hash <=> equal gid, and gid = h * INV recovers keys; no
+             gid < 2^31 hashes to the sentinel — checked).  Biased by
+             XOR 2^31 so signed int32 compares give unsigned order.
+  1. L1 partition: per 32k-element tile — bitonic sort by h, bucket
+             run boundaries via threshold counts, chunked (8,128) DMA
+             append of each run to its bucket region at an SMEM row
+             cursor.  Boundary-row fringe elements ride along and are
+             filtered downstream by their own bucket bits; sequential
+             grid steps make later appends overwrite chunk padding.
+             Region buffers are SENT-initialized (input/output
+             aliasing) so stale rows self-identify.
+  2. L2 partition: same kernel over each L1 region -> P1*P2 final
+             partitions of <= 32k elements.
+  3. group   per partition: bitonic sort by h, segment boundaries,
+             segmented-scan ladders (count / f32 sum / double-single
+             f32-pair sum / int32 sum / min / max), per-group records
+             at segment-END rows, a compaction sort, and a
+             carry-blended append to the global output (sub-row
+             alignment via a data-dependent lane gather).
+
+Overflow (a final partition exceeding capacity, or an int-limb sum
+segment longer than the exactness bound) sets a flag; the executor
+reruns on the sort tier (same pattern as err_count_distinct_overflow).
+
+Exactness:
+- counts: int32 ladders (n < 2^31).
+- f32 sums: segmented tree sums in f32; f64 accumulators use
+  double-single f32 pairs (TwoSum ladder, ~2^-48 — the engine's
+  established big-sum representation).
+- int sums: EXACT via two 16-bit limbs of the bias-flipped value in
+  int32 ladders; exact while every group has <= 32767 contributing
+  rows (flagged otherwise).
+- min/max: exact selects in the value's own (<= 4-byte) dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from heavydb_tpu.kernels.tile_sort import _tile_bitonic
+
+# one tile = 32k elements = (256,128): the largest whose bitonic holds 4
+# payloads within scoped VMEM (benchmarks/probe_sort_vmem.py)
+_R = 256
+_TILE = _R * 128
+_CH = 8                        # DMA chunk rows (min 4-byte sublane tile)
+_SENT = np.int32(0x7FFFFFFF)   # biased-h sentinel: sorts last
+_NBIAS = np.int32(-0x80000000)  # bit pattern 0x80000000
+_MULT = np.uint32(0x9E3779B1)
+_INV = np.uint32(pow(0x9E3779B1, -1, 1 << 32))
+# int-limb segment sums stay exact in int32 while count*65535 < 2^31
+MAX_SEG_INT = 32767
+# payload streams one 32k bitonic carries (probe_sort_vmem.py)
+MAX_STREAMS = 4
+# per-partition target fill: leaves room for fringe + chunk padding
+_TARGET_FILL = 24576
+_OPS = ("sumf", "sumi32", "min", "max", "sumds_hi", "sumds_lo")
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# in-VMEM element-order shift / segmented scan helpers
+# ---------------------------------------------------------------------------
+
+
+def _lane_gather(x, idx):
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return lax.gather(x, idx[:, :, None], dnums, (1, 1),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _shift_down(x, d: int, fill):
+    """y[i] = x[i-d] in flattened (row*128+lane) order; y[:d] = fill.
+    d: power of two."""
+    R = x.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    if d >= 128:
+        rs = d >> 7
+        y = pltpu.roll(x, shift=jnp.int32(rs), axis=0)
+        return jnp.where(rows < rs, fill, y)
+    lanes = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    idx = (lanes - jnp.int32(d)) & jnp.int32(127)
+    g = _lane_gather(x, idx)
+    gprev = pltpu.roll(g, shift=jnp.int32(1), axis=0)
+    y = jnp.where(lanes >= d, g, gprev)
+    return jnp.where((rows == 0) & (lanes < d), fill, y)
+
+
+def _shift_up1(x, fill):
+    """y[i] = x[i+1]; y[last] = fill."""
+    R = x.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    idx = (lanes + jnp.int32(1)) & jnp.int32(127)
+    g = _lane_gather(x, idx)
+    xup = pltpu.roll(x, shift=jnp.int32(R - 1), axis=0)  # xup[r] = x[r+1]
+    gup = _lane_gather(xup, idx)
+    y = jnp.where(lanes == 127, gup, g)
+    return jnp.where((rows == R - 1) & (lanes == 127), fill, y)
+
+
+def _shift_down_dyn(x, s):
+    """y[i] = x[i-s] for DYNAMIC 0 <= s < 128 (garbage in y[:s])."""
+    lanes = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    idx = (lanes - s) & jnp.int32(127)
+    g = _lane_gather(x, idx)
+    gprev = pltpu.roll(g, shift=jnp.int32(1), axis=0)
+    return jnp.where(lanes >= s, g, gprev)
+
+
+def _seg_scan(v, blocked0, op):
+    """Inclusive segmented scan in flattened order: at element i, the
+    op-reduction of its segment's prefix.  blocked0: int32 1 at segment
+    starts."""
+    n = v.shape[0] * 128
+    blocked = blocked0
+    d = 1
+    while d < n:
+        pv = _shift_down(v, d, jnp.zeros((), v.dtype))
+        pb = _shift_down(blocked, d, jnp.int32(1))
+        take = blocked == 0
+        v = jnp.where(take, op(v, pv), v)
+        blocked = jnp.where(take, pb, blocked)
+        d <<= 1
+    return v
+
+
+def _seg_scan_ds(hi, lo, blocked0):
+    """Segmented scan of double-single f32 pairs (TwoSum + renorm)."""
+    n = hi.shape[0] * 128
+    blocked = blocked0
+    d = 1
+    while d < n:
+        ph = _shift_down(hi, d, jnp.float32(0))
+        plo = _shift_down(lo, d, jnp.float32(0))
+        pb = _shift_down(blocked, d, jnp.int32(1))
+        s = hi + ph
+        bv = s - hi
+        err = (hi - (s - bv)) + (ph - bv)
+        l2 = lo + plo + err
+        hh = s + l2
+        ll = l2 - (hh - s)
+        take = blocked == 0
+        hi = jnp.where(take, hh, hi)
+        lo = jnp.where(take, ll, lo)
+        blocked = jnp.where(take, pb, blocked)
+        d <<= 1
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# partition kernel (levels 1 and 2)
+# ---------------------------------------------------------------------------
+
+
+def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
+                    cap_rows: int, check_shift: int, n_regions: int,
+                    interpret: bool):
+    """Run one partition pass.  hb2/streams2: (rows,128) tiled input.
+    Returns (hb_out, stream_outs, flag[8,128])."""
+    n_streams = len(streams2)
+    ntiles = hb2.shape[0] // _R
+    out_rows = n_regions * P * cap_rows
+    trip_shift = int(np.log2(_CH))
+
+    def kernel(*refs):
+        h_ref = refs[0]
+        s_refs = refs[1: 1 + n_streams]
+        # refs[1+n_streams] is the aliased SENT-init buffer (unused here)
+        houtb = refs[2 + n_streams]
+        soutb = refs[3 + n_streams: 3 + 2 * n_streams]
+        flag_ref = refs[3 + 2 * n_streams]
+        scr = refs[4 + 2 * n_streams: 5 + 3 * n_streams]
+        cur_ref = refs[5 + 3 * n_streams]
+        sem = refs[6 + 3 * n_streams]
+
+        i = pl.program_id(0)
+        region = lax.shift_right_logical(i, jnp.int32(region_log))
+        tile_in_region = i & jnp.int32((1 << region_log) - 1)
+
+        @pl.when(i == 0)
+        def _():
+            flag_ref[...] = jnp.zeros_like(flag_ref)
+
+        @pl.when(tile_in_region == 0)
+        def _():
+            for b in range(P):
+                cur_ref[b] = jnp.int32(0)
+
+        hb = h_ref[...]
+        if check_shift >= 0:
+            # level 2: fringe rows carry another region's bucket bits,
+            # stale rows are SENT-initialized — both filter by value
+            l1b = lax.shift_right_logical(hb ^ _NBIAS,
+                                          jnp.int32(check_shift))
+            hb = jnp.where(l1b == region, hb, _SENT)
+        ops = _tile_bitonic(hb, [r[...] for r in s_refs], _R)
+        for r, o in zip(scr, ops):
+            r[...] = o
+        hs = ops[0]
+
+        def count_below(thr):
+            return jnp.sum((hs < thr).astype(jnp.int32), dtype=jnp.int32)
+
+        n_valid = count_below(jnp.asarray(_SENT, jnp.int32))
+        if check_shift >= 0:
+            base_u = lax.shift_left(region, jnp.int32(check_shift))
+        else:
+            base_u = jnp.int32(0)
+        start = jnp.int32(0)
+        for b in range(P):
+            if b == P - 1:
+                end = n_valid
+            else:
+                thr = (base_u + lax.shift_left(
+                    jnp.int32(b + 1), jnp.int32(shift))) ^ _NBIAS
+                end = jnp.minimum(count_below(thr), n_valid)
+            r0 = lax.shift_right_logical(start, jnp.int32(7))
+            rend = lax.shift_right_logical(end + jnp.int32(127),
+                                           jnp.int32(7))
+            nrows = jnp.maximum(rend - r0, 0)
+            trips = lax.shift_right_logical(
+                nrows + jnp.int32(_CH - 1), jnp.int32(trip_shift))
+            cur = cur_ref[b]
+            fits = (cur + trips * jnp.int32(_CH)) <= jnp.int32(cap_rows)
+            dst0 = region * jnp.int32(P * cap_rows) \
+                + jnp.int32(b * cap_rows)
+
+            @pl.when(jnp.logical_not(fits))
+            def _():
+                flag_ref[...] = jnp.ones_like(flag_ref)
+
+            @pl.when(fits & (nrows > 0))
+            def _():
+                def body(t, c):
+                    src = r0 + t * jnp.int32(_CH)
+                    d = dst0 + c
+                    for sref, oref in zip(
+                            scr, [houtb] + list(soutb)):
+                        cp = pltpu.make_async_copy(
+                            sref.at[pl.ds(src, _CH), :],
+                            oref.at[pl.ds(d, _CH), :], sem)
+                        cp.start()
+                        cp.wait()
+                    return c + jnp.int32(_CH)
+
+                lax.fori_loop(jnp.int32(0), trips, body, cur)
+
+            cur_ref[b] = jnp.where(fits, cur + nrows, cur)
+            start = end
+
+    sent_init = jnp.full((out_rows, 128), _SENT, jnp.int32)
+    in_specs = (
+        [pl.BlockSpec((_R, 128),
+                      lambda i: (jnp.int32(i), jnp.int32(0)))]
+        * (1 + n_streams)
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+    )
+    out_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY)] * (1 + n_streams)
+        + [pl.BlockSpec((8, 128),
+                        lambda i: (jnp.int32(0), jnp.int32(0)))]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((out_rows, 128), jnp.int32)]
+        + [jax.ShapeDtypeStruct((out_rows, 128), s.dtype)
+           for s in streams2]
+        + [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
+    )
+    scratch = (
+        [pltpu.VMEM((_R, 128), jnp.int32)]
+        + [pltpu.VMEM((_R, 128), s.dtype) for s in streams2]
+        + [pltpu.SMEM((P,), jnp.int32), pltpu.SemaphoreType.DMA]
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases={1 + n_streams: 0},
+        interpret=interpret,
+    )(hb2, *streams2, sent_init)
+    return res[0], list(res[1: 1 + n_streams]), res[1 + n_streams]
+
+
+# ---------------------------------------------------------------------------
+# stage 3: per-partition sort + segmented reduce + compacted append
+# ---------------------------------------------------------------------------
+
+
+def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
+                  cap_out_rows: int, interpret: bool):
+    """Grid over final partitions (one 32k tile each).  Returns
+    (hb_out, len_out, totals..., stats[8,128]) where stats[0,0] =
+    num_groups, stats[0,1] = int-limb overflow flag."""
+    n_streams = len(streams2)
+    nparts = hb2.shape[0] // _R
+    need_seg_flag = any(o == "sumi32_limb" for o in ops)
+    kop = tuple(("sumi32" if o == "sumi32_limb" else o) for o in ops)
+    n_chan = 2 + n_streams  # hb, len, totals...
+
+    def kernel(*refs):
+        h_ref = refs[0]
+        s_refs = refs[1: 1 + n_streams]
+        out_refs = refs[1 + n_streams: 1 + n_streams + n_chan]
+        stats_ref = refs[1 + n_streams + n_chan]
+        stg = refs[2 + n_streams + n_chan:
+                   2 + n_streams + 2 * n_chan]
+        carry = refs[2 + n_streams + 2 * n_chan:
+                     2 + n_streams + 3 * n_chan]
+        smem = refs[2 + n_streams + 3 * n_chan]
+        sem = refs[3 + n_streams + 3 * n_chan]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            smem[0] = jnp.int32(0)   # out row cursor
+            smem[1] = jnp.int32(0)   # carry element count
+            smem[2] = jnp.int32(0)   # total groups
+            smem[3] = jnp.int32(0)   # int-limb overflow flag
+
+        hb = h_ref[...]
+        if check_shift >= 0:
+            pb = lax.shift_right_logical(hb ^ _NBIAS,
+                                         jnp.int32(check_shift))
+            hb = jnp.where(pb == i, hb, _SENT)
+        srt = _tile_bitonic(hb, [r[...] for r in s_refs], _R)
+        hs = srt[0]
+        svals = srt[1:]
+
+        prev = _shift_down(hs, 1, jnp.asarray(_SENT, jnp.int32))
+        is_sent = hs == _SENT
+        new_seg = ((hs != prev) | ((lax.broadcasted_iota(
+            jnp.int32, (_R, 128), 0) == 0) & (lax.broadcasted_iota(
+                jnp.int32, (_R, 128), 1) == 0))).astype(jnp.int32)
+        nxt = _shift_up1(hs, jnp.asarray(_SENT, jnp.int32))
+        keep = (hs != nxt) & jnp.logical_not(is_sent)
+
+        ln = _seg_scan(jnp.ones((_R, 128), jnp.int32), new_seg,
+                       lambda a, b: a + b)
+        totals = []
+        si = 0
+        while si < n_streams:
+            op = kop[si]
+            if op == "sumds_hi":
+                th, tl = _seg_scan_ds(svals[si], svals[si + 1], new_seg)
+                totals.append(th)
+                totals.append(tl)
+                si += 2
+                continue
+            v = svals[si]
+            if op == "sumf":
+                totals.append(_seg_scan(v, new_seg, lambda a, b: a + b))
+            elif op == "sumi32":
+                totals.append(_seg_scan(v, new_seg, lambda a, b: a + b))
+            elif op == "min":
+                totals.append(_seg_scan(v, new_seg, jnp.minimum))
+            else:
+                totals.append(_seg_scan(v, new_seg, jnp.maximum))
+            si += 1
+
+        if need_seg_flag:
+            over = jnp.sum(
+                (keep & (ln > jnp.int32(MAX_SEG_INT))).astype(jnp.int32),
+                dtype=jnp.int32)
+
+            @pl.when(over > 0)
+            def _():
+                smem[3] = jnp.int32(1)
+
+        m = jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
+        # compaction sort: kept records first, original order preserved
+        rows = lax.broadcasted_iota(jnp.int32, (_R, 128), 0)
+        lanes = lax.broadcasted_iota(jnp.int32, (_R, 128), 1)
+        idx = rows * jnp.int32(128) + lanes
+        ck = jnp.where(keep, idx, jnp.asarray(_SENT, jnp.int32))
+        chans = [hs, ln] + totals
+        comp = _tile_bitonic(ck, chans, _R)[1:]
+
+        # carry-blended append: shift by the carried element count,
+        # blend the carry row, DMA whole 128-rows, keep the remainder
+        s = smem[1]
+        total = s + m
+        full = lax.shift_right_logical(total, jnp.int32(7))
+        for ci in range(n_chan):
+            x = comp[ci]
+            pad = jnp.zeros((8, 128), x.dtype)
+            ext = jnp.concatenate([x, pad], axis=0)      # (_R+8, 128)
+            sh = _shift_down_dyn(ext, s)
+            rows2 = lax.broadcasted_iota(jnp.int32, (_R + 8, 128), 0)
+            lanes2 = lax.broadcasted_iota(jnp.int32, (_R + 8, 128), 1)
+            cv = carry[ci][0:1, :]
+            blended = jnp.where((rows2 == 0) & (lanes2 < s),
+                                jnp.broadcast_to(cv, (_R + 8, 128)), sh)
+            stg[ci][...] = blended
+        cur = smem[0]
+        trips = lax.shift_right_logical(full + jnp.int32(_CH - 1),
+                                        jnp.int32(3))
+        fits = (cur + trips * jnp.int32(_CH)) \
+            <= jnp.int32(cap_out_rows)
+
+        @pl.when(fits & (full > 0))
+        def _():
+            def body(t, c):
+                src = t * jnp.int32(_CH)
+                for ci in range(n_chan):
+                    cp = pltpu.make_async_copy(
+                        stg[ci].at[pl.ds(src, _CH), :],
+                        out_refs[ci].at[pl.ds(c, _CH), :], sem)
+                    cp.start()
+                    cp.wait()
+                return c + jnp.int32(_CH)
+
+            lax.fori_loop(jnp.int32(0), trips, body, cur)
+
+        # new carry = the partial row at `full`
+        for ci in range(n_chan):
+            carry[ci][...] = stg[ci][pl.ds(full, 8), :]
+        smem[0] = jnp.where(fits, cur + full, cur)
+        smem[1] = total & jnp.int32(127)
+        smem[2] = smem[2] + m
+
+        @pl.when(i == jnp.int32(nparts - 1))
+        def _():
+            # flush the carry row, export stats
+            c2 = smem[0]
+
+            @pl.when(c2 + jnp.int32(_CH) <= jnp.int32(cap_out_rows))
+            def _():
+                for ci in range(n_chan):
+                    cp = pltpu.make_async_copy(
+                        carry[ci].at[pl.ds(jnp.int32(0), _CH), :],
+                        out_refs[ci].at[pl.ds(c2, _CH), :], sem)
+                    cp.start()
+                    cp.wait()
+
+            st = jnp.zeros((8, 128), jnp.int32)
+            st = jnp.where(
+                (lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+                & (lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0),
+                smem[2], st)
+            st = jnp.where(
+                (lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+                & (lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 1),
+                smem[3], st)
+            stats_ref[...] = st
+
+    chan_dtypes = [jnp.int32, jnp.int32] + [s.dtype for s in streams2]
+    in_specs = [pl.BlockSpec((_R, 128),
+                             lambda i: (jnp.int32(i), jnp.int32(0)))] \
+        * (1 + n_streams)
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_chan \
+        + [pl.BlockSpec((8, 128),
+                        lambda i: (jnp.int32(0), jnp.int32(0)))]
+    out_shape = [jax.ShapeDtypeStruct((cap_out_rows, 128), dt)
+                 for dt in chan_dtypes] \
+        + [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
+    scratch = (
+        [pltpu.VMEM((_R + 8, 128), dt) for dt in chan_dtypes]
+        + [pltpu.VMEM((8, 128), dt) for dt in chan_dtypes]
+        + [pltpu.SMEM((4,), jnp.int32), pltpu.SemaphoreType.DMA]
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(nparts,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(hb2, *streams2)
+    return res[:n_chan], res[n_chan]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _plan(n_p_tiles: int):
+    """Partition layout for ntiles of input: returns
+    (p1, p2, region_log, cap1_rows).  P_total = 2^(p1+p2) partitions of
+    ~_TARGET_FILL elements."""
+    n = n_p_tiles * _TILE
+    pt = max(0, int(np.ceil(np.log2(max(n / _TARGET_FILL, 1)))))
+    pt = min(pt, 12)
+    if pt <= 5:
+        return pt, 0, 0, 0
+    p1 = (pt + 1) // 2
+    p2 = pt - p1
+    # L1 region capacity: mean n/P1 elements * 1.45 margin, in tiles
+    cap1_tiles = _next_pow2(int(np.ceil(n / (1 << p1) * 1.45 / _TILE)))
+    return p1, p2, int(np.log2(cap1_tiles)), cap1_tiles * _R
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slots", "ops", "cap", "interpret"))
+def sparse_groupby(gid, stream_vals, num_slots: int,
+                   ops: Tuple[str, ...], cap: int,
+                   interpret: bool = False):
+    """Group rows by dense slot id gid (int32, in [0, num_slots); rows
+    with gid outside the range are dropped) and aggregate streams.
+
+    stream_vals: one array per op; ops from
+      'sumf' (f32), 'sumi32' (int32, caller bounds totals),
+      'sumi32_limb' (int32 16-bit limb: exact, flagged past
+      MAX_SEG_INT-row groups), 'min'/'max' (4-byte dtype),
+      'sumds_hi'/'sumds_lo' (adjacent pair: double-single f32 sum).
+
+    Returns (gid_out[cap], len_out[cap] int32, totals...[cap],
+    num_groups int32, overflow int32).  Output order is hash order;
+    entries past num_groups are garbage."""
+    n = gid.shape[0]
+    g = jnp.asarray(gid, jnp.int32)
+    h = (g.astype(jnp.uint32) * _MULT).astype(jnp.uint32)
+    hb = (h ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    valid = (g >= 0) & (g < num_slots)
+    hb = jnp.where(valid, hb, jnp.asarray(_SENT, jnp.int32))
+
+    ntiles = max(1, -(-n // _TILE))
+    n_p = ntiles * _TILE
+    if n_p != n:
+        hb = jnp.concatenate(
+            [hb, jnp.full(n_p - n, _SENT, jnp.int32)])
+        stream_vals = [
+            jnp.concatenate([jnp.asarray(s),
+                             jnp.zeros(n_p - n, jnp.asarray(s).dtype)])
+            for s in stream_vals]
+    else:
+        stream_vals = [jnp.asarray(s) for s in stream_vals]
+    hb2 = hb.reshape(-1, 128)
+    s2 = [s.reshape(-1, 128) for s in stream_vals]
+
+    p1, p2, region_log, cap1_rows = _plan(ntiles)
+    flags = []
+    if p1 > 0:
+        hb2, s2, f1 = _partition_call(
+            hb2, s2, P=1 << p1, shift=32 - p1, region_log=30,
+            cap_rows=(cap1_rows if p2 > 0 else _R), check_shift=-1,
+            n_regions=1, interpret=interpret)
+        flags.append(f1[0, 0])
+    if p2 > 0:
+        hb2, s2, f2 = _partition_call(
+            hb2, s2, P=1 << p2, shift=32 - p1 - p2,
+            region_log=region_log, cap_rows=_R, check_shift=32 - p1,
+            n_regions=1 << p1, interpret=interpret)
+        flags.append(f2[0, 0])
+
+    cap_out_rows = _round_up(cap, 128) // 128 + 2 * _CH
+    check3 = (32 - p1 - p2) if (p1 + p2) > 0 else -1
+    chans, stats = _groupby_call(
+        hb2, s2, ops, check3, cap_out_rows, interpret=interpret)
+
+    def flat(x):
+        return x.reshape(-1)[:cap]
+
+    hb_out = flat(chans[0])
+    h_out = (hb_out.astype(jnp.int32) ^ jnp.int32(_NBIAS)).astype(
+        jnp.uint32)
+    gid_out = (h_out * _INV).astype(jnp.uint32).astype(jnp.int32)
+    len_out = flat(chans[1])
+    totals = [flat(c) for c in chans[2:]]
+    num_groups = jnp.minimum(stats[0, 0], jnp.int32(cap))
+    overflow = stats[0, 1]
+    # a group count past cap means truncated output
+    overflow = jnp.maximum(overflow,
+                           (stats[0, 0] > jnp.int32(cap)).astype(
+                               jnp.int32))
+    for f in flags:
+        overflow = jnp.maximum(overflow, f)
+    return (gid_out, len_out, totals, num_groups, overflow)
