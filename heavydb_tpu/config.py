@@ -71,6 +71,18 @@ class Config:
     # pairwise translation table at launch; this caps the cross-product
     # size (4M pairs intern in ~0.2s via the native dictionary).
     pair_concat_max_entries: int = 1 << 22
+    # Radix-partition Pallas sparse group-by tier (kernels/radix_groupby,
+    # the TPU-native counterpart of the reference's baseline-hash group-by
+    # GroupByRuntime.cpp:25): dense-gid key spaces past sortagg_min_slots
+    # route through the in-VMEM partition pipeline (measured 59.6ms vs the
+    # sort tier's 190ms at 20M rows x 10M slots) when the aggregate set
+    # maps onto the kernel's stream budget.  Hard overflow (a skewed
+    # partition or the int-limb exactness bound) falls back to the sort
+    # tier via the retry ladder.
+    enable_radix_groupby: bool = True
+    # Force the radix tier on non-TPU backends (interpret-mode Pallas):
+    # CI differential coverage of the engine-side routing.
+    force_radix_groupby: bool = False
     # Initial entry-count guess for baseline (sort-based) group-by when no
     # estimate is available; retry ladder doubles on OutOfSlots.
     baseline_groupby_initial_entries: int = 1 << 14

@@ -711,6 +711,58 @@ def _build_compound_kernel(node, batches, plan, config):
                 gid = jnp.where(mask, 0, 1)
                 num_groups = jnp.asarray(1, jnp.int32)
                 key_out_tvs = []
+            elif group_strategy[0] == "radix":
+                # radix-partition Pallas sparse group-by: dense slot id
+                # (as for perfect hash) → in-VMEM partition + segmented
+                # reduce kernel returning COMPACTED per-group records
+                # (reference GroupByBaselineHash, GroupByRuntime.cpp:25)
+                from heavydb_tpu.exec import radix_tier as RT
+                from heavydb_tpu.kernels import radix_groupby as RGK
+
+                slots = group_cap
+                key_tvs = [kc.compile(g) for g in node.group_exprs]
+                gid, num_slots = G.perfect_group_ids(
+                    key_tvs, group_strategy[1], mask
+                )
+                lowered = [AGG.LoweredAgg(a) for a in node.aggs]
+                specs = RT.plan_aggs(node.aggs)
+                if specs is None:
+                    raise RT.RadixUnsupported(
+                        "aggregate set fell out of the stream budget")
+                ops_t, arrs, jobs = RT.build_streams(
+                    lowered, specs, kc, mask, domain_size
+                )
+                # non-TPU backends dispatch the numpy reference through
+                # pure_callback (interpret-mode Pallas emulation compiles
+                # for minutes inside an engine jit; the real kernel is
+                # interpret-verified in tests/test_radix_groupby.py)
+                rfn = RGK.sparse_groupby if G._on_tpu() \
+                    else RGK.sparse_groupby_host
+                gid_out, len_out, r_totals, num_groups, r_ovf = rfn(
+                    gid, arrs, num_slots, ops_t, cap=slots,
+                )
+                out["radix_overflow"] = r_ovf
+                radix_partials = RT.finalize_partials(
+                    jobs, len_out, r_totals
+                )
+                # keys from the compacted slot ids: pure arithmetic
+                # (bucketed ranges are excluded from this tier)
+                key_out_tvs = []
+                rem = gid_out
+                coords = []
+                for (mn, extent, has_nulls, bucket) in reversed(
+                        group_strategy[1]):
+                    span = extent + (1 if has_nulls else 0)
+                    coords.append(rem % span)
+                    rem = rem // span
+                coords.reverse()
+                for gexpr, rng, coord in zip(
+                        node.group_exprs, group_strategy[1], coords):
+                    mn, extent, has_nulls, bucket = rng
+                    dt = gexpr.type.np_dtype()
+                    kbuf = (coord.astype(jnp.int64) + mn).astype(dt)
+                    vbuf = (coord < extent) if has_nulls else None
+                    key_out_tvs.append((kbuf, vbuf))
             else:  # sort — aggregate over the SORTED row domain
                 # Scatter-free: agg args ride the grouping sort as
                 # payloads, per-group totals are prefix-sum diffs /
@@ -766,18 +818,23 @@ def _build_compound_kernel(node, batches, plan, config):
                         if gexpr.type.nullable else None
                     key_out_tvs.append((kd, vd))
             out["num_groups"] = num_groups
-            if group_strategy[0] != "sort":
+            if group_strategy[0] not in ("sort", "radix"):
                 agg_kc, agg_gid, agg_mask, agg_segs = kc, gid, mask, None
 
             # partial aggregation + finalize (per-slot presence counts
             # ride the same shared scan — a separate segment_count would
             # re-stream the whole table)
-            lowered = [AGG.LoweredAgg(a) for a in node.aggs]
-            all_partials, present_counts = AGG.accumulate_all(
-                lowered, agg_kc, agg_gid, agg_mask, slots,
-                want_present=group_strategy[0] in ("perfect", "hash"),
-                segs=agg_segs,
-            )
+            if group_strategy[0] == "radix":
+                # the kernel already produced compacted partials
+                all_partials, present_counts = radix_partials, None
+                agg_segs = None
+            else:
+                lowered = [AGG.LoweredAgg(a) for a in node.aggs]
+                all_partials, present_counts = AGG.accumulate_all(
+                    lowered, agg_kc, agg_gid, agg_mask, slots,
+                    want_present=group_strategy[0] in ("perfect", "hash"),
+                    segs=agg_segs,
+                )
             if agg_segs is not None:
                 # one compaction sort materializes every deferred
                 # per-group array (keys + partials)
@@ -801,7 +858,7 @@ def _build_compound_kernel(node, batches, plan, config):
                 present = present_counts > 0
             elif group_strategy[0] == "keyless":
                 present = jnp.ones(1, jnp.bool_)
-            else:
+            else:  # sort / radix: compacted, dense by construction
                 present = (
                     jax.lax.broadcasted_iota(jnp.int32, (slots,), 0)
                     < jnp.minimum(num_groups, slots)
@@ -831,9 +888,11 @@ def _build_compound_kernel(node, batches, plan, config):
             if group_strategy[0] == "keyless":
                 out["cols"] = tuple(outs)
                 out["n_out"] = jnp.asarray(1, jnp.int32)
-            elif group_strategy[0] == "sort" and node.having is None:
-                # sorted-segment outputs are dense by construction
-                # (groups 0..num_groups-1) — skip the compaction scatter
+            elif group_strategy[0] in ("sort", "radix") \
+                    and node.having is None:
+                # sorted-segment / radix outputs are dense by
+                # construction (groups 0..num_groups-1) — skip the
+                # compaction scatter
                 out["cols"] = tuple(outs)
                 out["n_out"] = jnp.minimum(num_groups, slots)
             else:

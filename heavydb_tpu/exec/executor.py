@@ -346,6 +346,83 @@ class Executor:
         except Exception:
             pass
 
+    # ---- scan-cache patching for fragment-level UPDATE/DELETE ----
+    # A generation bump invalidates every cached device array for the
+    # table; re-uploading O(table) bytes over the relay's slow H2D for a
+    # one-row UPDATE defeats the fragment-level storage path (reference:
+    # chunks updated in place stay resident on device, UpdelStorage.cpp).
+    # Instead, migrate resident full-table arrays to the new generation:
+    # a device scatter for updates, a device gather (compaction) for
+    # deletes — HBM-speed, no host round-trip.
+    def patch_cache_update(self, t, old_gen: int, rowids: np.ndarray,
+                           new_cols: Dict[int, np.ndarray]) -> None:
+        try:
+            rid = jnp.asarray(np.asarray(rowids, np.int64))
+            moves = []
+            for key, arr in list(self.scan_cache.items()):
+                if not (isinstance(key, tuple) and len(key) == 5
+                        and key[0] == t.table_id and key[1] == old_gen):
+                    continue
+                tid, gen, cid, size, fkey = key
+                if fkey is not None:
+                    self.scan_cache.pop(key)  # waves re-slice from full
+                    continue
+                if cid in new_cols:
+                    vals = jnp.asarray(
+                        np.asarray(new_cols[cid]), arr.dtype)
+                    arr = arr.at[rid].set(vals, mode="drop")
+                moves.append((key, (tid, t.generation, cid, size, None),
+                              arr))
+            for old_key, new_key, arr in moves:
+                self.scan_cache.pop(old_key)
+                self.scan_cache[new_key] = arr
+        except Exception:
+            pass  # correctness is generation-keyed; worst case re-upload
+
+    def patch_cache_delete(self, t, old_gen: int, old_num_rows: int,
+                           rowids: np.ndarray) -> None:
+        try:
+            delmask = np.zeros(old_num_rows, bool)
+            delmask[np.asarray(rowids, np.int64)] = True
+            keep = np.flatnonzero(~delmask)
+            new_n = keep.shape[0]
+            new_size = B.bucket(max(new_n, 1))
+            kidx = jnp.asarray(keep)
+            moves = []
+            for key, arr in list(self.scan_cache.items()):
+                if not (isinstance(key, tuple) and len(key) == 5
+                        and key[0] == t.table_id and key[1] == old_gen):
+                    continue
+                tid, gen, cid, size, fkey = key
+                if fkey is not None:
+                    self.scan_cache.pop(key)
+                    continue
+                new_key = (tid, t.generation, cid, new_size, None)
+                if cid == "$rowid":
+                    # rowid == global position: synthesize on device
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int64, (new_size,), 0)
+                    arr = jnp.where(iota < new_n, iota, jnp.int64(-1))
+                elif isinstance(cid, int) and \
+                        t.column_by_id(cid).type.is_array:
+                    # array handles are global rowids too
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (new_size,), 0)
+                    arr = jnp.where(iota < new_n, iota, jnp.int32(-1))
+                else:
+                    comp = arr[kidx]
+                    if new_size > new_n:
+                        sent = t.column_by_id(cid).type.null_sentinel()
+                        pad = jnp.full(new_size - new_n, sent, arr.dtype)
+                        comp = jnp.concatenate([comp, pad])
+                    arr = comp[:new_size]
+                moves.append((key, new_key, arr))
+            for old_key, new_key, arr in moves:
+                self.scan_cache.pop(old_key)
+                self.scan_cache[new_key] = arr
+        except Exception:
+            pass
+
     # ---- Scan ----
     def _exec_scan(self, node: R.Scan, needed, frag_ids=None) -> B.Batch:
         t = node.table
@@ -913,7 +990,20 @@ class Executor:
             self._checkpoint()
             kernel, layout = self._get_kernel(node, batches, plan)
             args = self._kernel_args(batches, plan, layout)
-            outs = _retry_remote_compile(kernel, *args)
+            try:
+                outs = _retry_remote_compile(kernel, *args)
+            except Exception as exc:
+                # trace-time radix-tier bailout (e.g. the compiled
+                # aggregate shape diverged from the static stream plan):
+                # reroute this node to the sort tier and retry
+                from heavydb_tpu.exec.radix_tier import RadixUnsupported
+
+                if isinstance(exc, RadixUnsupported) and \
+                        plan.group_strategy and \
+                        plan.group_strategy[0] == "radix":
+                    plan.group_strategy = ("sort", None)
+                    continue
+                raise
             result = self._postprocess(node, plan, outs)
             if result is not None:
                 return result
@@ -1467,15 +1557,25 @@ class Executor:
                     ok = False
                     break
             if ok and slots > cfg.sortagg_min_slots:
-                # huge-but-dense key spaces: the sorted-segment tier beats
-                # per-slot scatters (226ms scatter-count + compaction at
-                # 10M slots vs a 57-93ms lax.sort + prefix diffs) and
-                # never materializes [slots]-sized buffers for near-empty
-                # domains
-                plan.group_strategy = ("sort", None)
-                plan.group_cap = B.bucket(
-                    min(slots, max(batches[0].padded, 8))
-                )
+                # huge-but-dense key spaces: the radix-partition Pallas
+                # tier (kernels/radix_groupby — 59.6ms at 20M rows x 10M
+                # slots) when the aggregates fit its stream budget, else
+                # the sorted-segment tier (190ms same shape): both beat
+                # per-slot scatters and never materialize [slots]-sized
+                # buffers for near-empty domains
+                from heavydb_tpu.exec import radix_tier as RT
+                from heavydb_tpu.ops.groupby import _pallas_available
+
+                cap0 = B.bucket(min(slots, max(batches[0].padded, 8)))
+                if RT.eligible(node, ranges, slots, cfg,
+                               _pallas_available()):
+                    plan.group_strategy = ("radix", tuple(
+                        (r.lo, r.extent, r.has_nulls, r.bucket)
+                        for r in ranges
+                    ))
+                else:
+                    plan.group_strategy = ("sort", None)
+                plan.group_cap = cap0
             elif ok:
                 plan.group_strategy = ("perfect", tuple(
                     (r.lo, r.extent, r.has_nulls, r.bucket) for r in ranges
@@ -2370,6 +2470,7 @@ class Executor:
         scalar_keys = [
             k for k in d
             if k == "n_out" or k == "num_groups" or k == "hash_unresolved"
+            or k == "radix_overflow"
             or k.startswith("join_needed_") or k.startswith("join_hash_miss_")
             or k.startswith("join_dup_") or k.startswith("err_")
         ]
@@ -2407,6 +2508,20 @@ class Executor:
         if plan.group_strategy and plan.group_strategy[0] == "sort":
             ng = int(host["num_groups"])
             if ng > plan.group_cap:
+                plan.group_cap = B.bucket(ng)
+                retry = True
+        if plan.group_strategy and plan.group_strategy[0] == "radix":
+            ng = int(host["num_groups"])
+            ovf = int(host.get("radix_overflow", 0))
+            if ovf & 1:
+                # hard failure: a skewed partition overflowed its region
+                # (rows dropped) or an int-limb sum passed the exactness
+                # bound — rerun on the sort tier
+                plan.group_strategy = ("sort", None)
+                plan.group_cap = B.bucket(max(ng, 8))
+                retry = True
+            elif (ovf & 2) or ng > plan.group_cap:
+                # output cap exceeded; num_groups is exact — one retry
                 plan.group_cap = B.bucket(ng)
                 retry = True
         if plan.group_strategy and plan.group_strategy[0] == "hash":

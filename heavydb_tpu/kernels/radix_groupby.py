@@ -97,6 +97,15 @@ def _next_pow2(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _sum_scalar(x):
+    """Scalar int32 sum of a 2-D tile, x64-safe inside Mosaic: FULL
+    reductions promote the accumulator to i64 under jax_enable_x64
+    (Mosaic rejects 64-bit); staged per-axis reductions with an explicit
+    dtype stay 32-bit."""
+    r = jnp.sum(x, axis=0, keepdims=True, dtype=jnp.int32)
+    return jnp.sum(r, axis=1, keepdims=True, dtype=jnp.int32)[0, 0]
+
+
 def _lane_gather(x, idx):
     dnums = lax.GatherDimensionNumbers(
         offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
@@ -230,60 +239,95 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
             l1b = lax.shift_right_logical(hb ^ _NBIAS,
                                           jnp.int32(check_shift))
             hb = jnp.where(l1b == region, hb, _SENT)
-        ops = _tile_bitonic(hb, [r[...] for r in s_refs], _R)
-        for r, o in zip(scr, ops):
-            r[...] = o
-        hs = ops[0]
+        # element counts are permutation-invariant: count PRE-sort so
+        # all-SENT tiles (region padding past the L1 cursor — ~40% of L2
+        # tiles at the 1.45 margin + pow2 rounding) skip the bitonic
+        # entirely
+        n_valid = _sum_scalar((hb < _SENT).astype(jnp.int32))
 
-        def count_below(thr):
-            return jnp.sum((hs < thr).astype(jnp.int32), dtype=jnp.int32)
+        @pl.when(n_valid > 0)
+        def _process():
+            ops = _tile_bitonic(hb, [r[...] for r in s_refs], _R)
+            # scratch carries one SENT-padded chunk past the tile: the
+            # last bucket's chunked DMA may read up to _CH-1 rows past
+            # rend (trip counts round nrows up to _CH), and those
+            # overshoot rows must be self-identifying garbage, not an
+            # OOB read of the 256-row tile
+            for ci, (r, o) in enumerate(zip(scr, ops)):
+                fill = jnp.full((_CH, 128), _SENT, jnp.int32) if ci == 0 \
+                    else jnp.zeros((_CH, 128), o.dtype)
+                r[...] = jnp.concatenate([o, fill], axis=0)
+            hs = ops[0]
 
-        n_valid = count_below(jnp.asarray(_SENT, jnp.int32))
-        if check_shift >= 0:
-            base_u = lax.shift_left(region, jnp.int32(check_shift))
-        else:
-            base_u = jnp.int32(0)
-        start = jnp.int32(0)
-        for b in range(P):
-            if b == P - 1:
-                end = n_valid
+            def count_below(thr):
+                return _sum_scalar((hs < thr).astype(jnp.int32))
+
+            if check_shift >= 0:
+                base_u = lax.shift_left(region, jnp.int32(check_shift))
             else:
-                thr = (base_u + lax.shift_left(
-                    jnp.int32(b + 1), jnp.int32(shift))) ^ _NBIAS
-                end = jnp.minimum(count_below(thr), n_valid)
-            r0 = lax.shift_right_logical(start, jnp.int32(7))
-            rend = lax.shift_right_logical(end + jnp.int32(127),
-                                           jnp.int32(7))
-            nrows = jnp.maximum(rend - r0, 0)
-            trips = lax.shift_right_logical(
-                nrows + jnp.int32(_CH - 1), jnp.int32(trip_shift))
-            cur = cur_ref[b]
-            fits = (cur + trips * jnp.int32(_CH)) <= jnp.int32(cap_rows)
-            dst0 = region * jnp.int32(P * cap_rows) \
-                + jnp.int32(b * cap_rows)
+                base_u = jnp.int32(0)
+            start = jnp.int32(0)
+            total_trips = jnp.int32(0)
+            chans = list(zip(scr, [houtb] + list(soutb)))
+            for b in range(P):
+                if b == P - 1:
+                    end = n_valid
+                else:
+                    thr = (base_u + lax.shift_left(
+                        jnp.int32(b + 1), jnp.int32(shift))) ^ _NBIAS
+                    end = jnp.minimum(count_below(thr), n_valid)
+                r0 = lax.shift_right_logical(start, jnp.int32(7))
+                rend = lax.shift_right_logical(end + jnp.int32(127),
+                                               jnp.int32(7))
+                nrows = jnp.maximum(rend - r0, 0)
+                trips = lax.shift_right_logical(
+                    nrows + jnp.int32(_CH - 1), jnp.int32(trip_shift))
+                cur = cur_ref[b]
+                fits = (cur + trips * jnp.int32(_CH)) \
+                    <= jnp.int32(cap_rows)
+                dst0 = region * jnp.int32(P * cap_rows) \
+                    + jnp.int32(b * cap_rows)
 
-            @pl.when(jnp.logical_not(fits))
-            def _():
-                flag_ref[...] = jnp.ones_like(flag_ref)
+                @pl.when(jnp.logical_not(fits))
+                def _():
+                    flag_ref[...] = jnp.ones_like(flag_ref)
 
-            @pl.when(fits & (nrows > 0))
-            def _():
-                def body(t, c):
-                    src = r0 + t * jnp.int32(_CH)
-                    d = dst0 + c
-                    for sref, oref in zip(
-                            scr, [houtb] + list(soutb)):
-                        cp = pltpu.make_async_copy(
-                            sref.at[pl.ds(src, _CH), :],
-                            oref.at[pl.ds(d, _CH), :], sem)
-                        cp.start()
-                        cp.wait()
-                    return c + jnp.int32(_CH)
+                @pl.when(fits & (nrows > 0))
+                def _():
+                    # start-only: chunk DMAs from all buckets stay in
+                    # flight and drain once at the end of the grid step —
+                    # a start();wait() pair per 4KB chunk serialized at
+                    # ~1µs apiece and dominated the pass cost
+                    def body(t, c):
+                        src = r0 + t * jnp.int32(_CH)
+                        d = dst0 + c
+                        for ci, (sref, oref) in enumerate(chans):
+                            pltpu.make_async_copy(
+                                sref.at[pl.ds(src, _CH), :],
+                                oref.at[pl.ds(d, _CH), :],
+                                sem.at[jnp.int32(ci)]).start()
+                        return c + jnp.int32(_CH)
 
-                lax.fori_loop(jnp.int32(0), trips, body, cur)
+                    lax.fori_loop(jnp.int32(0), trips, body, cur)
 
-            cur_ref[b] = jnp.where(fits, cur + nrows, cur)
-            start = end
+                cur_ref[b] = jnp.where(fits, cur + nrows, cur)
+                total_trips = total_trips + jnp.where(
+                    fits & (nrows > 0), trips, jnp.int32(0))
+                start = end
+
+            # drain before this grid step ends: the next step overwrites
+            # the scratch (DMA sources) and appends over this step's
+            # chunk padding.  Chunk shape is identical per channel, so
+            # waits are interchangeable within a channel's semaphore.
+            def drain(t, z):
+                for ci, (sref, oref) in enumerate(chans):
+                    pltpu.make_async_copy(
+                        sref.at[pl.ds(jnp.int32(0), _CH), :],
+                        oref.at[pl.ds(jnp.int32(0), _CH), :],
+                        sem.at[jnp.int32(ci)]).wait()
+                return z
+
+            lax.fori_loop(jnp.int32(0), total_trips, drain, jnp.int32(0))
 
     sent_init = jnp.full((out_rows, 128), _SENT, jnp.int32)
     in_specs = (
@@ -304,9 +348,10 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
         + [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     )
     scratch = (
-        [pltpu.VMEM((_R, 128), jnp.int32)]
-        + [pltpu.VMEM((_R, 128), s.dtype) for s in streams2]
-        + [pltpu.SMEM((P,), jnp.int32), pltpu.SemaphoreType.DMA]
+        [pltpu.VMEM((_R + _CH, 128), jnp.int32)]
+        + [pltpu.VMEM((_R + _CH, 128), s.dtype) for s in streams2]
+        + [pltpu.SMEM((P,), jnp.int32),
+           pltpu.SemaphoreType.DMA((1 + n_streams,))]
     )
     res = pl.pallas_call(
         kernel,
@@ -363,101 +408,133 @@ def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
             pb = lax.shift_right_logical(hb ^ _NBIAS,
                                          jnp.int32(check_shift))
             hb = jnp.where(pb == i, hb, _SENT)
-        srt = _tile_bitonic(hb, [r[...] for r in s_refs], _R)
-        hs = srt[0]
-        svals = srt[1:]
 
-        prev = _shift_down(hs, 1, jnp.asarray(_SENT, jnp.int32))
-        is_sent = hs == _SENT
-        new_seg = ((hs != prev) | ((lax.broadcasted_iota(
-            jnp.int32, (_R, 128), 0) == 0) & (lax.broadcasted_iota(
-                jnp.int32, (_R, 128), 1) == 0))).astype(jnp.int32)
-        nxt = _shift_up1(hs, jnp.asarray(_SENT, jnp.int32))
-        keep = (hs != nxt) & jnp.logical_not(is_sent)
+        def _groupby_tile(hbv):
+            srt = _tile_bitonic(hbv, [r[...] for r in s_refs], _R)
+            hs = srt[0]
+            svals = srt[1:]
 
-        ln = _seg_scan(jnp.ones((_R, 128), jnp.int32), new_seg,
-                       lambda a, b: a + b)
-        totals = []
-        si = 0
-        while si < n_streams:
-            op = kop[si]
-            if op == "sumds_hi":
-                th, tl = _seg_scan_ds(svals[si], svals[si + 1], new_seg)
-                totals.append(th)
-                totals.append(tl)
-                si += 2
-                continue
-            v = svals[si]
-            if op == "sumf":
-                totals.append(_seg_scan(v, new_seg, lambda a, b: a + b))
-            elif op == "sumi32":
-                totals.append(_seg_scan(v, new_seg, lambda a, b: a + b))
-            elif op == "min":
-                totals.append(_seg_scan(v, new_seg, jnp.minimum))
-            else:
-                totals.append(_seg_scan(v, new_seg, jnp.maximum))
-            si += 1
+            prev = _shift_down(hs, 1, jnp.asarray(_SENT, jnp.int32))
+            is_sent = hs == _SENT
+            new_seg = ((hs != prev) | ((lax.broadcasted_iota(
+                jnp.int32, (_R, 128), 0) == 0) & (lax.broadcasted_iota(
+                    jnp.int32, (_R, 128), 1) == 0))).astype(jnp.int32)
+            nxt = _shift_up1(hs, jnp.asarray(_SENT, jnp.int32))
+            keep = (hs != nxt) & jnp.logical_not(is_sent)
 
-        if need_seg_flag:
-            over = jnp.sum(
-                (keep & (ln > jnp.int32(MAX_SEG_INT))).astype(jnp.int32),
-                dtype=jnp.int32)
+            ln = _seg_scan(jnp.ones((_R, 128), jnp.int32), new_seg,
+                           lambda a, b: a + b)
+            totals = []
+            si = 0
+            while si < n_streams:
+                op = kop[si]
+                if op == "sumds_hi":
+                    th, tl = _seg_scan_ds(svals[si], svals[si + 1],
+                                          new_seg)
+                    totals.append(th)
+                    totals.append(tl)
+                    si += 2
+                    continue
+                v = svals[si]
+                if op == "sumf":
+                    totals.append(
+                        _seg_scan(v, new_seg, lambda a, b: a + b))
+                elif op == "sumi32":
+                    totals.append(
+                        _seg_scan(v, new_seg, lambda a, b: a + b))
+                elif op == "min":
+                    totals.append(_seg_scan(v, new_seg, jnp.minimum))
+                else:
+                    totals.append(_seg_scan(v, new_seg, jnp.maximum))
+                si += 1
 
-            @pl.when(over > 0)
+            if need_seg_flag:
+                over = _sum_scalar(
+                    (keep & (ln > jnp.int32(MAX_SEG_INT))).astype(
+                        jnp.int32))
+
+                @pl.when(over > 0)
+                def _():
+                    smem[3] = jnp.int32(1)
+
+            m = _sum_scalar(keep.astype(jnp.int32))
+            # compaction sort: kept records first, original order
+            # preserved
+            rows = lax.broadcasted_iota(jnp.int32, (_R, 128), 0)
+            lanes = lax.broadcasted_iota(jnp.int32, (_R, 128), 1)
+            idx = rows * jnp.int32(128) + lanes
+            ck = jnp.where(keep, idx, jnp.asarray(_SENT, jnp.int32))
+            chans = [hs, ln] + totals
+            comp = _tile_bitonic(ck, chans, _R)[1:]
+
+            # carry-blended append: shift by the carried element count,
+            # blend the carry row, DMA whole 128-rows, keep the remainder
+            s = smem[1]
+            total = s + m
+            full = lax.shift_right_logical(total, jnp.int32(7))
+            # staging pad = 2*_CH: shifted data can end at row 257 (s>0
+            # with every element kept), the trailing DMA chunk reads up
+            # to row full+_CH, and the carry read at pl.ds(full, _CH)
+            # must stay in bounds for full = 257
+            for ci in range(n_chan):
+                x = comp[ci]
+                pad = jnp.zeros((2 * _CH, 128), x.dtype)
+                ext = jnp.concatenate([x, pad], axis=0)   # (_R+16, 128)
+                sh = _shift_down_dyn(ext, s)
+                rows2 = lax.broadcasted_iota(jnp.int32, (_R + 16, 128), 0)
+                lanes2 = lax.broadcasted_iota(jnp.int32, (_R + 16, 128), 1)
+                cv = carry[ci][0:1, :]
+                blended = jnp.where(
+                    (rows2 == 0) & (lanes2 < s),
+                    jnp.broadcast_to(cv, (_R + 16, 128)), sh)
+                stg[ci][...] = blended
+            cur = smem[0]
+            trips = lax.shift_right_logical(full + jnp.int32(_CH - 1),
+                                            jnp.int32(3))
+            fits = (cur + trips * jnp.int32(_CH)) \
+                <= jnp.int32(cap_out_rows)
+
+            @pl.when(fits & (full > 0))
             def _():
-                smem[3] = jnp.int32(1)
+                # start-only chunk DMAs; drained below before the next
+                # grid step can append over this step's chunk padding
+                def body(t, c):
+                    src = t * jnp.int32(_CH)
+                    for ci in range(n_chan):
+                        pltpu.make_async_copy(
+                            stg[ci].at[pl.ds(src, _CH), :],
+                            out_refs[ci].at[pl.ds(c, _CH), :],
+                            sem.at[jnp.int32(ci)]).start()
+                    return c + jnp.int32(_CH)
 
-        m = jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
-        # compaction sort: kept records first, original order preserved
-        rows = lax.broadcasted_iota(jnp.int32, (_R, 128), 0)
-        lanes = lax.broadcasted_iota(jnp.int32, (_R, 128), 1)
-        idx = rows * jnp.int32(128) + lanes
-        ck = jnp.where(keep, idx, jnp.asarray(_SENT, jnp.int32))
-        chans = [hs, ln] + totals
-        comp = _tile_bitonic(ck, chans, _R)[1:]
+                lax.fori_loop(jnp.int32(0), trips, body, cur)
 
-        # carry-blended append: shift by the carried element count,
-        # blend the carry row, DMA whole 128-rows, keep the remainder
-        s = smem[1]
-        total = s + m
-        full = lax.shift_right_logical(total, jnp.int32(7))
-        for ci in range(n_chan):
-            x = comp[ci]
-            pad = jnp.zeros((8, 128), x.dtype)
-            ext = jnp.concatenate([x, pad], axis=0)      # (_R+8, 128)
-            sh = _shift_down_dyn(ext, s)
-            rows2 = lax.broadcasted_iota(jnp.int32, (_R + 8, 128), 0)
-            lanes2 = lax.broadcasted_iota(jnp.int32, (_R + 8, 128), 1)
-            cv = carry[ci][0:1, :]
-            blended = jnp.where((rows2 == 0) & (lanes2 < s),
-                                jnp.broadcast_to(cv, (_R + 8, 128)), sh)
-            stg[ci][...] = blended
-        cur = smem[0]
-        trips = lax.shift_right_logical(full + jnp.int32(_CH - 1),
-                                        jnp.int32(3))
-        fits = (cur + trips * jnp.int32(_CH)) \
-            <= jnp.int32(cap_out_rows)
+            trips_eff = jnp.where(fits & (full > 0), trips, jnp.int32(0))
 
-        @pl.when(fits & (full > 0))
-        def _():
-            def body(t, c):
-                src = t * jnp.int32(_CH)
+            def drain(t, z):
                 for ci in range(n_chan):
-                    cp = pltpu.make_async_copy(
-                        stg[ci].at[pl.ds(src, _CH), :],
-                        out_refs[ci].at[pl.ds(c, _CH), :], sem)
-                    cp.start()
-                    cp.wait()
-                return c + jnp.int32(_CH)
+                    pltpu.make_async_copy(
+                        stg[ci].at[pl.ds(jnp.int32(0), _CH), :],
+                        out_refs[ci].at[pl.ds(jnp.int32(0), _CH), :],
+                        sem.at[jnp.int32(ci)]).wait()
+                return z
 
-            lax.fori_loop(jnp.int32(0), trips, body, cur)
+            lax.fori_loop(jnp.int32(0), trips_eff, drain, jnp.int32(0))
 
-        # new carry = the partial row at `full`
-        for ci in range(n_chan):
-            carry[ci][...] = stg[ci][pl.ds(full, 8), :]
-        smem[0] = jnp.where(fits, cur + full, cur)
-        smem[1] = total & jnp.int32(127)
-        smem[2] = smem[2] + m
+            # new carry = the partial row at `full`
+            for ci in range(n_chan):
+                carry[ci][...] = stg[ci][pl.ds(full, 8), :]
+            smem[0] = jnp.where(fits, cur + full, cur)
+            smem[1] = total & jnp.int32(127)
+            smem[2] = smem[2] + m
+
+        # skip empty partitions pre-sort (counts are permutation-
+        # invariant); carry/cursors/stats persist untouched
+        n_valid0 = _sum_scalar((hb < _SENT).astype(jnp.int32))
+
+        @pl.when(n_valid0 > 0)
+        def _():
+            _groupby_tile(hb)
 
         @pl.when(i == jnp.int32(nparts - 1))
         def _():
@@ -469,7 +546,8 @@ def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
                 for ci in range(n_chan):
                     cp = pltpu.make_async_copy(
                         carry[ci].at[pl.ds(jnp.int32(0), _CH), :],
-                        out_refs[ci].at[pl.ds(c2, _CH), :], sem)
+                        out_refs[ci].at[pl.ds(c2, _CH), :],
+                        sem.at[jnp.int32(ci)])
                     cp.start()
                     cp.wait()
 
@@ -495,9 +573,10 @@ def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
                  for dt in chan_dtypes] \
         + [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     scratch = (
-        [pltpu.VMEM((_R + 8, 128), dt) for dt in chan_dtypes]
+        [pltpu.VMEM((_R + 16, 128), dt) for dt in chan_dtypes]
         + [pltpu.VMEM((8, 128), dt) for dt in chan_dtypes]
-        + [pltpu.SMEM((4,), jnp.int32), pltpu.SemaphoreType.DMA]
+        + [pltpu.SMEM((4,), jnp.int32),
+           pltpu.SemaphoreType.DMA((n_chan,))]
     )
     res = pl.pallas_call(
         kernel,
@@ -532,6 +611,105 @@ def _plan(n_p_tiles: int):
     return p1, p2, int(np.log2(cap1_tiles)), cap1_tiles * _R
 
 
+def _ref_sparse_groupby(g, streams, num_slots: int,
+                        ops: Tuple[str, ...], cap: int):
+    """Numpy reference of the kernel contract (used via pure_callback on
+    non-TPU backends — interpret-mode Pallas inside an engine jit
+    compiles the full emulation graph, minutes per shape).  Semantics
+    must match sparse_groupby bit-for-bit: hash output order, overflow
+    bits, per-op dtypes."""
+    g = np.asarray(g)
+    valid = (g >= 0) & (g < num_slots)
+    gv = g[valid].astype(np.int64)
+    h = (gv.astype(np.uint64) * 0x9E3779B1) & 0xFFFFFFFF  # u32 Fibonacci
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    first = np.ones(hs.shape[0], bool)
+    first[1:] = hs[1:] != hs[:-1]
+    seg = np.cumsum(first) - 1
+    ng = int(first.sum())
+    uh = hs[first]
+    gid_out = ((uh.astype(np.uint64) * np.uint64(_INV))
+               & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+    cnt = np.bincount(seg, minlength=max(ng, 1)).astype(np.int32)
+    hard = 0
+    if ng > 0 and int(cnt.max(initial=0)) > _TILE:
+        hard = 1  # a single hash bucket can't fit one partition region
+    totals = []
+    si = 0
+    while si < len(ops):
+        op = ops[si]
+        sv = np.asarray(streams[si])[valid][order]
+        if op == "sumds_hi":
+            lo = np.asarray(streams[si + 1])[valid][order]
+            tot = np.zeros(max(ng, 1), np.float64)
+            np.add.at(tot, seg, sv.astype(np.float64)
+                      + lo.astype(np.float64))
+            th = tot.astype(np.float32)
+            tl = (tot - th.astype(np.float64)).astype(np.float32)
+            totals.append(th)
+            totals.append(tl)
+            si += 2
+            continue
+        if op == "sumf":
+            tot = np.zeros(max(ng, 1), np.float64)
+            np.add.at(tot, seg, sv.astype(np.float64))
+            totals.append(tot.astype(np.float32))
+        elif op in ("sumi32", "sumi32_limb"):
+            tot = np.zeros(max(ng, 1), np.int64)
+            np.add.at(tot, seg, sv.astype(np.int64))
+            totals.append(tot.astype(np.int32))
+            if op == "sumi32_limb" and ng > 0 \
+                    and int(cnt.max(initial=0)) > MAX_SEG_INT:
+                hard = 1
+        elif op == "min":
+            tot = np.full(max(ng, 1), np.inf if sv.dtype.kind == "f"
+                          else np.iinfo(sv.dtype).max, sv.dtype)
+            np.minimum.at(tot, seg, sv)
+            totals.append(tot)
+        else:
+            tot = np.full(max(ng, 1), -np.inf if sv.dtype.kind == "f"
+                          else np.iinfo(sv.dtype).min, sv.dtype)
+            np.maximum.at(tot, seg, sv)
+            totals.append(tot)
+        si += 1
+
+    def padc(x, fill=0):
+        out = np.full(cap, fill, x.dtype)
+        m = min(ng, cap)
+        out[:m] = x[:m]
+        return out
+
+    ovf = np.int32(hard + (2 if ng > cap else 0))
+    return (padc(gid_out), padc(cnt),
+            [padc(t) for t in totals],
+            np.int32(ng), ovf)
+
+
+def sparse_groupby_host(gid, stream_vals, num_slots: int,
+                        ops: Tuple[str, ...], cap: int,
+                        interpret: bool = False):
+    """Jit-friendly wrapper dispatching the numpy reference through
+    pure_callback — the engine's non-TPU path for the radix tier (the
+    `interpret` arg is accepted for signature compatibility)."""
+    streams = [jnp.asarray(s) for s in stream_vals]
+    shapes = (
+        jax.ShapeDtypeStruct((cap,), jnp.int32),
+        jax.ShapeDtypeStruct((cap,), jnp.int32),
+        tuple(jax.ShapeDtypeStruct((cap,), s.dtype) for s in streams),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+
+    def cb(g, *sv):
+        return _ref_sparse_groupby(g, list(sv), num_slots, ops, cap)
+
+    out = jax.pure_callback(cb, shapes, jnp.asarray(gid, jnp.int32),
+                            *streams)
+    gid_out, len_out, totals, ng, ovf = out
+    return gid_out, len_out, list(totals), ng, ovf
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_slots", "ops", "cap", "interpret"))
@@ -548,8 +726,14 @@ def sparse_groupby(gid, stream_vals, num_slots: int,
       'sumds_hi'/'sumds_lo' (adjacent pair: double-single f32 sum).
 
     Returns (gid_out[cap], len_out[cap] int32, totals...[cap],
-    num_groups int32, overflow int32).  Output order is hash order;
-    entries past num_groups are garbage."""
+    num_groups int32, overflow int32 bitmask).  num_groups is the EXACT
+    total group count (may exceed cap).  overflow bit 0 = hard failure
+    (a partition overflowed its region — rows were dropped — or an
+    int-limb segment exceeded the exactness bound): results are invalid
+    and the caller must fall back to the sort tier.  Bit 1 = output cap
+    exceeded: num_groups is still exact, so the caller retries with
+    cap >= num_groups.  Output order is hash order; entries past
+    min(num_groups, cap) are garbage."""
     n = gid.shape[0]
     g = jnp.asarray(gid, jnp.int32)
     h = (g.astype(jnp.uint32) * _MULT).astype(jnp.uint32)
@@ -600,12 +784,10 @@ def sparse_groupby(gid, stream_vals, num_slots: int,
     gid_out = (h_out * _INV).astype(jnp.uint32).astype(jnp.int32)
     len_out = flat(chans[1])
     totals = [flat(c) for c in chans[2:]]
-    num_groups = jnp.minimum(stats[0, 0], jnp.int32(cap))
-    overflow = stats[0, 1]
-    # a group count past cap means truncated output
-    overflow = jnp.maximum(overflow,
-                           (stats[0, 0] > jnp.int32(cap)).astype(
-                               jnp.int32))
-    for f in flags:
-        overflow = jnp.maximum(overflow, f)
+    num_groups = stats[0, 0]
+    hard = stats[0, 1]  # int-limb exactness overflow
+    for f in flags:    # partition region overflow (rows dropped)
+        hard = jnp.maximum(hard, f)
+    cap_ov = (num_groups > jnp.int32(cap)).astype(jnp.int32)
+    overflow = jnp.minimum(hard, 1) + 2 * cap_ov
     return (gid_out, len_out, totals, num_groups, overflow)
