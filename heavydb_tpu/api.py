@@ -1292,29 +1292,24 @@ class Database:
     # rebuild keeps semantics identical while the fragment-level in-place
     # update path arrives with the storage shell)
     # ------------------------------------------------------------------
-    def _row_mask_and_values(self, t: Table, where, value_exprs):
-        """Evaluate (WHERE mask, value columns...) over the WHOLE table in
-        row order on device — the predicate/expression half of
-        fragment-level UPDATE/DELETE (reference UpdelStorage: the update
-        kernel computes values, the fragmenter applies them in place)."""
-        # guard value expressions behind the predicate (CASE) so e.g.
-        # UPDATE t SET a = 1/b WHERE b <> 0 never evaluates 1/0
-        def guarded(e):
-            if where is None:
-                return e
-            return A.CaseWhen([(where, e)], A.Literal(None, "null"))
-
-        proj = [(
-            _coalesce_bool(where) if where is not None
-            else A.Literal(True, "bool"),
-            "$m",
-        )] + [(guarded(e), f"$v{i}") for i, e in enumerate(value_exprs)]
-        sel = A.Select(projections=proj, from_=A.NamedTable(t.name))
+    def _matched_rows_and_values(self, t: Table, where, value_exprs):
+        """Evaluate `SELECT rowid, values... WHERE cond` — the
+        predicate/expression half of fragment-level UPDATE/DELETE
+        (reference UpdelStorage: the update kernel yields row offsets +
+        values, the fragmenter applies them in place).  Running the
+        predicate as a real FILTER (not a projected mask) keeps
+        chunk-stat fragment skipping live and transfers only the
+        MATCHED rows to host."""
+        proj = [(A.Identifier(("rowid",)), "$r")] + [
+            (e, f"$v{i}") for i, e in enumerate(value_exprs)
+        ]
+        sel = A.Select(projections=proj, from_=A.NamedTable(t.name),
+                       where=where)
         plan = optimize(self._plan_select(sel))
         batch = self.executor.execute(plan)
         host = batch.to_numpy()
-        mask = np.asarray(host[0]) != 0
-        return mask, host[1:], plan
+        rowids = np.asarray(host[0], np.int64)
+        return rowids, host[1:], plan
 
     def _update(self, st: A.Update) -> None:
         t = self.catalog.get_table(st.table)
@@ -1323,10 +1318,10 @@ class Database:
                     for name, expr in st.assignments]
         if any(cd.type.is_array for cd, _ in assigned):
             raise NotSupported("UPDATE of array/geo columns")
-        mask, vals, plan = self._row_mask_and_values(
+        rowids, vals, plan = self._matched_rows_and_values(
             t, st.where, [e for _, e in assigned]
         )
-        if not mask.any():
+        if rowids.shape[0] == 0:
             return None
         new_cols = {}
         for (cd, _), arr, i in zip(assigned, vals, range(1, len(vals) + 1)):
@@ -1347,7 +1342,11 @@ class Database:
             ):
                 arr = _host_cast_array(arr, src_ti, cd.type)
             new_cols[cd.col_id] = arr
-        t.update_rows(mask, new_cols)
+        old_gen = t.generation
+        t.update_rows_at(rowids, new_cols)
+        # migrate resident device arrays (scatter patch) instead of
+        # letting the generation bump force an O(table) re-upload
+        self.executor.patch_cache_update(t, old_gen, rowids, new_cols)
         return None
 
     def _delete(self, st: A.Delete) -> None:
@@ -1356,9 +1355,12 @@ class Database:
         if st.where is None:
             t.delete_all()
             return None
-        mask, _, _ = self._row_mask_and_values(t, st.where, [])
-        if mask.any():
-            t.delete_rows_by_mask(mask)
+        rowids, _, _ = self._matched_rows_and_values(t, st.where, [])
+        if rowids.shape[0]:
+            old_gen = t.generation
+            old_n = t.num_rows
+            t.delete_rows_at(rowids)
+            self.executor.patch_cache_delete(t, old_gen, old_n, rowids)
         return None
 
     def _replace_table_data(self, t: Table, sel: A.Select):
@@ -1458,12 +1460,6 @@ def _reject_foreign_write(t):
             f"foreign table {t.name!r} is read-only (REFRESH FOREIGN "
             "TABLES to re-import)"
         )
-
-
-def _coalesce_bool(e: A.Expr) -> A.Expr:
-    # WHERE cond for DELETE: NULL counts as not-deleted → NOT(cond) must keep
-    # null rows, i.e. DELETE removes only rows where cond IS TRUE
-    return A.CaseWhen([(e, A.Literal(True, "bool"))], A.Literal(False, "bool"))
 
 
 def _const_value(e: E.Expr, target: T.TypeInfo):

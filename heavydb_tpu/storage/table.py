@@ -267,48 +267,71 @@ class Table:
                         frag.compute_stats(cd)
             self.generation += 1
 
-    def delete_rows_by_mask(self, mask: np.ndarray):
-        """Fragment-level in-place DELETE: compact only the fragments the
-        mask touches (reference: delete via $deleted column + vacuum; here
-        the compaction is immediate).  mask is table-row-ordered, True =
-        delete."""
+    def _fragment_offsets(self) -> np.ndarray:
+        return np.cumsum([0] + [f.num_rows for f in self.fragments])
+
+    def update_rows_at(self, rowids: np.ndarray,
+                       new_cols: Dict[int, np.ndarray]) -> List[int]:
+        """Fragment-level in-place UPDATE addressed by GLOBAL row
+        position: only fragments containing a targeted row are touched,
+        and only the SET columns are copied (reference
+        Fragmenter/UpdelStorage.cpp:55 updateColumn — the update kernel
+        yields row offsets, the fragmenter patches chunks in place).
+        new_cols arrays are MATCH-ordered (aligned with rowids), not
+        table-length.  Returns the touched fragment ids."""
+        touched: List[int] = []
+        if len(rowids) == 0:
+            return touched
         with self._lock:
-            pos = 0
-            for frag in self.fragments:
-                m = mask[pos:pos + frag.num_rows]
-                pos += frag.num_rows
-                if not m.any():
-                    continue
-                keep = ~m
+            offs = self._fragment_offsets()
+            rid = np.asarray(rowids, np.int64)
+            order = np.argsort(rid, kind="stable")
+            rid = rid[order]
+            fidx = np.searchsorted(offs, rid, side="right") - 1
+            for fi in np.unique(fidx):
+                frag = self.fragments[int(fi)]
+                sel = fidx == fi
+                local = (rid[sel] - offs[fi]).astype(np.int64)
+                for cid, vals in new_cols.items():
+                    v = np.asarray(vals)[order][sel]
+                    chunk = np.array(frag.chunks[cid], copy=True)
+                    chunk[local] = v.astype(chunk.dtype, copy=False)
+                    frag.chunks[cid] = chunk
+                    frag.dirty_cols.add(cid)
+                for cd in self.columns:
+                    if cd.col_id in new_cols:
+                        frag.compute_stats(cd)
+                touched.append(int(fi))
+            self.generation += 1
+        return touched
+
+    def delete_rows_at(self, rowids: np.ndarray) -> List[int]:
+        """Fragment-level DELETE addressed by GLOBAL row position:
+        compacts only the fragments that lose rows (reference: $deleted
+        column + vacuum, Fragmenter/UpdelStorage.cpp compactRows; we
+        compact eagerly — fragment-local, so the cost is O(touched
+        fragments), not O(table)).  Returns the touched fragment ids."""
+        touched: List[int] = []
+        if len(rowids) == 0:
+            return touched
+        with self._lock:
+            offs = self._fragment_offsets()
+            rid = np.unique(np.asarray(rowids, np.int64))
+            fidx = np.searchsorted(offs, rid, side="right") - 1
+            for fi in np.unique(fidx):
+                frag = self.fragments[int(fi)]
+                local = (rid[fidx == fi] - offs[fi]).astype(np.int64)
+                keep = np.ones(frag.num_rows, bool)
+                keep[local] = False
                 for cid in list(frag.chunks):
-                    frag.chunks[cid] = frag.chunks[cid][keep]
+                    frag.chunks[cid] = np.asarray(frag.chunks[cid])[keep]
                 frag.num_rows = int(keep.sum())
                 frag.dirty_cols.update(frag.chunks.keys())
                 for cd in self.columns:
                     frag.compute_stats(cd)
+                touched.append(int(fi))
             self.generation += 1
-
-    def update_rows(self, mask: np.ndarray, new_cols: Dict[int, np.ndarray]):
-        """Fragment-level in-place UPDATE: overwrite only the SET columns
-        of only the fragments the mask touches (reference
-        UpdelStorage.cpp updateColumn).  new_cols are full-table-length
-        physical arrays aligned with mask."""
-        with self._lock:
-            pos = 0
-            for frag in self.fragments:
-                n = frag.num_rows
-                m = mask[pos:pos + n]
-                if m.any():
-                    for cid, vals in new_cols.items():
-                        chunk = frag.chunks[cid].copy()
-                        chunk[m] = vals[pos:pos + n][m]
-                        frag.chunks[cid] = chunk
-                        frag.dirty_cols.add(cid)
-                    for cd in self.columns:
-                        if cd.col_id in new_cols:
-                            frag.compute_stats(cd)
-                pos += n
-            self.generation += 1
+        return touched
 
     def delete_all(self):
         with self._lock:
