@@ -114,19 +114,27 @@ def worker(pid: int, nprocs: int, port: int, rows: int):
     for _, q in queries:
         dist.sql(q)
     rt.barrier("warm")
+    reps = int(os.environ.get("HEAVYDB_TPU_MH_REPS", "5"))
     timings = {}
+    spreads = {}
     for name, q in queries:
-        best = None
-        for rep in range(2):  # best-of-2: absorb one-off OS jitter
+        ts = []
+        for rep in range(reps):
             rt.barrier(f"{name}_{rep}")
             t0 = time.perf_counter()
             dist.sql(q)
             rt.barrier(f"{name}_{rep}_done")
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = best
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        # MEDIAN-of-N with the spread reported: best-of-N flatters a
+        # noisy rig; the honest protocol reports central tendency +
+        # dispersion
+        timings[name] = ts[len(ts) // 2]
+        spreads[name] = [ts[0], ts[-1]]
     if pid == 0:
-        print("TIMINGS " + json.dumps(timings), flush=True)
+        print("TIMINGS " + json.dumps(
+            {"median": timings, "minmax": spreads, "reps": reps}
+        ), flush=True)
 
 
 def run_cluster(nprocs: int, rows: int):
@@ -149,16 +157,16 @@ def run_cluster(nprocs: int, rows: int):
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
-    timings = None
+    payload = None
     for p in procs:
         out, _ = p.communicate(timeout=900)
         for line in out.splitlines():
             if line.startswith("TIMINGS "):
-                timings = json.loads(line[len("TIMINGS "):])
+                payload = json.loads(line[len("TIMINGS "):])
         if p.returncode != 0:
             print(out[-2000:], file=sys.stderr)
             raise SystemExit(f"worker rc={p.returncode}")
-    return timings
+    return payload
 
 
 def main():
@@ -173,14 +181,16 @@ def main():
     for nprocs in (1, 2, 4):
         results[nprocs] = run_cluster(nprocs, ROWS_PER_HOST)
         print(f"N={nprocs}: {results[nprocs]}", file=sys.stderr, flush=True)
-    total1 = sum(results[1].values())
+    total1 = sum(results[1]["median"].values())
     out = {
         "metric": "multihost_weak_scaling_efficiency",
         "rows_per_host": ROWS_PER_HOST,
-        "timings": results,
+        "timings": {n: r["median"] for n, r in results.items()},
+        "spread": {n: r["minmax"] for n, r in results.items()},
+        "reps": results[1].get("reps"),
         "efficiency": {
-            n: total1 / max(sum(tv.values()), 1e-9)
-            for n, tv in results.items()
+            n: total1 / max(sum(r["median"].values()), 1e-9)
+            for n, r in results.items()
         },
     }
     print(json.dumps(out), flush=True)

@@ -72,6 +72,135 @@ class DistEngine:
         # replicated) — partitioned build sides force a co-location
         # exchange before local join execution
         self.partitioned: set = set()
+        # exchanged join sides, recycled while table generations hold
+        # (reference HashtableRecycler)
+        self._exchange_cache: Dict[tuple, tuple] = {}
+        # distributed persistence: when the underlying Database has a
+        # path, partitioned tables checkpoint per-host through the epoch
+        # store and the partition metadata rides dist_meta.json — a
+        # restarted cluster restores its partitioned set and re-verifies
+        # cross-host consistency (reference: per-leaf FileMgr epochs +
+        # check_table_consistency, heavy.thrift:710-716,
+        # DataMgr/FileMgr/FileMgr.cpp:615, ThriftHandler/SystemValidator.h)
+        if getattr(db, "path", None):
+            self._restore_dist_meta()
+
+    # ------------------------------------------------------------------
+    # distributed persistence & consistency
+    # ------------------------------------------------------------------
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.db.path, "dist_meta.json")
+
+    def _save_dist_meta(self):
+        import json
+        import os
+
+        from heavydb_tpu.storage.persist import _atomic_write
+
+        meta = {
+            "num_processes": self.rt.num_processes,
+            "process_id": self.rt.process_id,
+            "tables": {
+                name: {
+                    "partitioned": name in self.partitioned,
+                    "global_rows": n,
+                }
+                for name, n in self.global_rows.items()
+            },
+        }
+        _atomic_write(self._meta_path(),
+                      json.dumps(meta, indent=1).encode())
+
+    def _restore_dist_meta(self):
+        import json
+        import os
+
+        p = self._meta_path()
+        if not os.path.exists(p):
+            return
+        with open(p, "rb") as f:
+            meta = json.loads(f.read())
+        if meta["num_processes"] != self.rt.num_processes or \
+                meta["process_id"] != self.rt.process_id:
+            raise NotSupported(
+                f"cluster shape changed: stored "
+                f"{meta['process_id']}/{meta['num_processes']}, "
+                f"running {self.rt.process_id}/{self.rt.num_processes} "
+                "(repartition by reloading the tables)"
+            )
+        for name, info in meta["tables"].items():
+            self.global_rows[name] = int(info["global_rows"])
+            if info["partitioned"]:
+                self.partitioned.add(name)
+
+    def check_table_consistency(self) -> dict:
+        """Cross-host consistency validation at connect/restart
+        (reference check_table_consistency + SystemValidator): every
+        host must agree on the table set, schemas, dictionary sizes and
+        the partitioned/replicated split; partitioned tables' local row
+        counts must sum to the recorded global count, replicated tables
+        must hold identical counts everywhere.  Returns the per-host
+        report; raises NotSupported on divergence."""
+        import json
+
+        local = {}
+        for name in sorted(self.db.catalog.list_tables()):
+            t = self.db.catalog.get_table(name)
+            key = name.lower()
+            local[key] = {
+                "schema": [(cd.name, str(cd.type)) for cd in t.columns],
+                "rows": t.num_rows,
+                "epoch": (
+                    self.db.get_table_epoch(name)
+                    if getattr(self.db, "path", None) else 0
+                ),
+                "dicts": {
+                    cid: d.size for cid, d in sorted(t.dicts.items())
+                },
+                "partitioned": key in self.partitioned,
+                "global_rows": self.global_rows.get(key),
+            }
+        blobs = self.rt.allgather_bytes(
+            json.dumps(local, sort_keys=True, default=str).encode()
+        )
+        hosts = [json.loads(b) for b in blobs]
+        ref = hosts[0]
+        for p, h in enumerate(hosts[1:], 1):
+            if set(h) != set(ref):
+                raise NotSupported(
+                    f"table sets diverge: host 0 {sorted(ref)} vs "
+                    f"host {p} {sorted(h)}"
+                )
+        for key, info in ref.items():
+            for p, h in enumerate(hosts):
+                for field in ("schema", "partitioned", "global_rows",
+                              "dicts"):
+                    if h[key][field] != info[field]:
+                        raise NotSupported(
+                            f"table {key!r}: {field} diverges on host "
+                            f"{p}: {h[key][field]!r} vs {info[field]!r}"
+                        )
+            if info["partitioned"]:
+                total = sum(h[key]["rows"] for h in hosts)
+                if info["global_rows"] is not None and \
+                        total != info["global_rows"]:
+                    raise NotSupported(
+                        f"partitioned table {key!r}: local rows sum to "
+                        f"{total}, recorded global {info['global_rows']}"
+                        " (a host lost an epoch — roll all hosts back "
+                        "to a common checkpoint)"
+                    )
+            else:
+                for p, h in enumerate(hosts):
+                    if h[key]["rows"] != info["rows"]:
+                        raise NotSupported(
+                            f"replicated table {key!r} has "
+                            f"{h[key]['rows']} rows on host {p}, "
+                            f"{info['rows']} on host 0"
+                        )
+        return {"hosts": hosts, "ok": True}
 
     # ------------------------------------------------------------------
     # loading
@@ -143,14 +272,24 @@ class DistEngine:
                 self.rt.allgather_scalar(n_local)
             )
             self.partitioned.add(name.lower())
+        if getattr(self.db, "path", None):
+            # per-host epoch checkpoint + partition metadata: a restarted
+            # cluster reloads its partition and re-verifies consistency
+            self.db.checkpoint()
+            self._save_dist_meta()
         return t
 
     # ------------------------------------------------------------------
     # querying
     # ------------------------------------------------------------------
-    def sql(self, text: str):
-        """Distributed SELECT.  Returns a ResultSet (identical on every
-        host)."""
+    def sql(self, text: str, gather: str = "all"):
+        """Distributed SELECT.  Aggregates/top-k return identical small
+        results on every host.  Row-heavy PROJECTIONS honor `gather`:
+        "all" replicates the gathered rows everywhere; "leader" keeps
+        the materialized result on host 0 only (non-leaders return an
+        empty ResultSet) — the reference's aggregator-role model, where
+        leaves stream step results to the aggregator alone
+        (heavy.thrift:770 execute_query_step)."""
         from heavydb_tpu.api import _node_dict_ref
         from heavydb_tpu.exec.result_set import from_batch
         from heavydb_tpu.plan.optimizer import optimize
@@ -161,6 +300,7 @@ class DistEngine:
         if len(stmts) != 1 or not isinstance(stmts[0], A.Select):
             raise NotSupported("DistEngine.sql executes a single SELECT")
         plan = optimize(self.db._plan_select(stmts[0]))
+        self._gather_mode = gather
         batch, out_node = self._exec_distributed(plan)
         dicts = []
         for i in range(out_node.arity):
@@ -224,20 +364,47 @@ class DistEngine:
             # MODE, STDDEV, dict-string MIN/MAX): repartition by group key
             return self._dist_repartition_agg(plan), plan
         if isinstance(plan, R.Compound) and not plan.is_aggregate:
-            # distributed projection: local rows, gathered (small results
-            # only — the watchdog guards unbounded projections locally)
+            # distributed projection: local rows, streamed to the
+            # aggregator role (host 0) by default — replicating every
+            # row to every host is O(total rows x hosts); the reference
+            # leaves stream step results to the aggregator only
+            # (heavy.thrift:770).  The row budget is negotiated up front
+            # from the per-host counts (generations-snapshot style) so
+            # no host materializes an over-cap gather.
+            import heavydb_tpu.exec.batch as B
+
             out = ex.execute(plan)
             host = out.to_numpy()
             if any(c is None for c in host):
                 raise NotSupported(
                     "distributed projection with pruned columns"
                 )
-            cols = self.rt.allgather_concat(list(host))
-            import heavydb_tpu.exec.batch as B
+            n_local = len(host[0]) if host else 0
+            counts = self.rt.allgather_scalar(n_local)
+            total = sum(counts)
+            cap = int(getattr(self.db.config,
+                              "watchdog_max_projected_rows", 1 << 27))
+            if getattr(self.db.config, "enable_watchdog", False) \
+                    and total > cap:
+                from heavydb_tpu.errors import WatchdogException
 
+                raise WatchdogException(
+                    f"distributed projection would gather {total} rows "
+                    f"(> {cap}); add a LIMIT or raise the watchdog cap"
+                )
+            per = self.rt.allgather_multi(list(host))
+            leader_only = getattr(self, "_gather_mode", "all") == "leader"
+            if leader_only and not self.rt.is_leader:
+                return (
+                    B.from_host_columns(
+                        [np.empty(0, np.asarray(c).dtype) for c in host],
+                        0, plan.types,
+                    ),
+                    plan,
+                )
+            cols = [np.concatenate(parts) for parts in per]
             return (
-                B.from_host_columns(cols, len(cols[0]) if cols else 0,
-                                    plan.types),
+                B.from_host_columns(cols, total, plan.types),
                 plan,
             )
         raise NotSupported(
@@ -319,10 +486,26 @@ class DistEngine:
                 "partitioned join needs an equi key on the probe fact"
             )
         pk, bk = key
-        new_inputs = list(node.inputs)
-        new_inputs[0], new_inputs[li + 1] = self._exchange_join_sides(
-            probe0, pk, node.inputs[li + 1], bk
+        # recycle the exchanged sides across queries (reference
+        # HashtableRecycler: hash tables persist until a table
+        # generation changes) — repeated joins on the same key skip the
+        # repartition collectives entirely
+        ck = (
+            scan_tname(probe0), pk, scan_tname(node.inputs[li + 1]), bk,
+            probe0.table.generation, node.inputs[li + 1].table.generation,
         )
+        cached = self._exchange_cache.get(ck)
+        if cached is None:
+            cached = self._exchange_join_sides(
+                probe0, pk, node.inputs[li + 1], bk
+            )
+            if len(self._exchange_cache) >= 4:
+                self._exchange_cache.pop(
+                    next(iter(self._exchange_cache))
+                )
+            self._exchange_cache[ck] = cached
+        new_inputs = list(node.inputs)
+        new_inputs[0], new_inputs[li + 1] = cached
         return R.Compound(
             new_inputs, list(node.join_levels), node.filter_cond,
             list(node.group_exprs), list(node.aggs),

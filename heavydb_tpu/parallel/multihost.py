@@ -77,28 +77,63 @@ class MultiHostRuntime:
         g = mhu.process_allgather(np.int64(x))
         return [int(v) for v in np.asarray(g).reshape(-1)]
 
+    def allgather_multi(
+        self, arrays: List[np.ndarray]
+    ) -> List[List[np.ndarray]]:
+        """ONE padded byte exchange for a LIST of 1-D arrays (per-host
+        lengths may differ; array count and dtypes must match across
+        hosts).  Returns, per array, the per-host pieces.
+
+        Two collectives total regardless of column count — the previous
+        per-column exchange cost 2 collectives PER ARRAY, and every
+        distinct padded length jitted a fresh Gloo program; the payload
+        here is pow2-bucketed so repeated queries reuse one compiled
+        collective per size class."""
+        from jax.experimental import multihost_utils as mhu
+
+        k = len(arrays)
+        arrs = [np.ascontiguousarray(a) for a in arrays]
+        lens = np.array([a.shape[0] for a in arrs], np.int64)
+        blob = b"".join(a.tobytes() for a in arrs)
+        nb = len(blob)
+        meta = np.concatenate([lens, np.array([nb], np.int64)])
+        metas = np.asarray(mhu.process_allgather(meta)).reshape(
+            self.num_processes, k + 1
+        )
+        cap = 1 << max(int(metas[:, -1].max()).bit_length(), 4)
+        pad = np.zeros((cap,), np.uint8)
+        pad[:nb] = np.frombuffer(blob, np.uint8)
+        g = np.asarray(mhu.process_allgather(pad)).reshape(
+            self.num_processes, cap
+        )
+        out: List[List[np.ndarray]] = [[] for _ in range(k)]
+        for p in range(self.num_processes):
+            off = 0
+            buf = g[p]
+            for i, a in enumerate(arrs):
+                n = int(metas[p, i])
+                nbytes = n * a.dtype.itemsize
+                piece = np.frombuffer(
+                    buf[off:off + nbytes].tobytes(), a.dtype
+                )
+                out[i].append(piece)
+                off += nbytes
+        return out
+
     def allgather_array(self, a: np.ndarray) -> List[np.ndarray]:
         """Gather a variable-length 1-D array from every host (padded
         exchange; trimmed per-host on receipt)."""
-        from jax.experimental import multihost_utils as mhu
-
-        n = int(a.shape[0])
-        counts = self.allgather_scalar(n)
-        m = max(counts + [1])
-        pad = np.zeros((m,), a.dtype)
-        pad[:n] = a
-        g = np.asarray(mhu.process_allgather(pad))
-        # single axis0 entry per process
-        return [g[p, : counts[p]] for p in range(self.num_processes)]
+        return self.allgather_multi([np.ascontiguousarray(a)])[0]
 
     def allgather_concat(self, arrays: List[np.ndarray]) -> List[np.ndarray]:
-        """Gather several same-length columns from every host and return
-        the concatenation over hosts for each column."""
-        out = []
-        for a in arrays:
-            parts = self.allgather_array(np.ascontiguousarray(a))
-            out.append(np.concatenate(parts))
-        return out
+        """Gather several columns from every host (ONE exchange) and
+        return the concatenation over hosts for each column."""
+        if not arrays:
+            return []
+        per = self.allgather_multi(
+            [np.ascontiguousarray(a) for a in arrays]
+        )
+        return [np.concatenate(parts) for parts in per]
 
     def allgather_bytes(self, b: bytes) -> List[bytes]:
         arr = np.frombuffer(b, np.uint8)
@@ -124,20 +159,33 @@ class MultiHostRuntime:
     ) -> List[np.ndarray]:
         """Route row i of `cols` to host dest[i] (the repartition data
         plane — reference broadcast_serialized_rows re-routing rows for
-        the next distributed step).  Emulated with allgather + local
-        filter: the Gloo CPU backend has no all-to-all, so traffic is
-        allgather-shaped, but memory/compute partition correctly — swap
-        for a real ragged all-to-all on ICI/DCN pods."""
-        all_dest = np.concatenate(
-            self.allgather_array(
-                np.ascontiguousarray(np.asarray(dest, np.int32))
-            )
+        the next distributed step).  Emulated with ONE batched allgather
+        + local filter: the Gloo CPU backend has no all-to-all, so
+        traffic is allgather-shaped, but memory/compute partition
+        correctly — swap for a real ragged all-to-all on ICI/DCN pods.
+        Rows are pre-sorted by destination so the local filter is one
+        contiguous slice per sending host."""
+        d = np.asarray(dest, np.int32)
+        order = np.argsort(d, kind="stable")
+        payload = [np.ascontiguousarray(np.asarray(c)[order])
+                   for c in cols]
+        # per-dest row counts ride the meta vector as one extra array
+        counts = np.bincount(d, minlength=self.num_processes).astype(
+            np.int64
         )
-        keep = all_dest == self.process_id
+        per = self.allgather_multi(payload + [counts])
+        all_counts = per[-1]  # per host: rows bound for each dest
         out = []
-        for c in cols:
-            parts = self.allgather_array(np.ascontiguousarray(c))
-            out.append(np.concatenate(parts)[keep])
+        for parts in per[:-1]:
+            mine = []
+            for p, piece in enumerate(parts):
+                starts = np.concatenate(
+                    [[0], np.cumsum(all_counts[p])]
+                )
+                lo = int(starts[self.process_id])
+                hi = int(starts[self.process_id + 1])
+                mine.append(piece[lo:hi])
+            out.append(np.concatenate(mine))
         return out
 
     def barrier(self, name: str = "hdt"):

@@ -238,7 +238,18 @@ class TableData(RelNode):
         return f"TableData({self.num_rows} rows)"
 
     def _key_parts(self):
-        return (self.id,)
+        # STRUCTURAL key, not identity: the arrays reach the kernel as
+        # runtime args (executor _exec → from_host_columns → Batch), so
+        # the compiled program depends only on schema; keying on node id
+        # forced a ~0.3s re-trace of every distributed merge / exchange
+        # Compound on every query (the row-count shape bucket rides the
+        # kernel-cache key separately)
+        return (
+            "td",
+            tuple(self.fields),
+            tuple(str(t) for t in self.types),
+            tuple(self.dict_refs),
+        )
 
 
 class Window(RelNode):

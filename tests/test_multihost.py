@@ -60,3 +60,54 @@ def test_four_process_cluster_parity():
     for rc, out in outs:
         assert "PARITY_OK" in out, out[-3000:]
         assert rc == 0, out[-3000:]
+
+
+PERSIST_WORKER = os.path.join(os.path.dirname(__file__),
+                              "multihost_persist_worker.py")
+
+
+def _run_persist_phase(phase: str, nprocs: int, root: str,
+                       timeout: int = 300):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, PERSIST_WORKER, phase, str(p), str(nprocs),
+             str(port), root],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(WORKER)),
+        )
+        for p in range(nprocs)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return outs
+
+
+@pytest.mark.timeout(900)
+def test_cluster_restart_parity(tmp_path):
+    """Distributed persistence: per-host epoch checkpoints + the
+    dist_meta partition record survive a full cluster restart
+    (reference: per-leaf FileMgr epochs + check_table_consistency)."""
+    root = str(tmp_path)
+    for rc, out in _run_persist_phase("load", 4, root):
+        assert rc == 0 and "LOAD_OK" in out, out[-3000:]
+    for rc, out in _run_persist_phase("restart", 4, root):
+        assert rc == 0 and "RESTART_OK" in out, out[-3000:]
+
+
+@pytest.mark.timeout(900)
+def test_cluster_consistency_detects_divergence(tmp_path):
+    root = str(tmp_path)
+    for rc, out in _run_persist_phase("load", 2, root):
+        assert rc == 0 and "LOAD_OK" in out, out[-3000:]
+    for rc, out in _run_persist_phase("diverge", 2, root):
+        assert rc == 0 and "DIVERGENCE_DETECTED" in out, out[-3000:]
