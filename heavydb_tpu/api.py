@@ -74,6 +74,16 @@ class Database:
         self.config = config
         self.catalog = Catalog(config)
         self.executor = Executor(self)
+        # warm the Pallas availability probe off the query path (TPU
+        # only): it costs ~1.5s (pallas import + a tiny Mosaic compile)
+        # and otherwise lands inside the FIRST query's trace
+        try:
+            if jax.default_backend() == "tpu":
+                from heavydb_tpu.ops.groupby import warm_pallas_probe_async
+
+                warm_pallas_probe_async()
+        except Exception:
+            pass
         self._views: Dict[str, A.Select] = {}
         self._transient_dicts: Dict[int, object] = {}
         self._next_transient = 0
@@ -421,6 +431,19 @@ class Database:
         for cid in order:
             key = (t.table_id, t.generation, cid, size, None)
             self.executor.scan_cache[key] = seeds[cid]
+    def warmup(self, queries):
+        """Run warmup queries to populate the kernel/compile caches
+        before serving (reference: --warmup-queries-file,
+        HeavyDB.cpp run_warmup_queries at startup).  Results are
+        discarded; errors are swallowed (a warmup must never block
+        readiness)."""
+        for q in queries:
+            try:
+                rs = self.sql(q)
+                if rs is not None:
+                    rs.row_count  # force execution, not egress
+            except Exception:
+                pass
 
     def table_rows(self, name: str) -> int:
         return self.catalog.get_table(name).num_rows
@@ -717,14 +740,17 @@ class Database:
     def _fix_array_cols(self, rs: ResultSet, plan) -> ResultSet:
         """Replace array-column rowid handles with host payloads before the
         ResultSet is handed to the client."""
+        if not any(ti.is_array for ti in plan.types):
+            return rs  # keep scalar results lazy (device-resident)
+        cols = rs._materialize()
         for i, ti in enumerate(plan.types):
             if not ti.is_array:
                 continue
             ref = _node_dict_ref(plan, i)
             if ref is None:
                 raise NotSupported("SELECT of computed arrays")
-            objs, sd = self._rowids_to_object(ref, rs._cols[i])
-            rs._cols[i] = objs
+            objs, sd = self._rowids_to_object(ref, cols[i])
+            cols[i] = objs
             rs._dicts[i] = sd
         return rs
 

@@ -13,17 +13,35 @@ from heavydb_tpu.storage.table import from_physical
 
 
 class ResultSet:
-    def __init__(self, fields, types, host_cols, dicts):
-        """host_cols: list of numpy arrays (exact length); dicts: per-column
-        StringDictionary or None for decoding dict-encoded text."""
+    def __init__(self, fields, types, host_cols, dicts, batch=None):
+        """host_cols: list of numpy arrays (exact length), or None with
+        `batch` set — then columns stay DEVICE-resident until first
+        access (the reference also serializes result rows only when the
+        client asks; on a remote-attached TPU the egress D2H of a large
+        result costs seconds and must not land on db.sql())."""
         self.fields = list(fields)
         self.types = list(types)
         self._cols = host_cols
         self._dicts = dicts
+        self._batch = batch
+        self._n = None if batch is None else int(batch.nrows)
+
+    def _materialize(self):
+        if self._cols is None:
+            host = self._batch.to_numpy()
+            self._cols = [
+                np.empty(0, t.np_dtype()) if c is None else c
+                for c, t in zip(host, self.types)
+            ]
+            self._batch = None
+        return self._cols
 
     @property
     def row_count(self) -> int:
-        return 0 if not self._cols else int(self._cols[0].shape[0])
+        if self._n is not None:
+            return self._n
+        cols = self._materialize()
+        return 0 if not cols else int(cols[0].shape[0])
 
     @property
     def col_count(self) -> int:
@@ -31,10 +49,11 @@ class ResultSet:
 
     def column(self, i: int) -> list:
         """Decoded python values (None for NULL)."""
-        return from_physical(self._cols[i], self.types[i], self._dicts[i])
+        cols = self._materialize()
+        return from_physical(cols[i], self.types[i], self._dicts[i])
 
     def column_raw(self, i: int) -> np.ndarray:
-        return self._cols[i]
+        return self._materialize()[i]
 
     def rows(self) -> list:
         cols = [self.column(i) for i in range(self.col_count)]
@@ -100,9 +119,4 @@ class ResultSet:
 
 
 def from_batch(batch, fields, types, dicts) -> ResultSet:
-    host = batch.to_numpy()
-    cols = [
-        np.empty(0, t.np_dtype()) if c is None else c
-        for c, t in zip(host, types)
-    ]
-    return ResultSet(fields, types, cols, dicts)
+    return ResultSet(fields, types, None, dicts, batch=batch)

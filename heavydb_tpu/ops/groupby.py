@@ -506,14 +506,45 @@ def _on_tpu() -> bool:
 
 
 _PALLAS_OK: dict = {}
+_PALLAS_LOCK = None
+
+
+def warm_pallas_probe_async():
+    """Run the Pallas availability probe on a background thread — the
+    probe costs ~1.5s (pallas import + a tiny Mosaic compile) and
+    otherwise lands inside the FIRST query's trace (measured: 1.54s of
+    a 1.70s first-query wall).  connect() calls this on TPU backends so
+    the probe overlaps table loading."""
+    import threading
+
+    t = threading.Thread(
+        target=lambda: (_pallas_available(), _pallas_available(f64=True)),
+        daemon=True,
+    )
+    t.start()
+    return t
 
 
 def _pallas_available(f64: bool = False) -> bool:
     """Probe once (per flavor) whether representative Pallas kernels compile
     AND run on this backend — some remote-compile toolchains have Mosaic
     version skew that rejects gridded kernels at runtime ('failed to
-    legalize func.return'), and f64 use can fail at client lowering."""
+    legalize func.return'), and f64 use can fail at client lowering.
+    Single-flight: concurrent callers (the async warmup + a first query)
+    serialize on a lock."""
+    global _PALLAS_LOCK
     key = "f64" if f64 else "f32"
+    if key in _PALLAS_OK:
+        return _PALLAS_OK[key]
+    if _PALLAS_LOCK is None:
+        import threading
+
+        _PALLAS_LOCK = threading.Lock()
+    with _PALLAS_LOCK:
+        return _pallas_probe_locked(key, f64)
+
+
+def _pallas_probe_locked(key: str, f64: bool) -> bool:
     if key in _PALLAS_OK:
         return _PALLAS_OK[key]
     import os
