@@ -1216,6 +1216,10 @@ class Database:
                 )
             elif cd.type.is_dict_string:
                 arrays[cd.col_id] = t.dict_for(cd.col_id).get_or_add_bulk(vals)
+            elif cd.type.is_none_string:
+                from heavydb_tpu.storage.table import to_physical
+
+                arrays[cd.col_id] = to_physical(vals, cd.type, None)
             else:
                 # _const_value already produced PHYSICAL values
                 dt = cd.type.np_dtype()
@@ -1363,6 +1367,18 @@ class Database:
                         raise NotSupported("UPDATE from computed strings")
                     strings = src.get_strings(arr)
                     arr = t.dict_for(cd.col_id).get_or_add_bulk(strings)
+            elif cd.type.is_none_string:
+                # planner executed the column as lazy-dict ids; store
+                # RAW strings back into the object chunk
+                src_ref = _node_dict_ref(plan, i)
+                src = self.dict_by_ref(src_ref) if src_ref else None
+                if src is None:
+                    raise NotSupported("UPDATE from computed strings")
+                strings = src.get_strings(np.asarray(arr).astype(np.int64))
+                out = np.empty(len(strings), object)
+                for j, s in enumerate(strings):
+                    out[j] = s
+                arr = out
             elif src_ti.kind != cd.type.kind or (
                 cd.type.is_decimal and src_ti.scale != cd.type.scale
             ):
@@ -1492,7 +1508,7 @@ def _const_value(e: E.Expr, target: T.TypeInfo):
     if isinstance(e, E.Constant):
         if e.value is None:
             return None
-        if target.is_dict_string:
+        if target.is_dict_string or target.is_none_string:
             if not e.type.is_string:
                 raise SqlError(f"cannot insert {e.type} into TEXT column")
             return str(e.value)

@@ -368,6 +368,13 @@ class Executor:
                     self.scan_cache.pop(key)  # waves re-slice from full
                     continue
                 if cid in new_cols:
+                    cd = t.column_by_id(cid) if isinstance(cid, int) \
+                        else None
+                    if cd is not None and cd.type.is_none_string:
+                        # device ids belong to the OLD generation's lazy
+                        # dict; the new generation re-interns — re-upload
+                        self.scan_cache.pop(key)
+                        continue
                     vals = jnp.asarray(
                         np.asarray(new_cols[cid]), arr.dtype)
                     arr = arr.at[rid].set(vals, mode="drop")
@@ -409,6 +416,12 @@ class Executor:
                     iota = jax.lax.broadcasted_iota(
                         jnp.int32, (new_size,), 0)
                     arr = jnp.where(iota < new_n, iota, jnp.int32(-1))
+                elif isinstance(cid, int) and \
+                        t.column_by_id(cid).type.is_none_string:
+                    # lazy dict re-interns in the new generation's
+                    # first-seen order — old ids don't survive a compact
+                    self.scan_cache.pop(key)
+                    continue
                 else:
                     comp = arr[kidx]
                     if new_size > new_n:
@@ -509,6 +522,30 @@ class Executor:
                     cols.append(cat)
                     continue
             if arr is None:
+                if cd.type.is_none_string:
+                    # none-encoded TEXT: device column = ids of the
+                    # lazily-built per-generation dictionary (reference
+                    # StringDictionaryProxy transient interning)
+                    _, ids = t.lazy_text_dict(cd.col_id)
+                    if frags is None:
+                        host = ids
+                    else:
+                        gstart = np.cumsum(
+                            [0] + [f.num_rows for f in t.fragments]
+                        )
+                        host = np.concatenate([
+                            ids[int(gstart[f.fragment_id]):
+                                int(gstart[f.fragment_id + 1])]
+                            for f in frags
+                        ]) if frags else np.empty(0, np.int32)
+                    arr = jax.device_put(
+                        B.pad_to(host, size,
+                                 T.text_dict(nullable=cd.type.nullable)),
+                        self._scan_sharding(),
+                    )
+                    self.scan_cache[key] = arr
+                    cols.append(arr)
+                    continue
                 if cd.type.is_array:
                     # array column device handle = GLOBAL rowid (stable
                     # across fragment skipping); lengths/offsets/flat ride
@@ -1799,6 +1836,25 @@ class Executor:
                 dt = ti.np_dtype()
                 sent = ti.null_sentinel()
                 host = np.full(padded, sent, dt)
+                if ti.kind in (T.SQLTypeKind.DATE, T.SQLTypeKind.TIMESTAMP,
+                               T.SQLTypeKind.TIME):
+                    # TRY_CAST(text AS DATE/TIMESTAMP/TIME): ISO parse per
+                    # entry, NULL on failure (reference TryStringCast →
+                    # StringToDatum, StringOps.cpp:98)
+                    from heavydb_tpu.plan.builder import _const_cast
+
+                    from heavydb_tpu.types import text_none as _tn
+
+                    for i, entry in enumerate(d.entries()):
+                        try:
+                            v = _const_cast(entry, _tn(), ti)
+                        except Exception:
+                            continue
+                        if v is not None:
+                            host[i] = v
+                    arr = jax.device_put(host)
+                    self.aux_cache[cache_key] = arr
+                    return arr
                 for i, entry in enumerate(d.entries()):
                     try:
                         v = float(entry.strip())
@@ -2196,7 +2252,14 @@ class Executor:
             frag = next((f for f in t.fragments if f.num_rows), None)
             if frag is None:
                 return 1
-            cols.append(np.asarray(frag.chunks[cd.col_id][:65536]))
+            chunk = np.asarray(frag.chunks[cd.col_id][:65536])
+            if cd.type.is_none_string:
+                # object array with None holes — not sortable; estimate
+                # over a NULL-sentineled unicode copy
+                chunk = np.array(
+                    ["\x00\x00<null>" if v is None else v for v in chunk]
+                )
+            cols.append(chunk)
         if not cols:
             return None
         m = len(cols[0])

@@ -92,7 +92,7 @@ def resolve_type_name(tn: A.TypeName) -> T.TypeInfo:
     if kind == T.SQLTypeKind.TEXT:
         # TEXT defaults to dictionary encoding (reference kENCODING_DICT)
         if tn.encoding == "NONE":
-            raise NotSupported("TEXT ENCODING NONE not yet supported")
+            return T.text_none(nullable=nullable)
         return T.text_dict(nullable=nullable)
     return T.TypeInfo(kind, nullable)
 
@@ -209,7 +209,8 @@ _MATH_FNS = {
 # Shared/sqldefs.h SqlStringOpKind)
 _STRING_FNS = {
     "UPPER", "UCASE", "LOWER", "LCASE", "INITCAP", "REVERSE", "TRIM",
-    "LTRIM", "RTRIM", "SUBSTRING", "SUBSTR", "REPLACE", "LPAD", "RPAD",
+    "LTRIM", "RTRIM", "SUBSTRING", "SUBSTR", "MID", "REPLACE", "LPAD",
+    "RPAD",
     "REPEAT", "SPLIT_PART", "REGEXP_REPLACE", "BASE64_ENCODE",
     "BASE64_DECODE", "URL_ENCODE", "URL_DECODE", "OVERLAY", "JSON_VALUE",
     "REGEXP_SUBSTR", "LEFT", "RIGHT", "LLM_TRANSFORM",
@@ -454,6 +455,16 @@ class ExprBinder:
             # two string literals — compare host-side
             res = _host_str_cmp(op, l.value, r.value)
             return E.Constant(1 if res else 0, T.boolean(False))
+        # DATE/TIMESTAMP/TIME vs string literal: implicit literal parse
+        # (reference: Calcite inserts the cast; Analyzer CastExpr)
+        if lt.is_time and isinstance(r, E.Constant) and rt.is_string:
+            r = E.Constant(_const_cast(r.value, rt, lt),
+                           lt.with_nullable(r.value is None))
+            rt = r.type
+        elif rt.is_time and isinstance(l, E.Constant) and lt.is_string:
+            l = E.Constant(_const_cast(l.value, lt, rt),
+                           rt.with_nullable(l.value is None))
+            lt = l.type
         if (lt.is_number or lt.is_time or lt.is_boolean) and (
             rt.is_number or rt.is_time or rt.is_boolean or rt.is_null_type
         ) or lt.is_null_type:
@@ -702,7 +713,9 @@ class ExprBinder:
         operand = self._bind(node.operand)
         target = resolve_type_name(node.type_name)
         if getattr(node, "try_", False) and operand.type.is_dict_string \
-                and target.is_number:
+                and (target.is_number or target.kind in (
+                    T.SQLTypeKind.DATE, T.SQLTypeKind.TIMESTAMP,
+                    T.SQLTypeKind.TIME)):
             # TRY_CAST(text AS numeric): per-dictionary-entry parse table
             # (reference TRY_CAST string op); unparsable → NULL
             import json as _json
@@ -1206,6 +1219,21 @@ class ExprBinder:
             return E.FunctionOp(name, args, out)
         if name in ("GREATEST", "LEAST") and node.args:
             args = [self._bind(a) for a in node.args]
+            if any(a.type.is_dict_string for a in args):
+                # string GREATEST/LEAST (reference SqlStringOpKind
+                # GREATEST/LEAST): per-dictionary-entry max/min vs the
+                # literal operands
+                col = next(a for a in args if a.type.is_dict_string)
+                lits = [a for a in args if a is not col]
+                if any(a.type.is_dict_string for a in lits) or not all(
+                    isinstance(a, E.Constant) and a.type.is_string
+                    for a in lits
+                ):
+                    raise NotSupported(
+                        f"{name} over multiple string columns")
+                return self._extend_transform(
+                    col, (name, tuple(str(a.value) for a in lits))
+                )
             c = args[0]
             for a in args[1:]:
                 c, _ = self._coerce_pair(c, a)
@@ -1534,7 +1562,13 @@ def _const_cast(value, src: T.TypeInfo, dst: T.TypeInfo):
     if src.is_string and not src.is_dict_string:
         s = str(value)
         if dst.kind == T.SQLTypeKind.DATE:
-            return (_dt.date.fromisoformat(s.strip()) - EPOCH).days
+            s = s.strip()
+            try:
+                d = _dt.date.fromisoformat(s)
+            except ValueError:
+                # datetime string → truncate (reference dateTimeParse<kDATE>)
+                d = _dt.datetime.fromisoformat(s).date()
+            return (d - EPOCH).days
         if dst.kind == T.SQLTypeKind.TIMESTAMP:
             d = _dt.datetime.fromisoformat(s.strip())
             if d.tzinfo is None:

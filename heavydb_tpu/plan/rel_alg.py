@@ -62,7 +62,13 @@ class Scan(RelNode):
         super().__init__([])
         self.table = table  # storage Table
         self.fields = [cd.name for cd in table.columns]
-        self.types = [cd.type for cd in table.columns]
+        # none-encoded TEXT executes as ids of its lazily-built
+        # dictionary — downstream the column IS a dict string
+        self.types = [
+            T.text_dict(nullable=cd.type.nullable)
+            if cd.type.is_none_string else cd.type
+            for cd in table.columns
+        ]
         # `rowid` pseudo-column (reference: Catalog's implicit virtual
         # rowid column): GLOBAL physical row position — fragment base +
         # local offset — so it is stable under fragment skipping, wave

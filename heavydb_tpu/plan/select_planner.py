@@ -777,7 +777,8 @@ class SelectPlanner:
             alias = ref.alias or ref.name
             dict_refs = [
                 (table.table_id, cd.col_id)
-                if (cd.type.is_dict_string or cd.type.is_array) else None
+                if (cd.type.is_dict_string or cd.type.is_array
+                    or cd.type.is_none_string) else None
                 for cd in table.columns
             ]
             ncols = len(table.columns)
@@ -1112,7 +1113,8 @@ def _node_dict_ref(node: R.RelNode, field_idx: int):
         if field_idx >= len(node.table.columns):  # virtual rowid field
             return None
         cd = node.table.columns[field_idx]
-        if cd.type.is_dict_string or cd.type.is_array:
+        if cd.type.is_dict_string or cd.type.is_array \
+                or cd.type.is_none_string:
             return (node.table.table_id, cd.col_id)
         return None
     if isinstance(node, R.Project):

@@ -1079,6 +1079,37 @@ class Parser:
             src = self.parse_expr()
             self.expect_op(")")
             return A.FuncCall("POSITION", [src, sub])
+        if fname == "OVERLAY" and not self.at_op(")"):
+            # standard OVERLAY(str PLACING repl FROM pos [FOR len])
+            first = self.parse_expr()
+            if self.eat_kw("PLACING"):
+                repl = self.parse_expr()
+                self.expect_kw("FROM")
+                pos = self.parse_expr()
+                args = [first, repl, pos]
+                if self.eat_kw("FOR"):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return A.FuncCall("OVERLAY", args)
+            args = [first]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return A.FuncCall("OVERLAY", args)
+        if fname in ("SUBSTRING", "SUBSTR") and not self.at_op(")"):
+            # standard SUBSTRING(str FROM pos [FOR len])
+            first = self.parse_expr()
+            if self.eat_kw("FROM"):
+                args = [first, self.parse_expr()]
+                if self.eat_kw("FOR"):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return A.FuncCall(fname, args)
+            args = [first]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return A.FuncCall(fname, args)
         fc = A.FuncCall(fname)
         if self.at_op("*"):
             self.next()

@@ -152,12 +152,31 @@ class TableStore:
                     manifest["chunks"][key] = prev
                     continue
                 path = self._chunk_path(frag.fragment_id, cid, epoch)
+                is_text = t.column_by_id(cid).type.is_none_string
                 enc, parts = (
-                    ("raw", [arr]) if arr.dtype == object
+                    ("text" if is_text else "raw", [arr])
+                    if arr.dtype == object
                     else encode_chunk(arr)
                 )
                 with open(path, "wb") as f:
-                    if arr.dtype == object:
+                    if is_text:
+                        # none-encoded TEXT: utf-8 lengths + one byte
+                        # blob (reference StringNoneEncoder's
+                        # offsets+payload file layout)
+                        bs = [
+                            None if r is None else str(r).encode()
+                            for r in arr
+                        ]
+                        lens = np.array(
+                            [-1 if b is None else len(b) for b in bs],
+                            np.int64,
+                        )
+                        blob = np.frombuffer(
+                            b"".join(b for b in bs if b), np.uint8
+                        )
+                        np.save(f, lens)
+                        np.save(f, blob)
+                    elif arr.dtype == object:
                         # array column: (lengths, flat) pair — no pickling
                         # (reference ArrayNoneEncoder's offsets+data layout)
                         lens = np.array(
@@ -250,7 +269,19 @@ class TableStore:
             f_s, c_s = key.split(":")
             cd = t.column_by_id(int(c_s))
             path = self._chunk_path(int(f_s), int(c_s), ref["epoch"])
-            if cd.type.is_array:
+            if cd.type.is_none_string:
+                with open(path, "rb") as fh:
+                    lens = np.load(fh)
+                    blob = np.load(fh).tobytes()
+                arr = np.empty(len(lens), object)
+                pos = 0
+                for i, ln in enumerate(lens.tolist()):
+                    if ln < 0:
+                        arr[i] = None
+                    else:
+                        arr[i] = blob[pos:pos + ln].decode()
+                        pos += ln
+            elif cd.type.is_array:
                 with open(path, "rb") as fh:
                     lens = np.load(fh)
                     flat = np.load(fh)

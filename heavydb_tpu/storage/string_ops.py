@@ -45,6 +45,10 @@ def apply_op(s: str, name: str, args: Tuple) -> Optional[str]:
                 "db.register_llm_transform(fn) with fn(text, prompt) -> str"
             )
         return str(_LLM_TRANSFORM_FN(s, *[str(a) for a in args]))
+    if name == "GREATEST":
+        return max([s] + [str(a) for a in args])
+    if name == "LEAST":
+        return min([s] + [str(a) for a in args])
     if name in ("UPPER", "UCASE"):
         return s.upper()
     if name in ("LOWER", "LCASE"):
@@ -59,7 +63,7 @@ def apply_op(s: str, name: str, args: Tuple) -> Optional[str]:
         return s.lstrip(args[0]) if args else s.lstrip()
     if name == "RTRIM":
         return s.rstrip(args[0]) if args else s.rstrip()
-    if name in ("SUBSTRING", "SUBSTR"):
+    if name in ("SUBSTRING", "SUBSTR", "MID"):
         return _substring(s, *args)
     if name == "REPLACE":
         return s.replace(str(args[0]), str(args[1]))

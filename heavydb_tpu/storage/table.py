@@ -73,6 +73,10 @@ class Fragment:
     def compute_stats(self, cd: ColumnDescriptor):
         vals = self.chunks[cd.col_id]
         st = ChunkStats(num_rows=self.num_rows)
+        if cd.type.is_none_string:
+            st.has_nulls = any(v is None for v in vals)
+            self.stats[cd.col_id] = st
+            return st
         if cd.type.is_array:
             # stats over the flattened elements (reference ArrayNoneEncoder
             # updateStats walks every element)
@@ -215,7 +219,43 @@ class Table:
         return sum(f.num_rows for f in self.fragments)
 
     def dict_for(self, col_id: int) -> StringDictionary:
+        d = self.dicts.get(col_id)
+        if d is not None:
+            return d
+        cd = self.column_by_id(col_id)
+        if cd.type.is_none_string:
+            return self.lazy_text_dict(col_id)[0]
         return self.dicts[col_id]
+
+    def lazy_text_dict(self, col_id: int):
+        """Per-generation dictionary over a none-encoded TEXT column
+        (reference StringDictionaryProxy: transient interning at query
+        time).  Returns (dict, ids[num_rows] int32).  Rebuilt when the
+        table mutates; only the CURRENT generation is kept."""
+        cache = getattr(self, "_lazy_text", None)
+        if cache is None:
+            cache = self._lazy_text = {}
+        key = (col_id, self.generation)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        with self._lock:
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+            parts = [f.chunks[col_id] for f in self.fragments
+                     if f.num_rows]
+            vals = []
+            for pc in parts:
+                vals.extend(np.asarray(pc, object).tolist())
+            d = StringDictionary(dict_id=col_id)
+            ids = d.get_or_add_bulk(vals) if vals \
+                else np.empty(0, np.int32)
+            # drop stale generations (ids arrays are O(rows))
+            for k in [k for k in cache if k[0] == col_id]:
+                cache.pop(k)
+            cache[key] = (d, ids)
+            return d, ids
 
     def fragments_by_id(self) -> Dict[int, Fragment]:
         return {f.fragment_id: f for f in self.fragments}
@@ -544,6 +584,21 @@ def to_physical(
                 and hasattr(sdict, "get_or_add_payload"):
             return sdict.get_or_add_payload(values)
         values = values.to_list()
+    if ti.is_none_string:
+        # TEXT ENCODING NONE: raw strings in the host chunk (no global
+        # dictionary maintained at ingest — interned lazily at query
+        # time, storage/table.Table.lazy_text_dict)
+        if isinstance(values, np.ndarray) and values.dtype == object:
+            vals = values.tolist()
+        else:
+            vals = list(values)
+        out = np.empty(len(vals), object)
+        for i, v in enumerate(vals):
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                out[i] = None
+            else:
+                out[i] = str(v)
+        return out
     if ti.is_array:
         # array column: object ndarray of per-row element arrays (None =
         # NULL array).  Reference ArrayNoneEncoder / TypedImportBuffer

@@ -122,6 +122,15 @@ class TypeInfo:
                 and self.encoding == Encoding.DICT and not self.is_array)
 
     @property
+    def is_none_string(self) -> bool:
+        """TEXT ENCODING NONE (reference kENCODING_NONE): raw strings in
+        storage, lazily interned into a per-generation dictionary at
+        query time (the StringDictionaryProxy role) so every dictionary
+        string kernel applies unchanged."""
+        return (self.kind == SQLTypeKind.TEXT
+                and self.encoding == Encoding.NONE and not self.is_array)
+
+    @property
     def is_time(self) -> bool:
         return self.kind in _TIME_KINDS and not self.is_array
 
@@ -166,9 +175,9 @@ class TypeInfo:
         if k == SQLTypeKind.DECIMAL:
             return np.dtype(np.int64)
         if k == SQLTypeKind.TEXT:
-            if self.encoding == Encoding.DICT:
-                return np.dtype(np.int32)
-            raise TypeError("none-encoded TEXT has no device representation")
+            # dict ids; none-encoded TEXT also EXECUTES as int32 ids of
+            # its lazily-built dictionary (storage stays raw strings)
+            return np.dtype(np.int32)
         if k == SQLTypeKind.DATE:
             return np.dtype(np.int32)  # days since epoch
         if k == SQLTypeKind.TIME:
@@ -243,6 +252,10 @@ def text_dict(dict_id=0, nullable=True):
     return TypeInfo(
         SQLTypeKind.TEXT, nullable, encoding=Encoding.DICT, comp_param=dict_id
     )
+
+
+def text_none(nullable=True):
+    return TypeInfo(SQLTypeKind.TEXT, nullable, encoding=Encoding.NONE)
 
 
 def date(nullable=True):
