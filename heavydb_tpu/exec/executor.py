@@ -163,7 +163,10 @@ class Executor:
             _time.monotonic() + limit_ms / 1000.0 if limit_ms else None
         )
         if self.resource_mgr is not None:
-            est = self.resource_mgr.estimate_scan_bytes(root)
+            est = (
+                self.resource_mgr.estimate_scan_bytes(root)
+                + self.resource_mgr.estimate_output_bytes(root, self)
+            )
             with self.resource_mgr.acquire(est):
                 return self._execute_admitted(root)
         return self._execute_admitted(root)

@@ -74,6 +74,44 @@ class ResourceMgr:
         return total
 
     # ------------------------------------------------------------------
+    def estimate_output_bytes(self, plan, executor=None) -> int:
+        """Output-buffer estimate: group-by result buffers and join
+        1:N expansion buffers — exactly the allocations that OOM when
+        admission only counts scan bytes (reference
+        ExecutorResourcePool.h:99-119 output-buffer grants)."""
+        from heavydb_tpu.plan import rel_alg as R
+
+        total = 0
+        scan_rows = 0
+        for node in R.topo_order(plan):
+            if isinstance(node, R.Scan):
+                scan_rows = max(scan_rows, node.table.num_rows)
+            groups = getattr(node, "group_exprs", None)
+            aggs = getattr(node, "agg_exprs", None) \
+                or getattr(node, "aggs", None)
+            if groups:
+                slots = None
+                if executor is not None:
+                    try:
+                        slots = executor._estimate_group_ndv(node)
+                    except Exception:
+                        slots = None
+                if slots is None:
+                    # unknown NDV: assume the sort-tier bound (output
+                    # can't exceed input rows)
+                    slots = scan_rows or (1 << 16)
+                width = 8 * (len(groups) + 2 * len(aggs or ()))
+                total += int(slots) * max(width, 8)
+            levels = getattr(node, "join_levels", None)
+            if levels:
+                # static-cap 1:N expansion: each level materializes
+                # pair indices over the probe domain
+                ncols = len(getattr(node, "target_exprs", ()) or ()) or 4
+                total += scan_rows * 8 * (len(levels) + 1) \
+                    + scan_rows * 8 * ncols
+        return total
+
+    # ------------------------------------------------------------------
     def acquire(self, est_bytes: int = 0) -> "ResourceGrant":
         """Block until the query is admitted; returns a grant to release.
         Raises QueryTimedOut after queue_timeout_s."""
