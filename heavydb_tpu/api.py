@@ -560,6 +560,31 @@ class Database:
         server = self._servers.get(st.server)
         if server is None:
             raise SqlError(f"no server {st.server!r}")
+        if server["wrapper"] == "sql_select":
+            # DB-API (ODBC-role) source: no file path; schema comes from
+            # declared columns or the cursor description + a row sample
+            if st.columns:
+                defs = [
+                    (cd.name, resolve_type_name(cd.type_name))
+                    for cd in st.columns
+                ]
+            else:
+                from heavydb_tpu.io.remote import dbapi_query
+
+                names, rows = dbapi_query(
+                    server["options"], dict(st.options)
+                )
+                defs = [
+                    (nm, _infer_type_values([r[i] for r in rows]))
+                    for i, nm in enumerate(names)
+                ]
+            t = self.catalog.create_table(st.name, defs, 32_000_000)
+            t.foreign = {
+                "server": st.server,
+                "options": dict(st.options),
+                "loaded": False,
+            }
+            return None
         path = self._foreign_path(server, st.options)
         if st.columns:
             defs = [
@@ -591,9 +616,29 @@ class Database:
         if path is None:
             raise SqlError("foreign table requires file_path option")
         base = server["options"].get("base_path")
-        if base and not os.path.isabs(path):
+        from heavydb_tpu.io import remote as _remote
+
+        if base and not os.path.isabs(path) and not _remote.is_s3_uri(path):
             path = os.path.join(base, path)
+        if base and _remote.is_s3_uri(base) and not _remote.is_s3_uri(path):
+            path = base.rstrip("/") + "/" + path
+        if _remote.is_s3_uri(path):
+            # S3-backed foreign file: spool the object locally, then the
+            # delimited/parquet/regex wrapper parses the spool file
+            # (reference: S3 FSI downloads into the foreign-storage cache)
+            opts = {**server["options"], **options}
+            return _remote.spool_s3(path, self._fsi_spool_dir(), opts)
         return path
+
+    def _fsi_spool_dir(self) -> str:
+        if self.path:
+            return os.path.join(self.path, "fsi_spool")
+        d = getattr(self, "_tmp_spool", None)
+        if d is None:
+            import tempfile
+
+            d = self._tmp_spool = tempfile.mkdtemp(prefix="hdt_fsi_spool_")
+        return d
 
     def ensure_foreign_loaded(self, t: Table):
         if getattr(t, "foreign", None) is not None and not t.foreign["loaded"]:
@@ -626,6 +671,28 @@ class Database:
         server = self._servers.get(fo["server"])
         if server is None:
             raise SqlError(f"no server {fo['server']!r}")
+        if server["wrapper"] == "sql_select":
+            # DB-API (ODBC-role) import: run the SELECT, columnarize
+            from heavydb_tpu.io.remote import dbapi_query
+
+            names, rows = dbapi_query(server["options"], fo["options"])
+            t.delete_all()
+            by_name = {
+                nm.lower(): np.array([r[i] for r in rows], object)
+                for i, nm in enumerate(names)
+            }
+            arrays = {}
+            for cd in t.columns:
+                v = by_name.get(cd.name.lower())
+                if v is None:
+                    v = [None] * len(rows)
+                arrays[cd.col_id] = to_physical(
+                    v, cd.type, t.dicts.get(cd.col_id)
+                )
+            if arrays and len(next(iter(arrays.values()))):
+                t.insert_columns(arrays)
+            fo["loaded"] = True
+            return
         path = self._foreign_path(server, fo["options"])
         cache_file, fp = self._foreign_cache_file(t, path)
         if cache_file and os.path.exists(cache_file):
@@ -827,6 +894,13 @@ class Database:
                 t = self.catalog.get_table(name)
                 if getattr(t, "foreign", None) is None:
                     raise SqlError(f"{name!r} is not a foreign table")
+                # S3 sources: drop the spool so REFRESH re-fetches the
+                # object (reference: refresh invalidates the FSI cache)
+                fp = t.foreign["options"].get("file_path", "")
+                from heavydb_tpu.io import remote as _remote
+
+                if _remote.is_s3_uri(fp):
+                    _remote.evict_spool(fp, self._fsi_spool_dir())
                 self._load_foreign(t)
                 t.foreign["last_refresh"] = _time.time()
                 t.foreign.pop("next_refresh", None)  # recompute on poll
@@ -1872,6 +1946,22 @@ def _normalize_tabular(data) -> Dict[str, np.ndarray]:
                 out[k] = np.asarray(v)
         return out
     raise StorageError(f"cannot load {type(data)}")
+
+
+def _infer_type_values(vals) -> T.TypeInfo:
+    """SQL type from a sample of python values (DB-API cursor rows —
+    reference: the ODBC wrapper maps SQL_* column types; DB-API erases
+    them, so we type from the data)."""
+    seen = {type(v) for v in vals if v is not None}
+    if not seen:
+        return T.text_dict()
+    if seen <= {bool}:
+        return T.boolean()
+    if seen <= {int, bool}:
+        return T.bigint()
+    if seen <= {int, float, bool}:
+        return T.double()
+    return T.text_dict()
 
 
 def _infer_type(arr: np.ndarray) -> T.TypeInfo:
