@@ -2103,13 +2103,24 @@ class Executor:
             np.concatenate(parts) if parts
             else np.empty(0, eti.np_dtype())
         )
+        cd_t = t.column_by_id(cid).type
+        if cd_t.is_geo_compressed and flat.dtype.kind in "iu" \
+                and cd_t.kind in (T.SQLTypeKind.GEO_POINT,
+                                  T.SQLTypeKind.GEO_LINESTRING):
+            # headerless GEOINT32 payload: decompress for the flat-elem
+            # ops (SUBSCRIPT → ST_X/ST_Y); ring payloads decode via
+            # geo_rings which decompresses inline
+            from heavydb_tpu.storage.table import geoint_decompress
+
+            flat = geoint_decompress(flat, cd_t.kind)
         if flat.dtype.kind == "f":
             validf = ~np.isnan(flat)
         else:
             validf = flat != eti.null_sentinel()
 
         if afn.op in ("AREA", "PERIMETER", "CONTAINS", "CONTAINS_LITPOLY",
-                      "NPOINTS", "INTERSECTS_LIT", "CONTAINS_SEG"):
+                      "NPOINTS", "INTERSECTS_LIT", "CONTAINS_SEG",
+                      "XMIN", "XMAX", "YMIN", "YMAX"):
             res = self._geo_aux(afn, t, cid, rows, lengths, flat)
             self.aux_cache[cache_key] = res
             return res
@@ -2302,6 +2313,21 @@ class Executor:
                 np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
             )
 
+        if afn.op in ("XMIN", "XMAX", "YMIN", "YMAX"):
+            # bbox corner per geometry (reference ST_XMin/... —
+            # ExtensionFunctionsGeo.hpp over the coord stream)
+            out = np.full(n, np.nan)
+            off = 0 if afn.op[0] == "X" else 1
+            red = np.min if afn.op.endswith("MIN") else np.max
+            for i, r in enumerate(rows):
+                if r is None:
+                    continue
+                vals = [red(c[off::2]) for c, _ in geo_rings(r, kind)
+                        if len(c) >= 2]
+                if vals:
+                    out[i] = red(vals)
+            return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                            T.double(True))),)
         if afn.op == "AREA":
             out = np.full(n, np.nan)
             for i, r in enumerate(rows):

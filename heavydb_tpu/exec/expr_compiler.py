@@ -155,7 +155,7 @@ class ExprCompiler:
                     "INTERSECTS_LIT", "ARR_EQ"):
             r = aux[0][ridc]
             return r == 1, okrid & (r != -1)
-        if e.op in ("AREA", "PERIMETER"):
+        if e.op in ("AREA", "PERIMETER", "XMIN", "XMAX", "YMIN", "YMAX"):
             v = aux[0][ridc]
             return v, okrid & ~jnp.isnan(v)
         if e.op == "NPOINTS":

@@ -59,7 +59,22 @@ def resolve_type_name(tn: A.TypeName) -> T.TypeInfo:
     gk = _GEO_TYPE_NAMES.get(tn.name)
     if gk is not None:
         srid = tn.params[0] if tn.params else 0
-        return T.geo(gk, srid, nullable=not tn.not_null)
+        # reference default: SRID-4326 geo compresses to GEOINT(32)
+        # unless ENCODING NONE; ENCODING COMPRESSED(32) is explicit
+        # (Geospatial/Compression.cpp, sqltypes kENCODING_GEOINT)
+        if tn.encoding == "COMPRESSED":
+            if tn.encoding_param not in (0, 32):
+                raise BinderError("geo ENCODING COMPRESSED must be (32)")
+            if srid != 4326:
+                raise BinderError(
+                    "ENCODING COMPRESSED(32) requires SRID 4326")
+            compressed = True
+        elif tn.encoding == "NONE":
+            compressed = False
+        else:
+            compressed = None  # default by srid
+        return T.geo(gk, srid, nullable=not tn.not_null,
+                     compressed=compressed)
     kind = _TYPE_ALIASES.get(tn.name)
     if kind is None:
         raise BinderError(f"unknown type {tn.name}")
@@ -923,6 +938,34 @@ class ExprBinder:
         if isinstance(ast_node, A.FuncCall):
             if ast_node.name in ("ST_GEOMFROMTEXT", "ST_GEOGFROMTEXT"):
                 return self._geo_xy(ast_node.args[0])
+            if ast_node.name == "ST_TRANSFORM":
+                # WGS84 → Web Mercator only, like the reference
+                # (ExtensionFunctionsGeo.hpp conv_4326_900913)
+                srid = self._bind(ast_node.args[1])
+                if not isinstance(srid, E.Constant) \
+                        or int(srid.value) != 900913:
+                    raise NotSupported(
+                        "ST_TRANSFORM supports target SRID 900913")
+                x, y = self._geo_xy(ast_node.args[0])
+                ti = T.double(x.type.nullable or y.type.nullable)
+
+                def c(v):
+                    return E.Constant(float(v), T.double(False))
+
+                xs = E.BinOp(E.BinOpKind.MUL, x, c(111319.490778), ti)
+                inner = E.BinOp(
+                    E.BinOpKind.ADD,
+                    E.BinOp(E.BinOpKind.MUL, y, c(0.00872664626), ti),
+                    c(0.785398163397), ti,
+                )
+                ys = E.BinOp(
+                    E.BinOpKind.MUL, c(6378136.99911),
+                    E.FunctionOp(
+                        "LN", (E.FunctionOp("TAN", (inner,), ti),), ti
+                    ),
+                    ti,
+                )
+                return xs, ys
             if ast_node.name == "ST_POINT":
                 x = self._bind(ast_node.args[0])
                 y = self._bind(ast_node.args[1])
@@ -948,6 +991,23 @@ class ExprBinder:
         if name in ("ST_X", "ST_Y") and len(node.args) == 1:
             x, y = self._geo_xy(node.args[0])
             return x if name == "ST_X" else y
+        if name in ("ST_XMIN", "ST_XMAX", "ST_YMIN", "ST_YMAX") \
+                and len(node.args) == 1:
+            # bbox corner per geometry (reference ExtensionFunctionsGeo
+            # ST_XMin/XMax/YMin/YMax over any geo type)
+            base = self._array_base(node.args[0])
+            if not base.type.is_geo:
+                raise BinderError(f"{name} expects a geometry")
+            return E.ArrayFn(
+                op=name[3:], arr_ref=base.dict_ref, rowid=base,
+                elem=base.type.elem_type(), type=T.double(True),
+            )
+        if name in ("ST_ASTEXT", "ST_ASWKT") and len(node.args) == 1:
+            # geo projections already egress as WKT; AsText is identity
+            base = self._array_base(node.args[0])
+            if not base.type.is_geo:
+                raise BinderError(f"{name} expects a geometry")
+            return base
         if name == "ST_NPOINTS" and len(node.args) == 1:
             base = self._array_base(node.args[0])
             if base.type.kind in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):

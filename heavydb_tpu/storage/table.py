@@ -610,7 +610,16 @@ def to_physical(
             if row is None or (isinstance(row, float) and np.isnan(row)):
                 out[i] = None
             elif ti.is_geo and isinstance(row, str):
-                out[i] = wkt_to_coords(row, ti.kind)
+                c = wkt_to_coords(row, ti.kind)
+                out[i] = (
+                    geoint_compress(c, ti.kind)
+                    if ti.is_geo_compressed else c
+                )
+            elif ti.is_geo_compressed and isinstance(row, np.ndarray) \
+                    and row.dtype.kind == "f":
+                # raw f64 payload into a compressed column (CTAS from an
+                # uncompressed geo source)
+                out[i] = geoint_compress(row, ti.kind)
             else:
                 out[i] = to_physical(list(row), eti, sdict)
         return out
@@ -794,9 +803,52 @@ def wkt_to_coords(wkt: str, kind: T.SQLTypeKind) -> np.ndarray:
     return np.array(header + flat, np.float64)
 
 
+# ---------------------------------------------------------------------------
+# GEOINT32 coordinate compression (reference
+# Geospatial/CompressionRuntime.h: lon int32 = trunc(x·(2^31-1)/180),
+# lat int32 = trunc(y·(2^31-1)/90); INT32_MIN = NULL point; decompress
+# multiplies by the exact published constants for bit-parity).  Payload
+# headers (ring counts/sizes) are stored as plain ints — exact.
+# ---------------------------------------------------------------------------
+
+_GEOINT32_X = 2147483647.0 / 180.0
+_GEOINT32_Y = 2147483647.0 / 90.0
+_GEOINT32_DX = 8.3819031754424345e-08  # 180 / (2^31-1)
+_GEOINT32_DY = 4.1909515877212172e-08  # 90 / (2^31-1)
+
+
+def _geo_header_len(payload, kind) -> int:
+    if kind in (T.SQLTypeKind.GEO_POLYGON, T.SQLTypeKind.GEO_MULTIPOLYGON):
+        return 1 + int(payload[0])
+    return 0
+
+
+def geoint_compress(payload: np.ndarray, kind: T.SQLTypeKind) -> np.ndarray:
+    h = _geo_header_len(payload, kind)
+    out = np.empty(len(payload), np.int32)
+    out[:h] = payload[:h].astype(np.int32)
+    coords = payload[h:]
+    out[h + 0::2] = np.trunc(coords[0::2] * _GEOINT32_X).astype(np.int32)
+    out[h + 1::2] = np.trunc(coords[1::2] * _GEOINT32_Y).astype(np.int32)
+    return out
+
+
+def geoint_decompress(payload: np.ndarray, kind: T.SQLTypeKind) -> np.ndarray:
+    h = _geo_header_len(payload, kind)
+    out = np.empty(len(payload), np.float64)
+    out[:h] = payload[:h].astype(np.float64)
+    coords = payload[h:]
+    out[h + 0::2] = coords[0::2] * _GEOINT32_DX
+    out[h + 1::2] = coords[1::2] * _GEOINT32_DY
+    return out
+
+
 def geo_rings(payload: np.ndarray, kind: T.SQLTypeKind):
     """Decode a geo payload → [(ring_coords ndarray, is_outer), ...].
-    POINT/LINESTRING payloads are one headerless pseudo-ring."""
+    POINT/LINESTRING payloads are one headerless pseudo-ring.
+    GEOINT32-compressed payloads (int dtype) decompress inline."""
+    if payload.dtype.kind in "iu":
+        payload = geoint_decompress(payload, kind)
     K = T.SQLTypeKind
     if kind not in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
         return [(np.asarray(payload, np.float64), True)]
@@ -815,11 +867,13 @@ def geo_rings(payload: np.ndarray, kind: T.SQLTypeKind):
 
 
 def coords_to_wkt(coords: np.ndarray, kind: T.SQLTypeKind) -> str:
+    if coords.dtype.kind in "iu":  # GEOINT32 payload
+        coords = geoint_decompress(coords, kind)
     K = T.SQLTypeKind
 
     def fmt(c):
         return ", ".join(
-            f"{c[i]:g} {c[i + 1]:g}" for i in range(0, len(c) - 1, 2)
+            f"{c[i]:.15g} {c[i + 1]:.15g}" for i in range(0, len(c) - 1, 2)
         )
 
     if kind == K.GEO_POINT:

@@ -57,6 +57,7 @@ class Encoding(enum.Enum):
     DICT = "DICT"  # dictionary-encoded string (int32 ids)
     FIXED = "FIXED"  # fixed-width narrowing (e.g. BIGINT ENCODING FIXED(32))
     DAYS = "DAYS"  # date in days
+    GEOINT = "GEOINT"  # compressed WGS84 coords (int32 fixed-point)
 
 
 _INT_KINDS = {
@@ -141,6 +142,12 @@ class TypeInfo:
     @property
     def is_geo(self) -> bool:
         return self.kind in _GEO_KINDS
+
+    @property
+    def is_geo_compressed(self) -> bool:
+        """GEOINT32 fixed-point coordinate payload (reference
+        kENCODING_GEOINT, comp 32)."""
+        return self.kind in _GEO_KINDS and self.encoding == Encoding.GEOINT
 
     @property
     def is_null_type(self) -> bool:
@@ -270,10 +277,18 @@ def timestamp(precision=0, nullable=True):
     return TypeInfo(SQLTypeKind.TIMESTAMP, nullable, precision=precision)
 
 
-def geo(kind: SQLTypeKind, srid: int = 0, nullable=True):
+def geo(kind: SQLTypeKind, srid: int = 0, nullable=True, compressed=None):
     """Geo column TypeInfo: is_array=True so storage/aux/rowid-handle
-    machinery is shared with ARRAY columns; payload = flat f64 coords."""
-    return TypeInfo(kind, nullable, comp_param=srid, is_array=True)
+    machinery is shared with ARRAY columns; payload = flat f64 coords,
+    or GEOINT32 fixed-point int32 when compressed (reference
+    kENCODING_GEOINT: SRID-4326 columns compress by default —
+    Geospatial/CompressionRuntime.h formulas, ~1e-7° tolerance)."""
+    if compressed is None:
+        compressed = srid == 4326
+    return TypeInfo(
+        kind, nullable, comp_param=srid, is_array=True,
+        encoding=Encoding.GEOINT if compressed else Encoding.NONE,
+    )
 
 
 def null_type():

@@ -21,9 +21,13 @@ def gdb(db):
 
 def test_wkt_roundtrip(gdb):
     rows = gdb.sql("SELECT id, p, zone FROM geo ORDER BY id").rows()
-    assert rows[0] == (
-        1, "POINT (1 1)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
-    )
+    # p (no SRID) round-trips exactly; zone (4326) is GEOINT32-compressed
+    # so its WKT egress carries the ~1e-7° tolerance (reference parity)
+    assert rows[0][:2] == (1, "POINT (1 1)")
+    import re
+
+    nums = [float(v) for v in re.findall(r"-?[\d.]+", rows[0][2])]
+    assert nums == pytest.approx([0, 0, 4, 0, 4, 4, 0, 4, 0, 0], abs=1e-6)
     assert rows[2] == (3, None, None)
 
 
@@ -76,7 +80,13 @@ def test_area_perimeter_npoints(gdb):
         "SELECT ST_Area(zone), ST_Perimeter(zone), ST_NPoints(zone) "
         "FROM geo ORDER BY id"
     ).rows()
-    assert rows == [(16.0, 16.0, 4), (4.0, 8.0, 4), (None, None, None)]
+    # zone is SRID-4326 → GEOINT32-compressed by default (reference
+    # parity): values carry the ~1e-7-degree compression tolerance
+    assert rows[2] == (None, None, None)
+    for got, want in zip(rows, [(16.0, 16.0, 4), (4.0, 8.0, 4)]):
+        assert got[0] == pytest.approx(want[0], abs=1e-4)
+        assert got[1] == pytest.approx(want[1], abs=1e-4)
+        assert got[2] == want[2]
 
 
 def test_geo_aggregation(gdb):
@@ -87,7 +97,7 @@ def test_geo_aggregation(gdb):
     rows = gdb.sql(
         "SELECT SUM(ST_Area(zone)) FROM geo"
     ).rows()
-    assert rows == [(20.0,)]
+    assert rows[0][0] == pytest.approx(20.0, abs=1e-4)
 
 
 def test_geo_persistence(tmp_path):
