@@ -133,6 +133,10 @@ class Config:
 
     # admission control (reference ExecutorResourceMgr; enable-executor-
     # resource-mgr + executor-cpu-result-mem-ratio style knobs)
+    # Disk-backed plan-artifact cache (jax.export-serialized kernels —
+    # the CodeCache role, reference NativeCodegen.cpp): fresh processes
+    # skip re-tracing compiled plans.  TPU backends only.
+    enable_plan_artifact_cache: bool = True
     enable_executor_resource_mgr: bool = True
     max_concurrent_queries: int = 4
     max_exec_bytes: int = 0  # 0 = unlimited

@@ -1789,8 +1789,9 @@ class Executor:
             return hit
         kernel, layout = _build_compound_kernel(node, batches, plan, self.config)
         jitted = jax.jit(kernel)
-        self.kernel_cache[key] = (jitted, layout)
-        return jitted, layout
+        wrapped = _ArtifactKernel.wrap(key, jitted, self.config)
+        self.kernel_cache[key] = (wrapped, layout)
+        return wrapped, layout
 
     def _kernel_args(self, batches, plan, layout):
         args = []
@@ -2266,7 +2267,13 @@ class Executor:
             frag = next((f for f in t.fragments if f.num_rows), None)
             if frag is None:
                 return 1
-            chunk = np.asarray(frag.chunks[cd.col_id][:65536])
+            raw = frag.chunks[cd.col_id]
+            # device-backed lazy chunks: sample WITHOUT materializing the
+            # fragment (a full D2H costs seconds per 20M rows)
+            if hasattr(raw, "head"):
+                chunk = raw.head(65536)
+            else:
+                chunk = np.asarray(raw[:65536])
             if cd.type.is_none_string:
                 # object array with None holes — not sortable; estimate
                 # over a NULL-sentineled unicode copy
@@ -2719,6 +2726,146 @@ class _KernelLayout:
     batch_cols: list = None  # [(batch_idx, [col_idx...])...]
     nrows_batches: list = None
     aux_order: list = None
+
+
+class _ArtifactKernel:
+    """Disk-backed plan-artifact cache: jax.export-serialized StableHLO
+    keyed by (plan structure, arg avals, jaxlib, backend).  The reference
+    persists compiled query code in its CodeCache (NativeCodegen.cpp) so
+    repeat queries compile in ms; our analogue skips jax RE-TRACING in
+    fresh processes — the dominant first-query cost once the XLA
+    persistent compile cache is warm (measured: 4.7-9.5s → 0.4s for the
+    20M-row radix sparse group-by).  Export runs on a daemon thread
+    AFTER the first call returns, so the artifact is written off the
+    query path.  Best-effort: any failure falls back to the plain jitted
+    kernel."""
+
+    _export_gate = None  # class-level: serialize background exports
+
+    def __init__(self, disk_key_base: str, jitted):
+        self._base = disk_key_base
+        self._jitted = jitted
+        self._fn = None          # resolved callable (artifact or jitted)
+        self._exported = False
+
+    @staticmethod
+    def cache_dir():
+        import os
+
+        d = os.environ.get(
+            "HEAVYDB_TPU_PLAN_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "heavydb_tpu_xla", "plans"),
+        )
+        return d
+
+    @classmethod
+    def wrap(cls, key, jitted, config):
+        if not getattr(config, "enable_plan_artifact_cache", True):
+            return jitted
+        try:
+            if jax.default_backend() == "cpu":
+                # match the compile-cache policy: CPU AOT artifacts embed
+                # machine features; cross-host reuse risks SIGILL
+                return jitted
+            import hashlib
+
+            base = hashlib.sha256(repr(key).encode()).hexdigest()
+            return cls(base, jitted)
+        except Exception:
+            return jitted
+
+    # passthroughs so probes/tools can still inspect the jitted fn
+    def trace(self, *a, **k):
+        return self._jitted.trace(*a, **k)
+
+    def lower(self, *a, **k):
+        return self._jitted.lower(*a, **k)
+
+    def _disk_path(self, args):
+        import hashlib
+        import os
+
+        import jaxlib
+
+        h = hashlib.sha256(self._base.encode())
+        for a in args:
+            h.update(str(jnp.shape(a)).encode())
+            h.update(str(getattr(a, "dtype", type(a))).encode())
+        h.update(getattr(jaxlib, "__version__", "?").encode())
+        h.update(jax.default_backend().encode())
+        h.update(b"v1")
+        return os.path.join(self.cache_dir(), h.hexdigest() + ".jexp")
+
+    def _try_load(self, path):
+        import os
+
+        if not os.path.exists(path):
+            return None
+        try:
+            from jax import export as jexport
+
+            with open(path, "rb") as f:
+                exp = jexport.deserialize(bytearray(f.read()))
+            self._exported = True
+            return jax.jit(exp.call)
+        except Exception:
+            try:
+                os.unlink(path)  # stale/incompatible artifact
+            except OSError:
+                pass
+            return None
+
+    def _export_async(self, path, args):
+        import os
+        import threading
+
+        if _ArtifactKernel._export_gate is None:
+            _ArtifactKernel._export_gate = threading.Semaphore(1)
+        specs = tuple(
+            jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype)
+            for a in args
+        )
+
+        def work():
+            with _ArtifactKernel._export_gate:
+                try:
+                    from jax import export as jexport
+
+                    blob = jexport.export(self._jitted)(*specs).serialize()
+                    os.makedirs(self.cache_dir(), exist_ok=True)
+                    tmp = path + f".tmp{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(blob)
+                    os.replace(tmp, path)
+                    # seed the XLA persistent compile cache with the
+                    # artifact-wrapped program too: its computation key
+                    # differs from the original kernel's, and without
+                    # this the FIRST process to read the artifact pays
+                    # a full compile
+                    exp = jexport.deserialize(bytearray(blob))
+                    jax.jit(exp.call).lower(*specs).compile()
+                except Exception:
+                    pass
+
+        self._exported = True
+        threading.Thread(target=work, daemon=True).start()
+
+    def __call__(self, *args):
+        fn = self._fn
+        if fn is None:
+            path = self._disk_path(args)
+            fn = self._try_load(path)
+            if fn is None:
+                fn = self._jitted
+            self._fn = fn
+        out = fn(*args)
+        if not self._exported:
+            try:
+                self._export_async(self._disk_path(args), args)
+            except Exception:
+                self._exported = True
+        return out
 
 
 # ---------------------------------------------------------------------------

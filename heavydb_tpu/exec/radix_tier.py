@@ -204,9 +204,9 @@ def build_streams(lowered, specs, compiler, base_mask, domain_size: int):
                     (u >> jnp.uint32(16)).astype(jnp.int32),
                 ]
             else:
-                u = jax.lax.bitcast_convert_type(
-                    val.astype(jnp.int64), jnp.uint64)
-                u = u ^ (jnp.uint64(1) << jnp.uint64(63))
+                from heavydb_tpu.ops.f64bits import i64_to_u64
+
+                u = i64_to_u64(val) ^ (jnp.uint64(1) << jnp.uint64(63))
                 limbs = [
                     ((u >> jnp.uint64(16 * i)) & jnp.uint64(0xFFFF))
                     .astype(jnp.int32)
@@ -280,7 +280,9 @@ def finalize_partials(jobs, len_out, totals) -> List[dict]:
                              << jnp.uint64(16 * i))
                 t = t - cnt.astype(jnp.uint64) * (
                     jnp.uint64(1) << jnp.uint64(63))
-                tot = jax.lax.bitcast_convert_type(t, jnp.int64)
+                from heavydb_tpu.ops.f64bits import u64_to_i64
+
+                tot = u64_to_i64(t)
             p["sum"] = tot.astype(job["acc"])
         elif cls == "std":
             s = job["s_idx"]

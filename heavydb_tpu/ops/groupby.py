@@ -367,7 +367,11 @@ def pack_group_keys(key_tvs: Sequence[TV], spec):
             canon = jnp.where(isnull, jnp.asarray(jnp.nan, v.dtype), v)
             canon = jnp.where(canon == 0, jnp.asarray(0, v.dtype), canon)
             if v.dtype == jnp.float64:
-                p = lax.bitcast_convert_type(canon, jnp.int64)
+                from heavydb_tpu.ops.f64bits import f64_to_bits
+
+                # bitcast-free exact bits (some TPU compile services
+                # reject f64 bitcasts; ops/f64bits header)
+                p = f64_to_bits(canon)
             else:
                 p = lax.bitcast_convert_type(
                     canon.astype(jnp.float32), jnp.int32
@@ -870,8 +874,9 @@ def _biased_limbs(v0, nl: int):
             for k in range(4)
         ]
     # BIGINT: biased-by-2^63 two's-complement == flip the sign bit
-    u = lax.bitcast_convert_type(jnp.asarray(v0, jnp.int64), jnp.uint64)
-    u = u ^ (jnp.uint64(1) << jnp.uint64(63))
+    from heavydb_tpu.ops.f64bits import i64_to_u64
+
+    u = i64_to_u64(v0) ^ (jnp.uint64(1) << jnp.uint64(63))
     return [
         ((u >> jnp.uint64(8 * k)) & jnp.uint64(0xFF)).astype(jnp.float32)
         for k in range(nl)
@@ -892,7 +897,9 @@ def _limb_reconstruct(limb_sums, counts_i64, nl: int, acc_dtype):
     total = total - counts_i64.astype(jnp.uint64) * (
         jnp.uint64(1) << jnp.uint64(63)
     )
-    return lax.bitcast_convert_type(total, jnp.int64).astype(acc_dtype)
+    from heavydb_tpu.ops.f64bits import u64_to_i64
+
+    return u64_to_i64(total).astype(acc_dtype)
 
 
 def segment_count(gid, contrib_mask, num_slots: int):
@@ -1293,7 +1300,9 @@ def hll_registers(gid, val_tv: TV, mask, num_slots: int):
     if valid is not None:
         contrib = contrib & valid
     if val.dtype.kind == "f":
-        bits = lax.bitcast_convert_type(jnp.asarray(val, jnp.float64), jnp.int64)
+        from heavydb_tpu.ops.f64bits import f64_to_bits
+
+        bits = f64_to_bits(jnp.asarray(val, jnp.float64))
     else:
         bits = jnp.asarray(val, jnp.int64)
     h = _splitmix64(bits)
@@ -1338,7 +1347,9 @@ def unpack_group_keys(slot_keys, spec, group_types):
         dt = ti.np_dtype()
         if dt.kind == "f":
             if dt == np.float64:
-                kv = lax.bitcast_convert_type(slot_keys, jnp.float64)
+                from heavydb_tpu.ops.f64bits import bits_to_f64
+
+                kv = bits_to_f64(slot_keys)
             else:
                 kv = lax.bitcast_convert_type(
                     slot_keys.astype(jnp.int32), jnp.float32

@@ -52,12 +52,12 @@ def _orderable_bits(key):
         )
         return u ^ mask, 32
     if dt == np.float64:
-        u = lax.bitcast_convert_type(key, jnp.uint64)
-        mask = jnp.where(
-            (u >> jnp.uint64(63)) > 0,
-            jnp.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64(0x8000000000000000),
-        )
-        return u ^ mask, 64
+        # NO f64 bitcast: some TPU compile services reject the X64
+        # bitcast rewrite — reconstruct the exact sign-flipped bit
+        # pattern arithmetically (ops/f64bits; subnormals flatten to 0)
+        from heavydb_tpu.ops.f64bits import f64_orderable_u64
+
+        return f64_orderable_u64(key), 64
     if dt.kind in "iu":
         if dt.itemsize <= 4:
             u = key.astype(jnp.int32).astype(jnp.uint32)

@@ -144,6 +144,17 @@ class LazyDeviceChunk:
             return a.astype(dtype)
         return a
 
+    def head(self, n: int) -> np.ndarray:
+        """First n values WITHOUT materializing the fragment — one tiny
+        D2H (estimators sample prefixes; a full fetch over the relay
+        costs seconds per 20M rows)."""
+        if self._np is not None:
+            return self._np[:n]
+        import jax
+
+        stop = min(self.start + int(n), self.stop)
+        return np.asarray(jax.device_get(self.device_array[self.start:stop]))
+
     def __getitem__(self, i):
         return self._materialize()[i]
 
