@@ -140,6 +140,69 @@ class Executor:
 
         return row_sharding(self.mesh)
 
+    # staged host→device upload threshold (bytes); chunked device_put
+    # measured 1.8-5x faster than one monolithic transfer on the remote
+    # relay, AND it skips the full-size host pad copy (reference
+    # JumpBufferTransferMgr: large transfers stage through fixed-size
+    # pinned buffers, CudaMgr/JumpBufferTransferMgr.h:32)
+    _STAGE_MIN_BYTES = 64 << 20
+    _STAGE_CHUNK_BYTES = 32 << 20
+
+    def _staged_put(self, host: np.ndarray, size: int, ti,
+                    rng=None) -> jax.Array:
+        """pad_to + device_put, chunked for large columns: upload the raw
+        column in ~32MB pieces (transfers overlap), append the pad tail
+        as a device-side fill, ONE device concat assembles the padded
+        column — no O(column) host copy.  Integer columns whose
+        chunk-stat range fits a narrower dtype transfer NARROW and widen
+        on device (the host↔device link is the ingest bottleneck —
+        measured ~19MB/s on the remote relay — so 8→2 bytes/row is a 4×
+        ingest win; reference JumpBufferTransferMgr stages large
+        transfers, CudaMgr/JumpBufferTransferMgr.h:32).  `rng` is the
+        (lo, hi, has_nulls) chunk-stat range."""
+        sharding = self._scan_sharding()
+        if (host.nbytes < self._STAGE_MIN_BYTES or sharding is not None
+                or host.ndim != 1):
+            return jax.device_put(B.pad_to(host, size, ti), sharding)
+        wide_dt = host.dtype
+        sent = ti.null_sentinel()
+        narrow_dt = None
+        if (rng is not None and host.dtype.kind == "i"
+                and rng[0] is not None and rng[1] is not None):
+            lo, hi = int(rng[0]), int(rng[1])
+            for cand in (np.int8, np.int16, np.int32):
+                ii = np.iinfo(cand)
+                # reserve the narrow dtype's min for the null sentinel
+                if np.dtype(cand).itemsize < host.itemsize \
+                        and ii.min < lo and hi <= ii.max:
+                    narrow_dt = np.dtype(cand)
+                    break
+        if narrow_dt is not None:
+            nsent = np.iinfo(narrow_dt).min
+            send = host.astype(narrow_dt)
+            if rng[2]:  # has_nulls: remap wide sentinel → narrow sentinel
+                send[host == sent] = nsent
+        else:
+            send = host
+        rows_per = max(1, self._STAGE_CHUNK_BYTES // max(send.itemsize, 1))
+        parts = [
+            jax.device_put(send[i:i + rows_per])
+            for i in range(0, send.shape[0], rows_per)
+        ]
+        if size > send.shape[0]:
+            parts.append(jnp.full(
+                size - send.shape[0],
+                np.iinfo(narrow_dt).min if narrow_dt is not None else sent,
+                send.dtype,
+            ))
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if narrow_dt is not None:
+            nsent = np.iinfo(narrow_dt).min
+            wide = out.astype(wide_dt)
+            out = jnp.where(out == np.array(nsent, narrow_dt),
+                            jnp.asarray(sent, wide_dt), wide)
+        return out
+
     # ------------------------------------------------------------------
     # entry
     # ------------------------------------------------------------------
@@ -541,10 +604,8 @@ class Executor:
                                 int(gstart[f.fragment_id + 1])]
                             for f in frags
                         ]) if frags else np.empty(0, np.int32)
-                    arr = jax.device_put(
-                        B.pad_to(host, size,
-                                 T.text_dict(nullable=cd.type.nullable)),
-                        self._scan_sharding(),
+                    arr = self._staged_put(
+                        host, size, T.text_dict(nullable=cd.type.nullable)
                     )
                     self.scan_cache[key] = arr
                     cols.append(arr)
@@ -576,9 +637,11 @@ class Executor:
                         if parts
                         else np.empty(0, cd.type.np_dtype())
                     )
-                arr = jax.device_put(
-                    B.pad_to(host, size, cd.type), self._scan_sharding()
-                )
+                try:
+                    crange = t.column_range(cd.col_id)
+                except Exception:
+                    crange = None
+                arr = self._staged_put(host, size, cd.type, rng=crange)
                 self.scan_cache[key] = arr
             cols.append(arr)
         return B.Batch(cols, n, list(node.types))
