@@ -144,6 +144,49 @@ def _shift_up1(x, fill):
     return jnp.where((rows == R - 1) & (lanes == 127), fill, y)
 
 
+def _tile_compact(keep, chans, R: int):
+    """Stable in-VMEM stream compaction: kept elements move to the FRONT
+    in original order via hypercube packing — monotone destinations
+    route congestion-free dimension by dimension (LSB→MSB, the classic
+    packing-on-butterfly result), so compaction costs log2(n) xor-
+    partner exchanges instead of a full bitonic sort's log²-stage
+    network (~8× fewer vector ops; verified collision-free over 200
+    random masks host-side).  Rows past the kept count hold garbage."""
+    from heavydb_tpu.kernels.tile_sort import _lane_xor_gather, _row_xor
+
+    n = R * 128
+    rows = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    lanes = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    p = rows * jnp.int32(128) + lanes
+    ki = keep.astype(jnp.int32)
+    first = jnp.where(
+        (rows == jnp.int32(0)) & (lanes == jnp.int32(0)),
+        jnp.int32(1), jnp.int32(0),
+    )
+    rank = _seg_scan(ki, first, lambda a, b: a + b)  # global inclusive
+    dest = jnp.where(keep, rank - jnp.int32(1), jnp.int32(0))
+    alive = ki
+    cur = list(chans) + [dest]
+    for k in range(n.bit_length() - 1):
+        s = 1 << k
+
+        def ex(x, _s=s):
+            return (_lane_xor_gather(x, _s) if _s < 128
+                    else _row_xor(x, _s >> 7))
+
+        dcur = cur[-1]
+        cross = jnp.where(
+            alive == 1,
+            ((p ^ dcur) >> jnp.int32(k)) & jnp.int32(1),
+            jnp.int32(0),
+        )
+        take = ex(cross) == 1
+        stay = (alive == 1) & (cross == 0)
+        cur = [jnp.where(take, ex(c), c) for c in cur]
+        alive = jnp.where(take | stay, jnp.int32(1), jnp.int32(0))
+    return cur[:-1]
+
+
 def _shift_down_dyn(x, s):
     """y[i] = x[i-s] for DYNAMIC 0 <= s < 128 (garbage in y[:s])."""
     lanes = lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -458,14 +501,11 @@ def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
                     smem[3] = jnp.int32(1)
 
             m = _sum_scalar(keep.astype(jnp.int32))
-            # compaction sort: kept records first, original order
-            # preserved
-            rows = lax.broadcasted_iota(jnp.int32, (_R, 128), 0)
-            lanes = lax.broadcasted_iota(jnp.int32, (_R, 128), 1)
-            idx = rows * jnp.int32(128) + lanes
-            ck = jnp.where(keep, idx, jnp.asarray(_SENT, jnp.int32))
+            # stable compaction: kept records first, original order
+            # preserved (hypercube packing — log n exchanges, replacing
+            # a second full bitonic sort)
             chans = [hs, ln] + totals
-            comp = _tile_bitonic(ck, chans, _R)[1:]
+            comp = _tile_compact(keep, chans, _R)
 
             # carry-blended append: shift by the carried element count,
             # blend the carry row, DMA whole 128-rows, keep the remainder
