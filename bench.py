@@ -216,9 +216,15 @@ def main():
 
         bw_run(4, 11)
         bw_run(36, 12)
-        blo = min(bw_run(4, s) for s in (13, 14))
-        bhi = min(bw_run(36, s) for s in (15, 16))
-        per_bw = max(bhi - blo, 1e-9) / 32
+        # median-of-3 slope estimates: a single lucky (blo, bhi) pair
+        # overshoots the physical BW by 10-20% run-to-run and deflates
+        # vs_baseline via the max(spec, measured) denominator
+        ests = []
+        for j in range(3):
+            blo = bw_run(4, 20 + 2 * j)
+            bhi = bw_run(36, 21 + 2 * j)
+            ests.append(max(bhi - blo, 1e-9) / 32)
+        per_bw = sorted(ests)[1]
         measured_bw = arr.nbytes / per_bw
         log(f"calibrated stream read BW: {measured_bw/1e9:.0f} GB/s "
             f"({arr.nbytes/1e6:.0f}MB in {per_bw*1e3:.2f}ms)")

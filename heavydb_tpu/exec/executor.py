@@ -2845,6 +2845,30 @@ class _ArtifactKernel:
     def lower(self, *a, **k):
         return self._jitted.lower(*a, **k)
 
+    _code_fp = None
+
+    @classmethod
+    def code_fingerprint(cls) -> bytes:
+        """Content hash over the package's compute-path sources: a code
+        change MUST invalidate artifacts, or stale kernels silently pin
+        performance (the traced program isn't part of the plan key)."""
+        if cls._code_fp is None:
+            import hashlib
+            import os
+
+            import heavydb_tpu
+
+            root = os.path.dirname(heavydb_tpu.__file__)
+            h = hashlib.sha256()
+            for sub in ("exec", "ops", "kernels"):
+                d = os.path.join(root, sub)
+                for name in sorted(os.listdir(d)):
+                    if name.endswith(".py"):
+                        with open(os.path.join(d, name), "rb") as f:
+                            h.update(f.read())
+            cls._code_fp = h.digest()
+        return cls._code_fp
+
     def _disk_path(self, args):
         import hashlib
         import os
@@ -2857,7 +2881,8 @@ class _ArtifactKernel:
             h.update(str(getattr(a, "dtype", type(a))).encode())
         h.update(getattr(jaxlib, "__version__", "?").encode())
         h.update(jax.default_backend().encode())
-        h.update(b"v1")
+        h.update(self.code_fingerprint())
+        h.update(b"v2")
         return os.path.join(self.cache_dir(), h.hexdigest() + ".jexp")
 
     def _try_load(self, path):

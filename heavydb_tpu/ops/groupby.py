@@ -232,6 +232,13 @@ class SortedSegments:
         comp = []
         for o, p in zip(out[1:], self._pending):
             c = o[: self.cap]
+            if c.shape[0] < self.cap:
+                # row domain shorter than the slot cap (a small
+                # intermediate feeding a pow2-capped aggregation):
+                # entries past num_groups are garbage anyway — zero-pad
+                c = jnp.concatenate([
+                    c, jnp.zeros(self.cap - c.shape[0], c.dtype)
+                ])
             if p.dtype == jnp.bool_:
                 c = c != 0
             comp.append(c)

@@ -267,17 +267,29 @@ def _reorder_joins(node: R.RelNode, sizes=None) -> R.RelNode:
                 touched.add(j)
             conjs.append((c, touched))
 
-    # probe = largest input; builds greedily: smallest CONNECTED next
+    # probe = largest input; builds greedily: smallest EQUI-CONNECTED
+    # next.  Connectivity must follow EQUALITY edges only — a non-equi
+    # conjunct (e.g. a disjunction spanning two tables, TPC-H Q7/Q19
+    # shapes) connects inputs in the join graph but cannot key a hash
+    # level, and an order chosen through it leaves a level without an
+    # equality (executor requires ≥1 equi per level).
+    def _is_equi(c):
+        return (
+            isinstance(c, E.BinOp) and c.op == E.BinOpKind.EQ
+        ) or (getattr(c, "op", None) == "=" and hasattr(c, "left_ref"))
+
+    equi_conjs = [(c, t) for c, t in conjs if _is_equi(c) and len(t) >= 2]
     probe = max(range(n_in), key=lambda i: ests[i])
     order = [probe]
     remaining = set(range(n_in)) - {probe}
     while remaining:
         connected = [
             i for i in remaining
-            if any(i in t and (t & set(order)) for _, t in conjs)
+            if any(i in t and (t & set(order)) for _, t in equi_conjs)
         ]
-        pool = connected or list(remaining)
-        nxt = min(pool, key=lambda i: ests[i])
+        if not connected:
+            return node  # keep the original (validated) order
+        nxt = min(connected, key=lambda i: ests[i])
         order.append(nxt)
         remaining.discard(nxt)
     if order == list(range(n_in)):
@@ -317,9 +329,9 @@ def _reorder_joins(node: R.RelNode, sizes=None) -> R.RelNode:
                 rest.append((c, t))
         pending = rest
         cond = _and_all([E.rewrite(c, rn) for c, _ in mine])
-        if cond is None:
-            # no condition connects this input yet → cross level; bail out
-            # (the original order had conditions on every level)
+        if cond is None or not any(_is_equi(c) for c, _ in mine):
+            # no equality keys this level → the executor can't build a
+            # hash table for it; keep the original (validated) order
             return node
         levels.append(("INNER", cond))
 

@@ -202,13 +202,61 @@ Q22 = (  # global sales opportunity (Q22 shape): scalar subquery + NOT EXISTS
     "WHERE c_acctbal > 0.0) "
     "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
 )
+Q7 = (  # volume shipping (Q7 shape): cross-filtered nation pairs
+    "SELECT c.c_mktsegment, l.l_returnflag, "
+    "sum(l.l_extendedprice * (1 - l.l_discount)) "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE (c.c_mktsegment = 'BUILDING' AND l.l_returnflag = 'R') "
+    "OR (c.c_mktsegment = 'MACHINERY' AND l.l_returnflag = 'A') "
+    "GROUP BY c.c_mktsegment, l.l_returnflag "
+    "ORDER BY c.c_mktsegment, l.l_returnflag"
+)
+Q8 = (  # national market share (Q8 shape): conditional ratio per period
+    "SELECT o.o_orderdate / 1000 AS yr, "
+    "sum(CASE WHEN c.c_mktsegment = 'BUILDING' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) "
+    "/ sum(l.l_extendedprice * (1 - l.l_discount)) AS share "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderdate / 1000 ORDER BY yr"
+)
+Q9 = (  # product type profit (Q9 shape): LIKE filter + 2-key period group
+    "SELECT c.c_mktsegment, o.o_orderdate / 1000 AS yr, "
+    "sum(l.l_extendedprice * (1 - l.l_discount) - 0.5 * l.l_quantity) "
+    "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "WHERE p.p_brand LIKE 'Brand#%' AND p.p_size > 10 "
+    "GROUP BY c.c_mktsegment, o.o_orderdate / 1000 "
+    "ORDER BY c.c_mktsegment, yr"
+)
+Q13 = (  # customer order distribution (Q13 shape): LEFT JOIN with a
+    # residual ON condition + two-level aggregation over the counts
+    "SELECT c_count, count(*) AS custdist FROM "
+    "(SELECT c.c_custkey, count(o.o_orderkey) AS c_count "
+    "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "AND o.o_totalprice > 50000 GROUP BY c.c_custkey) "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+)
+Q19 = (  # discounted revenue (Q19 shape): disjunctive join predicate
+    "SELECT sum(l.l_extendedprice * (1 - l.l_discount)) "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 "
+    "AND p.p_size BETWEEN 1 AND 15) "
+    "OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 "
+    "AND p.p_size BETWEEN 1 AND 25) "
+    "OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 "
+    "AND p.p_size BETWEEN 1 AND 50)"
+)
 
 
 @pytest.mark.parametrize(
     "sql",
-    [Q1, Q2, Q3, Q4, Q5, Q6, Q10, Q11, Q12, Q14, Q15, Q16, Q17, Q18, Q20,
-     Q21, Q22],
-    ids=["q1", "q2", "q3", "q4", "q5", "q6", "q10", "q11", "q12", "q14",
-         "q15", "q16", "q17", "q18", "q20", "q21", "q22"])
+    [Q1, Q2, Q3, Q4, Q5, Q6, Q7, Q8, Q9, Q10, Q11, Q12, Q13, Q14, Q15,
+     Q16, Q17, Q18, Q19, Q20, Q21, Q22],
+    ids=["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10",
+         "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
+         "q20", "q21", "q22"])
 def test_tpch_shape(tpch, sql):
     tpch.check(sql)
