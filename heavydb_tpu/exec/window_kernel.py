@@ -339,6 +339,18 @@ def _make_fns_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
         _pay_ops, pay_slots = _payload_ops(comp, payload_exprs, padded)
         s_rows, pstart, ostart, spay = stage
         pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
+        # 64-bit scatters are pathological on TPU (measured 16.4s for one
+        # 128M f64/i64 scatter vs 1.1s for i32); wide outputs return to
+        # original row order via ONE shared int32 inverse-permutation
+        # scatter + a per-function 64-bit gather (~4s)
+        inv = None
+
+        def inverse_perm():
+            nonlocal inv
+            if inv is None:
+                iota = lax.broadcasted_iota(jnp.int32, (padded,), 0)
+                inv = jnp.zeros(padded, jnp.int32).at[s_rows].set(iota)
+            return inv
 
         outs = []
         for wi in widxs:
@@ -346,7 +358,18 @@ def _make_fns_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
             val_s, valid_s = _compute_one(w, comp, s_rows, pstart, ostart,
                                           pay_sorted)
             out_dt = w.type.np_dtype()
-            val_s = jnp.broadcast_to(jnp.asarray(val_s, out_dt), (padded,))
+            val_s = jnp.asarray(val_s)
+            if (valid_s is None and out_dt == np.int64
+                    and val_s.dtype == jnp.int32):
+                # never-null int32 payload (ranks/counts: values < 2^31):
+                # scatter narrow, widen after — halves the scatter bytes
+                val_s = jnp.broadcast_to(val_s, (padded,))
+                outs.append(
+                    jnp.zeros(padded, jnp.int32).at[s_rows].set(val_s)
+                    .astype(out_dt)
+                )
+                continue
+            val_s = jnp.broadcast_to(val_s.astype(out_dt), (padded,))
             if valid_s is not None:
                 if out_dt.kind == "f":
                     val_s = jnp.where(valid_s, val_s,
@@ -356,8 +379,12 @@ def _make_fns_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
                         valid_s, val_s,
                         jnp.asarray(w.type.null_sentinel(), out_dt),
                     )
-            # scatter back to original row order
-            outs.append(jnp.zeros(padded, out_dt).at[s_rows].set(val_s))
+            # back to original row order: wide dtypes via the shared
+            # inverse permutation, 32-bit via a direct scatter
+            if out_dt.itemsize == 8:
+                outs.append(val_s[inverse_perm()])
+            else:
+                outs.append(jnp.zeros(padded, out_dt).at[s_rows].set(val_s))
         return tuple(outs)
 
     return kernel
