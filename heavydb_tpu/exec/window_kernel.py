@@ -358,6 +358,22 @@ def _make_fns_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
             val_s, valid_s = _compute_one(w, comp, s_rows, pstart, ostart,
                                           pay_sorted)
             out_dt = w.type.np_dtype()
+            if isinstance(val_s, W.DsPair):
+                # ds running sum: scatter the two f32 halves + the
+                # validity byte, combine to f64 AFTER the permutation —
+                # two 32-bit scatters instead of one pathological 64-bit
+                h = jnp.zeros(padded, jnp.float32).at[s_rows].set(
+                    jnp.broadcast_to(val_s.h, (padded,)))
+                low = jnp.zeros(padded, jnp.float32).at[s_rows].set(
+                    jnp.broadcast_to(val_s.l, (padded,)))
+                out = h.astype(out_dt) + low.astype(out_dt)
+                if valid_s is not None:
+                    okr = jnp.zeros(padded, jnp.int8).at[s_rows].set(
+                        valid_s.astype(jnp.int8))
+                    out = jnp.where(okr == 1, out,
+                                    jnp.asarray(np.nan, out_dt))
+                outs.append(out)
+                continue
             val_s = jnp.asarray(val_s)
             if (valid_s is None and out_dt == np.int64
                     and val_s.dtype == jnp.int32):

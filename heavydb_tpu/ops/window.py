@@ -28,6 +28,23 @@ from heavydb_tpu.ops import scan as SC
 TV = Tuple[object, Optional[object]]
 
 
+class DsPair:
+    """A running f64-accurate value carried as (hi, lo) f32 double-single
+    parts.  Kept SPLIT through peer propagation and row-order egress:
+    64-bit scatters/gathers are 4-16x the cost of two f32 scatters on
+    TPU, and h+l combines to f64 identically before or after the
+    permutation."""
+
+    __slots__ = ("h", "l")
+
+    def __init__(self, h, l):
+        self.h = h
+        self.l = l
+
+    def combine(self):
+        return self.h.astype(jnp.float64) + self.l.astype(jnp.float64)
+
+
 def seg_propagate(flag, *vals, reverse: bool = False):
     """Propagate each value AT a flag position across its segment —
     forward (toward later rows) or backward.  One multi-channel blocked
@@ -210,7 +227,7 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
             bh0, bl0 = SC.ds_add(ph, pl, -c32, jnp.zeros_like(c32))
             bh, bl = seg_propagate(pstart, bh0, bl0)
             rh, rl = SC.ds_add(ph, pl, -bh, -bl)
-            run = rh.astype(jnp.float64) + rl.astype(jnp.float64)
+            run = DsPair(rh, rl)
         else:
             contrib = (
                 jnp.where(ok, jnp.asarray(vals, acc_dtype), 0)
@@ -246,14 +263,21 @@ def running_agg(vals, valid, pstart, ostart, kind: str, acc_dtype):
     cbase = seg_propagate(pstart, cpre - cnt_contrib)
     crun = cpre - cbase
     # RANGE frame: every row sees the value at the END of its peer group
-    # (backward propagate from peer-group last rows — gather-free)
+    # (backward propagate from peer-group last rows — gather-free; ds
+    # pairs propagate split so the scan stays f32)
     pg = pstart | ostart
     endf = jnp.concatenate([pg[1:], jnp.ones(1, jnp.bool_)])
-    run, crun = seg_propagate(endf, run, crun, reverse=True)
+    if isinstance(run, DsPair):
+        rh, rl, crun = seg_propagate(endf, run.h, run.l, crun,
+                                     reverse=True)
+        run = DsPair(rh, rl)
+    else:
+        run, crun = seg_propagate(endf, run, crun, reverse=True)
     if kind == "COUNT":
         return run, None
     if kind == "AVG":
-        return run / jnp.maximum(crun, 1), crun > 0
+        v = run.combine() if isinstance(run, DsPair) else run
+        return v / jnp.maximum(crun, 1), crun > 0
     return run, crun > 0
 
 

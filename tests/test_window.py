@@ -335,6 +335,8 @@ def test_double_single_running_sum_matches_f64(monkeypatch):
     ostart = jnp.ones(n, bool)  # each row its own peer group
     run, _ = W.running_agg(vals, None, pstart, ostart, "SUM",
                            np.dtype(np.float64))
+    if isinstance(run, W.DsPair):  # SUM rides as split f32 pairs now
+        run = run.combine()
     # oracle: per-partition running sum in f64
     v = np.asarray(vals, np.float64)
     ps = np.asarray(pstart)
