@@ -315,6 +315,25 @@ def main():
     except Exception as e:
         log(f"topk failed: {e!r}")
 
+    # window functions at 20M (sort + segmented scans + permuted egress;
+    # reference WindowFunctionContext is CPU-only — ours is device-native)
+    try:
+        qw = ("SELECT k1, v, sum(v) OVER (PARTITION BY k1 ORDER BY k2), "
+              "row_number() OVER (PARTITION BY k1 ORDER BY k2) "
+              "FROM g LIMIT 5")
+        t0 = time.perf_counter()
+        db.sql(qw)
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        db.sql(qw)
+        warm = time.perf_counter() - t0
+        sub["window_20m_first_s"] = round(first, 2)
+        sub["window_20m_warm_s"] = round(warm, 2)
+        sub["window_20m_rows_per_s"] = round(m / max(warm, 1e-9))
+        log(f"window 20M: first={first:.1f}s warm={warm:.2f}s")
+    except Exception as e:
+        log(f"window failed: {e!r}")
+
     # config 4 at FULL scale: 1B rows (2^30), single-key and multi-key
     # ORDER BY ... LIMIT over streamed fragment waves (BASELINE.md config
     # 4: "Radix sort + ORDER BY … LIMIT (top-k) over 1B rows,

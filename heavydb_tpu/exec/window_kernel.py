@@ -542,9 +542,9 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart,
         if w.kind == K.LAST_VALUE:
             return W.last_value_frame(val, valid, pstart, ostart)
         nth = const_arg(1, 1)
-        idx = jnp.arange(n)
+        idx = jnp.arange(n, dtype=jnp.int32)
         _, start_idx = W.forward_fill_value(idx, pstart)
-        pos = start_idx + (nth - 1)
+        pos = start_idx + jnp.int32(nth - 1)
         cnt = W.partition_counts(pstart)
         ok = (nth >= 1) & ((nth - 1) < cnt)
         pos_c = jnp.clip(pos, 0, n - 1)
