@@ -228,6 +228,10 @@ def main():
         measured_bw = arr.nbytes / per_bw
         log(f"calibrated stream read BW: {measured_bw/1e9:.0f} GB/s "
             f"({arr.nbytes/1e6:.0f}MB in {per_bw*1e3:.2f}ms)")
+        # calibration noise sometimes reads ABOVE the part's physical
+        # HBM bandwidth (impossible — a lucky slope pair); clamp to
+        # 1.02x spec so one noisy read can't deflate vs_baseline
+        measured_bw = min(measured_bw, 1.02 * hbm_bw)
         hbm_bw = max(hbm_bw, measured_bw)
         sub["calibrated_bw_gbps"] = round(measured_bw / 1e9)
     except Exception as e:
