@@ -973,6 +973,49 @@ class Database:
             return _string_result(
                 "create_table", [f"CREATE TABLE {t.name} (\n  {cols});"]
             )
+        if isinstance(st, A.ShowTableDetails):
+            # reference SHOW TABLE DETAILS (heavysql): per-table
+            # row/fragment/column counts and storage footprint
+            names = list(st.names) or self.catalog.list_tables()
+            rows = []
+            for nm in names:
+                t = self.catalog.get_table(nm)
+                nbytes = 0
+                for f in t.fragments:
+                    for arr in f.chunks.values():
+                        nbytes += int(getattr(arr, "nbytes", 0) or 0)
+                rows.append((nm, t.num_rows, len(t.fragments),
+                             len(t.columns), t.fragment_rows, nbytes))
+            txt = T.TypeInfo(T.SQLTypeKind.TEXT, False)
+            i64 = T.bigint(False)
+            return ResultSet(
+                ["table_name", "num_rows", "num_fragments", "num_columns",
+                 "max_fragment_rows", "host_bytes"],
+                [txt, i64, i64, i64, i64, i64],
+                [np.array([r[0] for r in rows], object)] + [
+                    np.array([r[i] for r in rows], np.int64)
+                    for i in range(1, 6)
+                ],
+                [None] * 6,
+            )
+        if isinstance(st, A.ShowUserSessions):
+            # reference SHOW USER SESSIONS: live server sessions.  The
+            # server installs a provider; embedded databases have none.
+            provider = getattr(self, "session_provider", None)
+            rows = list(provider()) if provider is not None else []
+            txt = T.TypeInfo(T.SQLTypeKind.TEXT, False)
+            return ResultSet(
+                ["session_id", "login_name", "client_address",
+                 "idle_seconds"],
+                [txt, txt, txt, T.bigint(False)],
+                [
+                    np.array([r[0] for r in rows], object),
+                    np.array([r[1] for r in rows], object),
+                    np.array([r[2] for r in rows], object),
+                    np.array([int(r[3]) for r in rows], np.int64),
+                ],
+                [None] * 4,
+            )
         if isinstance(st, A.CreateView):
             key = st.name.lower()
             if key in self._views and not st.if_not_exists:

@@ -38,6 +38,12 @@ class HeavyTpuServer:
     def __init__(self, data_path: Optional[str] = None, config=None):
         self.db = connect(data_path, config)
         self.sessions: Dict[str, Session] = {}
+        # SHOW USER SESSIONS reads the live session table (reference
+        # heavysql \\status / show_user_sessions)
+        self.db.session_provider = lambda: [
+            (sid, s.user, "-", int(time.time() - s.last_used))
+            for sid, s in list(self.sessions.items())
+        ]
         # table-level write locks (reference LockMgr/) acquired in sorted
         # name order to avoid deadlock (DBHandler.cpp:7173-7186); a global
         # lock backs statements whose tables can't be determined

@@ -440,6 +440,16 @@ class ShowCreateTable(Statement):
 
 
 @dataclass
+class ShowTableDetails(Statement):
+    names: tuple = ()
+
+
+@dataclass
+class ShowUserSessions(Statement):
+    pass
+
+
+@dataclass
 class DescribeTable(Statement):
     name: str = ""
 

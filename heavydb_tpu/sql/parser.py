@@ -165,11 +165,21 @@ class Parser:
             if self.eat_kw("FUNCTIONS"):
                 return A.ShowFunctions(False)
             if self.eat_kw("TABLE"):
+                if self.eat_kw("DETAILS"):
+                    names = []
+                    if self.peek().kind in (IDENT, QIDENT):
+                        names.append(self.ident())
+                        while self.eat_op(","):
+                            names.append(self.ident())
+                    return A.ShowTableDetails(tuple(names))
                 self.expect_kw("FUNCTIONS")
                 return A.ShowFunctions(True)
             if self.eat_kw("CREATE"):
                 self.expect_kw("TABLE")
                 return A.ShowCreateTable(self.ident())
+            if self.eat_kw("USER"):
+                self.expect_kw("SESSIONS")
+                return A.ShowUserSessions()
             raise ParserError(f"unsupported SHOW at {t.pos}")
         if kw in ("GRANT", "REVOKE"):
             return self._grant_revoke(kw == "REVOKE")
