@@ -998,6 +998,36 @@ class Database:
                 ],
                 [None] * 6,
             )
+        if isinstance(st, A.ShowQueries):
+            # reference SHOW QUERIES (QueryInfo / get_queries_info):
+            # in-flight statements with session + elapsed time
+            provider = getattr(self, "queries_provider", None)
+            rows = list(provider()) if provider is not None else []
+            txt = T.TypeInfo(T.SQLTypeKind.TEXT, False)
+            return ResultSet(
+                ["query_session_id", "current_status", "query_str",
+                 "elapsed_ms"],
+                [txt, txt, txt, T.bigint(False)],
+                [
+                    np.array([r[0] for r in rows], object),
+                    np.array([r[1] for r in rows], object),
+                    np.array([r[2] for r in rows], object),
+                    np.array([int(r[3]) for r in rows], np.int64),
+                ],
+                [None] * 4,
+            )
+        if isinstance(st, A.KillQuery):
+            # reference KILL QUERY 'session-id' → interrupt that session
+            killer = getattr(self, "kill_provider", None)
+            if killer is None:
+                raise SqlError(
+                    "KILL QUERY requires a live server (no embedded "
+                    "query registry)"
+                )
+            ok = bool(killer(st.session_id))
+            return _string_result(
+                "result", ["interrupted" if ok else "no such query"]
+            )
         if isinstance(st, A.ShowUserSessions):
             # reference SHOW USER SESSIONS: live server sessions.  The
             # server installs a provider; embedded databases have none.

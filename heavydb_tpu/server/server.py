@@ -44,6 +44,20 @@ class HeavyTpuServer:
             (sid, s.user, "-", int(time.time() - s.last_used))
             for sid, s in list(self.sessions.items())
         ]
+        self.db.queries_provider = lambda: [
+            (sid, "RUNNING", info["query"],
+             int((time.time() - info["start"]) * 1000))
+            for sid, info in list(self.running.items())
+        ]
+
+        def _kill(sid: str) -> bool:
+            s_ = self.sessions.get(sid)
+            if s_ is None:
+                return False
+            s_.interrupted = True
+            return True
+
+        self.db.kill_provider = _kill
         # table-level write locks (reference LockMgr/) acquired in sorted
         # name order to avoid deadlock (DBHandler.cpp:7173-7186); a global
         # lock backs statements whose tables can't be determined

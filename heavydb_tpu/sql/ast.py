@@ -450,6 +450,16 @@ class ShowUserSessions(Statement):
 
 
 @dataclass
+class ShowQueries(Statement):
+    pass
+
+
+@dataclass
+class KillQuery(Statement):
+    session_id: str = ""
+
+
+@dataclass
 class DescribeTable(Statement):
     name: str = ""
 

@@ -180,6 +180,8 @@ class Parser:
             if self.eat_kw("USER"):
                 self.expect_kw("SESSIONS")
                 return A.ShowUserSessions()
+            if self.eat_kw("QUERIES"):
+                return A.ShowQueries()
             raise ParserError(f"unsupported SHOW at {t.pos}")
         if kw in ("GRANT", "REVOKE"):
             return self._grant_revoke(kw == "REVOKE")
@@ -196,6 +198,11 @@ class Parser:
             opts = self._with_options()
             evict = bool(opts.get("evict", False))
             return A.RefreshForeignTables(tables, evict)
+        if kw == "KILL":
+            self.next()
+            self.expect_kw("QUERY")
+            tk = self.next()
+            return A.KillQuery(str(tk.value).strip("'"))
         if kw == "VALIDATE":
             self.next()
             return A.ValidateStmt()
