@@ -1066,7 +1066,13 @@ class Executor:
         for w in node.wfuncs:
             for e, _asc, _nf in w.order_by:
                 if e.type.is_dict_string and isinstance(e, E.InputRef):
-                    ref = self._result_dict_ref(child, e.field_idx)
+                    # the bound expr carries its dictionary identity;
+                    # child-node resolution is the fallback (Compound
+                    # targets built by intermediate passes may drop
+                    # dict_ref — ranking by raw id would silently order
+                    # strings by first-insertion, not lexicographically)
+                    ref = getattr(e, "dict_ref", None) \
+                        or self._result_dict_ref(child, e.field_idx)
                     if ref is not None:
                         ak = ("winrank", e.key())
                         aux[ak] = self._dict_rank_table(ref)

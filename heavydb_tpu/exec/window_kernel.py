@@ -315,9 +315,13 @@ def _make_sort_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
                 pstart = pstart | jnp.concatenate(
                     [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
                 )
-            # peer-group starts: any order operand changed
+            # peer-group starts: any ORDER operand changed.  Slice ends
+            # at len(operands): res also carries the rows iota and the
+            # payload operands, and including the per-row iota here made
+            # every row its own RANGE peer (over-split running aggs on
+            # any non-packable sort with payloads)
             ostart = jnp.zeros(padded, jnp.bool_)
-            for opnd in res[n_part_ops:-1]:
+            for opnd in res[n_part_ops:len(operands)]:
                 ostart = ostart | jnp.concatenate(
                     [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
                 )

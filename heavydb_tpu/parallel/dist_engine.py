@@ -334,6 +334,21 @@ class DistEngine:
     # ------------------------------------------------------------------
     def _exec_distributed(self, plan: R.RelNode):
         ex = self.db.executor
+        # window functions anywhere in the plan: the window node must
+        # repartition by PARTITION BY before computing (a local-partition
+        # window is silently WRONG — partitions straddle hosts).  The
+        # window result gathers replicated; everything above it executes
+        # locally over the full rows.
+        wins = [n for n in R.topo_order(plan) if isinstance(n, R.Window)]
+        if wins:
+            if len(wins) > 1:
+                raise NotSupported(
+                    "distributed execution of stacked window nodes")
+            w = wins[0]
+            batch = self._dist_window(w)
+            memo = {w.id: batch}
+            out = ex._exec(plan, memo, set(range(plan.arity)))
+            return out, plan
         if isinstance(plan, R.Sort):
             child = plan.inputs[0]
             if isinstance(child, R.Compound) and child.join_levels \
@@ -411,6 +426,66 @@ class DistEngine:
             f"distributed execution of {type(plan).__name__} "
             "(non-decomposable aggregates)"
         )
+
+    def _dist_window(self, node):
+        """Distributed window functions: hash-repartition rows by the
+        PARTITION BY key so every window partition lands WHOLLY on one
+        host, compute the windows locally over complete partitions, then
+        deliver rows per the gather mode.  The reference computes window
+        functions on the aggregator (WindowContext is CPU-single-node);
+        partition-local execution distributes the sort+scan work
+        instead.  Requires every wfunc to share one non-empty
+        PARTITION BY of plain columns (the common shape); distributed
+        dictionaries are globally built, so dict ids hash consistently."""
+        import heavydb_tpu.exec.batch as B
+
+        from heavydb_tpu.api import _node_dict_ref
+
+        ex = self.db.executor
+        w0 = node.wfuncs[0]
+        pidx = []
+        for p in w0.partition_by:
+            if not isinstance(p, E.InputRef):
+                raise NotSupported(
+                    "distributed window over computed partition keys")
+            pidx.append(p.field_idx)
+        if not pidx:
+            raise NotSupported(
+                "distributed window requires PARTITION BY")
+        for w in node.wfuncs[1:]:
+            if [getattr(p, "field_idx", None) for p in w.partition_by] \
+                    != pidx:
+                raise NotSupported(
+                    "distributed window: all functions must share one "
+                    "PARTITION BY")
+        child = node.inputs[0]
+        out = ex._exec(child, {}, set(range(child.arity)))
+        host = out.to_numpy()
+        if any(c is None for c in host):
+            raise NotSupported("distributed window with pruned columns")
+        dest = (_hash_columns([host[i] for i in pidx])
+                % np.uint64(self.rt.num_processes)).astype(np.int32)
+        mine = self.rt.exchange_rows(list(host), dest)
+        td = R.TableData(
+            list(child.fields), list(child.types), mine,
+            [_node_dict_ref(child, i) for i in range(child.arity)],
+        )
+        local = R.Window(td, node.wfuncs)
+        wbatch = ex._exec(local, {}, set(range(local.arity)))
+        # deliver like a distributed projection (aggregator-role model)
+        whost = wbatch.to_numpy()
+        n_local = len(whost[0]) if whost else 0
+        counts = self.rt.allgather_scalar(n_local)
+        total = sum(counts)
+        per = self.rt.allgather_multi(list(whost))
+        if getattr(self, "_gather_mode", "all") == "leader" \
+                and not self.rt.is_leader:
+            return B.from_host_columns(
+                [np.empty(0, np.asarray(c).dtype) for c in whost],
+                0, node.types,
+            )
+        cols = [np.concatenate(parts) for parts in per]
+        return B.from_host_columns(cols, total, node.types)
 
     def _colocate_joins(self, node: R.Compound) -> R.Compound:
         """Distributed hash join: when a join's BUILD side reads a

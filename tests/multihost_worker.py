@@ -226,6 +226,66 @@ def main(pid: int, nprocs: int, port: int):
     want = [(gg, want_map[gg]) for gg in sorted(want_map) if want_map[gg]]
     check("fact_fact_join_groupby", r, want)
 
+    # 5e. distributed WINDOW functions: partition-key repartition →
+    # complete partitions per host → local window, vs numpy oracle
+    r = dist.sql(
+        "SELECT g, k, sum(v) OVER (PARTITION BY g ORDER BY k, s), "
+        "row_number() OVER (PARTITION BY g ORDER BY k, s) "
+        "FROM fact WHERE g < 6 ORDER BY g, k, s"
+    ).rows()
+    sel6 = np.flatnonzero(g < 6)
+    order6 = sel6[np.lexsort((names[sel6], k[sel6], g[sel6]))]
+    ordered = [
+        (int(g[i]), int(k[i]), names[i],
+         None if np.isnan(v[i]) else float(v[i]))
+        for i in order6
+    ]
+    # RANGE-peer semantics: rows tied on (k, s) within a partition share
+    # the running sum at their LAST peer; row_number stays per-row.
+    # SUM over zero non-null contributions is NULL.
+    want = []
+    acc = {}
+    cntn = {}
+    rnc = {}
+    j = 0
+    while j < len(ordered):
+        gg, kk, ss, _ = ordered[j]
+        e = j
+        run_sum = 0.0
+        run_cnt = 0
+        while e < len(ordered) and ordered[e][:3] == (gg, kk, ss):
+            if ordered[e][3] is not None:
+                run_sum += ordered[e][3]
+                run_cnt += 1
+            e += 1
+        acc[gg] = acc.get(gg, 0.0) + run_sum
+        cntn[gg] = cntn.get(gg, 0) + run_cnt
+        for _t in range(j, e):
+            rnc[gg] = rnc.get(gg, 0) + 1
+            want.append((gg, kk, acc[gg] if cntn[gg] else None, rnc[gg]))
+        j = e
+    if len(r) != len(want):
+        ok = False
+        print(f"[{pid}] MISMATCH window rows: {len(r)} != {len(want)}",
+              flush=True)
+    else:
+        # rows tied on the final ORDER BY (g, k, s) may appear in any
+        # order; (g, row_number) is unique — compare on that order
+        r_s = sorted(r, key=lambda x: (x[0], x[3]))
+        w_s = sorted(want, key=lambda x: (x[0], x[3]))
+        for got_row, want_row in zip(r_s, w_s):
+            bad = (got_row[0] != want_row[0] or got_row[1] != want_row[1]
+                   or got_row[3] != want_row[3]
+                   or (got_row[2] is None) != (want_row[2] is None))
+            if not bad and want_row[2] is not None:
+                bad = abs(got_row[2] - want_row[2]) \
+                    > max(abs(want_row[2]), 1) * 1e-3
+            if bad:
+                ok = False
+                print(f"[{pid}] MISMATCH window: {got_row} vs {want_row}",
+                      flush=True)
+                break
+
     # 6. SHARD KEY routed loading: identical full data passed on every
     # host; hash routing keeps disjoint row partitions covering all rows
     db.sql("CREATE TABLE sharded (k INT, v FLOAT, SHARD KEY (k)) "
