@@ -2882,7 +2882,7 @@ class _ArtifactKernel:
         import jaxlib
 
         h = hashlib.sha256(self._base.encode())
-        for a in args:
+        for a in jax.tree_util.tree_leaves(args):
             h.update(str(jnp.shape(a)).encode())
             h.update(str(getattr(a, "dtype", type(a))).encode())
         h.update(getattr(jaxlib, "__version__", "?").encode())
@@ -2916,9 +2916,11 @@ class _ArtifactKernel:
 
         if _ArtifactKernel._export_gate is None:
             _ArtifactKernel._export_gate = threading.Semaphore(1)
-        specs = tuple(
-            jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype)
-            for a in args
+        specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(
+                jnp.shape(a), jnp.asarray(a).dtype
+            ),
+            tuple(args),
         )
 
         def work():
@@ -2927,18 +2929,32 @@ class _ArtifactKernel:
                     from jax import export as jexport
 
                     blob = jexport.export(self._jitted)(*specs).serialize()
+                    # seed the XLA persistent compile cache with the
+                    # artifact-wrapped program BEFORE publishing the
+                    # artifact: its computation key differs from the
+                    # original kernel's, and a reader that finds the
+                    # artifact without the cached executable pays a full
+                    # remote compile (worse than re-tracing)
+                    exp = jexport.deserialize(bytearray(blob))
+                    jax.jit(exp.call).lower(*specs).compile()
                     os.makedirs(self.cache_dir(), exist_ok=True)
                     tmp = path + f".tmp{os.getpid()}"
                     with open(tmp, "wb") as f:
                         f.write(blob)
                     os.replace(tmp, path)
-                    # seed the XLA persistent compile cache with the
-                    # artifact-wrapped program too: its computation key
-                    # differs from the original kernel's, and without
-                    # this the FIRST process to read the artifact pays
-                    # a full compile
-                    exp = jexport.deserialize(bytearray(blob))
-                    jax.jit(exp.call).lower(*specs).compile()
+                    # prune: code-fingerprint changes orphan old
+                    # artifacts; keep the newest 512
+                    d = self.cache_dir()
+                    names = [n for n in os.listdir(d)
+                             if n.endswith(".jexp")]
+                    if len(names) > 512:
+                        names.sort(key=lambda n: os.path.getmtime(
+                            os.path.join(d, n)))
+                        for n in names[:len(names) - 512]:
+                            try:
+                                os.unlink(os.path.join(d, n))
+                            except OSError:
+                                pass
                 except Exception:
                     pass
 

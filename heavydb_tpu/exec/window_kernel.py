@@ -60,6 +60,12 @@ def run_window(node, inp, aux, cache=None, rank_info=None) -> List[jax.Array]:
             # helper (the standalone pieces compile fine); the split also
             # caches the sort stage across retries.  Intermediates stay
             # on device between the two dispatches.
+            # NOTE: window stages stay on the plain jit + XLA persistent
+            # cache (first query ~3s warm-machine).  Routing them through
+            # the plan-artifact cache was tried and reverted: the
+            # artifact-wrapped programs' compile keys did not reliably
+            # match the seeded executables, and a reader that misses pays
+            # a full remote compile of a 100M-row window program.
             jitted = (
                 jax.jit(_make_sort_kernel(
                     node, inp, padded, present, wfuncs, widxs, aux_keys,
