@@ -449,23 +449,29 @@ class DistEngine:
                 raise NotSupported(
                     "distributed window over computed partition keys")
             pidx.append(p.field_idx)
-        if not pidx:
-            raise NotSupported(
-                "distributed window requires PARTITION BY")
-        for w in node.wfuncs[1:]:
-            if [getattr(p, "field_idx", None) for p in w.partition_by] \
-                    != pidx:
-                raise NotSupported(
-                    "distributed window: all functions must share one "
-                    "PARTITION BY")
+        shared = pidx and all(
+            [getattr(p, "field_idx", None) for p in w.partition_by]
+            == pidx
+            for w in node.wfuncs[1:]
+        )
         child = node.inputs[0]
         out = ex._exec(child, {}, set(range(child.arity)))
         host = out.to_numpy()
         if any(c is None for c in host):
             raise NotSupported("distributed window with pruned columns")
-        dest = (_hash_columns([host[i] for i in pidx])
-                % np.uint64(self.rt.num_processes)).astype(np.int32)
-        mine = self.rt.exchange_rows(list(host), dest)
+        if shared:
+            dest = (_hash_columns([host[i] for i in pidx])
+                    % np.uint64(self.rt.num_processes)).astype(np.int32)
+            mine = self.rt.exchange_rows(list(host), dest)
+        else:
+            # no shared PARTITION BY (global windows, or mixed specs):
+            # gather the child rows to host 0 and compute there — the
+            # reference's aggregator-window model, exact for any spec
+            per = self.rt.allgather_multi(list(host))
+            if self.rt.is_leader:
+                mine = [np.concatenate(parts) for parts in per]
+            else:
+                mine = [np.empty(0, np.asarray(c).dtype) for c in host]
         td = R.TableData(
             list(child.fields), list(child.types), mine,
             [_node_dict_ref(child, i) for i in range(child.arity)],

@@ -286,6 +286,16 @@ def main(pid: int, nprocs: int, port: int):
                       flush=True)
                 break
 
+    # 5f. GLOBAL window (no PARTITION BY): aggregator-window fallback
+    r = dist.sql(
+        "SELECT k, row_number() OVER (ORDER BY k, s, v) "
+        "FROM fact WHERE k < 3 AND v IS NOT NULL ORDER BY k, s, v"
+    ).rows()
+    selg = np.flatnonzero((k < 3) & m)
+    og = selg[np.lexsort((v[selg], names[selg], k[selg]))]
+    wantg = [(int(k[i]), rn + 1) for rn, i in enumerate(og)]
+    check("global_window", r, wantg)
+
     # 6. SHARD KEY routed loading: identical full data passed on every
     # host; hash routing keeps disjoint row partitions covering all rows
     db.sql("CREATE TABLE sharded (k INT, v FLOAT, SHARD KEY (k)) "
