@@ -21,7 +21,7 @@ Reference mapping:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +37,7 @@ from heavydb_tpu.errors import (
 from heavydb_tpu.exec import batch as B
 from heavydb_tpu.exec import geo_join as GEO
 from heavydb_tpu.exec import ranges as RNG
-from heavydb_tpu.exec.expr_compiler import ExprCompiler, and_valid
-from heavydb_tpu.ops import agg as AGG
+from heavydb_tpu.exec.expr_compiler import ExprCompiler
 from heavydb_tpu.ops import groupby as G
 from heavydb_tpu.ops import join as J
 from heavydb_tpu.ops import sort as S

@@ -9,7 +9,7 @@ row order.  Device-native and O(n log n).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
