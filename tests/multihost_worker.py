@@ -286,6 +286,31 @@ def main(pid: int, nprocs: int, port: int):
                       flush=True)
                 break
 
+    # 5e2. LAG + RANK over the repartitioned windows (navigation +
+    # ranking functions distribute through the same exchange)
+    r = dist.sql(
+        "SELECT g, k, lag(k) OVER (PARTITION BY g ORDER BY k, s, v), "
+        "rank() OVER (PARTITION BY g ORDER BY k) "
+        "FROM fact WHERE g < 4 AND v IS NOT NULL ORDER BY g, k, s, v"
+    ).rows()
+    sel4 = np.flatnonzero((g < 4) & m)
+    o4 = sel4[np.lexsort((v[sel4], names[sel4], k[sel4], g[sel4]))]
+    want = []
+    prev_k = {}
+    kcount = {}
+    krank = {}
+    for i in o4:
+        gg, kk = int(g[i]), int(k[i])
+        if gg not in kcount:
+            kcount[gg] = 0
+            krank[gg] = {}
+        kcount[gg] += 1
+        if kk not in krank[gg]:
+            krank[gg][kk] = kcount[gg]
+        want.append((gg, kk, prev_k.get(gg), krank[gg][kk]))
+        prev_k[gg] = kk
+    check("window_lag_rank", r, want)
+
     # 5f. GLOBAL window (no PARTITION BY): aggregator-window fallback
     r = dist.sql(
         "SELECT k, row_number() OVER (ORDER BY k, s, v) "
