@@ -21,6 +21,10 @@ HELP = """\
 \\d <table>   describe table
 \\timing      toggle timing output
 \\memory_summary   engine memory summary
+\\status      server status / sessions
+\\u           list users
+\\roles       list roles
+\\copy <file> <table>   import a local file
 \\version     server version
 \\q           quit
 """
@@ -110,6 +114,18 @@ class Shell:
             from heavydb_tpu.version import __version__
 
             print(__version__)
+        elif c == "\\status":
+            if self.mode == "remote":
+                print(self.conn.get_status())
+            else:
+                self.run_sql("SHOW USER SESSIONS")
+        elif c == "\\u":
+            self.run_sql("SHOW USERS")
+        elif c == "\\roles":
+            self.run_sql("SHOW ROLES")
+        elif c == "\\copy" and len(parts) > 2:
+            # reference heavysql \\copy: client-side file import
+            self.run_sql(f"COPY {parts[2]} FROM '{parts[1]}'")
         else:
             print(f"unknown command {c}; \\h for help")
 
