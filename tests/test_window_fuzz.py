@@ -29,9 +29,12 @@ def woracle(wdb):
             "o": [int(v) for v in rng.integers(0, 50, n)],
             "v": [None if i % 11 == 0 else float(round(x, 2))
                   for i, x in enumerate(rng.normal(0, 10, n))],
+            "f": [float(round(x, 1)) for x in rng.normal(0, 3, n)],
+            "s": [f"t{int(v)}" for v in rng.integers(0, 9, n)],
             "rid": list(range(n)),
         },
-        {"p": "INT", "o": "INT", "v": "DOUBLE", "rid": "INT"},
+        {"p": "INT", "o": "INT", "v": "DOUBLE", "f": "DOUBLE",
+         "s": "TEXT", "rid": "INT"},
     )
     return o
 
@@ -65,10 +68,20 @@ class WGen:
                                      "LAG", "LEAD", "FIRST_VALUE",
                                      "LAST_VALUE")
         part = r.choice(["", "PARTITION BY p"])
-        order = "ORDER BY o, rid" if ranky or frame or r.random() < 0.7 \
-            else "ORDER BY o, rid"
+        # order-key variants: ints (packable), a FLOAT key (generic
+        # operand path — regression: RANGE peers over-split there), and
+        # a dict STRING key (lexicographic rank tables)
+        order = r.choice([
+            "ORDER BY o, rid",
+            "ORDER BY f, rid",
+            "ORDER BY s, rid",
+            "ORDER BY o, s, rid",
+        ]) if not frame.strip().startswith("RANGE") else "ORDER BY o, rid"
         spec = " ".join(x for x in (part, order) if x) + frame
-        return (f"SELECT rid, {fn} OVER ({spec}) FROM w1 "
+        # WHERE filters exercise the Compound-child path (regression:
+        # dict-string rank tables were skipped under a filtered child)
+        where = r.choice(["", "WHERE o < 40", "WHERE p <> 3"])
+        return (f"SELECT rid, {fn} OVER ({spec}) FROM w1 {where} "
                 "ORDER BY rid")
 
 
