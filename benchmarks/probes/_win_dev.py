@@ -1,3 +1,4 @@
+import sys; sys.path.insert(0, "/root/repo")
 import sys, time
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
 t0 = time.time()

@@ -111,11 +111,18 @@ class Executor:
         # fragment-per-GPU dispatch + reduceMultiDeviceResults
         # per-session interrupt hook (reference runtime interrupt,
         # RuntimeFunctions.cpp check_interrupt — ours checks between DAG
-        # steps, the granularity of the reference's CPU fragment loop)
-        self.interrupt_check = None
-        from heavydb_tpu.utils.timer import NullTimer
+        # steps, the granularity of the reference's CPU fragment loop).
+        # interrupt_check / timer / exec_hints / _deadline are THREAD-
+        # LOCAL properties: the executor is shared across serving threads
+        # (ThreadingTCPServer), and a plain attribute let the last
+        # arriving session's lambda overwrite every other session's —
+        # KILL QUERY could kill the wrong query (reference keeps a
+        # per-session registry on the Executor, Execute.h:688).  Each RPC
+        # thread runs its own query start-to-finish, so thread-local
+        # state IS per-query state.
+        import threading as _threading
 
-        self.timer = NullTimer()
+        self._tls = _threading.local()
         self.resource_mgr = None
         if self.config.enable_executor_resource_mgr:
             from heavydb_tpu.exec.resource_mgr import ResourceMgr
@@ -131,6 +138,45 @@ class Executor:
             from heavydb_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(n)
+
+    # ---- per-query state: thread-local (see __init__ note) ----
+    @property
+    def interrupt_check(self):
+        return getattr(self._tls, "interrupt_check", None)
+
+    @interrupt_check.setter
+    def interrupt_check(self, fn):
+        self._tls.interrupt_check = fn
+
+    @property
+    def timer(self):
+        t = getattr(self._tls, "timer", None)
+        if t is None:
+            from heavydb_tpu.utils.timer import NullTimer
+
+            t = NullTimer()
+            self._tls.timer = t
+        return t
+
+    @timer.setter
+    def timer(self, t):
+        self._tls.timer = t
+
+    @property
+    def exec_hints(self):
+        return getattr(self._tls, "exec_hints", None) or {}
+
+    @exec_hints.setter
+    def exec_hints(self, h):
+        self._tls.exec_hints = h
+
+    @property
+    def _deadline(self):
+        return getattr(self._tls, "deadline", None)
+
+    @_deadline.setter
+    def _deadline(self, d):
+        self._tls.deadline = d
 
     def _scan_sharding(self):
         if self.mesh is None:
@@ -1076,21 +1122,58 @@ class Executor:
                         ak = ("winrank", e.key())
                         aux[ak] = self._dict_rank_table(ref)
                         rank_info[e.key()] = (ak, self.db.dict_by_ref(ref).size)
-        wcols = run_window(node, inp, aux, cache=self.kernel_cache,
-                           rank_info=rank_info)
+        cols, wcols = run_window(node, inp, aux, cache=self.kernel_cache,
+                                 rank_info=rank_info)
         return B.Batch(
-            list(inp.cols) + list(wcols), inp.nrows, list(node.types)
+            list(cols) + list(wcols), inp.nrows, list(node.types)
         )
 
     # ------------------------------------------------------------------
     # Compound
     # ------------------------------------------------------------------
     def _exec_compound(self, node: R.Compound, memo) -> B.Batch:
+        ident = self._try_identity_projection(node, memo)
+        if ident is not None:
+            return ident
         sp = self._stream_plan(node)
         if sp is not None:
             return self._exec_compound_streamed(node, sp)
         batches, plan = self._prepare_compound(node, memo)
         return self._run_compound(node, batches, plan)
+
+    def _try_identity_projection(self, node: R.Compound, memo):
+        """Pure column-subset/reorder projections (every target a bare
+        InputRef, no filter/join/agg) ALIAS the child's device buffers
+        instead of launching a copy kernel.  Subquery wrappers around
+        window/group-by results hit this constantly; at 134M rows the
+        skipped kernel re-materialized ~3.4GB of (emulated-64-bit)
+        columns per query (measured round 5: 1.0-1.8s of the 100M window
+        bench was this copy).  Reference role: Calcite would have folded
+        the trivial RelProject; our builder keeps subquery projections
+        as Compounds, so the executor folds them at dispatch."""
+        if len(node.inputs) != 1 or node.is_aggregate or node.aggs:
+            return None
+        if node.filter_cond is not None or node.having is not None:
+            return None
+        if node.group_exprs:
+            return None
+        if any(c is not None for _, c in node.join_levels):
+            return None
+        refs = []
+        for e in node.target_exprs:
+            if not isinstance(e, E.InputRef):
+                return None
+            refs.append(e)
+        child = node.inputs[0]
+        for e, tt in zip(refs, node.types):
+            if child.types[e.field_idx] != tt:
+                return None
+        needed = {e.field_idx for e in refs}
+        inp = self._exec(child, memo, needed)
+        cols = [inp.cols[e.field_idx] for e in refs]
+        if any(c is None for c in cols):
+            return None
+        return B.Batch(cols, inp.nrows, list(node.types))
 
     def _run_compound(self, node: R.Compound, batches, plan) -> B.Batch:
         # retry ladder

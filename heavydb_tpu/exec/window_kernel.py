@@ -25,14 +25,30 @@ from heavydb_tpu.ops.sort import _sortable_operands
 from heavydb_tpu.plan import exprs as E
 
 
-def run_window(node, inp, aux, cache=None, rank_info=None) -> List[jax.Array]:
+def run_window(node, inp, aux, cache=None, rank_info=None):
     """ONE jit'd program PER (partition, order) spec — each program carries
     a single multi-operand lax.sort, so XLA never sees all specs' sorts
     fused into one giant kernel (round-1: a multi-spec 20M-row window
-    program OOM'd the remote compile helper).  Specs execute sequentially;
-    outputs land in original wfunc order."""
-    from heavydb_tpu.exec.executor import _derive_valid
+    program OOM'd the remote compile helper).  Specs execute sequentially.
 
+    Returns (cols, wcols): the (possibly REORDERED) input columns and the
+    window outputs, row-aligned with each other.  Egress modes (round 5 —
+    measured at padded=2^25 on v5e: one random-permutation scatter costs
+    237ms and a random gather 483ms, vs 81ms for a full 1-key lax.sort
+    and ~10-15ms per extra sort payload operand):
+
+    * "sorted" (single spec, few columns): the batch is EMITTED IN SORTED
+      ORDER — input columns ride the spec sort as payload operands and
+      window outputs need no reordering at all.  SQL row order is
+      unspecified without an outer ORDER BY, so permuting the batch is
+      legal; an outer Sort node re-sorts regardless.
+    * "permsort" (multiple specs or wide batches): outputs return to the
+      original row order via ONE lax.sort keyed by the permutation
+      (s_rows) carrying every output as payload — replacing the former
+      per-column scatters/inverse-perm gathers (reference analogue:
+      ResultSetSortImpl.cu applies one permutation per sort, not one
+      scatter per column).
+    """
     padded = inp.padded
     present = [i for i, c in enumerate(inp.cols) if c is not None]
     wfuncs = node.wfuncs
@@ -46,10 +62,14 @@ def run_window(node, inp, aux, cache=None, rank_info=None) -> List[jax.Array]:
         )
         spec_groups.setdefault(spec, []).append(i)
 
+    mode = "sorted" if (len(spec_groups) == 1 and len(present) <= 12) \
+        else "permsort"
+
     aux_keys = sorted(aux.keys(), key=repr)
     outs: List[jax.Array] = [None] * len(wfuncs)
+    cols_out = list(inp.cols)
     for spec, widxs in spec_groups.items():
-        ck = ("window", node.plan_key(), spec, tuple(widxs), padded,
+        ck = ("window", node.plan_key(), spec, tuple(widxs), padded, mode,
               tuple(present),
               tuple(str(inp.cols[i].dtype) for i in present),
               tuple(aux_keys))
@@ -69,11 +89,11 @@ def run_window(node, inp, aux, cache=None, rank_info=None) -> List[jax.Array]:
             jitted = (
                 jax.jit(_make_sort_kernel(
                     node, inp, padded, present, wfuncs, widxs, aux_keys,
-                    rank_info or {},
+                    rank_info or {}, mode,
                 )),
                 jax.jit(_make_fns_kernel(
                     node, inp, padded, present, wfuncs, widxs, aux_keys,
-                    rank_info or {},
+                    rank_info or {}, mode,
                 )),
             )
             if cache is not None:
@@ -88,9 +108,15 @@ def run_window(node, inp, aux, cache=None, rank_info=None) -> List[jax.Array]:
                                       *cols_in)
         res = _retry_remote_compile(fns_jit, nrows_dev, aux_vals, stage,
                                     *cols_in)
-        for wi, o in zip(widxs, res):
+        if mode == "sorted":
+            sorted_cols, wres = res
+            for ci, sc in zip(present, sorted_cols):
+                cols_out[ci] = sc
+        else:
+            wres = res
+        for wi, o in zip(widxs, wres):
             outs[wi] = o
-    return outs
+    return cols_out, outs
 
 
 def _pack_plan(node, w0, padded: int, rank_info=None):
@@ -277,18 +303,28 @@ def _payload_ops(comp, payload_exprs, padded):
 
 
 def _make_sort_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
-                      rank_info):
+                      rank_info, mode="permsort"):
     """Stage 1 of a window spec: sort + boundary flags + sorted payloads.
     Split from the functions stage so neither program is large enough to
-    crash the remote compile helper at 100M rows."""
+    crash the remote compile helper at 100M rows.
+
+    mode "sorted": the payload is the PRESENT INPUT COLUMNS themselves —
+    the batch will be emitted in sorted order, and window-arg exprs are
+    recompiled over the sorted columns in stage 2 (elementwise, fused).
+    mode "permsort": the payload is the distinct window-arg exprs (the
+    input columns stay in original order)."""
     pack = _pack_plan(node, wfuncs[widxs[0]], padded, rank_info)
-    payload_exprs = _payload_plan(wfuncs, widxs)
+    payload_exprs = _payload_plan(wfuncs, widxs) if mode != "sorted" else []
 
     def kernel(nrows, aux_vals, *cols):
         aux_dict = dict(zip(aux_keys, aux_vals))
         in_domain = lax.broadcasted_iota(jnp.int32, (padded,), 0) < nrows
         comp = _col_compiler(inp, present, cols, aux_dict)
-        pay_ops, _pay_slots = _payload_ops(comp, payload_exprs, padded)
+        if mode == "sorted":
+            pay_ops = [jnp.broadcast_to(jnp.asarray(c), (padded,))
+                       for c in cols]
+        else:
+            pay_ops, _pay_slots = _payload_ops(comp, payload_exprs, padded)
 
         w0 = wfuncs[widxs[0]]
         if pack is not None:
@@ -331,86 +367,111 @@ def _make_sort_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
                 ostart = ostart | jnp.concatenate(
                     [jnp.ones(1, jnp.bool_), opnd[1:] != opnd[:-1]]
                 )
+        if mode == "sorted":
+            # the permutation itself is never consumed — skip its
+            # materialization (one full-array pass)
+            s_rows = jnp.zeros((), jnp.int32)
         return (s_rows, pstart, ostart, tuple(spay))
 
     return kernel
 
 
+def _finalize_sorted(w, val_s, valid_s, padded):
+    """Apply null sentinel / dtype to one window output IN SORTED ORDER.
+    Returns a list of narrow carrier arrays + a combiner tag:
+      ("ds", h, l[, ok]) — double-single f64 sum halves, combine after
+      ("i32->64",)        — never-null rank/count, widen after
+      ("val",)            — final value, as-is
+    Keeping carriers ≤ 4 bytes keeps the permutation sort (permsort
+    mode) free of emulated-64-bit operands."""
+    out_dt = w.type.np_dtype()
+    if isinstance(val_s, W.DsPair):
+        h = jnp.broadcast_to(val_s.h, (padded,))
+        low = jnp.broadcast_to(val_s.l, (padded,))
+        if valid_s is not None:
+            return ("ds", out_dt), [h, low, valid_s.astype(jnp.int8)]
+        return ("ds", out_dt), [h, low]
+    val_s = jnp.asarray(val_s)
+    if (valid_s is None and out_dt == np.int64
+            and val_s.dtype == jnp.int32):
+        return ("i32->64", out_dt), [jnp.broadcast_to(val_s, (padded,))]
+    val_s = jnp.broadcast_to(val_s.astype(out_dt), (padded,))
+    if valid_s is not None:
+        if out_dt.kind == "f":
+            val_s = jnp.where(valid_s, val_s, jnp.asarray(np.nan, out_dt))
+        else:
+            val_s = jnp.where(
+                valid_s, val_s,
+                jnp.asarray(w.type.null_sentinel(), out_dt),
+            )
+    return ("val", out_dt), [val_s]
+
+
+def _combine_carriers(tag, arrs):
+    kind, out_dt = tag
+    if kind == "ds":
+        out = arrs[0].astype(out_dt) + arrs[1].astype(out_dt)
+        if len(arrs) == 3:
+            out = jnp.where(arrs[2] == 1, out, jnp.asarray(np.nan, out_dt))
+        return out
+    if kind == "i32->64":
+        return arrs[0].astype(out_dt)
+    return arrs[0]
+
+
 def _make_fns_kernel(node, inp, padded, present, wfuncs, widxs, aux_keys,
-                     rank_info):
+                     rank_info, mode="permsort"):
     """Stage 2 of a window spec: per-function computation over the sorted
-    domain + scatter back to original row order."""
-    payload_exprs = _payload_plan(wfuncs, widxs)
+    domain.  mode "sorted" returns (sorted input cols, window outputs)
+    with NO reordering; mode "permsort" returns outputs in the original
+    row order via ONE permutation lax.sort keyed by s_rows (a random
+    scatter costs 237ms per column and a random gather 483ms at 2^25 on
+    v5e; the whole permutation sort is 81ms + ~10-15ms per payload)."""
+    payload_exprs = _payload_plan(wfuncs, widxs) if mode != "sorted" else []
 
     def kernel(nrows, aux_vals, stage, *cols):
         aux_dict = dict(zip(aux_keys, aux_vals))
-        comp = _col_compiler(inp, present, cols, aux_dict)
-        # recompute the payload SLOT layout (static) to bind sorted arrays
-        _pay_ops, pay_slots = _payload_ops(comp, payload_exprs, padded)
         s_rows, pstart, ostart, spay = stage
-        pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
-        # 64-bit scatters are pathological on TPU (measured 16.4s for one
-        # 128M f64/i64 scatter vs 1.1s for i32); wide outputs return to
-        # original row order via ONE shared int32 inverse-permutation
-        # scatter + a per-function 64-bit gather (~4s)
-        inv = None
+        if mode == "sorted":
+            # compile every expr over the SORTED columns — the sorted
+            # domain IS the output domain, so no reorder anywhere
+            comp = _col_compiler(inp, present, spay, aux_dict)
+            pay_sorted = None
+            dom_rows = None
+        else:
+            comp = _col_compiler(inp, present, cols, aux_dict)
+            # recompute the payload SLOT layout (static) to bind sorted
+            _pay_ops, pay_slots = _payload_ops(comp, payload_exprs, padded)
+            pay_sorted = _bind_payload(payload_exprs, pay_slots, spay)
+            dom_rows = s_rows
 
-        def inverse_perm():
-            nonlocal inv
-            if inv is None:
-                iota = lax.broadcasted_iota(jnp.int32, (padded,), 0)
-                inv = jnp.zeros(padded, jnp.int32).at[s_rows].set(iota)
-            return inv
-
-        outs = []
+        tags = []
+        carriers: List[jax.Array] = []
+        spans = []
         for wi in widxs:
             w = wfuncs[wi]
-            val_s, valid_s = _compute_one(w, comp, s_rows, pstart, ostart,
+            val_s, valid_s = _compute_one(w, comp, dom_rows, pstart, ostart,
                                           pay_sorted)
-            out_dt = w.type.np_dtype()
-            if isinstance(val_s, W.DsPair):
-                # ds running sum: scatter the two f32 halves + the
-                # validity byte, combine to f64 AFTER the permutation —
-                # two 32-bit scatters instead of one pathological 64-bit
-                h = jnp.zeros(padded, jnp.float32).at[s_rows].set(
-                    jnp.broadcast_to(val_s.h, (padded,)))
-                low = jnp.zeros(padded, jnp.float32).at[s_rows].set(
-                    jnp.broadcast_to(val_s.l, (padded,)))
-                out = h.astype(out_dt) + low.astype(out_dt)
-                if valid_s is not None:
-                    okr = jnp.zeros(padded, jnp.int8).at[s_rows].set(
-                        valid_s.astype(jnp.int8))
-                    out = jnp.where(okr == 1, out,
-                                    jnp.asarray(np.nan, out_dt))
-                outs.append(out)
-                continue
-            val_s = jnp.asarray(val_s)
-            if (valid_s is None and out_dt == np.int64
-                    and val_s.dtype == jnp.int32):
-                # never-null int32 payload (ranks/counts: values < 2^31):
-                # scatter narrow, widen after — halves the scatter bytes
-                val_s = jnp.broadcast_to(val_s, (padded,))
-                outs.append(
-                    jnp.zeros(padded, jnp.int32).at[s_rows].set(val_s)
-                    .astype(out_dt)
-                )
-                continue
-            val_s = jnp.broadcast_to(val_s.astype(out_dt), (padded,))
-            if valid_s is not None:
-                if out_dt.kind == "f":
-                    val_s = jnp.where(valid_s, val_s,
-                                      jnp.asarray(np.nan, out_dt))
-                else:
-                    val_s = jnp.where(
-                        valid_s, val_s,
-                        jnp.asarray(w.type.null_sentinel(), out_dt),
-                    )
-            # back to original row order: wide dtypes via the shared
-            # inverse permutation, 32-bit via a direct scatter
-            if out_dt.itemsize == 8:
-                outs.append(val_s[inverse_perm()])
-            else:
-                outs.append(jnp.zeros(padded, out_dt).at[s_rows].set(val_s))
+            tag, arrs = _finalize_sorted(w, val_s, valid_s, padded)
+            tags.append(tag)
+            spans.append((len(carriers), len(arrs)))
+            carriers.extend(arrs)
+
+        if mode == "sorted":
+            outs = [
+                _combine_carriers(tag, carriers[o:o + ln])
+                for tag, (o, ln) in zip(tags, spans)
+            ]
+            return tuple(spay), tuple(outs)
+
+        # permsort: ONE sort keyed by the (unique) permutation restores
+        # original row order for every carrier at once
+        res = lax.sort([s_rows] + carriers, num_keys=1)
+        rcar = res[1:]
+        outs = [
+            _combine_carriers(tag, rcar[o:o + ln])
+            for tag, (o, ln) in zip(tags, spans)
+        ]
         return tuple(outs)
 
     return kernel
@@ -433,6 +494,8 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart,
     """Compute one window function in SORTED order."""
     K = E.WindowKind
 
+    n_dom = pstart.shape[0]
+
     def arg_tv(i):
         ps = (pay_sorted or {}).get(w.args[i].key()) if w.args else None
         if ps is not None:
@@ -445,6 +508,11 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart,
             return sval, svalid
         val, valid = comp.compile(w.args[i])
         val = jnp.asarray(val)
+        if s_rows is None:
+            # sorted mode: comp is built over the SORTED columns — the
+            # compiled expr already lives in the window domain
+            val = jnp.broadcast_to(val, (n_dom,))
+            return val, valid
         # reorder to sorted order
         val = jnp.broadcast_to(val, (s_rows.shape[0],))[s_rows] if val.ndim \
             else jnp.broadcast_to(val, (s_rows.shape[0],))

@@ -22,7 +22,18 @@ def optimize(root: R.RelNode) -> R.RelNode:
     root = _simplify_outer_joins(root)
     root = _push_filter_through_agg(root)
     root = _reorder_joins(root)
-    return _prune_dead_columns(root)
+    # fixpoint: trims cascade (an outer Compound's trim exposes dead
+    # columns in its child's Window/Compound on the NEXT sweep — the
+    # walk is bottom-up, so one sweep can't see its own parents' trims)
+    for _ in range(4):
+        _PRUNE_CHANGED[0] = False
+        root = _prune_dead_columns(root)
+        if not _PRUNE_CHANGED[0]:
+            break
+    return root
+
+
+_PRUNE_CHANGED = [False]
 
 
 # ---------------------------------------------------------------------------
@@ -660,6 +671,33 @@ def _prune_dead_columns(node: R.RelNode, counts=None, seen=None) -> R.RelNode:
     for i, child in enumerate(node.inputs):
         new_offsets.append(noff)
         keep = sorted(needed_local[i])
+        if (
+            isinstance(child, R.Window)
+            and counts.get(child.id, 0) == 1
+            and node.inputs.count(child) == 1
+        ):
+            # drop window functions whose outputs the (sole) consumer
+            # never references — each dropped wfunc saves its segmented
+            # scans AND the materialization of a full-width column
+            # (reference RelAlgOptimizer.cpp eliminate_dead_columns
+            # covers RelProject window exprs the same way)
+            base = child.inputs[0].arity
+            keep_w = [j for j in range(len(child.wfuncs))
+                      if base + j in needed_local[i]]
+            if len(keep_w) < len(child.wfuncs):
+                child.wfuncs = [child.wfuncs[j] for j in keep_w]
+                child.fields = (list(child.fields[:base])
+                                + [f"$w{r}" for r in range(len(keep_w))])
+                child.types = (list(child.types[:base])
+                               + [w.type for w in child.wfuncs])
+                for j in range(base):
+                    field_map[offsets[i] + j] = noff + j
+                for rank, j in enumerate(keep_w):
+                    field_map[offsets[i] + base + j] = noff + base + rank
+                noff += base + len(keep_w)
+                trimmed_any = True
+                _PRUNE_CHANGED[0] = True
+                continue
         trim = (
             isinstance(child, R.Compound)
             and counts.get(child.id, 0) == 1
@@ -677,6 +715,7 @@ def _prune_dead_columns(node: R.RelNode, counts=None, seen=None) -> R.RelNode:
                 field_map[offsets[i] + j] = noff + rank
             noff += len(keep)
             trimmed_any = True
+            _PRUNE_CHANGED[0] = True
         else:
             for j in range(child.arity):
                 field_map[offsets[i] + j] = noff + j
