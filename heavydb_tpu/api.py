@@ -74,6 +74,12 @@ class Database:
         self.config = config
         self.catalog = Catalog(config)
         self.executor = Executor(self)
+        # current statement's user, per serving thread (drives row-level
+        # security injection; reference passes the session down to the
+        # Calcite planner's InjectFilterRule)
+        import threading as _threading
+
+        self._user_tls = _threading.local()
         # warm the Pallas availability probe off the query path (TPU
         # only): it costs ~1.5s (pallas import + a tiny Mosaic compile)
         # and otherwise lands inside the FIRST query's trace
@@ -203,14 +209,18 @@ class Database:
         SysCatalog object privileges); None = embedded superuser."""
         stmts = parse_many(text)
         out = None
-        for st in stmts:
-            if user is not None:
-                self.syscatalog.check_statement(
-                    user, st, _stmt_tables(st)
-                )
-            out = self._execute_statement(st)
-            if not isinstance(st, (A.Select, A.Explain)):
-                self._persist_after_statement()
+        self._user_tls.user = user
+        try:
+            for st in stmts:
+                if user is not None:
+                    self.syscatalog.check_statement(
+                        user, st, _stmt_tables(st)
+                    )
+                out = self._execute_statement(st)
+                if not isinstance(st, (A.Select, A.Explain)):
+                    self._persist_after_statement()
+        finally:
+            self._user_tls.user = None
         return out
 
     def register_udf(self, name: str, fn, arg_types, ret_type):
@@ -1098,6 +1108,46 @@ class Database:
                         else:
                             self.syscatalog.grant_role(r, g)
             return None
+        if isinstance(st, A.CreatePolicy):
+            t = self.catalog.get_table(st.table)
+            cd = t.column_by_name(st.column)
+            if cd is None:
+                raise SqlError(f"no column {st.column!r} in {st.table!r}")
+            if not (cd.type.is_string or cd.type.is_integer):
+                raise NotSupported(
+                    "policies supported on TEXT and integer columns"
+                )
+            self.syscatalog.create_policy(
+                st.table, st.column, st.grantee, st.values
+            )
+            return None
+        if isinstance(st, A.DropPolicy):
+            self.syscatalog.drop_policy(st.table, st.column, st.grantee)
+            return None
+        if isinstance(st, A.ShowPolicies):
+            rows = [
+                f"{tb}.{col} TO {g} VALUES "
+                f"({', '.join(repr(v) for v in vals)})"
+                for tb, col, g, vals in self.syscatalog.list_policies(
+                    st.grantee, st.effective
+                )
+            ]
+            return _string_result("policy", rows)
+        if isinstance(st, A.CommentOn):
+            t = self.catalog.get_table(st.table)
+            if st.kind == "COLUMN":
+                cd = t.column_by_name(st.column)
+                if cd is None:
+                    raise SqlError(f"no column {st.column!r}")
+                cd.comment = st.text
+            else:
+                t.comment = st.text
+            return None
+        if isinstance(st, A.AlterColumnType):
+            t = self.catalog.get_table(st.table)
+            ti = resolve_type_name(st.type_name)
+            t.alter_column_type(st.column, ti)
+            return None
         if isinstance(st, A.ShowUsers):
             return _string_result(
                 "user_name", [u.name for u in self.syscatalog.users.values()]
@@ -1180,6 +1230,9 @@ class Database:
         with timer.scope("query"):
             with timer.scope("plan"):
                 plan = self._plan_select(sel)
+                user = getattr(self._user_tls, "user", None)
+                if user is not None and self.syscatalog.policies:
+                    plan = self._inject_rls(plan, user)
                 plan = optimize(plan)
             # result-set recycler (reference ResultSetRecycler, enabled by
             # the keep_result hint): reuse decoded results while the source
@@ -1208,6 +1261,90 @@ class Database:
             self._result_cache[cache_key] = rs
         self.last_query_timings = timer.to_dict()
         return rs
+
+    def _inject_rls(self, plan, user: str):
+        """Row-level security: wrap every Scan of a policy-restricted
+        table in a Filter `col IN (values)` before optimization — the
+        filter then fuses/pushes down like any user predicate.
+        (Reference: HeavyDBPlanner.java applyInjectFilterRule over the
+        session's Restrictions.)  Subquery plans are injected too."""
+        from heavydb_tpu.plan.select_planner import _node_dict_ref
+
+        sysc = self.syscatalog
+
+        def cond_for(scan):
+            pols = sysc.policies_for(user, scan.table.name)
+            conjs = []
+            for col, vals in pols:
+                cd = scan.table.column_by_name(col)
+                if cd is None:
+                    continue
+                idx = next(
+                    i for i, c in enumerate(scan.table.columns)
+                    if c.col_id == cd.col_id
+                )
+                ti = scan.types[idx]
+                ref = E.InputRef(0, idx, ti, _node_dict_ref(scan, idx))
+                if ti.is_dict_string:
+                    pats = "\x00".join(str(v) for v in vals)
+                    conjs.append(E.DictStrPredicate(
+                        arg=ref, kind="IN", pattern=pats,
+                        dict_ref=ref.dict_ref,
+                        type=T.boolean(ti.nullable),
+                    ))
+                else:
+                    phys = tuple(
+                        int(v) if ti.is_integer else float(v) for v in vals
+                    )
+                    conjs.append(E.InValues(
+                        arg=ref, values=phys, type=T.boolean(ti.nullable),
+                    ))
+            if not conjs:
+                return None
+            cond = conjs[0]
+            for c in conjs[1:]:
+                cond = E.BinOp(E.BinOpKind.AND, cond, c, T.boolean(False))
+            return cond
+
+        def node_exprs(n):
+            if isinstance(n, R.Filter):
+                return [n.condition]
+            if isinstance(n, R.Project):
+                return list(n.exprs)
+            if isinstance(n, R.Join):
+                return [n.condition] if n.condition is not None else []
+            if isinstance(n, R.Aggregate):
+                return list(n.group_exprs) + list(n.agg_exprs)
+            if isinstance(n, R.Window):
+                return list(n.wfuncs)
+            if isinstance(n, R.Compound):
+                out = [c for _, c in n.join_levels if c is not None]
+                out += [n.filter_cond] if n.filter_cond is not None else []
+                out += list(n.group_exprs) + list(n.aggs)
+                out += list(n.target_exprs)
+                return out
+            return []
+
+        seen = {}
+
+        def walk(node):
+            if id(node) in seen:
+                return seen[id(node)]
+            node.inputs[:] = [walk(i) for i in node.inputs]
+            for e in node_exprs(node):
+                for sub in E.walk(e):
+                    if isinstance(sub, E.SubqueryExpr) \
+                            and sub.plan is not None:
+                        object.__setattr__(sub, "plan", walk(sub.plan))
+            out = node
+            if isinstance(node, R.Scan):
+                c = cond_for(node)
+                if c is not None:
+                    out = R.Filter(node, c)
+            seen[id(node)] = out
+            return out
+
+        return walk(plan)
 
     def _result_cache_key(self, plan: R.RelNode):
         from heavydb_tpu.plan.rel_alg import Scan, topo_order

@@ -236,9 +236,11 @@ class HeavyTpuServer:
             "name": t.name,
             "num_rows": t.num_rows,
             "fragment_rows": t.fragment_rows,
+            "comment": getattr(t, "comment", None),
             "columns": [
                 {"name": cd.name, "type": cd.type.sql_name(),
-                 "nullable": cd.type.nullable}
+                 "nullable": cd.type.nullable,
+                 "comment": getattr(cd, "comment", None)}
                 for cd in t.columns
             ],
         }

@@ -378,6 +378,55 @@ class RenameColumn(Statement):
 
 
 @dataclass
+class AlterColumnType(Statement):
+    """ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE <type> [NOT NULL]
+    (reference Catalog/DdlCommandExecutor.h AlterTableAlterColumnCommand)."""
+
+    table: str = ""
+    column: str = ""
+    type_name: "TypeName" = None
+
+
+@dataclass
+class CommentOn(Statement):
+    """COMMENT ON TABLE t IS '...' | COMMENT ON COLUMN t.c IS '...'
+    (reference ddlParser.ftl:1156, Catalog::setTableComment/setColumnComment).
+    text None = clear (IS NULL)."""
+
+    kind: str = "TABLE"  # TABLE | COLUMN
+    table: str = ""
+    column: Optional[str] = None
+    text: Optional[str] = None
+
+
+@dataclass
+class CreatePolicy(Statement):
+    """CREATE POLICY ON COLUMN t.c TO grantee VALUES (...) — row-level
+    security (reference SqlCreatePolicy + HeavyDBPlanner InjectFilterRule:
+    SELECTs by the grantee see only rows where c IN values)."""
+
+    table: str = ""
+    column: str = ""
+    grantee: str = ""
+    values: tuple = ()
+
+
+@dataclass
+class DropPolicy(Statement):
+    table: str = ""
+    column: str = ""
+    grantee: str = ""
+
+
+@dataclass
+class ShowPolicies(Statement):
+    """SHOW [ALL] POLICIES <grantee> (reference SqlShowPolicies)."""
+
+    grantee: str = ""
+    effective: bool = False  # ALL: include policies via granted roles
+
+
+@dataclass
 class OptimizeTable(Statement):
     name: str = ""
 

@@ -182,7 +182,27 @@ class Parser:
                 return A.ShowUserSessions()
             if self.eat_kw("QUERIES"):
                 return A.ShowQueries()
+            if self.eat_kw("POLICIES"):
+                return A.ShowPolicies(self.ident(), effective=False)
+            if self.eat_kw("ALL"):
+                self.expect_kw("POLICIES")
+                return A.ShowPolicies(self.ident(), effective=True)
             raise ParserError(f"unsupported SHOW at {t.pos}")
+        if kw == "COMMENT":
+            # COMMENT ON TABLE t IS '...'|NULL ; COMMENT ON COLUMN t.c IS …
+            # (reference ddlParser.ftl:1156)
+            self.next()
+            self.expect_kw("ON")
+            if self.eat_kw("COLUMN"):
+                tbl = self.ident()
+                self.expect_op(".")
+                col = self.ident()
+                self.expect_kw("IS")
+                return A.CommentOn("COLUMN", tbl, col, self._comment_text())
+            self.expect_kw("TABLE")
+            tbl = self.ident()
+            self.expect_kw("IS")
+            return A.CommentOn("TABLE", tbl, None, self._comment_text())
         if kw in ("GRANT", "REVOKE"):
             return self._grant_revoke(kw == "REVOKE")
         if kw in ("DESCRIBE", "DESC"):
@@ -224,6 +244,14 @@ class Parser:
             return A.RestoreTable(name, self.next().value)
         raise ParserError(f"unsupported statement {t.value!r} at {t.pos}")
 
+    def _comment_text(self):
+        if self.eat_kw("NULL"):
+            return None
+        tk = self.next()
+        if tk.kind != STRING:
+            raise ParserError(f"expected string or NULL at {tk.pos}")
+        return tk.value
+
     def _user_options(self) -> dict:
         opts = {}
         if self.eat_op("("):
@@ -248,6 +276,23 @@ class Parser:
             return A.CreateUser(name, self._user_options())
         if self.eat_kw("ROLE"):
             return A.CreateRole(self.ident())
+        if self.eat_kw("POLICY"):
+            # CREATE POLICY ON COLUMN t.c TO grantee VALUES (...) —
+            # reference ddlParser.ftl SqlCreatePolicy
+            self.expect_kw("ON")
+            self.expect_kw("COLUMN")
+            tbl = self.ident()
+            self.expect_op(".")
+            col = self.ident()
+            self.expect_kw("TO")
+            grantee = self.ident()
+            self.expect_kw("VALUES")
+            self.expect_op("(")
+            vals = [self._policy_literal()]
+            while self.eat_op(","):
+                vals.append(self._policy_literal())
+            self.expect_op(")")
+            return A.CreatePolicy(tbl, col, grantee, tuple(vals))
         if self.eat_kw("VIEW"):
             if_not_exists = self._if_not_exists()
             name = self.ident()
@@ -356,12 +401,29 @@ class Parser:
             return True
         return False
 
+    def _policy_literal(self):
+        tk = self.next()
+        if tk.kind == STRING:
+            return tk.value
+        if tk.kind == NUMBER:
+            v = tk.value
+            return float(v) if "." in v else int(v)
+        raise ParserError(f"expected literal in POLICY VALUES at {tk.pos}")
+
     def _drop(self) -> A.Statement:
         self.expect_kw("DROP")
         if self.eat_kw("USER"):
             return A.DropUser(self.ident())
         if self.eat_kw("ROLE"):
             return A.DropRole(self.ident())
+        if self.eat_kw("POLICY"):
+            self.expect_kw("ON")
+            self.expect_kw("COLUMN")
+            tbl = self.ident()
+            self.expect_op(".")
+            col = self.ident()
+            self.expect_kw("FROM")
+            return A.DropPolicy(tbl, col, self.ident())
         if self.eat_kw("SERVER"):
             if_exists = False
             if self.eat_kw("IF"):
@@ -427,7 +489,26 @@ class Parser:
         if self.eat_kw("DROP"):
             self.eat_kw("COLUMN")
             return A.DropColumn(table, self.ident())
-        raise ParserError("expected RENAME, ADD or DROP after ALTER TABLE")
+        if self.eat_kw("ALTER"):
+            # ALTER [COLUMN] c [SET DATA] TYPE <type> [NOT NULL] [ENCODING …]
+            # (reference SqlAlterTable.java:68-70)
+            self.eat_kw("COLUMN")
+            cname = self.ident()
+            if self.eat_kw("SET"):
+                self.expect_kw("DATA")
+            self.expect_kw("TYPE")
+            tn = self._type_name()
+            if self.eat_kw("NOT"):
+                self.expect_kw("NULL")
+                tn.not_null = True
+            if self.eat_kw("ENCODING"):
+                self.ident()
+                if self.eat_op("("):
+                    self.next()
+                    self.expect_op(")")
+            return A.AlterColumnType(table, cname, tn)
+        raise ParserError(
+            "expected RENAME, ADD, DROP or ALTER after ALTER TABLE")
 
     def _insert(self) -> A.Statement:
         self.expect_kw("INSERT")

@@ -45,7 +45,8 @@ class Catalog:
             seen = set()
             for i, c in enumerate(columns):
                 if isinstance(c, ColumnDescriptor):
-                    cd = ColumnDescriptor(c.name, c.type, i + 1, c.default)
+                    cd = ColumnDescriptor(c.name, c.type, i + 1, c.default,
+                                          comment=c.comment)
                 else:
                     cname, ti = c
                     cd = ColumnDescriptor(cname, ti, i + 1)

@@ -407,9 +407,11 @@ class PersistentCatalogStore:
                 "fragment_rows": t.fragment_rows,
                 "columns": [
                     {"name": cd.name, "col_id": cd.col_id,
-                     "type": _type_to_json(cd.type)}
+                     "type": _type_to_json(cd.type),
+                     "comment": cd.comment}
                     for cd in t.columns
                 ],
+                "comment": getattr(t, "comment", None),
                 "foreign": getattr(t, "foreign", None),
                 "shard_key": getattr(t, "shard_key", None),
                 "shard_count": getattr(t, "shard_count", 0),
@@ -453,7 +455,8 @@ class PersistentCatalogStore:
         out = []
         for tm in data["tables"]:
             cols = [
-                ColumnDescriptor(c["name"], _type_from_json(c["type"]), c["col_id"])
+                ColumnDescriptor(c["name"], _type_from_json(c["type"]),
+                                 c["col_id"], comment=c.get("comment"))
                 for c in sorted(tm["columns"], key=lambda c: c["col_id"])
             ]
             t = catalog.create_table(
@@ -461,6 +464,7 @@ class PersistentCatalogStore:
             )
             # preserve original table id mapping for on-disk dirs
             t.disk_table_id = tm["table_id"]
+            t.comment = tm.get("comment")
             if tm.get("foreign"):
                 t.foreign = dict(tm["foreign"])
                 t.foreign["loaded"] = False  # lazy re-import on first scan

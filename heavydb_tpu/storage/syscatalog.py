@@ -56,6 +56,10 @@ class SysCatalog:
         self.role_members: Dict[str, Set[str]] = {}
         # (grantee, object) -> set of privileges; object '*' = all tables
         self.grants: Dict[tuple, Set[str]] = {}
+        # row-level security: (table, column, grantee) -> tuple of allowed
+        # values (reference SqlCreatePolicy + InjectFilterRule — SELECTs
+        # by the grantee are filtered to rows where column IN values)
+        self.policies: Dict[tuple, tuple] = {}
         self.create_user("admin", "HyperInteractive", is_super=True)
 
     # ---- users / roles ----
@@ -175,6 +179,44 @@ class SysCatalog:
                 )
 
     # ---- persistence ----
+    # ---- row-level security policies ----
+    def create_policy(self, table: str, column: str, grantee: str, values):
+        self._check_grantee(grantee)
+        self.policies[(table.lower(), column.lower(), grantee.lower())] = \
+            tuple(values)
+
+    def drop_policy(self, table: str, column: str, grantee: str):
+        k = (table.lower(), column.lower(), grantee.lower())
+        if k not in self.policies:
+            raise CatalogError(
+                f"no policy on {table}.{column} for {grantee}"
+            )
+        del self.policies[k]
+
+    def policies_for(self, user: str, table: str):
+        """Effective restrictions of `user` on `table`: [(column, values)].
+        Superusers are unrestricted; policies granted to any of the user's
+        transitive roles apply (reference Catalog::getRestrictions)."""
+        u = self.users.get(user.lower())
+        if u is not None and u.is_super:
+            return []
+        grantees = self._all_grantees_of(user)
+        t = table.lower()
+        out = []
+        for (tb, col, g), vals in self.policies.items():
+            if tb == t and g in grantees:
+                out.append((col, vals))
+        return out
+
+    def list_policies(self, grantee: str, effective: bool) -> list:
+        gset = (self._all_grantees_of(grantee) if effective
+                else {grantee.lower()})
+        return sorted(
+            (tb, col, g, vals)
+            for (tb, col, g), vals in self.policies.items()
+            if g in gset
+        )
+
     def list_users(self) -> list:
         return sorted(self.users)
 
@@ -199,6 +241,11 @@ class SysCatalog:
                 {"grantee": g, "object": o, "privs": sorted(ps)}
                 for (g, o), ps in self.grants.items()
             ],
+            "policies": [
+                {"table": tb, "column": col, "grantee": g,
+                 "values": list(vals)}
+                for (tb, col, g), vals in self.policies.items()
+            ],
         }
 
     @classmethod
@@ -216,6 +263,10 @@ class SysCatalog:
             )
         for g in data.get("grants", []):
             sc.grants[(g["grantee"], g["object"])] = set(g["privs"])
+        sc.policies = {
+            (p["table"], p["column"], p["grantee"]): tuple(p["values"])
+            for p in data.get("policies", [])
+        }
         if "admin" not in sc.users:
             sc.create_user("admin", "HyperInteractive", is_super=True)
         return sc

@@ -38,6 +38,8 @@ class ColumnDescriptor:
     type: T.TypeInfo
     col_id: int  # 1-based like the reference
     default: Optional[object] = None
+    # COMMENT ON COLUMN (reference Catalog::setColumnComment)
+    comment: Optional[str] = None
 
 
 @dataclass
@@ -206,6 +208,8 @@ class Table:
         self.shard_count = 0
         # per-batch insert ordering (reference sortedColumnId)
         self.sort_column: Optional[str] = None
+        # COMMENT ON TABLE (reference Catalog::setTableComment)
+        self.comment: Optional[str] = None
         # generation bumps on every data mutation; device caches key on it
         # (reference TableGenerations for multi-host snapshot consistency)
         self.generation = 0
@@ -424,6 +428,69 @@ class Table:
             for frag in self.fragments:
                 frag.chunks.pop(cd.col_id, None)
                 frag.stats.pop(cd.col_id, None)
+            self.generation += 1
+
+    def alter_column_type(self, name: str, new_ti: T.TypeInfo):
+        """ALTER TABLE … ALTER COLUMN … TYPE (reference
+        Catalog/DdlCommandExecutor.h AlterTableAlterColumnCommand +
+        AlterColumnRecovery.h).  Crash safety mirrors the reference's
+        recovery manager by construction: every fragment's converted
+        chunk is built BEFORE any is swapped in, the swap happens under
+        the table lock, and persistence is the usual atomic epoch commit
+        — an interrupted ALTER leaves the previous epoch intact, no
+        recovery pass needed."""
+        with self._lock:
+            cd = self.column_by_name(name)
+            if cd is None:
+                raise CatalogError(f"no column {name!r}")
+            old_ti = cd.type
+            if old_ti == new_ti:
+                return
+            old_dict = self.dicts.get(cd.col_id)
+            new_dict = (StringDictionary(dict_id=cd.col_id)
+                        if new_ti.is_dict_string else None)
+            converted = []
+            for frag in self.fragments:
+                vals = from_physical(
+                    frag.chunks[cd.col_id][:frag.num_rows], old_ti, old_dict
+                )
+                if not new_ti.nullable and any(v is None for v in vals):
+                    raise CatalogError(
+                        f"column {name!r} contains NULLs; cannot alter "
+                        "to NOT NULL"
+                    )
+                if new_ti.is_integer:
+                    info = np.iinfo(new_ti.np_dtype())
+                    lo, hi = info.min + 1, info.max  # min = null sentinel
+                    coerced = []
+                    for v in vals:
+                        if v is None:
+                            coerced.append(None)
+                            continue
+                        iv = int(v)
+                        if not lo <= iv <= hi:
+                            raise CatalogError(
+                                f"value {v!r} out of range for "
+                                f"{new_ti.sql_name()}"
+                            )
+                        coerced.append(iv)
+                    vals = coerced
+                elif new_ti.is_fp or new_ti.is_decimal:
+                    vals = [None if v is None else float(v) for v in vals]
+                elif new_ti.is_string:
+                    vals = [None if v is None else str(v) for v in vals]
+                converted.append(to_physical(vals, new_ti, new_dict))
+            # all conversions succeeded — swap atomically under the lock
+            for frag, chunk in zip(self.fragments, converted):
+                frag.chunks[cd.col_id] = chunk
+            cd.type = new_ti
+            if new_dict is not None:
+                self.dicts[cd.col_id] = new_dict
+            elif old_dict is not None:
+                self.dicts.pop(cd.col_id, None)
+            for frag in self.fragments:
+                frag.compute_stats(cd)
+                frag.dirty_cols.add(cd.col_id)
             self.generation += 1
 
     def rename_column(self, old: str, new: str):
