@@ -230,8 +230,10 @@ def main():
             f"({arr.nbytes/1e6:.0f}MB in {per_bw*1e3:.2f}ms)")
         # calibration noise sometimes reads ABOVE the part's physical
         # HBM bandwidth (impossible — a lucky slope pair); clamp to
-        # 1.02x spec so one noisy read can't deflate vs_baseline
-        measured_bw = min(measured_bw, 1.02 * hbm_bw)
+        # 1.00x spec so probe overshoot can't deflate vs_baseline
+        # (the r2->r4 0.914->0.887 'drift' was exactly this: an 891GB/s
+        # reading inflating the denominator)
+        measured_bw = min(measured_bw, 1.00 * hbm_bw)
         hbm_bw = max(hbm_bw, measured_bw)
         sub["calibrated_bw_gbps"] = round(measured_bw / 1e9)
     except Exception as e:
@@ -303,6 +305,35 @@ def main():
                 log(f"{label} failed: {e2!r}")
                 sub[label + "_rows_per_s"] = None
 
+    # concurrency: N concurrent small read queries vs the same queries
+    # serial (reference ExecutorResourceMgr admission + QueryDispatchQueue
+    # concurrency; XLA async dispatch overlaps device work while other
+    # sessions plan/egress).  4 pre-warmed variants rotate so neither the
+    # kernel cache nor any identical-execution memoization flatters the
+    # concurrent run.
+    try:
+        qs = [f"SELECT count(*), sum(v) FROM g WHERE k1 > {c}"
+              for c in (100, 300, 500, 700)]
+        for q in qs:
+            db.sql(q).rows()  # warm compiles
+        t0 = time.perf_counter()
+        for i in range(16):
+            db.sql(qs[i % 4]).rows()
+        serial = time.perf_counter() - t0
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(4) as pool:
+            t0 = time.perf_counter()
+            list(pool.map(lambda i: db.sql(qs[i % 4]).rows(), range(16)))
+            conc = time.perf_counter() - t0
+        sub["concurrent_16q_serial_s"] = round(serial, 3)
+        sub["concurrent_16q_threads4_s"] = round(conc, 3)
+        sub["concurrent_speedup"] = round(serial / max(conc, 1e-9), 2)
+        log(f"concurrency: serial={serial:.3f}s 4-threads={conc:.3f}s "
+            f"speedup={serial / max(conc, 1e-9):.2f}x")
+    except Exception as e:
+        log(f"concurrency bench failed: {e!r}")
+
     # config 4: ORDER BY ... LIMIT (top-k) — full SQL wall (two runs;
     # second reflects warm caches + device work despite relay slop)
     try:
@@ -326,10 +357,10 @@ def main():
               "row_number() OVER (PARTITION BY k1 ORDER BY k2) "
               "FROM g LIMIT 5")
         t0 = time.perf_counter()
-        db.sql(qw)
+        db.sql(qw).rows()
         first = time.perf_counter() - t0
         t0 = time.perf_counter()
-        db.sql(qw)
+        db.sql(qw).rows()
         warm = time.perf_counter() - t0
         sub["window_20m_first_s"] = round(first, 2)
         sub["window_20m_warm_s"] = round(warm, 2)
@@ -387,7 +418,7 @@ def main():
     try:
         import subprocess
 
-        mh_rows = int(os.environ.get("HEAVYDB_TPU_BENCH_MH_ROWS", 300_000))
+        mh_rows = int(os.environ.get("HEAVYDB_TPU_BENCH_MH_ROWS", 1_000_000))
         r = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -398,10 +429,32 @@ def main():
         mh = json.loads(r.stdout.strip().splitlines()[-1])
         sub["weak_scaling_rows_per_host"] = mh["rows_per_host"]
         for nn, eff in mh["efficiency"].items():
-            sub[f"weak_scaling_eff_n{nn}"] = round(eff, 3)
+            # >1.0 is rig noise (per-host work is fixed); cap the headline
+            # and keep the raw reading alongside
+            sub[f"weak_scaling_eff_n{nn}"] = round(min(eff, 1.0), 3)
+            if eff > 1.0:
+                sub[f"weak_scaling_eff_n{nn}_raw"] = round(eff, 3)
         log(f"config5 weak scaling: {mh['efficiency']}")
     except Exception as e:
         log(f"config5 multihost failed: {e!r}")
+
+    # per-config fraction-of-roofline (VERDICT r4 #3): each throughput as
+    # a fraction of the HBM stream bandwidth at the config's MINIMUM
+    # one-pass byte traffic.  Sort-bound configs (sparse group-by, topk,
+    # windows) will sit well below 1 — that is the honest framing; the
+    # scan axis is the one that can approach 1.
+    bytes_per_row = {
+        "groupby_1k_perfect": 8.0,    # k1 + v read
+        "groupby_10m_sparse": 4.0,    # k2 read
+        "join_groupby": 8.0,          # probe k1 + v read (dim ~0)
+        "window_20m": 36.0,           # k1,k2,v read + k1,v,f64,i64 out
+        "topk_1b": 4.0,               # v read
+        "topk_1b_multikey": 8.0,      # k2 + v read
+    }
+    for tag, b in bytes_per_row.items():
+        rps = sub.get(tag + "_rows_per_s")
+        if rps:
+            sub[tag + "_vs_sol"] = round(rps * b / hbm_bw, 4)
 
     print(json.dumps({
         "metric": "scan_filter_agg_rows_per_s",

@@ -1123,7 +1123,7 @@ class Executor:
                         aux[ak] = self._dict_rank_table(ref)
                         rank_info[e.key()] = (ak, self.db.dict_by_ref(ref).size)
         cols, wcols = run_window(node, inp, aux, cache=self.kernel_cache,
-                                 rank_info=rank_info)
+                                 rank_info=rank_info, config=self.config)
         return B.Batch(
             list(cols) + list(wcols), inp.nrows, list(node.types)
         )

@@ -25,7 +25,7 @@ from heavydb_tpu.ops.sort import _sortable_operands
 from heavydb_tpu.plan import exprs as E
 
 
-def run_window(node, inp, aux, cache=None, rank_info=None):
+def run_window(node, inp, aux, cache=None, rank_info=None, config=None):
     """ONE jit'd program PER (partition, order) spec — each program carries
     a single multi-operand lax.sort, so XLA never sees all specs' sorts
     fused into one giant kernel (round-1: a multi-spec 20M-row window
@@ -80,21 +80,24 @@ def run_window(node, inp, aux, cache=None, rank_info=None):
             # helper (the standalone pieces compile fine); the split also
             # caches the sort stage across retries.  Intermediates stay
             # on device between the two dispatches.
-            # NOTE: window stages stay on the plain jit + XLA persistent
-            # cache (first query ~3s warm-machine).  Routing them through
-            # the plan-artifact cache was tried and reverted: the
-            # artifact-wrapped programs' compile keys did not reliably
-            # match the seeded executables, and a reader that misses pays
-            # a full remote compile of a 100M-row window program.
+            # Window stages ride the plan-artifact cache like Compounds
+            # (round-4 tried and reverted this; the failure mode — an
+            # artifact whose exp.call compile key missed the persistent
+            # executable cache — is fixed since _export_async compiles
+            # the artifact-wrapped program before publishing).
+            from heavydb_tpu.exec.executor import _ArtifactKernel
+
             jitted = (
-                jax.jit(_make_sort_kernel(
-                    node, inp, padded, present, wfuncs, widxs, aux_keys,
-                    rank_info or {}, mode,
-                )),
-                jax.jit(_make_fns_kernel(
-                    node, inp, padded, present, wfuncs, widxs, aux_keys,
-                    rank_info or {}, mode,
-                )),
+                _ArtifactKernel.wrap(("winsort",) + ck, jax.jit(
+                    _make_sort_kernel(
+                        node, inp, padded, present, wfuncs, widxs, aux_keys,
+                        rank_info or {}, mode,
+                    )), config),
+                _ArtifactKernel.wrap(("winfns",) + ck, jax.jit(
+                    _make_fns_kernel(
+                        node, inp, padded, present, wfuncs, widxs, aux_keys,
+                        rank_info or {}, mode,
+                    )), config),
             )
             if cache is not None:
                 cache[ck] = jitted

@@ -19,6 +19,15 @@ from typing import Dict, Optional
 
 import numpy as np
 
+try:  # import pyarrow BEFORE jax does heavy work: loading libarrow into a
+    # process whose XLA CPU thread pool is already hot intermittently
+    # corrupts the heap (observed: flaky SIGSEGV inside the first
+    # pa.array() of sql_execute_df, reproducible at 2-in-3 under the
+    # server test suite; early import eliminates it)
+    import pyarrow  # noqa: F401
+except Exception:  # pragma: no cover
+    pass
+
 from heavydb_tpu import connect
 from heavydb_tpu.errors import HeavyTpuError, QueryInterrupted
 from heavydb_tpu.server import protocol as P
@@ -85,23 +94,62 @@ class HeavyTpuServer:
         for sid in dead:
             self.sessions.pop(sid, None)
 
-    def _locks_for(self, query: str):
-        """Per-table write locks for a write statement, sorted by name
-        (deterministic order prevents deadlock); None → global lock."""
-        import re as _re
+    def _write_lock_keys(self, query: str):
+        """AST-derived write-lock keys for a statement batch — the writer
+        dispatch queue (reference QueryDispatchQueue.h:29 + LockMgr table
+        locks).  Returns a sorted list of lock KEYS: table names for
+        table-scoped writes, '#sys' for syscatalog mutations, '#catalog'
+        only for statements whose targets genuinely can't be determined.
+        [] = read-only (no lock).  Every statement CLASS is routed —
+        the old regex fallback took the global lock whenever the text
+        didn't match, serializing unrelated writers."""
+        from heavydb_tpu.sql import ast as A
+        from heavydb_tpu.sql.parser import parse_many
 
-        m = _re.findall(
-            r"(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|TABLE|INTO)\s+"
-            r"([A-Za-z_][\w]*)",
-            query, _re.I,
+        READ_ONLY = (
+            A.Select, A.Explain, A.ShowTables, A.ShowCreateTable,
+            A.ShowTableDetails, A.ShowUserSessions, A.ShowQueries,
+            A.ShowServers, A.ShowFunctions, A.ShowUsers, A.ShowRoles,
+            A.ShowPolicies, A.DescribeTable, A.ValidateStmt, A.KillQuery,
+            A.CopyTo,
         )
-        names = sorted({x.lower() for x in m})
-        if not names:
-            return None
+        SYS = (A.CreateUser, A.DropUser, A.AlterUser, A.CreateRole,
+               A.DropRole, A.GrantStmt, A.CreatePolicy, A.DropPolicy,
+               A.AlterSetting, A.CreateServer, A.DropServer)
+        try:
+            stmts = parse_many(query)
+        except Exception:
+            return ["#catalog"]
+        keys = set()
+        for st in stmts:
+            if isinstance(st, READ_ONLY):
+                continue
+            if isinstance(st, SYS):
+                keys.add("#sys")
+            elif isinstance(st, (A.InsertValues, A.InsertSelect, A.Update,
+                                 A.Delete, A.CopyFrom, A.AddColumn,
+                                 A.DropColumn, A.RenameColumn,
+                                 A.AlterColumnType, A.CommentOn)):
+                keys.add(st.table.lower())
+            elif isinstance(st, (A.CreateTable, A.DropTable, A.DumpTable,
+                                 A.RestoreTable, A.TruncateTable,
+                                 A.OptimizeTable, A.CreateView, A.DropView,
+                                 A.CreateForeignTable)):
+                keys.add(st.name.lower())
+            elif isinstance(st, A.RenameTable):
+                keys.add(st.old.lower())
+                keys.add(st.new.lower())
+            elif isinstance(st, A.RefreshForeignTables):
+                keys.update(t.lower() for t in st.tables)
+            else:
+                keys.add("#catalog")  # unknown class: serialize
+        return sorted(keys)
+
+    def _locks_for_keys(self, keys):
         with self._table_locks_guard:
             return [
-                self.table_locks.setdefault(nm, threading.Lock())
-                for nm in names
+                self.table_locks.setdefault(k, threading.Lock())
+                for k in keys
             ]
 
     # ---- dispatch ----
@@ -153,15 +201,12 @@ class HeavyTpuServer:
         t0 = time.time()
         self.running[s.id] = {"query": query, "start": t0}
         try:
-            is_write = _is_write(query)
-            if is_write:
-                locks = self._locks_for(query)
-                if locks is None:
-                    locks = [self.write_lock]
+            keys = self._write_lock_keys(query)
+            if keys:
                 import contextlib
 
                 with contextlib.ExitStack() as stack:
-                    for lk in locks:
+                    for lk in self._locks_for_keys(keys):
                         stack.enter_context(lk)
                     rs = self.db.sql(query, user=s.user)
             else:
@@ -251,7 +296,7 @@ class HeavyTpuServer:
         """Bulk columnar load (reference load_table_binary_columnar)."""
         self._session(session)
         arrays = {k: P.decode_array(v) for k, v in columns.items()}
-        with self.write_lock:
+        with self._locks_for_keys([table.lower()])[0]:
             self.db.load_table(table, arrays)
         return int(next(iter(arrays.values())).shape[0]) if arrays else 0
 

@@ -178,11 +178,19 @@ def test_table_level_write_locks_allow_disjoint_tables():
     sid = srv.rpc_connect()
     srv.rpc_sql_execute(sid, "CREATE TABLE wa (x INT)")
     srv.rpc_sql_execute(sid, "CREATE TABLE wb (x INT)")
-    locks_a = srv._locks_for("INSERT INTO wa VALUES (1)")
-    locks_b = srv._locks_for("INSERT INTO wb VALUES (1)")
+    locks_a = srv._locks_for_keys(srv._write_lock_keys("INSERT INTO wa VALUES (1)"))
+    locks_b = srv._locks_for_keys(srv._write_lock_keys("INSERT INTO wb VALUES (1)"))
     assert locks_a and locks_b and locks_a[0] is not locks_b[0]
     # same table -> same lock object (serialized)
-    assert srv._locks_for("INSERT INTO wa VALUES (2)")[0] is locks_a[0]
+    assert srv._locks_for_keys(
+        srv._write_lock_keys("INSERT INTO wa VALUES (2)"))[0] is locks_a[0]
+    # reads take no lock; ALTER/COMMENT/OPTIMIZE route to the table lock
+    assert srv._write_lock_keys("SELECT * FROM wa") == []
+    assert srv._write_lock_keys("COMMENT ON TABLE wa IS 'x'") == ["wa"]
+    assert srv._write_lock_keys(
+        "ALTER TABLE wa ALTER COLUMN x TYPE BIGINT") == ["wa"]
+    assert srv._write_lock_keys("OPTIMIZE TABLE wa") == ["wa"]
+    assert srv._write_lock_keys("CREATE USER zz (password='p')") == ["#sys"]
     # concurrent writers to different tables both complete
     errs = []
 
