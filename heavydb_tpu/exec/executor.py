@@ -2272,7 +2272,8 @@ class Executor:
 
         if afn.op in ("AREA", "PERIMETER", "CONTAINS", "CONTAINS_LITPOLY",
                       "NPOINTS", "INTERSECTS_LIT", "CONTAINS_SEG",
-                      "XMIN", "XMAX", "YMIN", "YMAX"):
+                      "XMIN", "XMAX", "YMIN", "YMAX",
+                      "NRINGS", "CENTROID_X", "CENTROID_Y"):
             res = self._geo_aux(afn, t, cid, rows, lengths, flat)
             self.aux_cache[cache_key] = res
             return res
@@ -2575,6 +2576,49 @@ class Executor:
                 )
             return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
                                             T.integer(False))),)
+        if afn.op == "NRINGS":
+            # reference ST_NRings: ring count incl. holes
+            out = np.full(n, -1, np.int32)
+            for i, r in enumerate(rows):
+                if r is None:
+                    continue
+                out[i] = sum(1 for _c, _ in geo_rings(r, kind))
+            return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                            T.integer(False))),)
+        if afn.op in ("CENTROID_X", "CENTROID_Y"):
+            # reference ST_Centroid: polygons area-weighted over rings
+            # (holes subtract), linestrings vertex mean, points identity
+            out = np.full(n, np.nan)
+            off = 0 if afn.op.endswith("X") else 1
+            poly = kind in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON)
+            for i, r in enumerate(rows):
+                if r is None:
+                    continue
+                if poly:
+                    num = 0.0
+                    den = 0.0
+                    for c, outer in geo_rings(r, kind):
+                        if len(c) < 6:
+                            continue
+                        x, y = c[0::2], c[1::2]
+                        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+                        cross = x * y2 - x2 * y
+                        a = cross.sum() / 2.0
+                        coord = (x + x2) if off == 0 else (y + y2)
+                        cm = (coord * cross).sum() / 6.0
+                        sgn = 1.0 if outer else -1.0
+                        num += sgn * abs(a) * (cm / a if a != 0 else 0.0)
+                        den += sgn * abs(a)
+                    if den != 0:
+                        out[i] = num / den
+                else:
+                    vals = [c[off::2] for c, _ in geo_rings(r, kind)
+                            if len(c) >= 2]
+                    if vals:
+                        allv = np.concatenate(vals)
+                        out[i] = float(allv.mean())
+            return (jax.device_put(B.pad_to(out, B.bucket(max(n, 1)),
+                                            T.double(True))),)
 
         def point_in(px, py, rings):
             """Even-odd point-in-polygon across ALL rings (outer rings and

@@ -155,10 +155,11 @@ class ExprCompiler:
                     "INTERSECTS_LIT", "ARR_EQ"):
             r = aux[0][ridc]
             return r == 1, okrid & (r != -1)
-        if e.op in ("AREA", "PERIMETER", "XMIN", "XMAX", "YMIN", "YMAX"):
+        if e.op in ("AREA", "PERIMETER", "XMIN", "XMAX", "YMIN", "YMAX",
+                    "CENTROID_X", "CENTROID_Y"):
             v = aux[0][ridc]
             return v, okrid & ~jnp.isnan(v)
-        if e.op == "NPOINTS":
+        if e.op in ("NPOINTS", "NRINGS"):
             v = aux[0][ridc]
             return v, okrid & (v >= 0)
         # SUBSCRIPT

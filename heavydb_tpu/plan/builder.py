@@ -971,6 +971,23 @@ class ExprBinder:
                 y = self._bind(ast_node.args[1])
                 return (E.Cast(x, T.double(x.type.nullable)),
                         E.Cast(y, T.double(y.type.nullable)))
+            if ast_node.name == "ST_CENTROID":
+                # centroid as an (x, y) scalar pair — usable anywhere a
+                # point is (ST_X/Y, ST_DISTANCE, ST_DWITHIN joins);
+                # reference ST_Centroid (ExtensionFunctionsGeo.hpp):
+                # area-weighted for polygons, vertex mean for lines
+                base = self._array_base(ast_node.args[0])
+                if not base.type.is_geo:
+                    raise BinderError("ST_CENTROID expects a geometry")
+                eti = base.type.elem_type()
+
+                def cfn(op):
+                    return E.ArrayFn(
+                        op=op, arr_ref=base.dict_ref, rowid=base,
+                        elem=eti, type=T.double(True),
+                    )
+
+                return cfn("CENTROID_X"), cfn("CENTROID_Y")
         base = self._array_base(ast_node)
         if base.type.kind != T.SQLTypeKind.GEO_POINT:
             raise BinderError("expected a POINT column or WKT literal")
@@ -1001,6 +1018,27 @@ class ExprBinder:
             return E.ArrayFn(
                 op=name[3:], arr_ref=base.dict_ref, rowid=base,
                 elem=base.type.elem_type(), type=T.double(True),
+            )
+        if name == "ST_WITHIN" and len(node.args) == 2:
+            # ST_Within(a, b) == ST_Contains(b, a)
+            # (reference ExtensionFunctionsGeo.hpp ST_Within → flipped
+            # ST_Contains)
+            return self._bind_geo_fn(A.FuncCall(
+                "ST_CONTAINS", [node.args[1], node.args[0]]
+            ))
+        if name == "ST_SRID" and len(node.args) == 1:
+            base = self._array_base(node.args[0])
+            if not base.type.is_geo:
+                raise BinderError("ST_SRID expects a geometry")
+            return E.Constant(int(base.type.comp_param or 0),
+                              T.integer(False))
+        if name == "ST_NRINGS" and len(node.args) == 1:
+            base = self._array_base(node.args[0])
+            if base.type.kind not in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
+                raise BinderError("ST_NRINGS expects a POLYGON")
+            return E.ArrayFn(
+                op="NRINGS", arr_ref=base.dict_ref, rowid=base,
+                elem=base.type.elem_type(), type=T.integer(True),
             )
         if name in ("ST_ASTEXT", "ST_ASWKT") and len(node.args) == 1:
             # geo projections already egress as WKT; AsText is identity

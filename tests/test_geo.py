@@ -160,3 +160,71 @@ def test_st_intersects(db):
     # containment without boundary crossing still intersects
     assert q("poly", "POLYGON((1 1, 2 1, 2 2, 1 2))") == [(True,), (False,)]
     assert q("p", "POLYGON((0 0, 4 0, 4 4, 0 4))") == [(True,), (False,)]
+
+
+def test_st_within(gdb):
+    # ST_Within(a, b) == ST_Contains(b, a) (ExtensionFunctionsGeo.hpp)
+    rows = gdb.sql(
+        "SELECT id FROM geo WHERE ST_Within(p, zone) ORDER BY id"
+    ).rows()
+    assert rows == [(1,)]
+    rows = gdb.sql(
+        "SELECT id FROM geo WHERE "
+        "ST_Within('POINT(1 1)', zone) ORDER BY id"
+    ).rows()
+    assert rows == [(1,), (2,)]
+
+
+def test_st_srid(gdb):
+    rows = gdb.sql(
+        "SELECT ST_SRID(p), ST_SRID(zone) FROM geo ORDER BY id LIMIT 1"
+    ).rows()
+    assert rows == [(0, 4326)]
+
+
+def test_st_nrings(db):
+    db.sql("CREATE TABLE pz (id INT, z POLYGON)")
+    db.sql("INSERT INTO pz VALUES "
+           "(1, 'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0),"
+           "(1 1, 2 1, 2 2, 1 2, 1 1))'), "
+           "(2, 'POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))'), (3, NULL)")
+    rows = db.sql("SELECT id, ST_NRings(z) FROM pz ORDER BY id").rows()
+    assert rows == [(1, 2), (2, 1), (3, None)]
+
+
+def test_st_centroid(db):
+    db.sql("CREATE TABLE cz (id INT, z POLYGON, p POINT)")
+    db.sql("INSERT INTO cz VALUES "
+           "(1, 'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT(3 7)'), "
+           "(2, 'POLYGON((0 0, 2 0, 2 6, 0 6, 0 0))', 'POINT(1 1)'), "
+           "(3, NULL, NULL)")
+    rows = db.sql(
+        "SELECT id, ST_X(ST_Centroid(z)), ST_Y(ST_Centroid(z)), "
+        "ST_X(ST_Centroid(p)) FROM cz ORDER BY id"
+    ).rows()
+    assert rows[0][1] == pytest.approx(2.0)
+    assert rows[0][2] == pytest.approx(2.0)
+    assert rows[0][3] == pytest.approx(3.0)
+    assert rows[1][1] == pytest.approx(1.0)
+    assert rows[1][2] == pytest.approx(3.0)
+    assert rows[2][1:] == (None, None, None)
+    # centroid usable inside distance predicates
+    got = db.sql(
+        "SELECT id FROM cz WHERE "
+        "ST_Distance(ST_Centroid(z), 'POINT(2 2)') < 0.01"
+    ).rows()
+    assert got == [(1,)]
+
+
+def test_st_centroid_with_hole(db):
+    db.sql("CREATE TABLE hz (z POLYGON)")
+    # square with an off-center hole: centroid shifts AWAY from the hole
+    db.sql("INSERT INTO hz VALUES "
+           "('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0),"
+           "(2 1, 3 1, 3 2, 2 2, 2 1))')")
+    x, y = db.sql(
+        "SELECT ST_X(ST_Centroid(z)), ST_Y(ST_Centroid(z)) FROM hz"
+    ).rows()[0]
+    # exact: (16*2 - 1*2.5)/15, (16*2 - 1*1.5)/15
+    assert x == pytest.approx((32 - 2.5) / 15)
+    assert y == pytest.approx((32 - 1.5) / 15)
