@@ -2759,16 +2759,21 @@ class Executor:
             and not any(k.startswith("err_") for k in d)
         ):
             return B.Batch(list(d["cols"]), 1, list(node.types))
-        # batch ALL control scalars into ONE device→host transfer (D2H
-        # round-trips dominate latency on remote-attached TPUs)
-        scalar_keys = [
-            k for k in d
-            if k == "n_out" or k == "num_groups" or k == "hash_unresolved"
-            or k == "radix_overflow"
-            or k.startswith("join_needed_") or k.startswith("join_hash_miss_")
-            or k.startswith("join_dup_") or k.startswith("err_")
-        ]
-        host = dict(zip(scalar_keys, jax.device_get([d[k] for k in scalar_keys])))
+        # batch ALL control scalars into ONE device→host transfer —
+        # genuinely one: device_get of a LIST fetches leaves
+        # SEQUENTIALLY, each a full relay round trip (~150ms); the
+        # kernel packs them into one int32 vector instead
+        from heavydb_tpu.exec.compound_kernel import ctrl_keys
+
+        scalar_keys = ctrl_keys(d)
+        if "ctrl_vec" in d:
+            host = dict(zip(
+                scalar_keys, jax.device_get(d["ctrl_vec"]).tolist()
+            ))
+        else:
+            host = dict(zip(
+                scalar_keys, jax.device_get([d[k] for k in scalar_keys])
+            ))
         if bool(host.get("err_count_distinct_overflow", False)):
             # hash claim table overflowed → redo with the sorted formulation
             plan.distinct_force_sort = True

@@ -243,13 +243,25 @@ def _seg_scan_ds(hi, lo, blocked0):
 
 def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
                     cap_rows: int, check_shift: int, n_regions: int,
-                    interpret: bool):
+                    interpret: bool, presorted: bool = False,
+                    ch: int = _CH):
     """Run one partition pass.  hb2/streams2: (rows,128) tiled input.
-    Returns (hb_out, stream_outs, flag[8,128])."""
+    Returns (hb_out, stream_outs, flag[8,128]).
+
+    presorted: the input rows are 128-aligned sorted runs (a previous
+    partition pass's output) — the tile bitonic warm-starts at level 8
+    and OTHER-REGION fringe elements ride RAW instead of being filtered
+    to SENT (replacing them would break the sorted-row precondition);
+    they sort to the tile edges, append into edge buckets as fringe,
+    and are dropped by the group stage's membership check.  NOTE: kept
+    OFF for the L2 pass — L1 run boundaries carry ~25% fringe (runs are
+    only ~8 rows), and riding that through L2 overflowed final
+    partitions (measured round 5); the SENT pre-filter both drops the
+    fringe and keeps rows sorted for the GROUP stage's warm start."""
     n_streams = len(streams2)
     ntiles = hb2.shape[0] // _R
     out_rows = n_regions * P * cap_rows
-    trip_shift = int(np.log2(_CH))
+    trip_shift = int(np.log2(ch))
 
     def kernel(*refs):
         h_ref = refs[0]
@@ -276,7 +288,7 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
                 cur_ref[b] = jnp.int32(0)
 
         hb = h_ref[...]
-        if check_shift >= 0:
+        if check_shift >= 0 and not presorted:
             # level 2: fringe rows carry another region's bucket bits,
             # stale rows are SENT-initialized — both filter by value
             l1b = lax.shift_right_logical(hb ^ _NBIAS,
@@ -290,43 +302,58 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
 
         @pl.when(n_valid > 0)
         def _process():
-            ops = _tile_bitonic(hb, [r[...] for r in s_refs], _R)
+            ops = _tile_bitonic(hb, [r[...] for r in s_refs], _R,
+                                presorted_rows=presorted)
             # scratch carries one SENT-padded chunk past the tile: the
-            # last bucket's chunked DMA may read up to _CH-1 rows past
-            # rend (trip counts round nrows up to _CH), and those
+            # last bucket's chunked DMA may read up to ch-1 rows past
+            # rend (trip counts round nrows up to ch), and those
             # overshoot rows must be self-identifying garbage, not an
             # OOB read of the 256-row tile
             for ci, (r, o) in enumerate(zip(scr, ops)):
-                fill = jnp.full((_CH, 128), _SENT, jnp.int32) if ci == 0 \
-                    else jnp.zeros((_CH, 128), o.dtype)
+                fill = jnp.full((ch, 128), _SENT, jnp.int32) if ci == 0 \
+                    else jnp.zeros((ch, 128), o.dtype)
                 r[...] = jnp.concatenate([o, fill], axis=0)
             hs = ops[0]
-
-            def count_below(thr):
-                return _sum_scalar((hs < thr).astype(jnp.int32))
 
             if check_shift >= 0:
                 base_u = lax.shift_left(region, jnp.int32(check_shift))
             else:
                 base_u = jnp.int32(0)
-            start = jnp.int32(0)
+            # ALL bucket boundaries at once, at ROW granularity (the
+            # element-exact ends were only ever consumed as floor/ceil
+            # row indices; boundary rows go to both buckets as fringe
+            # either way).  One (R,P) compare + one staged reduce
+            # replaces 2P data-dependent SCALAR reductions whose
+            # serialized latency — not their data volume — cost
+            # ~3.3ms/pass (probe_rg_inner round 5).
+            first_col = hs[:, 0:1]
+            last_col = hs[:, 127:128]
+            bidx = lax.broadcasted_iota(jnp.int32, (1, P), 1) \
+                + jnp.int32(1)
+            thr_vec = (base_u + lax.shift_left(
+                bidx, jnp.int32(shift))) ^ _NBIAS
+            rends_v = jnp.sum((first_col < thr_vec).astype(jnp.int32),
+                              axis=0, keepdims=True, dtype=jnp.int32)
+            r0s_v = jnp.sum((last_col < thr_vec).astype(jnp.int32),
+                            axis=0, keepdims=True, dtype=jnp.int32)
+            nvrows = _sum_scalar(
+                (first_col < jnp.int32(_SENT)).astype(jnp.int32))
+            prev_r0 = jnp.int32(0)
             total_trips = jnp.int32(0)
             chans = list(zip(scr, [houtb] + list(soutb)))
             for b in range(P):
                 if b == P - 1:
-                    end = n_valid
+                    rend = nvrows
                 else:
-                    thr = (base_u + lax.shift_left(
-                        jnp.int32(b + 1), jnp.int32(shift))) ^ _NBIAS
-                    end = jnp.minimum(count_below(thr), n_valid)
-                r0 = lax.shift_right_logical(start, jnp.int32(7))
-                rend = lax.shift_right_logical(end + jnp.int32(127),
-                                               jnp.int32(7))
+                    rend = jnp.minimum(rends_v[0, b], nvrows)
+                r0 = prev_r0
+                if b < P - 1:
+                    prev_r0 = jnp.minimum(r0s_v[0, b], nvrows)
                 nrows = jnp.maximum(rend - r0, 0)
                 trips = lax.shift_right_logical(
-                    nrows + jnp.int32(_CH - 1), jnp.int32(trip_shift))
+                    nrows + jnp.int32(ch - 1), jnp.int32(trip_shift))
                 cur = cur_ref[b]
-                fits = (cur + trips * jnp.int32(_CH)) \
+                fits = (cur + trips * jnp.int32(ch)) \
                     <= jnp.int32(cap_rows)
                 dst0 = region * jnp.int32(P * cap_rows) \
                     + jnp.int32(b * cap_rows)
@@ -342,21 +369,20 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
                     # a start();wait() pair per 4KB chunk serialized at
                     # ~1µs apiece and dominated the pass cost
                     def body(t, c):
-                        src = r0 + t * jnp.int32(_CH)
+                        src = r0 + t * jnp.int32(ch)
                         d = dst0 + c
                         for ci, (sref, oref) in enumerate(chans):
                             pltpu.make_async_copy(
-                                sref.at[pl.ds(src, _CH), :],
-                                oref.at[pl.ds(d, _CH), :],
+                                sref.at[pl.ds(src, ch), :],
+                                oref.at[pl.ds(d, ch), :],
                                 sem.at[jnp.int32(ci)]).start()
-                        return c + jnp.int32(_CH)
+                        return c + jnp.int32(ch)
 
                     lax.fori_loop(jnp.int32(0), trips, body, cur)
 
                 cur_ref[b] = jnp.where(fits, cur + nrows, cur)
                 total_trips = total_trips + jnp.where(
                     fits & (nrows > 0), trips, jnp.int32(0))
-                start = end
 
             # drain before this grid step ends: the next step overwrites
             # the scratch (DMA sources) and appends over this step's
@@ -365,8 +391,8 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
             def drain(t, z):
                 for ci, (sref, oref) in enumerate(chans):
                     pltpu.make_async_copy(
-                        sref.at[pl.ds(jnp.int32(0), _CH), :],
-                        oref.at[pl.ds(jnp.int32(0), _CH), :],
+                        sref.at[pl.ds(jnp.int32(0), ch), :],
+                        oref.at[pl.ds(jnp.int32(0), ch), :],
                         sem.at[jnp.int32(ci)]).wait()
                 return z
 
@@ -391,8 +417,8 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
         + [jax.ShapeDtypeStruct((8, 128), jnp.int32)]
     )
     scratch = (
-        [pltpu.VMEM((_R + _CH, 128), jnp.int32)]
-        + [pltpu.VMEM((_R + _CH, 128), s.dtype) for s in streams2]
+        [pltpu.VMEM((_R + ch, 128), jnp.int32)]
+        + [pltpu.VMEM((_R + ch, 128), s.dtype) for s in streams2]
         + [pltpu.SMEM((P,), jnp.int32),
            pltpu.SemaphoreType.DMA((1 + n_streams,))]
     )
@@ -415,7 +441,8 @@ def _partition_call(hb2, streams2, P: int, shift: int, region_log: int,
 
 
 def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
-                  cap_out_rows: int, interpret: bool):
+                  cap_out_rows: int, interpret: bool,
+                  presorted: bool = False):
     """Grid over final partitions (one 32k tile each).  Returns
     (hb_out, len_out, totals..., stats[8,128]) where stats[0,0] =
     num_groups, stats[0,1] = int-limb overflow flag."""
@@ -447,13 +474,14 @@ def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
             smem[3] = jnp.int32(0)   # int-limb overflow flag
 
         hb = h_ref[...]
-        if check_shift >= 0:
+        if check_shift >= 0 and not presorted:
             pb = lax.shift_right_logical(hb ^ _NBIAS,
                                          jnp.int32(check_shift))
             hb = jnp.where(pb == i, hb, _SENT)
 
         def _groupby_tile(hbv):
-            srt = _tile_bitonic(hbv, [r[...] for r in s_refs], _R)
+            srt = _tile_bitonic(hbv, [r[...] for r in s_refs], _R,
+                                presorted_rows=presorted)
             hs = srt[0]
             svals = srt[1:]
 
@@ -464,6 +492,14 @@ def _groupby_call(hb2, streams2, ops: Tuple[str, ...], check_shift: int,
                     jnp.int32, (_R, 128), 1) == 0))).astype(jnp.int32)
             nxt = _shift_up1(hs, jnp.asarray(_SENT, jnp.int32))
             keep = (hs != nxt) & jnp.logical_not(is_sent)
+            if check_shift >= 0 and presorted:
+                # fringe from neighbor partitions rode the sort RAW (a
+                # pre-sort SENT rewrite would break the sorted-row warm
+                # start); equal h implies equal partition, so dropping
+                # their segment-end records drops the whole segment
+                pbs = lax.shift_right_logical(hs ^ _NBIAS,
+                                              jnp.int32(check_shift))
+                keep = keep & (pbs == i)
 
             ln = _seg_scan(jnp.ones((_R, 128), jnp.int32), new_seg,
                            lambda a, b: a + b)
@@ -801,7 +837,8 @@ def sparse_groupby(gid, stream_vals, num_slots: int,
         hb2, s2, f1 = _partition_call(
             hb2, s2, P=1 << p1, shift=32 - p1, region_log=30,
             cap_rows=(cap1_rows if p2 > 0 else _R), check_shift=-1,
-            n_regions=1, interpret=interpret)
+            n_regions=1, interpret=interpret,
+            ch=(2 * _CH if p2 > 0 else _CH))
         flags.append(f1[0, 0])
     if p2 > 0:
         hb2, s2, f2 = _partition_call(
@@ -813,7 +850,8 @@ def sparse_groupby(gid, stream_vals, num_slots: int,
     cap_out_rows = _round_up(cap, 128) // 128 + 2 * _CH
     check3 = (32 - p1 - p2) if (p1 + p2) > 0 else -1
     chans, stats = _groupby_call(
-        hb2, s2, ops, check3, cap_out_rows, interpret=interpret)
+        hb2, s2, ops, check3, cap_out_rows, interpret=interpret,
+        presorted=(p1 + p2) > 0)
 
     def flat(x):
         return x.reshape(-1)[:cap]

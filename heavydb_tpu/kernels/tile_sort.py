@@ -63,8 +63,17 @@ def _row_xor(x, rs: int):
     return jnp.where(take_dn, dn, up)
 
 
-def _tile_bitonic(key, payloads, R: int):
-    """Sort one (R,128) tile ascending by int32 key; payloads follow."""
+def _tile_bitonic(key, payloads, R: int, presorted_rows: bool = False):
+    """Sort one (R,128) tile ascending by int32 key; payloads follow.
+
+    presorted_rows: every 128-lane ROW of the input is already sorted
+    ascending (radix partition outputs are concatenations of 128-aligned
+    sorted runs — every copied row is a contiguous row of an already-
+    sorted source tile).  The network then warm-starts at level 8: one
+    lane-reversal substage turns the all-ascending rows into the
+    alternating asc/desc 128-blocks level 8 expects, skipping levels
+    1-7 (28 of 120 compare-exchange substages, measured ~22% of the
+    sort)."""
     n = R * 128
     log_n = n.bit_length() - 1
     rows = lax.broadcasted_iota(jnp.int32, (R, 128), 0)
@@ -72,7 +81,15 @@ def _tile_bitonic(key, payloads, R: int):
     idx = rows * jnp.int32(128) + lanes
 
     ops = [key] + list(payloads)
-    for k in range(1, log_n + 1):
+    k_start = 1
+    if presorted_rows and log_n > 7:
+        # rows where bit 7 of idx is set (odd rows) must run descending
+        odd = (rows & jnp.int32(1)) == 1
+        ops = [
+            jnp.where(odd, _lane_xor_gather(o, 127), o) for o in ops
+        ]
+        k_start = 8
+    for k in range(k_start, log_n + 1):
         # descending blocks: bit k of index set
         desc = (lax.shift_right_logical(idx, jnp.int32(k)) &
                 jnp.int32(1)) == 1
