@@ -120,3 +120,89 @@ def test_kafka_source_gated(db):
     imp = db.stream_importer("s7", batch_size=10)
     imp.run(src, poll_timeout_s=0.01, idle_limit=1)
     assert db.sql("SELECT count(*), sum(a) FROM s7").rows() == [(3, 6)]
+
+
+class _FakeKafkaMessage:
+    """Mimics confluent_kafka.Message: .value() bytes, .error() None."""
+
+    def __init__(self, value: bytes, error=None):
+        self._v = value
+        self._e = error
+
+    def value(self):
+        return self._v
+
+    def error(self):
+        return self._e
+
+
+class _FakeKafkaBroker:
+    """In-process stand-in for a Kafka topic partition: producers append
+    records; consumers poll them in offset order with consumer-group
+    offset tracking — enough protocol surface to integration-test
+    KafkaSource + StreamImporter end-to-end without librdkafka
+    (reference KafkaImporter.cpp consumes the same way: poll loop,
+    error-frame skipping, offset resume)."""
+
+    def __init__(self):
+        self.log = []
+
+    def produce(self, value):
+        self.log.append(value if isinstance(value, bytes)
+                        else value.encode())
+
+    def consumer(self, group: str = "g0", start_offset: int = 0):
+        return _FakeKafkaConsumer(self, start_offset)
+
+
+class _FakeKafkaConsumer:
+    def __init__(self, broker, offset):
+        self.broker = broker
+        self.offset = offset
+
+    def poll(self, timeout_s):
+        if self.offset >= len(self.broker.log):
+            return None
+        m = _FakeKafkaMessage(self.broker.log[self.offset])
+        self.offset += 1
+        return m
+
+
+def test_kafka_adapter_against_fake_broker(db):
+    db.sql("CREATE TABLE ks (a INT, v DOUBLE, s TEXT)")
+    broker = _FakeKafkaBroker()
+    broker.produce("1,0.5,x\n2,1.5,y")   # multi-line message
+    broker.produce(b"3,2.5,z")
+    src = KafkaSource(consumer=broker.consumer())
+    imp = db.stream_importer("ks", batch_size=2)
+    imp.run(src, poll_timeout_s=0.02, idle_limit=2)
+    assert db.sql("SELECT count(*), sum(a) FROM ks").rows() == [(3, 6)]
+    # late-arriving records resume from the committed offset
+    broker.produce("4,3.5,w")
+    src2 = KafkaSource(consumer=broker.consumer(start_offset=2))
+    imp2 = db.stream_importer("ks", batch_size=10)
+    imp2.run(src2, poll_timeout_s=0.02, idle_limit=2)
+    assert db.sql("SELECT count(*), sum(a) FROM ks").rows() == [(4, 10)]
+
+
+def test_kafka_adapter_error_frames_skipped(db):
+    db.sql("CREATE TABLE ke (a INT)")
+    broker = _FakeKafkaBroker()
+    broker.produce("10")
+
+    class _ErrConsumer:
+        def __init__(self):
+            self.n = 0
+
+        def poll(self, timeout_s):
+            self.n += 1
+            if self.n == 1:
+                return _FakeKafkaMessage(b"", error="transport error")
+            if self.n == 2:
+                return _FakeKafkaMessage(b"20\n30")
+            return None
+
+    src = KafkaSource(consumer=_ErrConsumer())
+    imp = db.stream_importer("ke", batch_size=10)
+    imp.run(src, poll_timeout_s=0.02, idle_limit=2)
+    assert db.sql("SELECT sum(a) FROM ke").rows() == [(50,)]
