@@ -456,6 +456,18 @@ def main():
         if rps:
             sub[tag + "_vs_sol"] = round(rps * b / hbm_bw, 4)
 
+    # drain background plan-artifact exports before exiting: they run on
+    # daemon threads, and a seeding run that exits early writes nothing —
+    # the NEXT run's first-query metrics then pay a full re-trace
+    try:
+        from heavydb_tpu.exec.executor import _ArtifactKernel
+
+        t0 = time.time()
+        _ArtifactKernel.drain_exports(timeout_s=900)
+        log(f"artifact export drain: {time.time()-t0:.0f}s")
+    except Exception as e:
+        log(f"export drain failed: {e!r}")
+
     print(json.dumps({
         "metric": "scan_filter_agg_rows_per_s",
         "value": rows_per_s,

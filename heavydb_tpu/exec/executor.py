@@ -2941,6 +2941,7 @@ class _ArtifactKernel:
     kernel."""
 
     _export_gate = None  # class-level: serialize background exports
+    _pending_exports = []  # live export threads (drain_exports joins)
 
     def __init__(self, disk_key_base: str, jitted):
         self._base = disk_key_base
@@ -3090,7 +3091,24 @@ class _ArtifactKernel:
                     pass
 
         self._exported = True
-        threading.Thread(target=work, daemon=True).start()
+        t = threading.Thread(target=work, daemon=True)
+        _ArtifactKernel._pending_exports.append(t)
+        t.start()
+
+    @classmethod
+    def drain_exports(cls, timeout_s: float = 600.0):
+        """Join outstanding background artifact exports (bench/seed runs
+        call this before exiting — the exports run on daemon threads and
+        a short-lived process otherwise dies before writing anything,
+        leaving every 'first query' metric paying a full re-trace)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        for t in list(cls._pending_exports):
+            t.join(max(0.0, deadline - _time.monotonic()))
+        cls._pending_exports = [
+            t for t in cls._pending_exports if t.is_alive()
+        ]
 
     def __call__(self, *args):
         fn = self._fn

@@ -8,13 +8,6 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-try:  # load libarrow BEFORE XLA's CPU thread pool gets hot: a late
-    # first import intermittently corrupts the heap (flaky SIGSEGV in
-    # the first pa.array(); see server.py note — same root cause)
-    import pyarrow as _pa_early  # noqa: F401
-except Exception:  # pragma: no cover
-    pass
-
 from heavydb_tpu import types as T
 from heavydb_tpu.storage.table import from_physical
 
