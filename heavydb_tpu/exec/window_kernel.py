@@ -652,6 +652,7 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart,
             lo_unb, hi_unb = b1[0] == "UP", b2[0] == "UF"
             group_starts = None
             rows_w = None
+            rows_offsets = None
             if not lo_unb and not hi_unb:
                 if unit == "RANGE":
                     group_starts = pstart | ostart
@@ -661,8 +662,10 @@ def _compute_one(w: E.WindowFunc, comp: ExprCompiler, s_rows, pstart, ostart,
                     hi_off = -b2[1] if b2[0] == "P" else (
                         b2[1] if b2[0] == "F" else 0)
                     rows_w = max(hi_off - lo_off + 1, 1)
+                    rows_offsets = (int(lo_off), int(hi_off))
             return W.framed_agg(val, valid, pstart, lo, hi, kind, acc,
-                                lo_unb, hi_unb, rows_w, group_starts)
+                                lo_unb, hi_unb, rows_w, group_starts,
+                                rows_offsets=rows_offsets)
         if w.order_by:
             return W.running_agg(val, valid, pstart, ostart, kind, acc)
         return W.whole_partition_agg(val, valid, pstart, kind, acc)

@@ -432,7 +432,7 @@ def _window_minmax_table(x, lo, hi, max_width: int, op, ident):
 def framed_agg(vals, valid, pstart, lo, hi, kind: str, acc_dtype,
                lo_unbounded: bool, hi_unbounded: bool,
                rows_max_width: Optional[int] = None,
-               group_starts=None):
+               group_starts=None, rows_offsets=None):
     """SUM/COUNT/AVG/MIN/MAX over the per-row frame [lo, hi] (row-space
     bounds already clamped to the partition; empty frame iff lo > hi).
 
@@ -445,6 +445,16 @@ def framed_agg(vals, valid, pstart, lo, hi, kind: str, acc_dtype,
     n = vals.shape[0]
     ok = valid if valid is not None else jnp.ones(n, jnp.bool_)
     empty = lo > hi
+    if rows_offsets is not None and kind in ("SUM", "AVG", "COUNT") \
+            and not (kind in ("SUM", "AVG")
+                     and _ds_eligible(acc_dtype, n, vals)):
+        # bounded ROWS frame with STATIC offsets: the prefix lookups are
+        # shifts of the cumsum except where the frame clamps at the
+        # partition edge — there the boundary value propagates from the
+        # edge (two scans + static shifts; the gather formulation cost
+        # two ~480ms random gathers at 2^27, round 5)
+        return _rows_frame_agg(vals, ok, pstart, rows_offsets, kind,
+                               acc_dtype, empty)
     loc = jnp.clip(lo, 0, n - 1)
     hic = jnp.clip(hi, 0, n - 1)
     # counts in int32 (n < 2^31; int64 cumsum is emulated and slow on TPU)
@@ -496,6 +506,45 @@ def framed_agg(vals, valid, pstart, lo, hi, kind: str, acc_dtype,
                                        ident)
         return out, cnt > 0
     raise ValueError(kind)
+
+
+def _rows_frame_agg(vals, ok, pstart, rows_offsets, kind, acc_dtype,
+                    empty):
+    """SUM/AVG/COUNT over [i+lo_off, i+hi_off] clamped to the partition,
+    gather-free: global inclusive cumsums, static shifts for in-range
+    lookups, and partition-edge boundary values via propagation."""
+    lo_off, hi_off = rows_offsets
+    n = vals.shape[0]
+    i = jnp.arange(n, dtype=jnp.int32)
+    ps, pe = segment_bounds(pstart)
+    endf = jnp.concatenate([pstart[1:], jnp.ones(1, jnp.bool_)])
+
+    def framed_sum(contrib, dt):
+        c = SC.cumsum(jnp.asarray(contrib, dt))
+        zero = jnp.asarray(0, dt)
+        # c just before the partition start (0 for the first partition)
+        c_prev = _static_shift(c, 1, zero)
+        c_before, _ = seg_propagate(pstart, c_prev, c_prev)
+        c_end = seg_propagate(endf, c, reverse=True)
+        # c[min(i+hi_off, pe)]
+        hi_in = (i + jnp.int32(hi_off)) <= pe
+        c_hi = jnp.where(hi_in, _static_shift(c, -hi_off, zero), c_end)
+        # low side clamps at ps → c[ps-1] = c_before
+        lo_in = (i + jnp.int32(lo_off)) >= ps
+        c_lo = jnp.where(lo_in, _static_shift(c, -(lo_off - 1), zero),
+                         c_before)
+        return c_hi - c_lo
+
+    cnt = framed_sum(ok.astype(jnp.int32), jnp.int32)
+    cnt = jnp.where(empty, 0, cnt)
+    if kind == "COUNT":
+        return cnt, None
+    s = framed_sum(jnp.where(ok, jnp.asarray(vals, acc_dtype),
+                             jnp.asarray(0, acc_dtype)), acc_dtype)
+    s = jnp.where(empty, jnp.asarray(0, acc_dtype), s)
+    if kind == "AVG":
+        return s / jnp.maximum(cnt, 1), cnt > 0
+    return s, cnt > 0
 
 
 def frame_bounds(pstart, ostart, frame):
