@@ -795,8 +795,11 @@ class Executor:
                         safe = jnp.clip(val, 0, tbl.shape[0] - 1)
                         val = jnp.where(val >= 0, tbl[safe], -1)
                     key_tvs.append((val, valid))
-                perm, vsorted = S.sort_permutation(key_tvs, key_specs, in_domain)
-                return tuple(c[perm] for c in cols)
+                # all output columns ride the sort as payloads — a
+                # per-column permutation gather costs ~480ms at 2^27
+                _p, _v, sorted_cols = S.sort_permutation(
+                    key_tvs, key_specs, in_domain, payloads=cols)
+                return sorted_cols
 
             jitted = jax.jit(sort_kernel)
             self.kernel_cache[ck] = jitted

@@ -212,9 +212,14 @@ def sort_permutation(
     key_tvs: Sequence[TV],
     specs: Sequence[Tuple[bool, bool]],  # (asc, nulls_first) per key
     mask,  # valid-row mask or None
+    payloads: Sequence = (),
 ):
-    """Returns (perm[N] int32, valid_sorted[N] bool): row indices in output
-    order, invalid rows pushed to the end."""
+    """Returns (perm[N] int32, valid_sorted[N] bool, sorted_payloads):
+    row indices in output order, invalid rows pushed to the end.
+    `payloads` ride the sort as extra operands (~10-15ms each at 2^25)
+    instead of being gathered through the permutation afterwards (one
+    random gather costs ~480ms at the same size — round-5 measurement,
+    same economics as the window kernel's payload plan)."""
     n = key_tvs[0][0].shape[0] if key_tvs else mask.shape[0]
     in_domain = mask if mask is not None else jnp.ones(n, jnp.bool_)
     operands = [(~in_domain).astype(jnp.int8)]
@@ -223,5 +228,7 @@ def sort_permutation(
         operands.append(nullr)
         operands.append(v)
     rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
-    res = lax.sort(operands + [rows], num_keys=len(operands), is_stable=True)
-    return res[-1], res[0] == 0
+    res = lax.sort(operands + [rows] + list(payloads),
+                   num_keys=len(operands), is_stable=True)
+    k = len(operands)
+    return res[k], res[0] == 0, tuple(res[k + 1:])
