@@ -128,7 +128,39 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
     return per, first_wall
 
 
+def _device_init_or_die(timeout_s: int = 900):
+    """jax.devices() with a hard timeout: a wedged TPU relay claim
+    (observed round 5: a killed client's grant blocked every new claim
+    for hours) otherwise hangs the whole bench with nothing recorded."""
+    import threading
+
+    ok = []
+
+    def work():
+        import jax
+
+        jax.devices()
+        ok.append(True)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        log(f"TPU init did not complete within {timeout_s}s "
+            "(relay claim wedged?) — recording a failure line")
+        print(json.dumps({
+            "metric": "scan_filter_agg_rows_per_s",
+            "value": 0,
+            "unit": "rows/s",
+            "vs_baseline": 0.0,
+            "sub": {"error": f"device init timeout after {timeout_s}s"},
+            "measurement_sane": False,
+        }), flush=True)
+        os._exit(0)
+
+
 def main():
+    _device_init_or_die()
     import jax
 
     import numpy as np
