@@ -1730,6 +1730,15 @@ class Database:
 
             n = import_geo(self, st.table, st.path, st.options)
             return _string_result("result", [f"Loaded: {n} recs"])
+        if src_type == "raster_file" or (
+            not src_type
+            and st.path.lower().endswith((".tif", ".tiff", ".asc", ".xyz"))
+        ):
+            # reference GDAL raster import (RasterImporter.cpp)
+            from heavydb_tpu.io.raster_import import import_raster
+
+            n = import_raster(self, st.table, st.path, st.options)
+            return _string_result("result", [f"Loaded: {n} recs"])
         t = self.catalog.get_table_opt(st.table)
         if t is None:
             # auto-create with detected schema (reference detect_column_types)
