@@ -805,9 +805,9 @@ class Database:
     def _rowids_to_object(self, ref, rowids: np.ndarray):
         """Array-column result decode: device rowids → object ndarray of
         per-row element arrays (None = NULL / out of range)."""
-        tid, cid = ref
+        tid, cid = ref[:2]
         t = self.catalog.get_table_by_id(tid)
-        payload = t.column_values(cid)
+        payload = self.executor._geo_xform_rows(t, cid, ref)
         out = np.empty(len(rowids), object)
         np_len = len(payload)
         for j, rid in enumerate(rowids.tolist()):
@@ -832,7 +832,7 @@ class Database:
         return rs
 
     def dict_by_ref(self, ref):
-        table_id, col_id = ref
+        table_id, col_id = ref[:2]
         if table_id == "$transient":
             return self._transient_dicts[col_id]
         t = self.catalog.get_table_by_id(table_id)

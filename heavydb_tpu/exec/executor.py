@@ -2187,20 +2187,40 @@ class Executor:
             return self._geobbox_aux(payload)
         raise NotSupported(f"aux {kind}")
 
+    def _geo_xform_rows(self, t, cid, arr_ref):
+        """Column payload rows, with the dict_ref[2] geometry-transform
+        chain applied (GEOS-runtime role, ops/geo_construct.py)."""
+        rows = t.column_values(cid)
+        if len(arr_ref) > 2 and arr_ref[2]:
+            from heavydb_tpu.ops.geo_construct import apply_steps
+
+            kind = t.column_by_id(cid).type.kind
+            rows = apply_steps(
+                rows, kind, arr_ref[2],
+                lambda rt, rc:
+                    self.db.catalog.get_table_by_id(rt).column_values(rc),
+            )
+        return rows
+
     def _geobbox_aux(self, arr_ref):
         """Per-row bounding-box min corner + grid cell size for geo joins
         (reference BoundingBoxIntersectJoinHashTable bucket sizing: cell =
         the largest bbox extent, so every bbox spans ≤ 2 cells/axis)."""
         from heavydb_tpu.storage.table import geo_rings
 
-        tid, cid = arr_ref
+        tid, cid = arr_ref[:2]
         t = self.db.catalog.get_table_by_id(tid)
-        cache_key = ("geobbox", tid, cid, t.generation)
+        cache_key = ("geobbox", tid, cid, t.generation,
+                     arr_ref[2] if len(arr_ref) > 2 else None)
         hit = self.aux_cache.get(cache_key)
         if hit is not None:
             return hit
         kind = t.column_by_id(cid).type.kind
-        rows = t.column_values(cid)
+        if len(arr_ref) > 2 and arr_ref[2]:
+            from heavydb_tpu.ops.geo_construct import result_kind
+
+            kind = result_kind(kind, arr_ref[2])
+        rows = self._geo_xform_rows(t, cid, arr_ref)
         n = len(rows)
         xmin = np.full(n, np.nan)
         ymin = np.full(n, np.nan)
@@ -2238,14 +2258,14 @@ class Executor:
         1 true / 0 false / -1 NULL) precomputed per table row with
         three-valued semantics (reference ArrayIR.cpp codegenArrayAt /
         Analyzer::BinOper kANY-kALL lowering)."""
-        tid, cid = afn.arr_ref
+        tid, cid = afn.arr_ref[:2]
         t = self.db.catalog.get_table_by_id(tid)
         cache_key = ("array", afn.op, afn.key(), tid, cid, t.generation)
         hit = self.aux_cache.get(cache_key)
         if hit is not None:
             return hit
         eti = afn.elem
-        rows = t.column_values(cid)
+        rows = self._geo_xform_rows(t, cid, afn.arr_ref)
         n = len(rows)
         lengths = np.array(
             [-1 if r is None else len(r) for r in rows], np.int32

@@ -1143,6 +1143,42 @@ class ExprBinder:
                 arr_ref=base.dict_ref, rowid=base,
                 elem=base.type.elem_type(), type=T.double(True),
             )  # ST_LENGTH == open-path perimeter (LINESTRING)
+        if name == "ST_BUFFER" and len(node.args) == 2:
+            # GEOS-runtime role (RelAlgTranslatorGeo.cpp:335): geometry-
+            # valued transform applied host-side at aux/egress time; the
+            # transform chain rides in dict_ref[2] past the device plan
+            base = self._array_base(node.args[0])
+            dist = self._bind(node.args[1])
+            if not isinstance(dist, E.Constant) or dist.value is None:
+                raise NotSupported("ST_BUFFER distance must be a constant")
+            d = float(dist.value)
+            if dist.type.is_decimal:
+                d /= 10 ** dist.type.scale
+            k0 = base.type.kind
+            if k0 == K.GEO_POINT:
+                nk = K.GEO_POLYGON
+            elif k0 in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
+                if d != 0.0:
+                    raise NotSupported(
+                        "ST_BUFFER on polygons supports radius 0 only "
+                        "(no GEOS in this build)")
+                nk = k0
+            else:
+                raise NotSupported("ST_BUFFER on LINESTRING")
+            return self._with_geo_step(base, ("BUFFER", d), nk)
+        if name in ("ST_UNION", "ST_INTERSECTION", "ST_DIFFERENCE") \
+                and len(node.args) == 2:
+            op = name[3:]
+            a_ast, b_ast = node.args
+            if self._geo_literal_wkt(a_ast) is not None \
+                    and op != "DIFFERENCE":
+                a_ast, b_ast = b_ast, a_ast  # commutative: column first
+            base = self._array_base(a_ast)
+            if base.type.kind not in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
+                raise BinderError(f"{name} expects polygon arguments")
+            spec = self._geo_operand_spec(b_ast, base)
+            return self._with_geo_step(
+                base, (op, spec), K.GEO_MULTIPOLYGON)
         if name == "ST_CONTAINS" and len(node.args) == 2:
             poly_ast, pt_ast = node.args
             # literal polygon + point column → test the point column
@@ -1196,6 +1232,61 @@ class ExprBinder:
                 type=T.boolean(True),
             )
         return None
+
+    def _with_geo_step(self, base: E.InputRef, step, new_kind):
+        """Clone a geo InputRef with one more host-side geometry-transform
+        step in dict_ref[2] and the transformed static type."""
+        import dataclasses
+
+        ref = base.dict_ref
+        steps = (ref[2] if len(ref) > 2 else ()) + (step,)
+        srid = int(base.type.comp_param or 0)
+        return dataclasses.replace(
+            base,
+            type=T.geo(new_kind, srid=srid, nullable=True,
+                       compressed=False),
+            dict_ref=(ref[0], ref[1], steps),
+        )
+
+    def _geo_literal_wkt(self, ast) -> Optional[str]:
+        if isinstance(ast, A.Literal) and ast.kind == "string":
+            return str(ast.value)
+        if isinstance(ast, A.FuncCall) and ast.name in (
+            "ST_GEOMFROMTEXT", "ST_GEOGFROMTEXT"
+        ) and ast.args and isinstance(ast.args[0], A.Literal):
+            return str(ast.args[0].value)
+        return None
+
+    def _geo_operand_spec(self, ast, base: E.InputRef):
+        """Second operand of a polygon boolean op: a WKT literal (any
+        table) or an untransformed polygon column of the SAME table
+        (row-aligned)."""
+        from heavydb_tpu.storage.table import wkt_to_coords
+
+        K = T.SQLTypeKind
+        wkt = self._geo_literal_wkt(ast)
+        if wkt is not None:
+            tag = wkt.strip().split("(", 1)[0].strip().upper()
+            kind = {"POLYGON": K.GEO_POLYGON,
+                    "MULTIPOLYGON": K.GEO_MULTIPOLYGON}.get(tag)
+            if kind is None:
+                raise NotSupported(
+                    "polygon boolean ops take POLYGON/MULTIPOLYGON "
+                    "operands")
+            payload = wkt_to_coords(wkt, kind)
+            return ("lit", kind.name, tuple(payload.tolist()))
+        other = self._array_base(ast)
+        if other.type.kind not in (K.GEO_POLYGON, K.GEO_MULTIPOLYGON):
+            raise BinderError("polygon boolean ops expect polygons")
+        if len(other.dict_ref) > 2:
+            raise NotSupported(
+                "transformed geometry as the second boolean operand")
+        if other.dict_ref[0] != base.dict_ref[0]:
+            raise NotSupported(
+                "polygon boolean second operand must be a literal or a "
+                "column of the same table")
+        return ("col", other.dict_ref[0], other.dict_ref[1],
+                other.type.kind.name)
 
     def _bind_FuncCall(self, node: A.FuncCall) -> E.Expr:
         name = node.name

@@ -84,6 +84,10 @@ class InputRef(Expr):
     dict_ref: Optional[tuple] = None
 
     def _key_parts(self):
+        # a geo transform chain (dict_ref[2], builder._with_geo_step)
+        # makes the ref a DIFFERENT expression than the raw column
+        if self.dict_ref is not None and len(self.dict_ref) > 2:
+            return (self.input_idx, self.field_idx, self.dict_ref[2])
         return (self.input_idx, self.field_idx)
 
     def __repr__(self):
