@@ -109,9 +109,28 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
             cond, body, (jnp.int32(0), carry0)
         )[1]
 
+    # the while_loop wrapper can push a fused scan past the default 16MB
+    # scoped-vmem heuristic cap (seen on the LUT-join + group-by chain:
+    # "Ran out of memory in memory space vmem ... scoped") — raise the
+    # cap for THIS compile only; fall back to the plain jit call when the
+    # toolchain rejects per-compile options
+    call = [looped]
+
     def run_chain(K, seed):
         t1 = time.perf_counter()
-        out = looped(jnp.int64(seed), jnp.int32(K), *args)
+        try:
+            out = call[0](jnp.int64(seed), jnp.int32(K), *args)
+        except Exception as e:
+            if "vmem" not in repr(e).lower() or call[0] is not looped:
+                raise
+            compiled = looped.lower(
+                jnp.int64(seed), jnp.int32(K), *args
+            ).compile(
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": 65536}
+            )
+            call[0] = lambda c0, k, *a: compiled(c0, k, *a)
+            t1 = time.perf_counter()
+            out = call[0](jnp.int64(seed), jnp.int32(K), *args)
         float(jax.device_get(out))
         return time.perf_counter() - t1
 
