@@ -58,23 +58,19 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
     kernel, layout = ex._get_kernel(node, batches, plan)
     args = list(ex._kernel_args(batches, plan, layout))
 
-    # choose the arg to carry-perturb: prefer a SCALAR (perturbing a big
-    # column adds a full materialize+read per iteration and inflates the
-    # measured cost); eps is almost always 0 so results are unchanged
-    pert_idx = None
-    padded = batches[0].padded
-    for i, a in enumerate(args):
-        if hasattr(a, "shape") and getattr(a, "ndim", None) == 0 \
-                and a.dtype in (jnp.int32, jnp.int64):
-            pert_idx = i
-            break
-    if pert_idx is None:
-        for i, a in enumerate(args):
-            if hasattr(a, "shape") and a.ndim == 1 \
-                    and a.shape[0] == padded and a.dtype != jnp.bool_:
-                pert_idx = i
-                break
-    if pert_idx is None:
+    # carry-perturb EVERY non-bool arg (eps is 0 at runtime but not
+    # provably, and the +eps adds fuse into consumers, so the cost is
+    # ~nothing).  Perturbing only one scalar let XLA hoist every
+    # subcomputation that didn't read it as loop-invariant — the r4/r5
+    # join_groupby "5.5G rows/s" was such an artifact: the real kernel
+    # measured 596ms/iter single-shot while the chain reported 3.7ms
+    # because the whole join probe was hoisted out of the loop.
+    pert_idxs = [
+        i for i, a in enumerate(args)
+        if hasattr(a, "shape") and a.dtype != jnp.bool_
+        and getattr(a, "ndim", 2) <= 1
+    ]
+    if not pert_idxs:
         raise RuntimeError("no perturbable arg")
 
     # ONE compiled program serves every K: the trip count is a RUNTIME
@@ -89,10 +85,11 @@ def chain_engine_kernel(db, query: str, n_rows: int, label: str,
 
         def body(state):
             i, carry = state
-            pc = all_args[pert_idx]
-            eps = (carry >> jnp.int64(62)).astype(pc.dtype)
+            eps64 = carry >> jnp.int64(62)
             a2 = list(all_args)
-            a2[pert_idx] = pc + eps
+            for pi in pert_idxs:
+                pc = all_args[pi]
+                a2[pi] = pc + eps64.astype(pc.dtype)
             out = kernel(*a2)
             # consume EVERY output column (any unconsumed output — and
             # its whole compute slice — gets dead-code-eliminated; n_out

@@ -471,6 +471,27 @@ def _build_compound_kernel(node, batches, plan, config):
                     pbuild = J.build_perfect(
                         bkey, bvalid, nrows[bi], jp.key_min, jp.key_range
                     )
+                    if jp.unique_build:
+                        # PK-FK fast path: slot → build_row composed on
+                        # the build side; ONE per-row lookup pass total
+                        bidx_u, cnt, matched_u = J.probe_perfect_unique(
+                            pbuild, pkey, pvalid_m, jp.key_range, mask
+                        )
+                        join_dups[li] = cnt.max() > 1
+                        join_needed.append(jnp.asarray(0, jnp.int64))
+                        idx[bi] = bidx_u
+                        if left_outer:
+                            matched[bi] = matched_u
+                        else:
+                            mask = mask & matched_u
+                            matched[bi] = None
+                        trivial = False
+                        tv_cache.clear()
+                        if jp.residual:
+                            rc = domain_compiler(jp.residual)
+                            for r in jp.residual:
+                                mask = mask & rc.compile_predicate(r)
+                        continue
                     lo, cnt = J.probe_perfect(
                         pbuild, pkey, pvalid_m, jp.key_range
                     )

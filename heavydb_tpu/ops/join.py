@@ -53,6 +53,14 @@ def lut_gather(tables, idx):
     n = int(idx.shape[0])
     if B > _LUT_MAX_TABLE or n < _LUT_MIN_ROWS:
         return None
+    # every limb column is bf16 and the dot runs at DEFAULT precision
+    # (single MXU pass, ~1.9x the 6-pass HIGHEST f32 protocol measured at
+    # 20M rows) — EXACT regardless: one-hot entries are 0/1 (exact in
+    # bf16), 8-bit integer limbs are <= 255 (exact in bf16), and every
+    # output element receives exactly ONE non-zero product into the f32
+    # accumulator.  f32 tables split into three bf16 limbs (Dekker-style:
+    # hi = bf16(x), mid = bf16(x - hi), lo = x - hi - mid; the three
+    # mantissa fields are disjoint so the f32 sum hi+mid+lo is exact).
     cols = []
     spec = []
     for t in tables:
@@ -60,26 +68,31 @@ def lut_gather(tables, idx):
         if t.shape[0] != B:
             return None
         if dt.kind == "f" and dt.itemsize == 4:
-            cols.append(jnp.asarray(t, jnp.float32))
-            spec.append(("f32", 1))
+            x = jnp.asarray(t, jnp.float32)
+            hi = x.astype(jnp.bfloat16)
+            r1 = x - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            cols += [hi, mid, lo]
+            spec.append(("f32", 3))
         elif dt.kind in "iub" and dt.itemsize <= 4:
             u = jnp.asarray(t, jnp.int32)
-            hi = jnp.right_shift(u, 16).astype(jnp.float32)
-            lo = (u & jnp.int32(0xFFFF)).astype(jnp.float32)
-            cols.append(hi)
-            cols.append(lo)
-            spec.append(("i32", 2, dt))
+            cols += [
+                (jnp.right_shift(u, s) & jnp.int32(0xFF)).astype(jnp.bfloat16)
+                for s in (24, 16, 8, 0)
+            ]
+            spec.append(("i32", 4, dt))
         else:
             return None
     Bp = (B + 127) // 128 * 128
-    rhs = jnp.stack(cols, axis=1)  # (B, L)
+    rhs = jnp.stack(cols, axis=1)  # (B, L) bf16
     if Bp != B:
         rhs = jnp.concatenate(
-            [rhs, jnp.zeros((Bp - B, rhs.shape[1]), jnp.float32)]
+            [rhs, jnp.zeros((Bp - B, rhs.shape[1]), jnp.bfloat16)]
         )
     L = rhs.shape[1]
     ch = 1 << 22
-    while ch * Bp > (1 << 24) and ch > 256:
+    while ch * Bp > (1 << 25) and ch > 256:
         ch //= 2
     nch = -(-n // ch)
     pad = nch * ch - n
@@ -87,10 +100,9 @@ def lut_gather(tables, idx):
     slots = lax.broadcasted_iota(jnp.int32, (Bp,), 0)
 
     def body(_, ic):
-        oh = (ic[:, None] == slots[None, :]).astype(jnp.float32)
-        # HIGHEST: the default TPU matmul runs bf16 passes — integer
-        # limbs above 256 rounded (measured: CSR offsets 666 -> 664)
-        return None, lax.dot(oh, rhs, precision=lax.Precision.HIGHEST)
+        oh = (ic[:, None] == slots[None, :]).astype(jnp.bfloat16)
+        return None, lax.dot(oh, rhs, precision=lax.Precision.DEFAULT,
+                             preferred_element_type=jnp.float32)
 
     _, parts = lax.scan(body, None, idx_p.reshape(nch, ch))
     flat = parts.reshape(nch * ch, L)[:n]
@@ -98,14 +110,16 @@ def lut_gather(tables, idx):
     c = 0
     for sp in spec:
         if sp[0] == "f32":
-            out.append(flat[:, c])
-            c += 1
+            out.append(flat[:, c] + flat[:, c + 1] + flat[:, c + 2])
+            c += 3
         else:
-            hi = flat[:, c].astype(jnp.int32)
-            lo = flat[:, c + 1].astype(jnp.int32)
-            v = jnp.left_shift(hi, 16) | lo
+            v = jnp.zeros(n, jnp.int32)
+            for j, s in enumerate((24, 16, 8, 0)):
+                v = v | jnp.left_shift(
+                    flat[:, c + j].astype(jnp.int32), s
+                )
             out.append(v.astype(sp[2]))
-            c += 2
+            c += 4
     return out
 
 
@@ -377,3 +391,33 @@ def probe_perfect(build: PerfectBuild, probe_keys, probe_valid, key_range: int):
         cnt_raw = build.counts[slot]
     cnt = jnp.where(ok, cnt_raw, 0)
     return lo, cnt
+
+
+def probe_perfect_unique(build: PerfectBuild, probe_keys, probe_valid,
+                         key_range: int, mask):
+    """Perfect-hash probe for UNIQUE builds, fully composed: the build
+    side precomputes slot → build_row (payload[offsets], a key_range-size
+    gather — trivial), so the per-probe-row fetch is ONE lut/gather of
+    [build_row, count] instead of probe_perfect's [offset, count] pass
+    followed by probe_unique's second payload pass.  Halves the dominant
+    per-row lookup cost of a PK-FK join (measured: each one-hot LUT pass
+    is ~3.3ns/row at 20M rows; the old 14ns/row XLA gathers are why this
+    runs as matmuls at all).  Returns (build_idx[n], cnt[n], matched[n])."""
+    pk = jnp.asarray(probe_keys, jnp.int64) - build.key_min
+    ok = (pk >= 0) & (pk < key_range)
+    if probe_valid is not None:
+        ok = ok & probe_valid
+    slot = jnp.clip(pk, 0, key_range - 1)
+    off_c = jnp.clip(build.offsets, 0, build.payload.shape[0] - 1)
+    direct = build.payload[off_c.astype(jnp.int32)]  # [R] slot → build row
+    lut = lut_gather([direct, build.counts], slot.astype(jnp.int32))
+    if lut is not None:
+        bidx, cnt_raw = lut
+    else:
+        bidx = direct[slot]
+        cnt_raw = build.counts[slot]
+    cnt = jnp.where(ok, cnt_raw, 0)
+    matched = cnt > 0
+    if mask is not None:
+        matched = matched & mask
+    return bidx, cnt, matched
