@@ -9,6 +9,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import secrets
 import socket
@@ -32,6 +33,48 @@ from heavydb_tpu import connect
 from heavydb_tpu.errors import HeavyTpuError, QueryInterrupted
 from heavydb_tpu.server import protocol as P
 from heavydb_tpu.version import __version__
+
+
+class RWLock:
+    """Writer-preferring shared/exclusive lock (reference
+    LockMgr/LockMgrImpl.h read-write hierarchy: readers share a table,
+    writers exclude readers AND each other; waiting writers block new
+    readers so a write burst can't be starved)."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    @contextlib.contextmanager
+    def read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if not self._readers:
+                    self._cond.notify_all()
+
+    @contextlib.contextmanager
+    def write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writers_waiting -= 1
+            self._writer = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
 
 
 class Session:
@@ -67,11 +110,13 @@ class HeavyTpuServer:
             return True
 
         self.db.kill_provider = _kill
-        # table-level write locks (reference LockMgr/) acquired in sorted
-        # name order to avoid deadlock (DBHandler.cpp:7173-7186); a global
-        # lock backs statements whose tables can't be determined
+        # table-level reader-writer locks (reference LockMgr/ read-write
+        # hierarchy) acquired in sorted name order to avoid deadlock
+        # (DBHandler.cpp:7173-7186); readers share, writers exclude, so a
+        # concurrent reader can no longer observe a half-applied
+        # multi-statement write sequence
         self.write_lock = threading.Lock()
-        self.table_locks: Dict[str, threading.Lock] = {}
+        self.table_locks: Dict[str, RWLock] = {}
         self._table_locks_guard = threading.Lock()
         self.start_time = time.time()
         # in-flight queries per session (reference get_queries_info)
@@ -95,14 +140,16 @@ class HeavyTpuServer:
             self.sessions.pop(sid, None)
 
     def _write_lock_keys(self, query: str):
-        """AST-derived write-lock keys for a statement batch — the writer
+        """AST-derived lock keys for a statement batch — the writer
         dispatch queue (reference QueryDispatchQueue.h:29 + LockMgr table
-        locks).  Returns a sorted list of lock KEYS: table names for
-        table-scoped writes, '#sys' for syscatalog mutations, '#catalog'
-        only for statements whose targets genuinely can't be determined.
-        [] = read-only (no lock).  Every statement CLASS is routed —
-        the old regex fallback took the global lock whenever the text
-        didn't match, serializing unrelated writers."""
+        locks).  Returns a sorted list of (KEY, MODE) pairs: table names
+        for table-scoped writes ('w'), '#sys' for syscatalog mutations,
+        '#catalog' only for statements whose targets genuinely can't be
+        determined, and every referenced-but-unwritten table in shared
+        mode ('r') so readers exclude concurrent writers without
+        serializing each other.  Every statement CLASS is routed — the
+        old regex fallback took the global lock whenever the text didn't
+        match, serializing unrelated writers."""
         from heavydb_tpu.sql import ast as A
         from heavydb_tpu.sql.parser import parse_many
 
@@ -119,9 +166,11 @@ class HeavyTpuServer:
         try:
             stmts = parse_many(query)
         except Exception:
-            return ["#catalog"]
+            return [("#catalog", "w")]
         keys = set()
+        reads = set()
         for st in stmts:
+            reads.update(self._stmt_table_refs(st))
             if isinstance(st, READ_ONLY):
                 continue
             if isinstance(st, SYS):
@@ -143,14 +192,54 @@ class HeavyTpuServer:
                 keys.update(t.lower() for t in st.tables)
             else:
                 keys.add("#catalog")  # unknown class: serialize
-        return sorted(keys)
+        # shared-mode keys: every referenced table not already being
+        # written (reference LockMgr read locks — readers of a table
+        # block concurrent writers of it, never each other)
+        return sorted(
+            [(k, "w") for k in keys]
+            + [(k, "r") for k in reads - keys]
+        )
+
+    def _stmt_table_refs(self, st) -> set:
+        """Every table NAME referenced anywhere in a statement — a
+        generic dataclass walk collecting A.NamedTable nodes (FROM,
+        joins, CTE bodies, subqueries in any clause).  CTE aliases may
+        over-collect; a shared lock on a nonexistent name is harmless."""
+        import dataclasses
+
+        from heavydb_tpu.sql import ast as A
+
+        out = set()
+        seen = set()
+
+        def walk(x):
+            if isinstance(x, (list, tuple)):
+                for v in x:
+                    walk(v)
+                return
+            if not dataclasses.is_dataclass(x) or isinstance(x, type):
+                return
+            if id(x) in seen:
+                return
+            seen.add(id(x))
+            if isinstance(x, A.NamedTable):
+                out.add(x.name.lower())
+            for f in dataclasses.fields(x):
+                walk(getattr(x, f.name, None))
+
+        walk(st)
+        return out
 
     def _locks_for_keys(self, keys):
+        """keys: sorted [(name, 'r'|'w')] → entered lock contexts."""
         with self._table_locks_guard:
-            return [
-                self.table_locks.setdefault(k, threading.Lock())
-                for k in keys
+            locks = [
+                (self.table_locks.setdefault(k, RWLock()), mode)
+                for k, mode in keys
             ]
+        return [
+            lk.write() if mode == "w" else lk.read() for lk, mode in locks
+        ]
 
     # ---- dispatch ----
     def handle(self, msg: dict) -> dict:
@@ -296,7 +385,7 @@ class HeavyTpuServer:
         """Bulk columnar load (reference load_table_binary_columnar)."""
         self._session(session)
         arrays = {k: P.decode_array(v) for k, v in columns.items()}
-        with self._locks_for_keys([table.lower()])[0]:
+        with self._locks_for_keys([(table.lower(), "w")])[0]:
             self.db.load_table(table, arrays)
         return int(next(iter(arrays.values())).shape[0]) if arrays else 0
 

@@ -178,19 +178,26 @@ def test_table_level_write_locks_allow_disjoint_tables():
     sid = srv.rpc_connect()
     srv.rpc_sql_execute(sid, "CREATE TABLE wa (x INT)")
     srv.rpc_sql_execute(sid, "CREATE TABLE wb (x INT)")
-    locks_a = srv._locks_for_keys(srv._write_lock_keys("INSERT INTO wa VALUES (1)"))
-    locks_b = srv._locks_for_keys(srv._write_lock_keys("INSERT INTO wb VALUES (1)"))
-    assert locks_a and locks_b and locks_a[0] is not locks_b[0]
-    # same table -> same lock object (serialized)
-    assert srv._locks_for_keys(
-        srv._write_lock_keys("INSERT INTO wa VALUES (2)"))[0] is locks_a[0]
-    # reads take no lock; ALTER/COMMENT/OPTIMIZE route to the table lock
-    assert srv._write_lock_keys("SELECT * FROM wa") == []
-    assert srv._write_lock_keys("COMMENT ON TABLE wa IS 'x'") == ["wa"]
+    ka = srv._write_lock_keys("INSERT INTO wa VALUES (1)")
+    kb = srv._write_lock_keys("INSERT INTO wb VALUES (1)")
+    srv._locks_for_keys(ka), srv._locks_for_keys(kb)
+    assert ka == [("wa", "w")] and kb == [("wb", "w")]
+    assert srv.table_locks["wa"] is not srv.table_locks["wb"]
+    # same table -> same underlying lock (serialized)
+    assert srv._write_lock_keys("INSERT INTO wa VALUES (2)") == ka
+    # reads take SHARED locks; ALTER/COMMENT/OPTIMIZE route to the
+    # table write lock
+    assert srv._write_lock_keys("SELECT * FROM wa") == [("wa", "r")]
+    assert srv._write_lock_keys("COMMENT ON TABLE wa IS 'x'") \
+        == [("wa", "w")]
     assert srv._write_lock_keys(
-        "ALTER TABLE wa ALTER COLUMN x TYPE BIGINT") == ["wa"]
-    assert srv._write_lock_keys("OPTIMIZE TABLE wa") == ["wa"]
-    assert srv._write_lock_keys("CREATE USER zz (password='p')") == ["#sys"]
+        "ALTER TABLE wa ALTER COLUMN x TYPE BIGINT") == [("wa", "w")]
+    assert srv._write_lock_keys("OPTIMIZE TABLE wa") == [("wa", "w")]
+    assert srv._write_lock_keys("CREATE USER zz (password='p')") \
+        == [("#sys", "w")]
+    # INSERT..SELECT: write target, shared source
+    assert srv._write_lock_keys(
+        "INSERT INTO wa SELECT x FROM wb") == [("wa", "w"), ("wb", "r")]
     # concurrent writers to different tables both complete
     errs = []
 
@@ -319,3 +326,77 @@ def test_query_timings_rpc(conn):
     assert tree.get("name") == "query"
     names = [c["name"] for c in tree.get("children", [])]
     assert "plan" in names and "execute" in names
+
+
+def test_reader_writer_isolation(server):
+    """A concurrent reader must never observe a half-applied
+    multi-statement write batch (reference LockMgr read-write
+    hierarchy: readers share, writers exclude)."""
+    host, port = server.server_address
+    with Connection(host, port) as c:
+        c.sql("CREATE TABLE rw (x INT)")
+        c.sql("INSERT INTO rw VALUES (1), (2), (3), (4)")
+
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        try:
+            with Connection(host, port) as cw:
+                for i in range(12):
+                    # delete-then-reinsert as ONE batch: the intermediate
+                    # empty state must be invisible to readers
+                    cw.sql("DELETE FROM rw WHERE x > 0; "
+                           "INSERT INTO rw VALUES (1), (2), (3), (4)")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def reader():
+        try:
+            with Connection(host, port) as cr:
+                while not stop.is_set():
+                    n = cr.sql("SELECT count(*) FROM rw").rows()[0][0]
+                    if n != 4:
+                        errors.append(AssertionError(f"saw count {n}"))
+                        return
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+
+
+def test_readers_do_not_serialize_each_other(server):
+    """Shared mode: N concurrent readers of one table all proceed
+    (writer-preferring RWLock must not degrade reads to exclusive)."""
+    host, port = server.server_address
+    with Connection(host, port) as c:
+        c.sql("CREATE TABLE rr (x INT)")
+        c.sql("INSERT INTO rr VALUES (1), (2)")
+    inside = []
+    gate = threading.Barrier(3, timeout=60)
+
+    from heavydb_tpu.server.server import RWLock
+
+    engine = server.engine
+    lock = engine.table_locks.setdefault("rr", RWLock())
+
+    def reader():
+        with lock.read():
+            inside.append(1)
+            gate.wait()  # all three must be inside simultaneously
+
+    ts = [threading.Thread(target=reader) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert len(inside) == 3
